@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect bottleneck). The first query absorbs JVM/session warmup;
+a tiny warmup action runs first so per-query numbers reflect plan
+execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_analysis_spark.queries import QUERIES  # noqa: E402
+from big_data_analysis_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: flagship + one representative per operator family.
+BENCH_QUERIES = [
+    "trend_rules",
+    "pricing_summary",
+    "dedup_keep_last",
+    "top_customers",
+    "pivot_returnflag",
+    "rollup_qty",
+    "window_lag_features",
+    "sessionize_events",
+    "tumbling_daily_events",
+    "json_extract_agg",
+    "token_stats_docs",
+    "word_freq_docs",
+    "dedup_exact_docs",
+    "cosine_topk",
+    "minhash_pairs",
+    "simhash_pairs",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bdas-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Deduplication operators (north star; SURVEY.md §2.3 + BASELINE.json).
+
+Four tiers, cheapest first:
+1. exact          — md5-fingerprint groupBy (one shuffle on the hash)
+2. ngram_jaccard  — exact set-similarity join on n-gram shingles
+3. minhash_lsh    — shingle -> minhash signature -> band -> bucket join;
+                    the 100 TB path: candidate generation never compares
+                    all pairs, cost is O(docs x bands) + per-bucket joins
+4. simhash        — 64-bit near-dup fingerprint, hamming-distance buckets
+
+All are built-in-expression implementations (xxhash64 / higher-order
+array functions) — no Python in the hot path, fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, keeping the lowest id
+    per duplicate group (deterministic). One hash-shuffle; at 100 TB the
+    md5 groupBy distributes evenly (hash keys are uniform)."""
+    fp = fingerprint(df, text_col, "__fp")
+    keep = fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate report: fingerprint -> group size + member ids,
+    only groups with >1 member."""
+    return (
+        fingerprint(df, text_col, "fingerprint")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _token_shingles(text_col, n: int):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with
+    J(a,b) >= threshold, id_a < id_b.
+
+    Implementation: explode shingles -> self-join on shingle (only
+    co-occurring pairs are ever materialized) -> count common shingles ->
+    J = common / (|A| + |B| - common). This is the classic inverted-index
+    set-similarity join: cost is sum over shingles of (docs-per-shingle
+    choose 2), NOT (all docs choose 2). For 100 TB add a prefix filter
+    (sort shingles by global frequency, index only the first
+    (1-t)*|set|+1) — hook left simple here.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), _token_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    exploded = shingled.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.sh_size").alias("size_a"), F.col("b.sh_size").alias("size_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """Per-document MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Entirely higher-order array expressions —
+    one narrow pass, no shuffle, no UDF."""
+    sh = _token_shingles(F.col(text_col), shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``num_bands`` bands of
+    ``rows_per_band`` values; documents sharing any full band become a
+    candidate pair. The scale path: a groupBy on (band_idx, band_hash) —
+    uniform hash keys, no all-pairs comparison."""
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signatures -> LSH candidates ->
+    verify candidates with estimated Jaccard (signature agreement rate).
+    Returns (id_a, id_b, est_jaccard >= threshold)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, num_bands, rows_per_band)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to
+    each bit position; the sign of each bit-sum forms the fingerprint.
+    Near-dups have small hamming distance. Pure expressions via
+    higher-order functions over a bits sequence."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # Bit positions are compile-time constants (shiftright needs literal
+    # shift amounts), so the per-bit expressions unroll in Python and the
+    # whole fingerprint stays one codegen'd projection.
+    def bit_val(b: int):
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed.bitwiseOR(F.shiftleft(bit_val(b), b))
+    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit hash into 4 16-bit blocks; by
+    pigeonhole any pair within hamming 3 shares at least one exact
+    block -> groupBy join per block (scales; no all-pairs)."""
+    hashed = simhash(df, text_col, id_col)
+    block_arr = F.array(
+        *[F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)]
+    )
+    blocks = hashed.select(
+        "id", "simhash", F.posexplode(block_arr).alias("block_idx", "block_val")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,272 @@
+"""Relational operators (SURVEY.md §2.2 P*, §2.3 D*, §2.4 J*, §2.5 A*,
+§2.7 O*, §2.8 U*).
+
+Every function is a pure DataFrame -> DataFrame transform; plans stay
+declarative so Catalyst applies pushdown / pruning / join planning. Scale
+notes are given per function where a naive translation of the reference's
+pandas idiom would not survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Projections / row transforms (P1-P12)
+# ---------------------------------------------------------------------------
+
+
+def select_excluding(df: DataFrame, exclude: Sequence[str]) -> DataFrame:
+    """P2: column select by exclusion list (reference 新冠疫情分析.py:105)."""
+    return df.select(*[c for c in df.columns if c not in set(exclude)])
+
+
+def map_values(df: DataFrame, col: str, mapping: dict, out_col: str | None = None, default=None) -> DataFrame:
+    """P3: scalar dict-lookup encode (reference 乳腺癌预测.py:79 'M'->1).
+
+    Compiles the dict to a CASE expression — stays in whole-stage
+    codegen, no UDF.
+    """
+    expr = None
+    for k, v in mapping.items():
+        cond = F.col(col) == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    expr = expr.otherwise(F.lit(default))
+    return df.withColumn(out_col or col, expr)
+
+
+def normalize_blank_to_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P6: whitespace-only string -> NULL (reference 蔬菜价格相关性分析.py:47)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.when(F.trim(F.col(c)) == "", None).otherwise(F.col(c)))
+    return out
+
+
+def to_numeric_coerce(df: DataFrame, cols: Sequence[str], dtype: str = "double") -> DataFrame:
+    """P7: cast-with-coerce (pandas ``to_numeric(errors='coerce')``,
+    reference 蔬菜价格相关性分析.py:54) via ``try_cast`` — bad cells
+    become NULL instead of failing the job."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.expr(f"try_cast(`{c}` as {dtype})"))
+    return out
+
+
+def clean_non_finite(df: DataFrame, cols: Sequence[str], fill: float = 0.0) -> DataFrame:
+    """P8: replace NaN/±inf then fill nulls (reference 新冠疫情分析.py:82-83).
+
+    Spark distinguishes NULL from NaN (SURVEY.md §1.2) — handle both.
+    """
+    out = df
+    for c in cols:
+        col = F.col(c)
+        out = out.withColumn(
+            c,
+            F.when(F.isnan(col) | (col == float("inf")) | (col == float("-inf")), F.lit(fill))
+            .otherwise(col),
+        )
+    return out.na.fill(fill, subset=list(cols))
+
+
+def discretize_trend(
+    df: DataFrame,
+    value: str,
+    prev_value: str,
+    out_col: str = "trend",
+    up_threshold: float = 0.05,
+    down_threshold: float = 0.05,
+    labels: tuple[str, str, str] = ("up", "down", "flat"),
+) -> DataFrame:
+    """P10: 3-way ±threshold discretization (reference
+    蔬菜价格相关性分析.py:93-99: rise if new > old*1.05, fall if
+    new < old*0.95, else flat)."""
+    up, down, flat = labels
+    new, old = F.col(value), F.col(prev_value)
+    return df.withColumn(
+        out_col,
+        F.when(old.isNull() | new.isNull(), None)
+        .when(new > old * (1.0 + up_threshold), up)
+        .when(new < old * (1.0 - down_threshold), down)
+        .otherwise(flat),
+    )
+
+
+def with_row_number(df: DataFrame, order_by: Sequence[str | Column], out_col: str = "rn", partition_by: Sequence[str] = ()) -> DataFrame:
+    """P12: contiguous row/day counter over an explicit ordering
+    (reference 新冠疫情分析.py:40 ``range(1, len+1)``).
+
+    Uses ``row_number`` NOT ``monotonically_increasing_id`` (gaps).
+    Scale note: an empty ``partition_by`` funnels all rows through one
+    partition — fine for a single time series, wrong for a keyed fact;
+    always pass partition keys at scale.
+    """
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / missing data (D1-D4)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """D1/W7: dedup on a key subset keeping the LAST row per key under an
+    explicit ordering (reference 蔬菜价格相关性分析.py:25-26
+    ``drop_duplicates(keep='last')`` — pandas keeps file order; we make
+    the order explicit and therefore deterministic).
+
+    ``order_by`` must be a total order within each key group (include a
+    unique tiebreaker) for deterministic output. Implemented as a ranking
+    window: one shuffle on ``keys``, no global sort.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() if isinstance(c, str) else c for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def drop_rows_with_null(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """D2: drop rows containing any null (reference 蔬菜价格相关性分析.py:29)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """D4: per-column null counts in ONE pass (reference 乳腺癌预测.py:59-63
+    loops per column; here a single map-side-combined aggregate)."""
+    cols = list(cols or df.columns)
+    return df.agg(*[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols])
+
+
+def drop_null_columns(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """D3: drop columns containing any null (reference
+    蔬菜价格相关性分析.py:51). Two-phase: one aggregate pass computes
+    null counts, then a projection keeps survivors. The collect is a
+    single tiny row — not a data collect."""
+    cols = list(cols or df.columns)
+    counts = null_counts(df, cols).collect()[0].asDict()
+    keep = [c for c in df.columns if c not in cols or counts.get(c, 0) == 0]
+    return df.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 + semi/anti extension)
+# ---------------------------------------------------------------------------
+
+
+def equi_join(left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner", broadcast_right: bool = False) -> DataFrame:
+    """J1: equi-join. ``broadcast_right=True`` forces a broadcast-hash
+    join for known-small dims (region/nation) — skips the shuffle
+    entirely; otherwise Catalyst/AQE picks the strategy."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on), how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS-style filter: rows of ``left`` with a match in ``right``.
+    No columns from the right side, no duplication — cheaper than an
+    inner join + distinct."""
+    return left.join(right, on=list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS-style filter: rows of ``left`` with no match."""
+    return left.join(right, on=list(on), how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A13)
+# ---------------------------------------------------------------------------
+
+
+def value_counts(df: DataFrame, col: str, normalize: bool = False) -> DataFrame:
+    """A1/A2: group-by count (pandas ``value_counts``,
+    reference 乳腺癌预测.py:53), optional proportion column."""
+    out = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+    if normalize:
+        total = F.sum("count").over(Window.partitionBy())
+        out = out.withColumn("proportion", F.col("count") / total)
+    return out
+
+
+def describe_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A3: full descriptive stats (pandas ``describe``,
+    reference 新冠疫情分析.py:44): count/mean/std/min/25%/50%/75%/max.
+
+    Uses exact ``percentile`` (the reference is exact); swap to
+    ``percentile_approx`` at 100 TB where an exact global sort per column
+    is not worth it.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}_count"),
+            F.avg(col).alias(f"{c}_mean"),
+            F.stddev(col).alias(f"{c}_std"),
+            F.min(col).alias(f"{c}_min"),
+            F.expr(f"percentile(`{c}`, 0.25)").alias(f"{c}_p25"),
+            F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}_p50"),
+            F.expr(f"percentile(`{c}`, 0.75)").alias(f"{c}_p75"),
+            F.max(col).alias(f"{c}_max"),
+        ]
+    return df.agg(*aggs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    pivot_col: str,
+    value_col: str,
+    agg: str = "first",
+    pivot_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """A7: long->wide pivot (pandas ``pivot_table``, reference
+    蔬菜价格相关性分析.py:40-41, aggfunc='first').
+
+    Pass ``pivot_values`` whenever the domain is known — it skips the
+    extra distinct-scan job Spark otherwise runs to discover columns
+    (SURVEY.md §4.2).
+    """
+    agg_fn = getattr(F, agg)(F.col(value_col))
+    g = df.groupBy(*group_by)
+    p = g.pivot(pivot_col, list(pivot_values)) if pivot_values is not None else g.pivot(pivot_col)
+    return p.agg(agg_fn)
+
+
+def conditional_rate(df: DataFrame, cond: Column, out_col: str = "rate") -> DataFrame:
+    """A2: proportion of rows satisfying a predicate
+    (reference 乳腺癌预测.py:54-55) as a single map-side-combinable avg."""
+    return df.agg(F.avg(cond.cast("double")).alias(out_col))
+
+
+def confusion_matrix(df: DataFrame, label: str, prediction: str) -> DataFrame:
+    """A12: confusion matrix via groupBy+pivot
+    (reference 乳腺癌预测.py:195-199)."""
+    return df.groupBy(label).pivot(prediction).count()
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1-O8)
+# ---------------------------------------------------------------------------
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """O1-O3: global top-k. Spark plans TakeOrderedAndProject — each
+    partition keeps only k rows, then the driver merges; no full sort.
+    ``order_by`` should include a unique tiebreaker for determinism."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column], k: int, rank_col: str = "rk") -> DataFrame:
+    """Grouped top-k via ranking window — one shuffle on the group keys.
+    (Extension: the reference only does global top-k, O2.)"""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

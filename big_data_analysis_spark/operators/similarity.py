@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (north star; SURVEY.md §2.10
+M4 — the kNN gap — and BASELINE.json).
+
+Three tiers:
+1. brute-force cosine top-k   — exact; the correctness baseline. All
+   arithmetic in higher-order functions (zip_with/aggregate) — JVM
+   codegen, no Python.
+2. random-hyperplane LSH      — scale path: hash-derived deterministic
+   hyperplanes bucket vectors; search only same-bucket (+ multiprobe)
+   candidates.
+3. IVF (k-means cells)        — scale path with trained centroids
+   (pyspark.ml KMeans); search nprobe nearest cells.
+
+Embeddings are ``array<float>`` columns (driver ``embeddings`` table);
+all math upcasts to double for stable, oracle-matchable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns — zip_with + aggregate, codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    The query is a literal array folded into the plan (broadcast-free);
+    the scan is embarrassingly parallel and Spark's TakeOrderedAndProject
+    keeps only k rows per partition. At 100 TB this is the exhaustive
+    baseline you verify ANN recall against on samples.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine(F.col(vec_col), q).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN: for every query row, top-k neighbors from the corpus
+    (the M4 kNN-classifier primitive). Broadcast the smaller query side;
+    rank with a per-query window. Cost O(|corpus| x |queries|) — use the
+    LSH/IVF tiers when both sides are large."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("n_id") != F.col("q_id")).select(
+        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def hyperplane_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^num_planes-1).
+
+    Plane weights are xxhash64-derived ±1 — deterministic, identical on
+    every executor with zero broadcast state. bucket bit p = sign of
+    dot(vec, plane_p).
+    """
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def plane_dot(p: int):
+        prods = F.zip_with(
+            vec_col,
+            dims,
+            lambda x, d: x.cast("double")
+            * F.when(F.xxhash64(F.lit(p), d, F.lit(seed)) % 2 == 0, 1.0).otherwise(-1.0),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    # Plane index is a compile-time constant; unroll in Python so the
+    # bucket id is one codegen'd expression.
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        bit = F.when(plane_dot(p) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's hyperplane bucket.
+
+    Recall < 1 by design; raise with multiprobe (flip one bit) or fewer
+    planes. At scale, bucket the corpus ONCE (write bucket as a partition
+    column) and each query touches ~1/2^planes of the data.
+    """
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = embeddings.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), dim, num_planes, seed))
+    # Query bucket computed the same way, as a scalar row.
+    qb = bucketed.sparkSession.range(1).select(
+        hyperplane_bucket(q, dim, num_planes, seed).alias("__qbucket")
+    )
+    return (
+        bucketed.join(F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,142 @@
+"""Text operators (SURVEY.md §2.9 T*, §2.2 P13-P14) + the text-analysis
+north star (language-ID heuristic, quality scoring, token counting,
+fingerprinting) over the ``documents`` table.
+
+Everything here is built-in-expression only (whole-stage codegen, no
+Python in the hot path) except the CJK numeral parser, which is a genuine
+UDF need (P13).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+# ---------------------------------------------------------------------------
+# Substring frequency (T4) — the Dream-of-the-Red-Chamber feature factory
+# ---------------------------------------------------------------------------
+
+
+def substring_count(col, word: str):
+    """Non-overlapping substring occurrence count via the replace trick:
+    (len(text) - len(replace(text, w, ''))) / len(w).
+
+    Matches Python ``str.count`` semantics used by the reference
+    (红楼梦作者分析.py:127). Pure codegen — no UDF for a 130-word x
+    120-chapter matrix.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.replace(c, F.lit(word), F.lit("")))) / len(word)
+
+
+def word_frequency_per_kchar(
+    df: DataFrame, text_col: str, words: Sequence[str], per_chars: int = 1000
+) -> DataFrame:
+    """T4: per-document frequency of each word, normalized per
+    ``per_chars`` characters (reference 红楼梦作者分析.py:117-133).
+
+    Emits one wide column per word (the reference's feature-matrix
+    shape). Column count = len(words); for very large vocabularies use
+    the long form (explode a words dim table) instead.
+    """
+    exprs = {
+        f"freq_{w}": substring_count(text_col, w) / F.length(F.col(text_col)) * per_chars
+        for w in words
+    }
+    return df.withColumns(exprs)
+
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens", pattern: str = r"\s+") -> DataFrame:
+    """Whitespace tokenization to an array column; feeds token counting,
+    n-gram shingles, and ML feature stages."""
+    return df.withColumn(out_col, F.split(F.col(text_col), pattern))
+
+
+def token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    """North star: token counting — whitespace tokens (a BPE-ish regex
+    variant is ``regexp_count(text, r"\\w+|[^\\w\\s]")``)."""
+    return df.withColumn(out_col, F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+
+
+def quality_score(df: DataFrame, text_col: str, stopwords: Sequence[str] = ("the", "a", "of", "and")) -> DataFrame:
+    """North star: heuristic document quality features — length, token
+    count, mean token length, punctuation ratio, stopword ratio. All
+    codegen expressions; composes into filter thresholds for corpus
+    cleaning at scale."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        df.withColumn("q_len", F.length(text))
+        .withColumn("q_tokens", n_tok)
+        .withColumn("q_mean_tok_len", (F.length(F.regexp_replace(text, r"\s+", "")) / n_tok))
+        .withColumn("q_punct_ratio", F.regexp_count(text, r"[^\w\s]") / F.length(text))
+        .withColumn("q_stopword_ratio", n_stop / n_tok)
+    )
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """North star: language-ID by script/character heuristic — CJK
+    codepoint ratio vs ASCII; extend with per-language stopword hit
+    rates. Deterministic and cheap; a real model slots in behind the
+    same column contract via predict_batch_udf."""
+    text = F.col(text_col)
+    cjk = F.regexp_count(text, r"[一-鿿]")
+    latin = F.regexp_count(text, r"[A-Za-z]")
+    return df.withColumn(
+        out_col,
+        F.when(cjk > latin, F.lit("zh")).when(latin > 0, F.lit("en")).otherwise(F.lit("unknown")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """North star: document fingerprint — md5 of the
+    whitespace-normalized, lowercased text. Stable across engines (used
+    by exact dedup and the DuckDB oracle)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(normalized))
+
+
+# ---------------------------------------------------------------------------
+# Corpus splitting (P14) + CJK numeral parsing (P13)
+# ---------------------------------------------------------------------------
+
+
+def split_documents(df: DataFrame, text_col: str, delimiter_pattern: str, doc_col: str = "doc", idx_col: str = "doc_idx") -> DataFrame:
+    """P14: split a wholetext corpus into one row per document with its
+    position (reference 红楼梦作者分析.py:48-56 chapter split). posexplode
+    keeps the original order as an explicit column — no implicit index."""
+    parts = F.split(F.col(text_col), delimiter_pattern)
+    return df.select(F.posexplode(parts).alias(idx_col, doc_col))
+
+
+_CN_DIGITS = {"零": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_CN_UNITS = {"十": 10, "百": 100, "千": 1000}
+
+
+def parse_cn_numeral(s: str | None) -> int | None:
+    """P13: Chinese numeral -> int (reference 红楼梦作者分析.py:59-82,
+    e.g. 一百零八 -> 108). Pure function, registered as a UDF below."""
+    if not s:
+        return None
+    total, current = 0, 0
+    for ch in s:
+        if ch in _CN_DIGITS:
+            current = _CN_DIGITS[ch]
+        elif ch in _CN_UNITS:
+            unit = _CN_UNITS[ch]
+            total += (current or 1) * unit
+            current = 0
+        elif ch == "零":
+            continue
+        else:
+            return None
+    return total + current
+
+
+cn_numeral_udf = F.udf(parse_cn_numeral, IntegerType())

@@ -1,0 +1,164 @@
+"""Time-series / window operators (SURVEY.md §2.6 W1-W7).
+
+The reference's COVID feature factory (新冠疫情分析.py:52-76) builds every
+feature with implicit-row-order pandas ops (shift / rolling / pct_change /
+diff). Spark DataFrames are unordered multisets, so each op is re-expressed
+over an explicit (partition_by, order_by) window — the single most
+important semantic translation in the port (SURVEY.md §1.3).
+
+Leakage discipline: the reference hand-shifts every rolling feature so
+only past rows contribute (新冠疫情分析.py:62-74). Here that is structural:
+trailing frames end at -1, so leakage cannot regress silently.
+
+Scale note: ``partition_by=()`` reproduces the reference's single global
+series but funnels rows through one partition. At 100 TB always partition
+(e.g. per user_id / product) — the API makes the keys explicit so the
+scaled call is the same call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _window(partition_by: Sequence[str], order_by: Sequence[str | Column]) -> WindowSpec:
+    if partition_by:
+        return Window.partitionBy(*partition_by).orderBy(*order_by)
+    return Window.orderBy(*order_by)
+
+
+def add_lag_features(
+    df: DataFrame,
+    cols: Sequence[str],
+    lags: Sequence[int],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """W1: lag features (pandas ``shift(n)``, reference 新冠疫情分析.py:57-60
+    builds lags {1,3,7} x 3 series). One window, all lags in one pass."""
+    w = _window(partition_by, order_by)
+    return df.withColumns({f"{c}_lag{n}": F.lag(F.col(c), n).over(w) for c in cols for n in lags})
+
+
+def add_trailing_mean(
+    df: DataFrame,
+    cols: Sequence[str],
+    windows: Sequence[int],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """W2: trailing moving average EXCLUDING the current row — the
+    reference's ``rolling(n, min_periods=1).mean().shift(1)``
+    (新冠疫情分析.py:63-66) folds into frame (-n, -1); partial windows
+    match ``min_periods=1`` because avg ignores missing frame rows."""
+    w = _window(partition_by, order_by)
+    return df.withColumns(
+        {
+            f"{c}_ma{n}": F.avg(F.col(c)).over(w.rowsBetween(-n, -1))
+            for c in cols
+            for n in windows
+        }
+    )
+
+
+def add_pct_change(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    shift: int = 1,
+) -> DataFrame:
+    """W3: leakage-shifted percent change — the reference's
+    ``pct_change().shift(1)`` (新冠疫情分析.py:69-70):
+    (lag(c, shift) - lag(c, shift+1)) / lag(c, shift+1)."""
+    w = _window(partition_by, order_by)
+    out = {}
+    for c in cols:
+        prev = F.lag(F.col(c), shift).over(w)
+        prev2 = F.lag(F.col(c), shift + 1).over(w)
+        # NULL (not error/inf) on zero base — ANSI-safe, and the
+        # reference zeroes out non-finite features anyway (P8).
+        out[f"{c}_pct"] = (prev - prev2) / F.nullif(prev2, F.lit(0))
+    return df.withColumns(out)
+
+
+def add_diff(
+    df: DataFrame,
+    cols: Sequence[str],
+    periods: Sequence[int],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    shift: int = 1,
+) -> DataFrame:
+    """W4: leakage-shifted difference — the reference's
+    ``diff(n).shift(1)`` (新冠疫情分析.py:73-74):
+    lag(c, shift) - lag(c, shift+n)."""
+    w = _window(partition_by, order_by)
+    return df.withColumns(
+        {
+            f"{c}_diff{n}": F.lag(F.col(c), shift).over(w) - F.lag(F.col(c), shift + n).over(w)
+            for c in cols
+            for n in periods
+        }
+    )
+
+
+def time_ordered_split(
+    df: DataFrame, order_col: str, train_rows: int, test_rows: int, partition_by: Sequence[str] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """W6: positional train/test split (reference 新冠疫情分析.py:93-97
+    first 191 rows train, next 9 test) over an explicit order."""
+    w = _window(partition_by, [order_col])
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    train = ranked.filter(F.col("__rn") <= train_rows).drop("__rn")
+    test = ranked.filter(
+        (F.col("__rn") > train_rows) & (F.col("__rn") <= train_rows + test_rows)
+    ).drop("__rn")
+    return train, test
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: Sequence[str],
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (extension; reference has no sessions).
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap``. Classic lag -> boundary flag -> running sum; one shuffle on
+    the partition keys, scales with per-key cardinality not total rows.
+    """
+    w = _window(partition_by, [ts_col])
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # Timestamp arithmetic stays in interval types — no lossy casts.
+    boundary = (
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    return df.withColumn("__b", boundary).withColumn(
+        session_col, F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__b")
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling time-window aggregate (batch twin of the streaming
+    surface, SURVEY.md §2.11). Uses ``window()`` so the identical
+    expression runs under readStream."""
+    out = df.groupBy(F.window(F.col(ts_col), duration).alias("win"), *group_by).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "win" and c not in group_by]
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *group_by,
+        *agg_cols,
+    )

@@ -1,0 +1,678 @@
+"""Named query registry: every SURVEY.md §2 operator surfaced as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a
+DuckDB oracle SQL string (driver contract, __spark_entry__.py).
+
+Conventions (driver hashes row values after sorting columns by name):
+- every computed column is aliased identically in Spark and SQL;
+- floating-point results are rounded in BOTH engines (sum/avg of doubles
+  differ in the last ulp across engines by summation order);
+- every top-k has a deterministic total order (unique tiebreaker);
+- DuckDB integer aggregates are cast to BIGINT to match Spark's long.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.operators import dedup as dd
+from big_data_analysis_spark.operators import mining, similarity
+from big_data_analysis_spark.operators import relational as rel
+from big_data_analysis_spark.operators import text as tx
+from big_data_analysis_spark.operators import timeseries as ts
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Flagship: price-trend association rules (SURVEY.md §7 step 2)
+# lineitem ⋈ part -> monthly brand price series -> lag window -> ±5% CASE
+# -> trend transactions -> pair support/confidence/lift rules.
+# Exercises S-scan, J1(broadcast), A7-A11, W5, P10, O1, M27.
+# =========================================================================
+
+_TREND_RULES_ORACLE = """
+WITH prices AS (
+    SELECT date_trunc('month', l_shipdate) AS period,
+           p_brand AS item,
+           round(avg(l_extendedprice / l_quantity), 6) AS price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+), lagged AS (
+    SELECT period, item, price,
+           lag(price) OVER (PARTITION BY item ORDER BY period) AS prev
+    FROM prices
+), items AS (
+    SELECT period,
+           item || '=' || CASE WHEN price > prev * 1.05 THEN 'up'
+                               WHEN price < prev * 0.95 THEN 'down'
+                               ELSE 'flat' END AS it
+    FROM lagged WHERE prev IS NOT NULL AND price IS NOT NULL
+), n AS (SELECT count(DISTINCT period) AS n_txn FROM items),
+singles AS (SELECT it, count(*) AS cnt FROM items GROUP BY it),
+pairs AS (
+    SELECT a.it AS item_a, b.it AS item_b, count(*) AS pair_cnt
+    FROM items a JOIN items b ON a.period = b.period AND a.it < b.it
+    GROUP BY 1, 2
+), enriched AS (
+    SELECT item_a, item_b, pair_cnt, sa.cnt AS cnt_a, sb.cnt AS cnt_b, n.n_txn
+    FROM pairs, n
+    JOIN singles sa ON sa.it = item_a
+    JOIN singles sb ON sb.it = item_b
+    WHERE pair_cnt * 1.0 / n.n_txn >= {min_support}
+), rules AS (
+    SELECT item_a AS antecedent, item_b AS consequent,
+           pair_cnt * 1.0 / n_txn AS support,
+           pair_cnt * 1.0 / cnt_a AS confidence,
+           (pair_cnt * 1.0 / cnt_a) / (cnt_b * 1.0 / n_txn) AS lift
+    FROM enriched
+    UNION ALL
+    SELECT item_b, item_a,
+           pair_cnt * 1.0 / n_txn,
+           pair_cnt * 1.0 / cnt_b,
+           (pair_cnt * 1.0 / cnt_b) / (cnt_a * 1.0 / n_txn)
+    FROM enriched
+)
+SELECT antecedent, consequent, round(support, 6) AS support,
+       round(confidence, 6) AS confidence, round(lift, 6) AS lift
+FROM rules WHERE confidence >= {min_confidence}
+"""
+
+TREND_MIN_SUPPORT = 0.1
+TREND_MIN_CONFIDENCE = 0.3
+
+
+def _brand_monthly_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li, part = t["lineitem"], t["part"]
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).alias("period"),
+            F.col("p_brand").alias("item"),
+        )
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("price"))
+    )
+
+
+@query(
+    "trend_rules",
+    _TREND_RULES_ORACLE.format(min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE),
+)
+def q_trend_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = _brand_monthly_prices(spark, sf_dir)
+    txns = mining.trend_transactions(prices, "period", "item", "price")
+    rules = mining.pair_association_rules(
+        txns, items_col="items", txn_col="period",
+        min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE,
+    )
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+# =========================================================================
+# Relational battery
+# =========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the aggregate battery A1/A2/A6/A13 over the fact
+    table; Catalyst pushes the shipdate filter into the parquet scan."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_last",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_shipdate
+    FROM (
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_shipdate,
+               row_number() OVER (
+                   PARTITION BY l_orderkey, l_partkey
+                   ORDER BY l_shipdate DESC, l_linenumber DESC
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/W7: keep-last dedup with explicit deterministic ordering."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = rel.dedup_keep_last(
+        li,
+        keys=["l_orderkey", "l_partkey"],
+        order_by=[F.col("l_shipdate").desc(), F.col("l_linenumber").desc()],
+    )
+    return out.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@query(
+    "top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (broadcast dim join) + A + O1-O3 top-k with tiebreak."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    joined = rel.equi_join(
+        t["orders"].withColumnRenamed("o_custkey", "c_custkey"), t["customer"], ["c_custkey"]
+    )
+    joined = joined.join(
+        F.broadcast(t["nation"]), joined.c_nationkey == t["nation"].n_nationkey
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return rel.top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 10)
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J-ext) + dim join + count."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    no_orders = rel.anti_join(
+        t["customer"], t["orders"].select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    )
+    return (
+        no_orders.join(F.broadcast(t["nation"]), no_orders.c_nationkey == t["nation"].n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "pivot_returnflag",
+    """
+    SELECT date_trunc('month', l_shipdate) AS period,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 pivot with explicit value list (skips the distinct-scan job)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # .cast("date"): DuckDB's date_trunc returns DATE, Spark's TIMESTAMP.
+    li = li.withColumn("period", F.date_trunc("month", F.col("l_shipdate")).cast("date"))
+    out = rel.pivot_agg(li, ["period"], "l_returnflag", "l_quantity", agg="sum", pivot_values=["A", "N", "R"])
+    return out.select("period", *[F.round(F.col(c), 2).alias(c) for c in ("A", "N", "R")])
+
+
+@query(
+    "rollup_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext: rollup grouping sets (subtotals + grand total)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "describe_lineitem",
+    """
+    SELECT count(l_quantity) AS l_quantity_count,
+           round(avg(l_quantity), 4) AS l_quantity_mean,
+           round(stddev_samp(l_quantity), 4) AS l_quantity_std,
+           round(min(l_quantity), 4) AS l_quantity_min,
+           round(quantile_cont(l_quantity, 0.25), 4) AS l_quantity_p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS l_quantity_p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS l_quantity_p75,
+           round(max(l_quantity), 4) AS l_quantity_max
+    FROM lineitem
+    """,
+)
+def q_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: describe() with exact percentiles."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = rel.describe_stats(li, ["l_quantity"])
+    return out.select(
+        F.col("l_quantity_count"),
+        *[F.round(F.col(c), 4).alias(c) for c in out.columns if c != "l_quantity_count"],
+    )
+
+
+@query(
+    "value_counts_events",
+    """
+    SELECT event_type, count(*) AS count,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS proportion
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: value_counts with normalized proportions."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = rel.value_counts(ev, "event_type", normalize=True)
+    return out.select("event_type", "count", F.round("proportion", 6).alias("proportion"))
+
+
+@query(
+    "null_handling",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN k_int IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k,
+           CAST(sum(CASE WHEN k_int IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_k,
+           round(avg(coalesce(k_int, 0)), 4) AS avg_k_filled
+    FROM (
+        SELECT TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_int
+        FROM events
+    )
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6-P8/D4: try_cast coercion -> null counting -> fill."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    derived = ev.select(
+        F.expr("try_cast(get_json_object(props, '$.missing') as bigint)").alias("k_int")
+    )
+    return derived.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("k_int").isNull().cast("long")).alias("null_k"),
+        F.sum(F.col("k_int").isNotNull().cast("long")).alias("not_null_k"),
+        F.round(F.avg(F.coalesce(F.col("k_int"), F.lit(0))), 4).alias("avg_k_filled"),
+    )
+
+
+@query(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-ext: JSON field extraction over events.props (SURVEY §2.9)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.withColumn("k", F.expr("try_cast(get_json_object(props, '$.k') as bigint)"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "string_funcs_part",
+    """
+    SELECT string_split(p_type, ' ')[1] AS type_head,
+           CAST(sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_prefix,
+           round(avg(length(p_name)), 4) AS avg_name_len,
+           count(*) AS n_parts
+    FROM part GROUP BY 1
+    """,
+)
+def q_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T5: split-index, prefix test, length."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    return (
+        p.withColumn("type_head", F.split(F.col("p_type"), " ")[0])
+        .groupBy("type_head")
+        .agg(
+            F.sum(F.col("p_name").startswith("a").cast("long")).alias("n_a_prefix"),
+            F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+@query(
+    "set_ops_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-ext: INTERSECT of two key sets."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = t["orders"].filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+# =========================================================================
+# Window / time-series battery (events table)
+# =========================================================================
+
+
+@query(
+    "window_lag_features",
+    """
+    SELECT event_id, user_id,
+           round(value, 4) AS value,
+           round(lag(value, 1) OVER w, 4) AS value_lag1,
+           round(lag(value, 3) OVER w, 4) AS value_lag3,
+           round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS value_ma3,
+           round(lag(value, 1) OVER w - lag(value, 2) OVER w, 4) AS value_diff1,
+           round((lag(value, 1) OVER w - lag(value, 2) OVER w)
+                 / nullif(lag(value, 2) OVER w, 0), 4) AS value_pct
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W4: the COVID feature factory shape, partitioned per user
+    (the at-scale form of the reference's global series)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    order, part = ["ts", "event_id"], ["user_id"]
+    out = ts.add_lag_features(ev, ["value"], [1, 3], order, part)
+    out = ts.add_trailing_mean(out, ["value"], [3], order, part)
+    out = ts.add_diff(out, ["value"], [1], order, part)
+    out = ts.add_pct_change(out, ["value"], order, part)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("value_lag1", 4).alias("value_lag1"),
+        F.round("value_lag3", 4).alias("value_lag3"),
+        F.round("value_ma3", 4).alias("value_ma3"),
+        F.round("value_diff1", 4).alias("value_diff1"),
+        F.round("value_pct", 4).alias("value_pct"),
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) -> sessions per user."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    sess = ts.sessionize(ev, "ts", ["user_id"], gap="30 minutes")
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "tumbling_daily_events",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window agg (§2.11)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = ts.tumbling_window_agg(
+        ev, "ts", "1 day",
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_by=["event_type"],
+    )
+    return out.select(
+        F.col("window_start").cast("date").alias("day"), "event_type", "n_events", "sum_value"
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/O-ext: grouped top-k via ranking window."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    out = rel.top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return out.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rk")
+
+
+# =========================================================================
+# Text battery (documents table)
+# =========================================================================
+
+
+@query(
+    "word_freq_docs",
+    """
+    SELECT doc_id,
+           round((length(text) - length(replace(text, 'spark', ''))) / 5.0
+                 / length(text) * 1000, 4) AS freq_spark,
+           round((length(text) - length(replace(text, 'data', ''))) / 4.0
+                 / length(text) * 1000, 4) AS freq_data,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_word_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5: substring frequency per 1000 chars via the replace trick
+    (reference 红楼梦作者分析.py:117-133)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = tx.word_frequency_per_kchar(d, "text", ["spark", "data"])
+    return out.select(
+        "doc_id",
+        F.round("freq_spark", 4).alias("freq_spark"),
+        F.round("freq_data", 4).alias("freq_data"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "token_stats_docs",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star text analysis: token counts + md5 fingerprint."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = tx.token_count(d, "text")
+    out = tx.fingerprint(out, "text")
+    return out.select("doc_id", "n_tokens", F.length("text").alias("n_chars_actual"), "fingerprint")
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+                AS BIGINT) AS n_dupes
+    FROM documents
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: exact dedup accounting via normalized fingerprint."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    fp = tx.fingerprint(d, "text")
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_dupes"),
+    )
+
+
+@query(
+    "jaccard_pairs_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS sh
+        FROM documents WHERE doc_id < 100
+    ), ex AS (
+        SELECT doc_id, len(sh) AS sz, unnest(sh) AS tok FROM toks
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+               count(*) AS common
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(common * 1.0 / (size_a + size_b - common), 6) AS jaccard
+    FROM common WHERE common * 1.0 / (size_a + size_b - common) >= 0.5
+    """,
+)
+def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: exact token-Jaccard near-dup pairs (inverted-index
+    set-similarity join; n=1 shingles, threshold 0.5)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = dd.ngram_jaccard_pairs(d.filter(F.col("doc_id") < 100), "text", "doc_id", n=1, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# =========================================================================
+# Similarity search (embeddings table)
+# =========================================================================
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product((SELECT qv FROM q)::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]))),
+         6) AS cosine_sim
+FROM embeddings
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("cosine_topk", _COSINE_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star ANN baseline: exact brute-force cosine top-10 for the
+    vec_id=0 query vector. Deterministic order: (rounded sim desc, id)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    scored = emb.select(
+        "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(10)
+
+
+# =========================================================================
+# Rows-only queries (no SQL oracle; driver records weaker check)
+# =========================================================================
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (approximate — not SQL-oracle-able;
+    recall vs exact Jaccard asserted in tests/test_dedup.py)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dd.minhash_dedup_pairs(d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=1, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dd.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-10 (approximate; recall vs
+    brute-force asserted in tests/test_similarity.py)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_bucketed_topk(emb, list(qvec), k=10, num_planes=4)
+
+
+QUERIES["minhash_pairs"] = q_minhash_pairs
+QUERIES["simhash_pairs"] = q_simhash_pairs
+QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
