@@ -57,13 +57,15 @@ def trend_transactions(
 def frequent_items(transactions: DataFrame, items_col: str = "items", min_support: float = 0.15) -> DataFrame:
     """A8/A10: frequent 1-itemsets: explode -> count -> min-support
     filter. Support is count/N over all transactions."""
-    n = transactions.count()
+    n_df = transactions.agg(F.count(F.lit(1)).alias("__n"))
     return (
         transactions.select(F.explode(F.array_distinct(F.col(items_col))).alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("item_count"))
-        .withColumn("support", F.col("item_count") / F.lit(float(n)))
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("support", F.col("item_count") / F.col("__n"))
         .filter(F.col("support") >= min_support)
+        .drop("__n")
     )
 
 
@@ -91,37 +93,44 @@ def pair_association_rules(
     if txn_col is None:
         txn_col = "__txn_id"
         txn = transactions.withColumn(txn_col, F.monotonically_increasing_id())
-    n_txn = txn.count()
 
-    item_rows = txn.select(F.col(txn_col).alias("txn"), F.explode(F.array_distinct(F.col(items_col))).alias("item"))
-    singles = item_rows.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-
-    a, b = item_rows.alias("a"), item_rows.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.txn") == F.col("b.txn")) & (F.col("a.item") < F.col("b.item")))
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .withColumn("pair_support", F.col("pair_cnt") / F.lit(float(n_txn)))
+    # One lazy DAG, zero driver actions: the transaction count rides in
+    # as a broadcast 1-row aggregate, singleton counts as a per-item
+    # window — no .count()/.cache() barriers, so the scheduler pipelines
+    # all stages and the upstream fact scan runs exactly once.
+    n_df = txn.agg(F.count(F.lit(1)).alias("n_txn"))
+    items = (
+        txn.select(F.col(txn_col).alias("txn"), F.explode(F.array_distinct(F.col(items_col))).alias("item"))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("item")))
+    )
+    a = items.select("txn", F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    b = items.select(F.col("txn").alias("txn_b"), F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    enriched = (
+        a.join(b, (F.col("txn") == F.col("txn_b")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_cnt"),
+            F.first("cnt_a").alias("cnt_a"),
+            F.first("cnt_b").alias("cnt_b"),
+        )
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("pair_support", F.col("pair_cnt") / F.col("n_txn"))
         .filter(F.col("pair_support") >= min_support)
     )
-
-    sa = singles.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
-    sb = singles.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
-    enriched = pairs.join(F.broadcast(sa), "item_a").join(F.broadcast(sb), "item_b")
 
     fwd = enriched.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
         F.col("pair_support").alias("support"),
         (F.col("pair_cnt") / F.col("cnt_a")).alias("confidence"),
-        ((F.col("pair_cnt") / F.col("cnt_a")) / (F.col("cnt_b") / F.lit(float(n_txn)))).alias("lift"),
+        ((F.col("pair_cnt") / F.col("cnt_a")) / (F.col("cnt_b") / F.col("n_txn"))).alias("lift"),
     )
     bwd = enriched.select(
         F.col("item_b").alias("antecedent"),
         F.col("item_a").alias("consequent"),
         F.col("pair_support").alias("support"),
         (F.col("pair_cnt") / F.col("cnt_b")).alias("confidence"),
-        ((F.col("pair_cnt") / F.col("cnt_b")) / (F.col("cnt_a") / F.lit(float(n_txn)))).alias("lift"),
+        ((F.col("pair_cnt") / F.col("cnt_b")) / (F.col("cnt_a") / F.col("n_txn"))).alias("lift"),
     )
     return fwd.unionByName(bwd).filter(F.col("confidence") >= min_confidence)
 

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.io import load_tables, spread
 from big_data_analysis_spark.operators import dedup as dd
 from big_data_analysis_spark.operators import mining, similarity
 from big_data_analysis_spark.operators import relational as rel
@@ -540,7 +540,7 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_word_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/T5: substring frequency per 1000 chars via the replace trick
     (reference 红楼梦作者分析.py:117-133)."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     out = tx.word_frequency_per_kchar(d, "text", ["spark", "data"])
     return out.select(
         "doc_id",
@@ -562,7 +562,7 @@ def q_word_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star text analysis: token counts + md5 fingerprint."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     out = tx.token_count(d, "text")
     out = tx.fingerprint(out, "text")
     return out.select("doc_id", "n_tokens", F.length("text").alias("n_chars_actual"), "fingerprint")
@@ -580,7 +580,7 @@ def q_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star: exact dedup accounting via normalized fingerprint."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     fp = tx.fingerprint(d, "text")
     return fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -612,7 +612,9 @@ def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star: exact token-Jaccard near-dup pairs (inverted-index
     set-similarity join; n=1 shingles, threshold 0.5)."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = dd.ngram_jaccard_pairs(d.filter(F.col("doc_id") < 100), "text", "doc_id", n=1, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        spread(d.filter(F.col("doc_id") < 100)), "text", "doc_id", n=1, threshold=0.5
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -655,13 +657,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates (approximate — not SQL-oracle-able;
     recall vs exact Jaccard asserted in tests/test_dedup.py)."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return dd.minhash_dedup_pairs(d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=1, threshold=0.5)
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return dd.minhash_dedup_pairs(d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints)."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     return dd.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
 
 
