@@ -1,0 +1,132 @@
+"""Regression pipelines (SURVEY.md §2.10 M11-M14, M16).
+
+The reference's COVID script (新冠疫情分析.py:141-226) grid-searches
+Ridge / Lasso / ElasticNet / SVR with a 5-fold ``TimeSeriesSplit`` and
+reports MSE/RMSE/MAE/R²/MAPE. pyspark.ml mapping:
+
+- M13 Ridge/Lasso/ElasticNet = ONE LinearRegression
+      (elasticNetParam: 0 = ridge, 1 = lasso, in-between = elastic net)
+- M11 ParamGridBuilder grid
+- M12 TimeSeriesSplit has no Spark equivalent (CrossValidator folds are
+      random) -> expanding-window folds built from day-range filters
+- M14 SVR(RBF) gap -> GBTRegressor or RFF + LinearRegression (ml.kernel)
+- M16 RegressionEvaluator (mse/rmse/mae/r2); MAPE as an agg expression
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.ml import Pipeline
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.regression import GBTRegressor, LinearRegression
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.ml.pipelines import assemble_features
+
+
+def linear_regressor(
+    reg_param: float = 0.0,
+    elastic_net_param: float = 0.0,
+    label_col: str = "label",
+    features_col: str = "features",
+) -> LinearRegression:
+    """M13: one estimator covers Ridge (ρ=0), Lasso (ρ=1), ElasticNet."""
+    return LinearRegression(
+        regParam=reg_param,
+        elasticNetParam=elastic_net_param,
+        labelCol=label_col,
+        featuresCol=features_col,
+        maxIter=100,
+    )
+
+
+def regression_metrics(
+    predictions: DataFrame, label_col: str = "label", prediction_col: str = "prediction"
+) -> dict[str, float]:
+    """M16: MSE/RMSE/MAE/R² via RegressionEvaluator; MAPE as a single
+    aggregate expression (reference 新冠疫情分析.py:210-220 computes it
+    manually). Zero-label rows are excluded from MAPE (division guard)."""
+    out = {}
+    for metric in ("mse", "rmse", "mae", "r2"):
+        out[metric] = RegressionEvaluator(
+            labelCol=label_col, predictionCol=prediction_col, metricName=metric
+        ).evaluate(predictions)
+    y, yhat = F.col(label_col), F.col(prediction_col)
+    mape_row = (
+        predictions.filter(y != 0)
+        .agg((F.avg(F.abs((y - yhat) / y)) * 100).alias("mape"))
+        .head()
+    )
+    out["mape"] = float(mape_row["mape"]) if mape_row and mape_row["mape"] is not None else float("nan")
+    return out
+
+
+def expanding_window_folds(
+    df: DataFrame, order_col: str, n_splits: int = 5
+) -> list[tuple[DataFrame, DataFrame]]:
+    """M12: sklearn ``TimeSeriesSplit`` semantics — n_splits folds where
+    fold i trains on the first (i+1) blocks and validates on block (i+2)
+    of a (n_splits+1)-block partition of the time axis.
+
+    Built from percentile cut points on ``order_col`` so it works on any
+    monotone time column without collecting rows; each fold is a pair of
+    filters over the same lazy plan (no data movement until fit)."""
+    qs = [i / (n_splits + 1) for i in range(1, n_splits + 2)]
+    cuts = df.agg(
+        *[F.expr(f"percentile(`{order_col}`, {q})").alias(f"c{i}") for i, q in enumerate(qs)]
+    ).head()
+    folds = []
+    for i in range(n_splits):
+        train_hi, val_hi = cuts[i], cuts[i + 1]
+        train = df.filter(F.col(order_col) <= F.lit(train_hi))
+        val = df.filter((F.col(order_col) > F.lit(train_hi)) & (F.col(order_col) <= F.lit(val_hi)))
+        folds.append((train, val))
+    return folds
+
+
+def time_series_grid_search(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    order_col: str,
+    param_grid: Sequence[dict] | None = None,
+    n_splits: int = 5,
+    metric: str = "rmse",
+) -> tuple[dict, DataFrame]:
+    """M11+M12: grid search with expanding-window CV (reference
+    新冠疫情分析.py:141-183: Lasso 6 + ElasticNet 25 candidates x 5
+    TS-folds). Returns (best params incl. mean CV metric, leaderboard
+    DataFrame). Candidate fits are independent — on a cluster they
+    parallelize across the grid like joblib's n_jobs=-1 did on cores."""
+    param_grid = param_grid or [
+        {"reg_param": rp, "elastic_net_param": en}
+        for rp in (0.01, 0.1, 1.0)
+        for en in (0.0, 0.5, 1.0)
+    ]
+    folds = [(tr.cache(), va.cache()) for tr, va in expanding_window_folds(df, order_col, n_splits)]
+    ev = RegressionEvaluator(labelCol=label_col, metricName=metric)
+    rows = []
+    for params in param_grid:
+        scores = []
+        for train, val in folds:
+            pipe = Pipeline(
+                stages=assemble_features(feature_cols) + [linear_regressor(label_col=label_col, **params)]
+            )
+            model = pipe.fit(train)
+            scores.append(ev.evaluate(model.transform(val)))
+        rows.append({**params, f"mean_{metric}": sum(scores) / len(scores)})
+    for train, val in folds:
+        train.unpersist()
+        val.unpersist()
+    leaderboard = df.sparkSession.createDataFrame(rows).orderBy(f"mean_{metric}")
+    best = leaderboard.head().asDict()
+    return best, leaderboard
+
+
+def gbt_regressor(label_col: str = "label", features_col: str = "features") -> GBTRegressor:
+    """M14 stand-in for SVR(RBF): gradient-boosted trees capture the same
+    nonlinearity class scalably; the RFF+linear path (ml.kernel) is the
+    kernel-faithful alternative."""
+    return GBTRegressor(labelCol=label_col, featuresCol=features_col, maxIter=20, seed=42)

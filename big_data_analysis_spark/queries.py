@@ -650,6 +650,99 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# ML surface (SURVEY.md §2.10) — the SQL-expressible slices are
+# oracle-verified; model fits are rows-only + metric-floor tests.
+# =========================================================================
+
+_CONFUSION_ORACLE = """
+SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+       CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS prediction,
+       count(*) AS cnt,
+       round(count(*) * 1.0 / (SELECT count(*) FROM lineitem), 6) AS fraction
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@query("confusion_matrix_rule", _CONFUSION_ORACLE)
+def q_confusion_matrix_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/M15 oracle-verified slice: confusion matrix of a rule
+    classifier (label = returned, prediction = high-discount) in long
+    form with cell fractions — the reference's confusion-matrix shape
+    (乳腺癌预测.py:195-199) minus the model fit."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    n = li.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        li.select(
+            (F.col("l_returnflag") == "R").cast("int").alias("label"),
+            (F.col("l_discount") > 0.05).cast("int").alias("prediction"),
+        )
+        .groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .withColumn("fraction", F.round(F.col("cnt") / F.col("__n"), 6))
+        .drop("__n")
+    )
+
+
+_OLS_ORACLE = """
+WITH stats AS (
+    SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,
+           avg(l_extendedprice)
+             - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity)
+             AS intercept,
+           avg(l_extendedprice) AS ybar
+    FROM lineitem
+), preds AS (
+    SELECT l_extendedprice AS y,
+           slope * l_quantity + intercept AS yhat,
+           ybar
+    FROM lineitem, stats
+)
+SELECT round((SELECT slope FROM stats), 4) AS slope,
+       round((SELECT intercept FROM stats), 4) AS intercept,
+       round(avg(abs(y - yhat)), 2) AS mae,
+       round(sqrt(avg((y - yhat) * (y - yhat))), 2) AS rmse,
+       round(1 - sum((y - yhat) * (y - yhat)) / sum((y - ybar) * (y - ybar)), 6) AS r2,
+       round(avg(abs((y - yhat) / y)) * 100, 4) AS mape
+FROM preds
+"""
+
+
+@query("ols_metrics", _OLS_ORACLE)
+def q_ols_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13/M16 oracle-verified slice: closed-form simple OLS
+    (slope = cov/var) of price on quantity plus the reference's full
+    regression-metric battery (新冠疫情分析.py:210-226: MAE/RMSE/R²/MAPE)
+    — one aggregate pass for the fit, one for the metrics, the fit
+    riding along as a broadcast 1-row join; no driver-side math."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = li.agg(
+        (F.covar_pop(x, y) / F.var_pop(x)).alias("slope"),
+        (F.avg(y) - (F.covar_pop(x, y) / F.var_pop(x)) * F.avg(x)).alias("intercept"),
+        F.avg(y).alias("ybar"),
+    )
+    preds = li.crossJoin(F.broadcast(stats)).select(
+        y.alias("y"),
+        (F.col("slope") * x + F.col("intercept")).alias("yhat"),
+        "slope",
+        "intercept",
+        "ybar",
+    )
+    err = F.col("y") - F.col("yhat")
+    dev = F.col("y") - F.col("ybar")
+    return preds.agg(
+        F.round(F.first("slope"), 4).alias("slope"),
+        F.round(F.first("intercept"), 4).alias("intercept"),
+        F.round(F.avg(F.abs(err)), 2).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 2).alias("rmse"),
+        F.round(1 - F.sum(err * err) / F.sum(dev * dev), 6).alias("r2"),
+        F.round(F.avg(F.abs(err / F.col("y"))) * 100, 4).alias("mape"),
+    )
+
+
+# =========================================================================
 # Rows-only queries (no SQL oracle; driver records weaker check)
 # =========================================================================
 
@@ -675,6 +768,51 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, list(qvec), k=10, num_planes=4)
 
 
+def q_golden_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M15/§5.2.3: logistic regression on lineitem features, emitted
+    in the reference's golden prediction-CSV shape (乳腺癌预测.py:203-219:
+    sample id, y_true, y_pred, per-class probabilities, correct flag).
+    Model quality floors are asserted in tests/test_ml.py; here the
+    driver checks schema stability + row production."""
+    from pyspark.ml import Pipeline
+
+    from big_data_analysis_spark.ml import pipelines as pl
+
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    med = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).head()[0]
+    labeled = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sample_id"),
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        (F.col("l_extendedprice") > med).cast("double").alias("label"),
+    )
+    train, test = pl.stratified_split(labeled, "label", 0.7, seed=42)
+    pipe = Pipeline(
+        stages=pl.assemble_features(feats)
+        + [pl.default_classifiers(len(feats))["logistic_regression"]]
+    )
+    preds = pipe.fit(train).transform(test)
+    return pl.golden_prediction_output(preds, id_col="sample_id")
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19/M22: KMeans(k=4, seed=42) over the embeddings table; returns
+    per-cluster sizes (cluster ids are arbitrary — rows-only check;
+    silhouette floor asserted in tests/test_ml.py)."""
+    from big_data_analysis_spark.ml import clustering as cl
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    from pyspark.ml.functions import array_to_vector
+
+    vec = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    clustered, _sil = cl.kmeans_cluster(vec, features_col="features", k=4, seed=42)
+    return clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).drop("cluster")
+
+
 QUERIES["minhash_pairs"] = q_minhash_pairs
 QUERIES["simhash_pairs"] = q_simhash_pairs
 QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
+QUERIES["golden_predictions"] = q_golden_predictions
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings

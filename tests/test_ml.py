@@ -1,0 +1,215 @@
+"""ML pipeline tests (SURVEY.md §2.10 / §5.2 item 2): model quality
+cannot be value-hashed against a SQL oracle, so assert metric floors on
+deterministic, learnably-structured tasks built from the driver testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.ml import clustering as cl
+from big_data_analysis_spark.ml import pipelines as pl
+from big_data_analysis_spark.ml import regression as rg
+from big_data_analysis_spark.ml.kernel import add_rff_features
+
+FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@pytest.fixture(scope="module")
+def lineitem_labeled(spark, sf_dir):
+    """Separable binary task: label = price above the global median.
+    The raw price is among the features, so any sane model must clear a
+    high accuracy floor — this tests plumbing, not model research."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    med = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m")).head()["m"]
+    return (
+        li.select(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            *[F.col(c).cast("double").alias(c) for c in FEATURES],
+            (F.col("l_extendedprice") > med).cast("double").alias("label"),
+        )
+        .cache()
+    )
+
+
+def test_stratified_split_preserves_ratio(lineitem_labeled):
+    train, test = pl.stratified_split(lineitem_labeled, "label", 0.7, seed=42)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == lineitem_labeled.count()
+    assert 0.6 < n_train / (n_train + n_test) < 0.8
+    pos_all = lineitem_labeled.agg(F.avg("label")).head()[0]
+    pos_train = train.agg(F.avg("label")).head()[0]
+    assert abs(pos_all - pos_train) < 0.05
+
+
+def test_classification_benchmark_floors(lineitem_labeled):
+    models = {
+        "logistic_regression": pl.default_classifiers(len(FEATURES))["logistic_regression"],
+        "decision_tree": pl.default_classifiers(len(FEATURES))["decision_tree"],
+    }
+    metrics, fitted = pl.classification_benchmark(
+        lineitem_labeled, "label", FEATURES, models=models
+    )
+    rows = {r["model"]: r for r in metrics.collect()}
+    assert set(rows) == set(models)
+    for name, r in rows.items():
+        assert r["accuracy"] >= 0.9, f"{name} accuracy {r['accuracy']}"
+        assert r["f1"] >= 0.9
+    assert rows["logistic_regression"]["areaUnderROC"] >= 0.95
+
+
+def test_golden_prediction_output_schema(lineitem_labeled):
+    train, test = pl.stratified_split(lineitem_labeled, "label", 0.7, seed=42)
+    pipe = Pipeline(
+        stages=pl.assemble_features(FEATURES)
+        + [pl.default_classifiers(len(FEATURES))["logistic_regression"]]
+    )
+    preds = pipe.fit(train).transform(test)
+    golden = pl.golden_prediction_output(preds, id_col="l_orderkey")
+    assert golden.columns == [
+        "sample_id", "y_true", "y_pred", "prob_positive", "prob_negative", "correct",
+    ]
+    row = golden.head()
+    assert row["prob_positive"] is not None
+    assert abs(row["prob_positive"] + row["prob_negative"] - 1.0) < 1e-6
+    acc = golden.agg(F.avg(F.col("correct").cast("double"))).head()[0]
+    assert acc >= 0.9
+
+
+def test_rff_linear_svc_beats_linear_on_ring(spark):
+    """M7 gap check: a radially-separable task (ring) where a plain
+    linear model is near chance but RFF+linear clears it."""
+    import math
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(2000):
+        r = random.uniform(0.0, 2.0)
+        a = random.uniform(0.0, 2 * math.pi)
+        rows.append((i, r * math.cos(a), r * math.sin(a), 1.0 if r < 1.0 else 0.0))
+    df = spark.createDataFrame(rows, ["id", "x1", "x2", "label"])
+
+    mapped = add_rff_features(df, ["x1", "x2"], n_components=100, gamma=1.0, seed=42)
+    train, test = pl.stratified_split(mapped, "label", 0.7, seed=42)
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    svc = LinearSVC(maxIter=50, featuresCol="rff_features", labelCol="label")
+    preds = svc.fit(train).transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="accuracy"
+    ).evaluate(preds)
+    assert acc >= 0.9, f"RFF accuracy {acc}"
+
+
+def test_regression_grid_search_time_folds(spark, sf_dir):
+    """M11-M13/M16 on a noiseless linear target: best model must fit it
+    near-perfectly and MAPE must be finite."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select(
+        F.col("l_shipdate").cast("timestamp").cast("long").alias("t"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_discount").cast("double"),
+        (2.0 * F.col("l_quantity") + 10.0 * F.col("l_discount") + 5.0).alias("label"),
+    )
+    best, leaderboard = rg.time_series_grid_search(
+        df,
+        "label",
+        ["l_quantity", "l_discount"],
+        order_col="t",
+        param_grid=[
+            {"reg_param": 0.0, "elastic_net_param": 0.0},
+            {"reg_param": 1.0, "elastic_net_param": 1.0},
+        ],
+        n_splits=3,
+    )
+    assert best["reg_param"] == 0.0  # unregularized wins on a noiseless linear target
+    assert best["mean_rmse"] < 0.1
+    assert leaderboard.count() == 2
+
+    folds = rg.expanding_window_folds(df, "t", n_splits=3)
+    assert len(folds) == 3
+    # Expanding property: each train set contains the previous one.
+    sizes = [tr.count() for tr, _ in folds]
+    assert sizes == sorted(sizes)
+
+
+def test_regression_metrics_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.5), (4.0, 3.5)], ["label", "prediction"]
+    )
+    m = rg.regression_metrics(df)
+    assert m["mae"] == pytest.approx(0.5)
+    assert m["mse"] == pytest.approx(0.25)
+    assert m["rmse"] == pytest.approx(0.5)
+    assert m["mape"] == pytest.approx((50 + 25 + 12.5) / 3)
+
+
+def test_pca_kmeans_on_embeddings(spark, sf_dir):
+    """M18/M19/M22/M23 over the embeddings table: cluster the raw vectors
+    with the stored binary label as truth."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    dim = len(emb.head()["embedding"])
+    wide = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("truth"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)],
+    )
+    feature_cols = [f"e{i}" for i in range(dim)]
+
+    projected, evr = cl.pca_project(wide, feature_cols, k=2)
+    assert len(evr) == 2 and evr[0] >= evr[1] >= 0.0
+    assert "pca_features" in projected.columns
+
+    clustered, sil = cl.kmeans_cluster(projected, features_col="pca_features", k=2)
+    assert -1.0 <= sil <= 1.0
+    n_clusters = clustered.select("cluster").distinct().count()
+    assert n_clusters == 2
+
+    consistency = cl.cluster_truth_consistency(clustered, "cluster", "truth")
+    assert 0.5 <= consistency <= 1.0
+
+
+def test_bisecting_kmeans_on_blobs(spark):
+    """M20: divisive hierarchical clustering separates two far blobs.
+    (On near-uniform data BisectingKMeans may decline to split — so the
+    structural test uses clearly bimodal input.)"""
+    import random
+
+    random.seed(3)
+    rows = [(i, random.gauss(0, 0.1), random.gauss(0, 0.1)) for i in range(100)] + [
+        (100 + i, random.gauss(10, 0.1), random.gauss(10, 0.1)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    from pyspark.ml import Pipeline
+
+    assembled = (
+        Pipeline(stages=pl.assemble_features(["x", "y"], scaled=False)).fit(df).transform(df)
+    )
+    bi = cl.bisecting_kmeans_cluster(assembled, features_col="features", k=2)
+    counts = sorted(r["count"] for r in bi.groupBy("cluster").count().collect())
+    assert counts == [100, 100]
+
+
+def test_dbscan_small_blobs(spark):
+    """M21: two tight blobs + one far outlier -> 2 clusters, 1 noise."""
+    pts = (
+        [(i, 0.0 + i * 0.01, 0.0) for i in range(10)]
+        + [(100 + i, 5.0 + i * 0.01, 5.0) for i in range(10)]
+        + [(999, 50.0, 50.0)]
+    )
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    labeled = cl.dbscan_small(df, ["x", "y"], eps=0.5, min_samples=3, id_col="id")
+    counts = {r["cluster"]: r["count"] for r in labeled.groupBy("cluster").count().collect()}
+    assert counts.pop(-1) == 1  # the outlier is noise
+    assert sorted(counts.values()) == [10, 10]
+
+    sweep = cl.dbscan_sweep(df, ["x", "y"], eps_values=[0.5, 100.0], min_samples_values=[3])
+    rows = {r["eps"]: r for r in sweep.collect()}
+    assert rows[0.5]["n_clusters"] == 2
+    assert rows[100.0]["n_clusters"] == 1  # everything merges at huge eps
