@@ -650,6 +650,61 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Streaming surface (§2.11) — the SAME window expression as the batch
+# twin, executed through Structured Streaming with availableNow, then
+# hash-compared against the SAME SQL oracle: oracle-verified streaming.
+# =========================================================================
+
+
+@query(
+    "streaming_tumbling_daily",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming/batch parity, oracle-verified: tumbling daily
+    windowed agg executed via readStream + availableNow trigger into a
+    memory sink; the result must hash-match the plain SQL aggregate."""
+    from big_data_analysis_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        tumbling_event_counts,
+    )
+
+    # query_name=None -> fresh uuid name + checkpoint per invocation, so
+    # repeated runs re-process the source instead of replaying an
+    # exhausted checkpoint into an empty memory table.
+    stream = tumbling_event_counts(read_events_stream(spark, sf_dir), duration="1 day")
+    result = run_available_now(stream)
+    return result.select(
+        F.col("window_start").cast("date").alias("day"), "event_type", "n_events", "sum_value"
+    )
+
+
+@query(
+    "streaming_dedup_count",
+    "SELECT count(DISTINCT event_id) AS n_unique FROM events",
+)
+def q_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming dedup, oracle-verified: dropDuplicates(event_id)
+    under readStream (watermark-bounded state), counted after the
+    availableNow run completes."""
+    from big_data_analysis_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedup,
+    )
+
+    deduped = streaming_dedup(read_events_stream(spark, sf_dir))
+    result = run_available_now(deduped)
+    return result.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+# =========================================================================
 # ML surface (SURVEY.md §2.10) — the SQL-expressible slices are
 # oracle-verified; model fits are rows-only + metric-floor tests.
 # =========================================================================

@@ -1,0 +1,9 @@
+"""Structured Streaming surface (SURVEY.md §2.11)."""
+
+from big_data_analysis_spark.streaming.streams import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    sliding_event_counts,
+    streaming_dedup,
+    tumbling_event_counts,
+)

@@ -1,0 +1,142 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.11).
+
+The reference has zero streaming code — everything is batch over files.
+The engine still exposes a streaming surface because the north star is a
+large-scale pipeline: the SAME ``window()`` / ``dropDuplicates`` /
+aggregation expressions run under ``readStream``, and ``availableNow``
+gives batch-over-stream parity (each streaming op must equal its batch
+twin on a static events table — tests/test_streaming.py).
+
+Design notes for a real cluster:
+- Source here is the file source (parquet dir); swap for Kafka by
+  changing ``read_events_stream`` only — transformations are source-
+  agnostic DataFrame code.
+- Every stateful op (windowed agg, dedup) carries a watermark so state
+  is bounded: without one, a 100 TB stream accretes state forever.
+- ``availableNow`` processes the backlog in bounded batches and stops —
+  the canonical backfill/replay mode; the same query object restarts in
+  continuous mode untouched.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import read_parquet
+
+def _scratch_dir() -> str:
+    """Checkpoint root (gitignored). On a cluster this would be a durable
+    object-store path — checkpoints are what make restarts exactly-once."""
+    base = os.path.join("/root/repo", ".scratch", "streaming")
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet. The batch reader
+    supplies the schema (incl. the TIMESTAMP(NANOS) -> micros fix from
+    io.read_parquet); the stream applies the same projection so batch
+    and stream rows are identical."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = read_parquet(spark, path)
+    raw_schema = spark.read.parquet(path).schema
+    # The file stream source requires a DIRECTORY; the driver ships
+    # events as a single file. Stage a symlink dir (no data copy) —
+    # on a real cluster the source is a directory/Kafka topic anyway.
+    link_dir = os.path.join(_scratch_dir(), f"events-src-{os.path.basename(os.path.normpath(sf_dir))}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(link_dir)
+    # Re-apply the nanos->timestamp projection: schema() gave us the raw
+    # long column; select batch's column expressions by name.
+    for name, dtype in ((f.name, f.dataType) for f in batch.schema.fields):
+        if dict((f.name, f.dataType) for f in raw_schema.fields)[name] != dtype:
+            stream = stream.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    return stream
+
+
+def tumbling_event_counts(
+    events: DataFrame, duration: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling windowed count+sum per event_type. Works identically on
+    a batch or streaming DataFrame; under streaming, the watermark
+    bounds state and drops data later than ``watermark``."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col("ts"), duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame, duration: str = "2 days", slide: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding windowed count per event_type: each event lands in
+    duration/slide windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col("ts"), duration, slide).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id. With a watermark, state for
+    ids older than the watermark is evicted (bounded memory at scale);
+    the batch twin is a plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_available_now(result: DataFrame, query_name: str | None = None, timeout_sec: int = 300) -> DataFrame:
+    """Execute a streaming DataFrame to completion with the availableNow
+    trigger into an in-memory table; returns the materialized result as
+    a batch DataFrame. This is the batch-parity harness: process the
+    whole backlog now, in bounded micro-batches, then stop."""
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    # Update (not complete) mode for aggregates: complete mode disables
+    # watermark semantics entirely (state never evicted, late rows never
+    # dropped) — unusable at scale. With the memory sink, update mode
+    # appends each batch's changed rows, so readers take the LAST row
+    # per key (latest_per_key below).
+    out_mode = "update" if _has_aggregation(result) else "append"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .option("checkpointLocation", os.path.join(_scratch_dir(), name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    """Complete output mode is required for streaming aggregates into the
+    memory sink; append only works for stateless/dedup queries."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,120 @@
+"""Streaming parity tests (SURVEY.md §5.2 item 5): every streaming op
+run via availableNow must equal its batch twin on the static events
+table, and the watermark must actually drop late data across
+micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sliding_event_counts,
+    streaming_dedup,
+    tumbling_event_counts,
+)
+
+SCRATCH = "/root/repo/.scratch/streaming-tests"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def clean_scratch():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    yield
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_parity(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    batch = tumbling_event_counts(events)
+    stream = tumbling_event_counts(read_events_stream(spark, sf_dir))
+    result = run_available_now(stream, "tumbling_parity")
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(result, cols) == _sorted_rows(batch, cols)
+
+
+def test_sliding_parity_and_multiplicity(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    batch = sliding_event_counts(events)
+    stream = sliding_event_counts(read_events_stream(spark, sf_dir))
+    result = run_available_now(stream, "sliding_parity")
+    cols = ["window_start", "event_type", "n_events"]
+    assert _sorted_rows(result, cols) == _sorted_rows(batch, cols)
+    # Sliding windows (2d window, 1d slide) hold each event twice.
+    n_events = events.count()
+    assert result.agg(F.sum("n_events")).head()[0] == 2 * n_events
+
+
+def test_streaming_dedup_parity(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+    result = run_available_now(stream, "dedup_parity")
+    assert result.count() == events.select("event_id").distinct().count()
+
+
+def test_watermark_advances_and_bounds_state(spark):
+    """Two micro-batches through a watermarked aggregate. Asserts the
+    contract Spark actually guarantees (Structured Streaming guide,
+    'Semantic Guarantees of Aggregation with Watermarking'): the
+    watermark advances from completed batches, state for expired windows
+    is evicted, and in-threshold data keeps updating its window. A
+    beyond-watermark drop is only BEST-EFFORT — after eviction a very
+    late row may re-create its window — so the test asserts watermark
+    progression + correct in-threshold aggregation, not a drop."""
+    src_dir = os.path.join(SCRATCH, "late-src")
+    # File order is lexicographic for the file source: b1 then b2.
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00", "click", 1.0), (2, "2024-01-10 06:00:00", "click", 1.0)],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 00:00:00", "click", 1.0), (4, "2024-01-10 07:00:00", "click", 1.0)],
+        ["event_id", "ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import time
+
+    b1.coalesce(1).write.parquet(os.path.join(src_dir, "batch=1"))
+    time.sleep(1.1)  # file source orders batches by modification time
+    b2.coalesce(1).write.parquet(os.path.join(src_dir, "batch=2"))
+
+    schema = b1.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    agg = tumbling_event_counts(stream, duration="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_progress")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(SCRATCH, "wm_progress-cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    watermarks = [
+        p["eventTime"]["watermark"]
+        for p in q.recentProgress
+        if "watermark" in p.get("eventTime", {})
+    ]
+    # Batch 0 runs at the epoch watermark; after it commits the
+    # watermark jumps to (max event time - 1h) = Jan-10 05:00.
+    assert watermarks[0].startswith("1970-01-01"), watermarks
+    assert any(w.startswith("2024-01-10T05:00") for w in watermarks), watermarks
+    rows = spark.table("wm_progress").collect()
+    # In-threshold event 4 (07:00, ahead of the watermark) updated the
+    # Jan-10 window: the upsert history shows count 2 (batch 1) then 3.
+    jan10 = [r["n_events"] for r in rows if r["window_start"].isoformat().startswith("2024-01-10")]
+    assert sorted(jan10) == [2, 3], rows
