@@ -75,7 +75,7 @@ def quality_score(df: DataFrame, text_col: str, stopwords: Sequence[str] = ("the
         df.withColumn("q_len", F.length(text))
         .withColumn("q_tokens", n_tok)
         .withColumn("q_mean_tok_len", (F.length(F.regexp_replace(text, r"\s+", "")) / n_tok))
-        .withColumn("q_punct_ratio", F.regexp_count(text, r"[^\w\s]") / F.length(text))
+        .withColumn("q_punct_ratio", F.regexp_count(text, F.lit(r"[^\w\s]")) / F.length(text))
         .withColumn("q_stopword_ratio", n_stop / n_tok)
     )
 
@@ -86,8 +86,8 @@ def lang_id_heuristic(df: DataFrame, text_col: str, out_col: str = "lang_pred") 
     rates. Deterministic and cheap; a real model slots in behind the
     same column contract via predict_batch_udf."""
     text = F.col(text_col)
-    cjk = F.regexp_count(text, r"[一-鿿]")
-    latin = F.regexp_count(text, r"[A-Za-z]")
+    cjk = F.regexp_count(text, F.lit(r"[一-鿿]"))
+    latin = F.regexp_count(text, F.lit(r"[A-Za-z]"))
     return df.withColumn(
         out_col,
         F.when(cjk > latin, F.lit("zh")).when(latin > 0, F.lit("en")).otherwise(F.lit("unknown")),

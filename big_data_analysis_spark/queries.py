@@ -650,6 +650,226 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Relational battery II: semi join, cube, date arithmetic, correlation
+# =========================================================================
+
+
+@query(
+    "suppliers_with_shipments",
+    """
+    SELECT n.n_name, count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    GROUP BY n.n_name
+    """,
+)
+def q_suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS, J-ext): suppliers with >=1 shipment, per
+    nation. The semi join shuffles only distinct suppkeys — no row
+    duplication as an inner join would produce."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "nation"])
+    with_shipments = rel.semi_join(
+        t["supplier"], t["lineitem"].select(F.col("l_suppkey").alias("s_suppkey")), ["s_suppkey"]
+    )
+    return (
+        with_shipments.join(
+            F.broadcast(t["nation"]), with_shipments.s_nationkey == t["nation"].n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext (SURVEY.md §2.5 'not present' row): CUBE grouping sets —
+    all 4 rollup combinations in ONE pass (Spark expands grouping sets
+    map-side; no 4x re-scan)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "order_date_arithmetic",
+    """
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+           count(*) AS n_orders,
+           CAST(min(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS BIGINT)
+               AS min_age_days,
+           CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS BIGINT)
+               AS max_age_days
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-ext date arithmetic (SURVEY.md §2.9 'not present' row): year /
+    quarter extraction + day differences — the reference never parses
+    dates (§1.2); here they are first-class."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("min_age_days"),
+            F.max(F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("max_age_days"),
+        )
+    )
+
+
+@query(
+    "corr_lineitem",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 4) AS std_price
+    FROM lineitem
+    """,
+)
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext statistical aggregates (the reference's correlation-analysis
+    theme, 蔬菜价格相关性分析, done as engine aggregates): Pearson corr,
+    sample covariance, stddev in one map-side-combinable pass."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+# =========================================================================
+# Text battery II: language-ID + quality scoring (north star)
+# =========================================================================
+
+
+@query(
+    "lang_id_docs",
+    """
+    SELECT lang,
+           CASE WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+                     > length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                THEN 'zh'
+                WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) > 0
+                THEN 'en'
+                ELSE 'unknown' END AS lang_pred,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star language-ID: script-heuristic prediction crossed with
+    the labeled lang column (a confusion-matrix shape over the corpus)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = tx.lang_id_heuristic(d, "text")
+    return out.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "quality_docs",
+    """
+    WITH q AS (
+        SELECT source,
+               length(text) AS q_len,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+               length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS alnum_len,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(q_len), 4) AS avg_len,
+           round(avg(q_tokens), 4) AS avg_tokens,
+           round(avg((q_len - alnum_len) * 1.0 / q_len), 6) AS avg_punct_ratio,
+           round(avg(n_stop * 1.0 / q_tokens), 6) AS avg_stopword_ratio
+    FROM q
+    GROUP BY source
+    """,
+)
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star quality scoring: per-source corpus quality profile
+    (length, tokens, punctuation ratio, stopword ratio) — the filter
+    basis for corpus cleaning at scale. All codegen expressions."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    scored = tx.quality_score(d, "text")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q_len"), 4).alias("avg_len"),
+        F.round(F.avg("q_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("q_punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("q_stopword_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+# =========================================================================
+# Similarity II: exact cosine near-dup pairs (oracle-verified)
+# =========================================================================
+
+_NEAR_DUP_ORACLE = """
+WITH sub AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+"""
+
+
+@query("embedding_near_dup_pairs", _NEAR_DUP_ORACLE)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star embedding-cosine near-dup: exact all-pairs cosine over
+    a bounded id range (the verification slice; the LSH path in
+    operators.dedup/similarity is the at-scale candidate generator whose
+    recall is measured against exactly this)."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    sub = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.2)
+        .select("id_a", "id_b", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+# =========================================================================
 # Streaming surface (§2.11) — the SAME window expression as the batch
 # twin, executed through Structured Streaming with availableNow, then
 # hash-compared against the SAME SQL oracle: oracle-verified streaming.
