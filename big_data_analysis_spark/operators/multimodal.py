@@ -49,9 +49,10 @@ def _fake_decode(content: bytes, feature_dim: int = 8) -> tuple[int, int, list[f
     """Deterministic stand-in for a real image decode: derives a fake
     (width, height) and a feature vector from a crc32 rolling hash of the
     bytes. Replace with PIL/torchvision on a cluster with codecs.
-    Raises on empty input to exercise the corrupt-file path."""
-    if not content:
-        raise ValueError("empty media payload")
+    Raises on empty/truncated input to exercise the corrupt-file path
+    (note the binaryFile source itself silently skips 0-byte files)."""
+    if not content or len(content) < 4:
+        raise ValueError("empty or truncated media payload")
     h = zlib.crc32(content)
     width = 64 + (h % 512)
     height = 64 + ((h >> 9) % 512)

@@ -125,7 +125,9 @@ def dedup_keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Colum
     unique tiebreaker) for deterministic output. Implemented as a ranking
     window: one shuffle on ``keys``, no global sort.
     """
-    w = Window.partitionBy(*keys).orderBy(*[c.desc() if isinstance(c, str) else c for c in order_by])
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -1086,8 +1086,36 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).drop("cluster")
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/M25-M26 multimodal plumbing over driver data: documents
+    text re-encoded as an opaque binary media column, decoded +
+    featurized through the Arrow-batched mapInPandas path, then
+    aggregated per source. The decode is the documented deterministic
+    stand-in (container has no codecs); schema/batching/partitioning is
+    the real at-scale path."""
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    media = d.select(
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("path"),
+        F.col("source").alias("label"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    decoded = mm.decode_media(media)
+    return (
+        decoded.filter(F.col("decode_error").isNull())
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_decoded"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+        )
+    )
+
+
 QUERIES["minhash_pairs"] = q_minhash_pairs
 QUERIES["simhash_pairs"] = q_simhash_pairs
 QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
 QUERIES["golden_predictions"] = q_golden_predictions
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+QUERIES["multimodal_decode"] = q_multimodal_decode

@@ -122,11 +122,17 @@ def run_available_now(result: DataFrame, query_name: str | None = None, timeout_
     # appends each batch's changed rows, so readers take the LAST row
     # per key (latest_per_key below).
     out_mode = "update" if _has_aggregation(result) else "append"
+    # Memory-sink queries cannot recover from an existing checkpoint, so
+    # every run gets a fresh checkpoint dir even under a reused name —
+    # each invocation reprocesses the source from scratch (that IS the
+    # availableNow backfill contract).
     q = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(out_mode)
-        .option("checkpointLocation", os.path.join(_scratch_dir(), name))
+        .option(
+            "checkpointLocation", os.path.join(_scratch_dir(), f"{name}-{uuid.uuid4().hex[:8]}")
+        )
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,78 @@
+"""Near-dup dedup quality tests (north star): MinHash-LSH candidate
+recall against exact Jaccard ground truth, SimHash hamming behavior,
+and the exact inverted-index set-similarity join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"].cache()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    """LSH candidates must recover >=80% of true high-Jaccard pairs
+    (64 hashes, 16 bands is a permissive banding at threshold 0.5)."""
+    exact = dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.5)
+    truth = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    if not truth:
+        pytest.skip("no high-similarity pairs at this sf")
+    approx = dd.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=1, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = dd.minhash_signature(docs.limit(20), "text", "doc_id", num_hashes=32).head()
+    assert len(sig["signature"]) == 32
+
+
+def test_simhash_identical_and_perturbed(spark):
+    """Identical texts -> hamming 0; one-token change -> small hamming;
+    unrelated texts -> large hamming."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    perturbed = base.replace("lazy", "sleepy")
+    other = "completely different content about spark engines and parquet files " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, perturbed), (4, other)], ["doc_id", "text"]
+    )
+    sh = {r["id"]: r["simhash"] for r in dd.simhash(df, "text", "doc_id").withColumnRenamed("id", "id").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[1], sh[2]) == 0
+    assert hamming(sh[1], sh[3]) <= 16
+    assert hamming(sh[1], sh[4]) > 16
+
+
+def test_exact_dedup_fingerprint_normalization(spark):
+    """Whitespace/case variants collapse to one fingerprint."""
+    from big_data_analysis_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD "), (4, "other")],
+        ["doc_id", "text"],
+    )
+    fp = fingerprint(df, "text")
+    assert fp.select("fingerprint").distinct().count() == 2
+
+
+def test_ngram_jaccard_exact_values(spark):
+    """Hand-checked Jaccard on token sets."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    pairs = dd.ngram_jaccard_pairs(df, "text", "doc_id", n=1, threshold=0.1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == pytest.approx(3 / 5)  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert (1, 3) not in got

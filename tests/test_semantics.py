@@ -1,0 +1,168 @@
+"""Semantics unit tests for the translation traps called out in
+SURVEY.md §1.2/§1.3/§5.2-4: implicit-row-order -> window parity against
+pandas itself, null-vs-NaN divergence, keep-last determinism, GBK
+charset reads, CJK numeral parsing, overlapping substring counting."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import read_csv, write_csv
+from big_data_analysis_spark.operators import relational as rel
+from big_data_analysis_spark.operators import text as tx
+from big_data_analysis_spark.operators import timeseries as ts
+
+SCRATCH = "/root/repo/.scratch/semantics-tests"
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = [(i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])]
+    return spark.createDataFrame(rows, ["day", "y"])
+
+
+def _pandas_frame():
+    return pd.DataFrame({"y": [3.0, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]})
+
+
+def test_lag_matches_pandas_shift(spark, series_df):
+    """W1: lag(n) over orderBy == pandas shift(n) on the ordered frame."""
+    pdf = _pandas_frame()
+    for n in (1, 3, 7):
+        expected = pdf["y"].shift(n).tolist()
+        got = [
+            r[f"y_lag{n}"]
+            for r in ts.add_lag_features(series_df, ["y"], [n], order_by=["day"])
+            .orderBy("day")
+            .collect()
+        ]
+        assert got == pytest.approx(expected, nan_ok=True) or _nan_eq(got, expected)
+
+
+def _nan_eq(a, b):
+    import math
+
+    return len(a) == len(b) and all(
+        (x is None and (y is None or math.isnan(y))) or x == y for x, y in zip(a, b)
+    )
+
+
+def test_trailing_mean_matches_pandas_rolling_shift(spark, series_df):
+    """W2: avg over rowsBetween(-n, -1) == pandas
+    rolling(n, min_periods=1).mean().shift(1) — the reference's exact
+    leakage-shifted construction (新冠疫情分析.py:63-66)."""
+    pdf = _pandas_frame()
+    for n in (3, 7):
+        expected = pdf["y"].rolling(n, min_periods=1).mean().shift(1).tolist()
+        got = [
+            r[f"y_ma{n}"]
+            for r in ts.add_trailing_mean(series_df, ["y"], [n], order_by=["day"])
+            .orderBy("day")
+            .collect()
+        ]
+        assert _nan_eq(got, expected), (n, got, expected)
+
+
+def test_pct_change_and_diff_match_pandas(spark, series_df):
+    """W3/W4: shifted pct_change and diff against pandas."""
+    pdf = _pandas_frame()
+    expected_pct = pdf["y"].pct_change().shift(1).tolist()
+    got_pct = [
+        r["y_pct"]
+        for r in ts.add_pct_change(series_df, ["y"], order_by=["day"]).orderBy("day").collect()
+    ]
+    assert all(
+        (g is None and (e is None or e != e)) or g == pytest.approx(e)
+        for g, e in zip(got_pct, expected_pct)
+    )
+
+    expected_diff = pdf["y"].diff(7).shift(1).tolist()
+    got_diff = [
+        r["y_diff7"]
+        for r in ts.add_diff(series_df, ["y"], [7], order_by=["day"]).orderBy("day").collect()
+    ]
+    assert _nan_eq(got_diff, expected_diff)
+
+
+def test_null_vs_nan_are_distinct(spark):
+    """§1.2: Spark keeps NULL and NaN distinct; the cleaning op must
+    normalize BOTH (pandas conflates them as NaN)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, float("nan")), (3, float("inf")), (4, 7.0)], ["id", "x"]
+    )
+    assert df.filter(F.col("x").isNull()).count() == 1
+    assert df.filter(F.isnan("x")).count() == 1  # NaN is NOT null
+    cleaned = rel.clean_non_finite(df, ["x"], fill=0.0)
+    vals = {r["id"]: r["x"] for r in cleaned.collect()}
+    assert vals == {1: 0.0, 2: 0.0, 3: 0.0, 4: 7.0}
+
+
+def test_keep_last_deterministic_under_shuffle(spark):
+    """D1: keep-last must be a function of the declared ordering, not of
+    physical row order — repartition shuffles must not change it."""
+    rows = [("a", i, f"v{i}") for i in range(50)] + [("b", i, f"w{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "seq", "val"])
+    for parts in (1, 7, 32):
+        # String order_by = "keep last under this column's ascending
+        # order" (the API flips it to desc rank internally).
+        out = rel.dedup_keep_last(df.repartition(parts), ["k"], ["seq"])
+        got = {r["k"]: r["val"] for r in out.collect()}
+        assert got == {"a": "v49", "b": "w49"}
+
+
+def test_gbk_csv_roundtrip(spark):
+    """S2: GBK-encoded CSV scan (reference 新冠疫情分析.py:30 reads GBK
+    sources)."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "gbk.csv")
+    with open(path, "w", encoding="gbk") as f:
+        f.write("名称,价格\n白菜,1.5\n猪肉,12.8\n")
+    df = read_csv(spark, path, encoding="GBK")
+    rows = {r["名称"]: r["价格"] for r in df.collect()}
+    assert rows == {"白菜": 1.5, "猪肉": 12.8}
+
+
+def test_cn_numeral_parser(spark):
+    """P13 (reference 红楼梦作者分析.py:59-82)."""
+    cases = {
+        "一": 1, "十": 10, "十五": 15, "二十": 20, "二十三": 23,
+        "一百": 100, "一百零八": 108, "一百二十": 120, "三百六十五": 365,
+    }
+    df = spark.createDataFrame([(s,) for s in cases], ["cn"])
+    out = {r["cn"]: r["n"] for r in df.select("cn", tx.cn_numeral_udf("cn").alias("n")).collect()}
+    assert out == cases
+    assert tx.parse_cn_numeral("abc") is None
+    assert tx.parse_cn_numeral(None) is None
+
+
+def test_substring_count_non_overlapping(spark):
+    """T4: the replace trick must match Python str.count (non-overlapping)
+    — 'aaaa'.count('aa') == 2, not 3."""
+    df = spark.createDataFrame([("aaaa",), ("abcabcab",)], ["text"])
+    out = df.select("text", tx.substring_count("text", "aa").alias("c")).collect()
+    got = {r["text"]: r["c"] for r in out}
+    assert got["aaaa"] == "aaaa".count("aa") == 2
+    df2 = df.select("text", tx.substring_count("text", "abc").alias("c"))
+    assert {r["text"]: r["c"] for r in df2.collect()}["abcabcab"] == 2
+
+
+def test_try_cast_coerce(spark):
+    """P7: to_numeric(errors='coerce') semantics — bad cells become
+    NULL, never a job failure (ANSI mode is ON in Spark 4)."""
+    df = spark.createDataFrame([("1.5",), ("oops",), ("  ",), ("2",)], ["s"])
+    out = rel.to_numeric_coerce(df, ["s"])
+    vals = [r["s"] for r in out.collect()]
+    assert vals == [1.5, None, None, 2.0]
+
+
+def test_csv_sink_roundtrip(spark):
+    """S6/S7: CSV sink writes readable output."""
+    df = spark.createDataFrame([(2, "b"), (1, "a")], ["id", "v"])
+    path = os.path.join(SCRATCH, "out_csv")
+    write_csv(df.orderBy("id"), path, single_file=True)
+    back = read_csv(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
