@@ -48,9 +48,28 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Warmup scale: tiny (6k lineitem rows) — absorbs JVM/codegen/broadcast
+#: machinery startup so measured numbers reflect plan execution at
+#: SF_DIR, not first-use compilation of each exec path.
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+
+
+def warmup(spark) -> None:
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if not os.path.isdir(WARMUP_SF_DIR):
+        return
+    # The flagship touches scan/broadcast-join/hash-agg/window/explode/
+    # self-join/sort; the minhash query touches xxhash+wide aggregates.
+    for name in ("trend_rules", "minhash_pairs"):
+        try:
+            force(QUERIES[name](spark, WARMUP_SF_DIR))
+        except Exception:
+            pass
+
+
 def main() -> None:
     spark = get_spark("bdas-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    warmup(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

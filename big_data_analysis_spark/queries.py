@@ -115,7 +115,13 @@ def _brand_monthly_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_trend_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices = _brand_monthly_prices(spark, sf_dir)
-    txns = mining.trend_transactions(prices, "period", "item", "price")
+    # The rule miner references the transactions three times (count,
+    # both sides of the pair self-join). Transactions are tiny (one row
+    # per period) but DERIVING them costs the full fact-table aggregate
+    # — cache the reduction so the scan+agg runs once, not 3x. Same
+    # call at 100 TB: you always materialize the 10^4-row reduction
+    # before a self-join, never re-derive it per branch.
+    txns = mining.trend_transactions(prices, "period", "item", "price").cache()
     rules = mining.pair_association_rules(
         txns, items_col="items", txn_col="period",
         min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE,
