@@ -146,3 +146,69 @@ def lsh_bucketed_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: IVF (inverted-file index over k-means cells)
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train an IVF index: k-means cell centroids (pyspark.ml KMeans)
+    and the corpus with an assigned ``cell`` column.
+
+    At scale the assigned table is written ``partitionBy('cell')`` so a
+    probe reads only nprobe/n_cells of the data (partition pruning); the
+    centroid list is tiny driver state (n_cells x dim floats).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(id_col, vec_col, "cell")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank cells by centroid cosine to the query (driver-side
+    — centroids are tiny), scan only the ``nprobe`` nearest cells, exact
+    cosine within them. Recall grows with nprobe; nprobe == n_cells is
+    exact search."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda c: -cos(centroids[c], query_vec))
+    probe = ranked[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -655,6 +655,35 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(10)
 
 
+@query(
+    "fpgrowth_rules_pairs",
+    _TREND_RULES_ORACLE.format(min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE),
+)
+def q_fpgrowth_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M27 production path, oracle-verified: distributed FP-Growth on the
+    same trend transactions, restricted to 1->1 rules — must EXACTLY
+    equal the hand-built pair rules (and therefore the same SQL oracle).
+    FP-Growth handles arbitrary k with no candidate explosion; this
+    equality pins its semantics to the reference's SimpleApriori
+    (蔬菜价格相关性分析.py:116-209)."""
+    prices = _brand_monthly_prices(spark, sf_dir)
+    txns = mining.trend_transactions(prices, "period", "item", "price")
+    _itemsets, rules = mining.fpgrowth_rules(
+        txns, items_col="items",
+        min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE,
+    )
+    return (
+        rules.filter((F.size("antecedent") == 1) & (F.size("consequent") == 1))
+        .select(
+            F.element_at("antecedent", 1).alias("antecedent"),
+            F.element_at("consequent", 1).alias("consequent"),
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+    )
+
+
 # =========================================================================
 # Relational battery II: semi join, cube, date arithmetic, correlation
 # =========================================================================
@@ -912,6 +941,32 @@ def q_streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_events",
+    """
+    WITH expanded AS (
+        SELECT date_trunc('day', ts) AS ws, event_type FROM events
+        UNION ALL
+        SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS ws, event_type FROM events
+    )
+    SELECT CAST(ws AS DATE) AS window_start, event_type,
+           count(*) AS n_events
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 sliding windows (2-day window, 1-day slide), oracle-verified:
+    each event lands in exactly two windows; the oracle expands the
+    membership by unioning the two shifted tumbling assignments."""
+    from big_data_analysis_spark.streaming import sliding_event_counts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = sliding_event_counts(ev, duration="2 days", slide="1 day")
+    return out.select(
+        F.col("window_start").cast("date").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
     "streaming_dedup_count",
     "SELECT count(DISTINCT event_id) AS n_unique FROM events",
 )
@@ -1122,6 +1177,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["minhash_pairs"] = q_minhash_pairs
 QUERIES["simhash_pairs"] = q_simhash_pairs
 QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tier (approximate; recall vs brute force asserted in
+    tests/test_similarity.py): k-means cells + nprobe-bounded probe."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    assigned, centroids = similarity.ivf_build(emb, n_cells=8)
+    return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+
+
 QUERIES["golden_predictions"] = q_golden_predictions
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["multimodal_decode"] = q_multimodal_decode
+QUERIES["ivf_ann_topk"] = q_ivf_ann_topk

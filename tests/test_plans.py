@@ -1,0 +1,70 @@
+"""Plan-shape tests (SURVEY.md §4.2): pin the optimizer properties the
+100 TB design depends on. A regression that silently un-pushes a filter
+or widens a scan fails HERE, not in a cluster bill."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.plans import (
+    broadcast_join_count,
+    formatted_plan,
+    has_wholestage_codegen,
+    scan_infos,
+)
+from big_data_analysis_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    scans = scan_infos(df)
+    assert scans, formatted_plan(df)
+    pushed = scans[0]["pushed_filters"]
+    assert pushed and any("l_quantity" in f for f in pushed), scans
+
+
+def test_column_pruning_limits_read_schema(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.select("l_orderkey", "l_quantity")
+    scans = scan_infos(df)
+    assert scans[0]["read_schema"] == ["l_orderkey", "l_quantity"], scans
+    # 11-column table, 2-column projection: reading more is a bug.
+
+
+def test_pricing_summary_scan_is_tight(spark, sf_dir):
+    """The TPC-H Q1 shape must push its date filter and read only the
+    7 columns it aggregates."""
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    scans = scan_infos(df)
+    assert scans
+    s = scans[0]
+    assert any("l_shipdate" in f for f in (s["pushed_filters"] or [])), s
+    assert s["read_schema"] is not None and len(s["read_schema"]) <= 7, s
+    assert "l_orderkey" not in s["read_schema"]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """top_customers joins two dims — both must broadcast, zero shuffle
+    joins for dimension tables."""
+    df = QUERIES["top_customers"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    """AQE wraps plans in AdaptiveSparkPlan and defers codegen spans to
+    runtime — disable it for the static inspection only."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["trend_rules"](spark, sf_dir)
+        assert has_wholestage_codegen(df), formatted_plan(df)[:2000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_spread_restores_parallelism(spark, sf_dir):
+    from big_data_analysis_spark.io import spread
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    assert spread(d).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -1,0 +1,85 @@
+"""Similarity-search tier tests: brute-force is ground truth; LSH and
+IVF tiers must reach recall floors against it; batch inference plumbing
+(M25) is deterministic end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.ml.inference import (
+    argmax_prediction,
+    batch_predict,
+    linear_softmax_model,
+)
+from big_data_analysis_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"].cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+
+def test_bruteforce_topk_self_hit(emb, qvec):
+    top = sim.cosine_topk(emb, qvec, k=10).collect()
+    assert top[0]["vec_id"] == 0  # the query vector itself
+    assert top[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-9)
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(emb, qvec):
+    truth = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+    assigned, centroids = sim.ivf_build(emb, n_cells=8)
+    assigned = assigned.cache()
+
+    got = {r["vec_id"] for r in sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).collect()}
+    recall4 = len(truth & got) / len(truth)
+    assert recall4 >= 0.5, f"nprobe=4 recall {recall4}"
+
+    # nprobe == n_cells is exhaustive -> exact.
+    got_all = {
+        r["vec_id"] for r in sim.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8).collect()
+    }
+    assert got_all == truth
+
+
+def test_knn_self_join_topk(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = sim.cosine_self_join_topk(emb, queries, k=5)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q_id, neigh in per_q.items():
+        assert len(neigh) == 5
+        assert all(r["n_id"] != q_id for r in neigh)
+
+
+def test_batch_inference_linear_softmax(spark):
+    """M25: known weights -> exactly computable probabilities and class
+    decisions, end-to-end through Arrow batches."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [5.0, 5.0])],
+        ["id", "features"],
+    )
+    # Class 0 scores x[0], class 1 scores x[1].
+    model = linear_softmax_model([[1.0, 0.0], [0.0, 1.0]], [0.0, 0.0])
+    out = argmax_prediction(batch_predict(df, "features", model))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["prediction"] == 0
+    assert rows[2]["prediction"] == 1
+    import math
+
+    e = math.exp(1.0)
+    expected = e / (e + 1.0)
+    assert rows[1]["probabilities"][0] == pytest.approx(expected, rel=1e-9)
+    assert rows[3 if 3 in rows else 3]["probabilities"][0] == pytest.approx(0.5)
+    assert sum(rows[1]["probabilities"]) == pytest.approx(1.0)
