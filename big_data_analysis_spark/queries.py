@@ -967,6 +967,40 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 session windows, oracle-verified: Spark's dynamic
+    ``session_window`` (gap 30m) against the lag/cumsum sessionization
+    written out in SQL — pins the [min(ts), max(ts)+gap) window
+    semantics the streaming surface relies on."""
+    from big_data_analysis_spark.streaming import session_event_counts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return session_event_counts(ev, gap="30 minutes")
+
+
+@query(
     "streaming_dedup_count",
     "SELECT count(DISTINCT event_id) AS n_unique FROM events",
 )

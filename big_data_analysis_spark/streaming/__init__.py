@@ -3,6 +3,7 @@
 from big_data_analysis_spark.streaming.streams import (  # noqa: F401
     read_events_stream,
     run_available_now,
+    session_event_counts,
     sliding_event_counts,
     streaming_dedup,
     tumbling_event_counts,

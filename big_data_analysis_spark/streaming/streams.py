@@ -101,6 +101,30 @@ def sliding_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregate: a session extends while events arrive
+    within ``gap`` of the last one; window end = last event + gap.
+    ``session_window`` runs identically in batch and streaming (with
+    watermark-bounded state when streaming) — the dynamic-window twin of
+    the lag/cumsum sessionize in operators.timeseries."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col("ts"), gap).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id. With a watermark, state for
     ids older than the watermark is evicted (bounded memory at scale);
@@ -110,7 +134,12 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
-def run_available_now(result: DataFrame, query_name: str | None = None, timeout_sec: int = 300) -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    query_name: str | None = None,
+    timeout_sec: int = 300,
+    output_mode: str | None = None,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion with the availableNow
     trigger into an in-memory table; returns the materialized result as
     a batch DataFrame. This is the batch-parity harness: process the
@@ -120,8 +149,9 @@ def run_available_now(result: DataFrame, query_name: str | None = None, timeout_
     # watermark semantics entirely (state never evicted, late rows never
     # dropped) — unusable at scale. With the memory sink, update mode
     # appends each batch's changed rows, so readers take the LAST row
-    # per key (latest_per_key below).
-    out_mode = "update" if _has_aggregation(result) else "append"
+    # per key. Session-window aggregates reject update — pass
+    # output_mode='complete' (or 'append' for finalized-only) there.
+    out_mode = output_mode or ("update" if _has_aggregation(result) else "append")
     # Memory-sink queries cannot recover from an existing checkpoint, so
     # every run gets a fresh checkpoint dir even under a reused name —
     # each invocation reprocesses the source from scratch (that IS the

@@ -15,6 +15,7 @@ from big_data_analysis_spark.io import load_tables
 from big_data_analysis_spark.streaming import (
     read_events_stream,
     run_available_now,
+    session_event_counts,
     sliding_event_counts,
     streaming_dedup,
     tumbling_event_counts,
@@ -54,6 +55,17 @@ def test_sliding_parity_and_multiplicity(spark, sf_dir):
     # Sliding windows (2d window, 1d slide) hold each event twice.
     n_events = events.count()
     assert result.agg(F.sum("n_events")).head()[0] == 2 * n_events
+
+
+def test_session_window_parity(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    batch = session_event_counts(events)
+    stream = session_event_counts(read_events_stream(spark, sf_dir))
+    # Session windows support append/complete only; complete emits every
+    # session after the availableNow backlog drains -> full parity.
+    result = run_available_now(stream, "session_parity", output_mode="complete")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _sorted_rows(result, cols) == _sorted_rows(batch, cols)
 
 
 def test_streaming_dedup_parity(spark, sf_dir):
