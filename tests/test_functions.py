@@ -1,0 +1,56 @@
+"""Scalar-function helper tests, incl. the SQL registration surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.functions import (
+    array_l2,
+    array_mean,
+    clamp,
+    minmax,
+    pct_of_total,
+    register,
+    safe_div,
+    zscore,
+)
+
+
+def test_safe_div_null_on_zero(spark):
+    df = spark.createDataFrame([(10.0, 2.0), (1.0, 0.0)], ["a", "b"])
+    vals = [r["q"] for r in df.select(safe_div(F.col("a"), F.col("b")).alias("q")).collect()]
+    assert vals == [5.0, None]
+
+
+def test_window_scalers(spark):
+    df = spark.createDataFrame([(1, 0.0), (1, 10.0), (2, 5.0)], ["g", "x"])
+    out = df.select(
+        "g",
+        "x",
+        minmax(F.col("x"), ("g",)).alias("mm"),
+        pct_of_total(F.col("x"), ("g",)).alias("pct"),
+        zscore(F.col("x"), ("g",)).alias("z"),
+    ).collect()
+    rows = {(r["g"], r["x"]): r for r in out}
+    assert rows[(1, 0.0)]["mm"] == 0.0 and rows[(1, 10.0)]["mm"] == 1.0
+    assert rows[(2, 5.0)]["mm"] is None  # single-row group: 0/0 -> NULL, not error
+    assert rows[(1, 10.0)]["pct"] == pytest.approx(1.0)
+    assert rows[(1, 0.0)]["z"] == pytest.approx(-rows[(1, 10.0)]["z"])
+
+
+def test_array_helpers_and_clamp(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    r = df.select(
+        array_mean(F.col("v")).alias("m"),
+        array_l2(F.col("v")).alias("n"),
+        clamp(F.lit(7.0), 0.0, 5.0).alias("c"),
+    ).head()
+    assert r["m"] == pytest.approx(3.5)
+    assert r["n"] == pytest.approx(5.0)
+    assert r["c"] == 5.0
+
+
+def test_sql_registration(spark):
+    register(spark)
+    assert spark.sql("SELECT cn_numeral('一百零八') AS n").head()["n"] == 108
