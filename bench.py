@@ -41,6 +41,16 @@ BENCH_QUERIES = [
     "cosine_topk",
     "minhash_pairs",
     "simhash_pairs",
+    "fpgrowth_rules_pairs",
+    "cube_orders",
+    "ols_metrics",
+    "corr_lineitem",
+    "quality_docs",
+    "lang_id_docs",
+    "embedding_near_dup_pairs",
+    "session_window_events",
+    "sliding_window_events",
+    "streaming_tumbling_daily",
 ]
 
 
@@ -60,7 +70,7 @@ def warmup(spark) -> None:
         return
     # The flagship touches scan/broadcast-join/hash-agg/window/explode/
     # self-join/sort; the minhash query touches xxhash+wide aggregates.
-    for name in ("trend_rules", "minhash_pairs"):
+    for name in ("trend_rules", "minhash_pairs", "streaming_tumbling_daily"):
         try:
             force(QUERIES[name](spark, WARMUP_SF_DIR))
         except Exception:

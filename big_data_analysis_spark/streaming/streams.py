@@ -145,6 +145,12 @@ def run_available_now(
     a batch DataFrame. This is the batch-parity harness: process the
     whole backlog now, in bounded micro-batches, then stop."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    spark = result.sparkSession
+    # Each shuffle partition materializes its own state store (dir +
+    # snapshot files per micro-batch). For the bounded availableNow
+    # harness, 8 state partitions cut fixed setup ~4x; a continuous
+    # production stream sizes this to its key cardinality instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Update (not complete) mode for aggregates: complete mode disables
     # watermark semantics entirely (state never evicted, late rows never
     # dropped) — unusable at scale. With the memory sink, update mode
@@ -156,18 +162,21 @@ def run_available_now(
     # every run gets a fresh checkpoint dir even under a reused name —
     # each invocation reprocesses the source from scratch (that IS the
     # availableNow backfill contract).
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(out_mode)
-        .option(
-            "checkpointLocation", os.path.join(_scratch_dir(), f"{name}-{uuid.uuid4().hex[:8]}")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(out_mode)
+            .option(
+                "checkpointLocation", os.path.join(_scratch_dir(), f"{name}-{uuid.uuid4().hex[:8]}")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    spark = result.sparkSession
+        q.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
