@@ -6,4 +6,5 @@ Modules:
 - clustering   : PCA, KMeans, BisectingKMeans, silhouette, DBSCAN small-data path (M18-M23)
 - kernel       : random Fourier features — RBF-kernel approximation for the
                  LinearSVC/LinearRegression gap (M7/M14)
+- inference    : Arrow-batched batch model inference (M25)
 """

@@ -55,6 +55,11 @@ def get_spark(
         # sources are GBK/GB18030 (SURVEY.md §2.1 S2/S3) — restore the
         # full Java charset set for the binary-decode CSV path.
         .config("spark.sql.legacy.javaCharsets", "true")
+        # decode() on malformed bytes: REPLACE (U+FFFD) instead of error —
+        # the charset-fallback reader tests for the replacement char to
+        # pick the right charset per file (reference 红楼梦作者分析.py:31-42
+        # try/except charset chain).
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,126 @@
+"""Unit battery for the relational/timeseries/text operator functions
+not already pinned by an oracle query — the reference-semantics edge
+cases live here (SURVEY.md §2.2-2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables, read_text_with_fallback
+from big_data_analysis_spark.operators import relational as rel
+from big_data_analysis_spark.operators import text as tx
+from big_data_analysis_spark.operators import timeseries as ts
+
+
+def test_select_excluding_and_map_values(spark):
+    df = spark.createDataFrame([(1, "M", 9.0), (2, "B", 8.0)], ["id", "diag", "x"])
+    assert rel.select_excluding(df, ["x"]).columns == ["id", "diag"]
+    out = rel.map_values(df, "diag", {"M": 1, "B": 0}, out_col="label")
+    assert {r["id"]: r["label"] for r in out.collect()} == {1: 1, 2: 0}
+    # Unmapped values take the default, not an error.
+    df2 = spark.createDataFrame([(3, "X", 1.0)], ["id", "diag", "x"])
+    assert rel.map_values(df2, "diag", {"M": 1}, default=-1).head()["diag"] == -1
+
+
+def test_normalize_blank_and_drop_null_columns(spark):
+    df = spark.createDataFrame(
+        [("a", " ", 1.0), ("b", "x", 2.0)], ["k", "dirty", "clean"]
+    )
+    norm = rel.normalize_blank_to_null(df, ["dirty"])
+    assert norm.filter(F.col("dirty").isNull()).count() == 1
+    kept = rel.drop_null_columns(norm)
+    assert kept.columns == ["k", "clean"]
+    counts = rel.null_counts(norm).head()
+    assert counts["dirty"] == 1 and counts["clean"] == 0
+
+
+def test_value_counts_normalized_and_conditional_rate(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    vc = rel.value_counts(li, "l_returnflag", normalize=True)
+    rows = vc.collect()
+    assert sum(r["proportion"] for r in rows) == pytest.approx(1.0)
+    rate = rel.conditional_rate(li, F.col("l_quantity") > 25).head()["rate"]
+    assert 0.0 < rate < 1.0
+
+
+def test_describe_stats_matches_duckdb(spark, sf_dir):
+    import duckdb
+    import os
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    got = rel.describe_stats(li, ["l_quantity"]).head()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT count(l_quantity), avg(l_quantity), stddev(l_quantity),
+                   min(l_quantity), quantile_cont(l_quantity, 0.5), max(l_quantity)
+            FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')"""
+    ).fetchone()
+    assert got["l_quantity_count"] == exp[0]
+    assert got["l_quantity_mean"] == pytest.approx(exp[1])
+    assert got["l_quantity_std"] == pytest.approx(exp[2])
+    assert got["l_quantity_min"] == exp[3]
+    assert got["l_quantity_p50"] == pytest.approx(exp[4])
+    assert got["l_quantity_max"] == exp[5]
+
+
+def test_pivot_agg_explicit_values_skips_distinct_scan(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = rel.pivot_agg(
+        li, ["l_linestatus"], "l_returnflag", "l_quantity", agg="sum",
+        pivot_values=["A", "N", "R"],
+    )
+    assert set(out.columns) == {"l_linestatus", "A", "N", "R"}
+
+
+def test_confusion_matrix_shape(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 0), (0, 0)], ["label", "prediction"]
+    )
+    cm = rel.confusion_matrix(df, "label", "prediction")
+    rows = {r["label"]: r for r in cm.collect()}
+    assert rows[0]["0"] == 2 and rows[1]["1"] == 1 and rows[1]["0"] == 1
+
+
+def test_with_row_number_contiguous(spark):
+    df = spark.createDataFrame([(x,) for x in [30, 10, 20]], ["v"])
+    out = rel.with_row_number(df, ["v"])
+    assert [(r["v"], r["rn"]) for r in out.orderBy("rn").collect()] == [
+        (10, 1), (20, 2), (30, 3),
+    ]
+
+
+def test_time_ordered_split_sizes(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["day"])
+    train, test = ts.time_ordered_split(df, "day", train_rows=80, test_rows=10)
+    assert train.count() == 80 and test.count() == 10
+    assert train.agg(F.max("day")).head()[0] < test.agg(F.min("day")).head()[0]
+
+
+def test_split_documents_positions(spark):
+    df = spark.createDataFrame([("intro|ch one|ch two",)], ["text"])
+    out = tx.split_documents(df, "text", r"\|")
+    rows = [(r["doc_idx"], r["doc"]) for r in out.orderBy("doc_idx").collect()]
+    assert rows == [(0, "intro"), (1, "ch one"), (2, "ch two")]
+
+
+def test_word_frequency_per_kchar_value(spark):
+    df = spark.createDataFrame([("sparkspark ok",)], ["text"])  # 13 chars, 2x 'spark'
+    out = tx.word_frequency_per_kchar(df, "text", ["spark"]).head()
+    assert out["freq_spark"] == pytest.approx(2 / 13 * 1000)
+
+
+def test_read_text_with_fallback_mixed_charsets(spark, tmp_path_factory):
+    """S3: one UTF-8 file + one GB18030 file in a dir; both decode."""
+    import os
+
+    d = "/root/repo/.scratch/fallback-src"
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "a.txt"), "w", encoding="utf-8") as f:
+        f.write("hello 世界")
+    with open(os.path.join(d, "b.txt"), "w", encoding="gb18030") as f:
+        f.write("价格分析")
+    out = read_text_with_fallback(spark, d)
+    texts = {os.path.basename(r["path"]): r["text"] for r in out.collect()}
+    assert texts["a.txt"] == "hello 世界"
+    assert texts["b.txt"] == "价格分析"
