@@ -80,6 +80,21 @@ def test_golden_prediction_output_schema(lineitem_labeled):
     assert acc >= 0.9
 
 
+def test_cross_validation_and_roc(lineitem_labeled):
+    """M10 (k-fold CV) + M17 (ROC points) through the benchmark API."""
+    models = {"logistic_regression": pl.default_classifiers(len(FEATURES))["logistic_regression"]}
+    metrics, fitted = pl.classification_benchmark(
+        lineitem_labeled, "label", FEATURES, models=models, cv_folds=3
+    )
+    row = metrics.head()
+    assert row["cv_accuracy"] >= 0.9
+
+    roc = pl.roc_points(fitted["logistic_regression"])
+    pts = roc.collect()
+    assert pts and set(roc.columns) == {"FPR", "TPR"}
+    assert all(0.0 <= r["FPR"] <= 1.0 and 0.0 <= r["TPR"] <= 1.0 for r in pts)
+
+
 def test_rff_linear_svc_beats_linear_on_ring(spark):
     """M7 gap check: a radially-separable task (ring) where a plain
     linear model is near chance but RFF+linear clears it."""

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): pin reference-semantics parity on
+randomized inputs, not just hand-picked cases. Spark round-trips are
+slow per example, so pandas-parity properties batch MANY random cases
+into ONE DataFrame per test run."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from big_data_analysis_spark.operators.text import parse_cn_numeral
+
+# ---------------------------------------------------------------------------
+# Pure-function properties (no Spark session: cheap, many examples)
+# ---------------------------------------------------------------------------
+
+_CN_DIGITS = "一二三四五六七八九"
+
+
+def _int_to_cn(n: int) -> str:
+    """Reference-style Chinese numeral writer for 1..999 (the chapter
+    range the reference parses, 红楼梦作者分析.py:59-82)."""
+    assert 1 <= n <= 999
+    out = []
+    h, rest = divmod(n, 100)
+    t, o = divmod(rest, 10)
+    if h:
+        out.append(_CN_DIGITS[h - 1] + "百")
+        if rest and t == 0:
+            out.append("零")
+    if t:
+        out.append((_CN_DIGITS[t - 1] if not (t == 1 and not h) else "") + "十")
+    if o:
+        out.append(_CN_DIGITS[o - 1])
+    return "".join(out)
+
+
+@given(st.integers(min_value=1, max_value=999))
+@settings(max_examples=300)
+def test_cn_numeral_roundtrip(n):
+    assert parse_cn_numeral(_int_to_cn(n)) == n
+
+
+@given(st.text(alphabet="abcdefg零一二三四五六七八九十百千 ", max_size=8))
+@settings(max_examples=200)
+def test_cn_numeral_never_raises(s):
+    r = parse_cn_numeral(s)
+    assert r is None or isinstance(r, int)
+
+
+# ---------------------------------------------------------------------------
+# Spark vs pandas parity on randomized series (one batched run)
+# ---------------------------------------------------------------------------
+
+
+def test_window_ops_match_pandas_on_random_series(spark):
+    """200 random series values, every (op, param) from the COVID feature
+    factory — parity with pandas in one Spark job per op family."""
+    import random
+
+    rng = random.Random(123)
+    values = [round(rng.uniform(-100, 100), 3) for _ in range(200)]
+    pdf = pd.DataFrame({"y": values})
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(values)], ["day", "y"])
+
+    from big_data_analysis_spark.operators import timeseries as ts
+
+    lagged = ts.add_lag_features(sdf, ["y"], [1, 3, 7], order_by=["day"])
+    ma = ts.add_trailing_mean(sdf, ["y"], [3, 7], order_by=["day"])
+    got_l = lagged.orderBy("day").collect()
+    got_m = ma.orderBy("day").collect()
+
+    for n in (1, 3, 7):
+        exp = pdf["y"].shift(n)
+        for i, row in enumerate(got_l):
+            e = exp.iloc[i]
+            g = row[f"y_lag{n}"]
+            assert (g is None and pd.isna(e)) or abs(g - e) < 1e-9
+
+    for n in (3, 7):
+        exp = pdf["y"].rolling(n, min_periods=1).mean().shift(1)
+        for i, row in enumerate(got_m):
+            e = exp.iloc[i]
+            g = row[f"y_ma{n}"]
+            assert (g is None and pd.isna(e)) or abs(g - e) < 1e-9
+
+
+def test_keep_last_matches_pandas_on_random_frame(spark):
+    """Random keyed frame: dedup_keep_last == pandas sort + drop_duplicates
+    (keep='last') for every key."""
+    import random
+
+    from big_data_analysis_spark.operators.relational import dedup_keep_last
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(10), i, rng.randrange(1000))  # key, unique seq, value
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "v"])
+    expected = (
+        pdf.sort_values("seq").drop_duplicates(subset=["k"], keep="last").set_index("k")["v"].to_dict()
+    )
+    sdf = spark.createDataFrame(rows, ["k", "seq", "v"])
+    got = {r["k"]: r["v"] for r in dedup_keep_last(sdf, ["k"], ["seq"]).collect()}
+    assert got == expected
