@@ -214,6 +214,62 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    by iterative min-label propagation (the standard large-graph CC
+    algorithm on DataFrames — HashToMin-style).
+
+    Each iteration joins labels across symmetric edges and keeps the
+    per-node minimum; converges in O(diameter) rounds (near-dup clusters
+    are shallow, so a handful). Returns (id, component) where component
+    is the smallest id in the group — pick it as the canonical document
+    and drop the rest. Every round is one shuffle on id; no driver-side
+    graph state."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to
     each bit position; the sign of each bit-sum forms the fingerprint.

@@ -667,7 +667,10 @@ def q_fpgrowth_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality pins its semantics to the reference's SimpleApriori
     (蔬菜价格相关性分析.py:116-209)."""
     prices = _brand_monthly_prices(spark, sf_dir)
-    txns = mining.trend_transactions(prices, "period", "item", "price")
+    # FPGrowth's fit + rules generation traverses the input repeatedly —
+    # materialize the tiny per-period reduction once (same reasoning as
+    # trend_rules).
+    txns = mining.trend_transactions(prices, "period", "item", "price").cache()
     _itemsets, rules = mining.fpgrowth_rules(
         txns, items_col="items",
         min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE,
@@ -862,6 +865,51 @@ def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("q_punct_ratio"), 6).alias("avg_punct_ratio"),
         F.round(F.avg("q_stopword_ratio"), 6).alias("avg_stopword_ratio"),
     )
+
+
+_DEDUP_GROUPS_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS sh
+    FROM documents WHERE doc_id < 500
+), ex AS (
+    SELECT doc_id, len(sh) AS sz, unnest(sh) AS tok FROM toks
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    WHERE common * 1.0 / (size_a + size_b - common) >= 0.9
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+    SELECT src, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT component, CAST(count(*) AS BIGINT) AS group_size
+FROM comp GROUP BY component
+"""
+
+
+@query("dedup_groups_docs", _DEDUP_GROUPS_ORACLE)
+def q_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star dedup-group resolution, oracle-verified: exact Jaccard
+    pairs (threshold 0.9, doc_id < 500) -> connected components by
+    min-label propagation -> (component, group size). The oracle computes
+    the same components with a recursive CTE — pinning the iterative
+    DataFrame algorithm against SQL transitive closure."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = dd.ngram_jaccard_pairs(
+        spread(d.filter(F.col("doc_id") < 500)), "text", "doc_id", n=1, threshold=0.9
+    )
+    comps = dd.connected_components(pairs)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
 
 
 # =========================================================================

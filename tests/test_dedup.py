@@ -55,6 +55,19 @@ def test_simhash_identical_and_perturbed(spark):
     assert hamming(sh[1], sh[4]) > 16
 
 
+def test_connected_components_chain_and_triangle(spark):
+    """A 4-node chain, a triangle, and an isolated pair resolve to 3
+    components labeled by their minimum id."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comps = {r["id"]: r["component"] for r in dd.connected_components(df).collect()}
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
 def test_exact_dedup_fingerprint_normalization(spark):
     """Whitespace/case variants collapse to one fingerprint."""
     from big_data_analysis_spark.operators.text import fingerprint
