@@ -227,6 +227,10 @@ def connected_components(
     is the smallest id in the group — pick it as the canonical document
     and drop the rest. Every round is one shuffle on id; no driver-side
     graph state."""
+    # The symmetric union references `pairs` twice; persist so an
+    # expensive upstream pair generator (e.g. a similarity join) runs
+    # once, not per branch.
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -245,6 +249,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
+        # localCheckpoint (eager) TRUNCATES LINEAGE each round. A mere
+        # persist() is not enough: any short-circuiting action (limit)
+        # caches only some partitions, the next round re-derives through
+        # the whole history, and plan depth grows exponentially with
+        # iterations (observed: OOM by round ~8 on a 256-node graph).
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -253,7 +262,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
