@@ -183,6 +183,30 @@ def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
     return left.join(right, on=list(on), how="left_anti")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys on the ``skewed`` side are
+    spread across ``salt_buckets`` partitions; the ``other`` side is
+    replicated once per bucket so every salted row still meets its
+    match. Use when ONE key dominates (AQE's skew-join splits oversized
+    partitions, but salting also fixes the single-hot-key hash-agg that
+    follows). Cost: |other| x salt_buckets rows shuffled — keep the
+    replicated side the smaller one."""
+    keys = list(on)
+    salted = skewed.withColumn(
+        "__salt", (F.abs(F.xxhash64(*[F.col(c) for c in keys], F.monotonically_increasing_id())) % salt_buckets)
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted.join(replicated, on=keys + ["__salt"], how=how).drop("__salt")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1-A13)
 # ---------------------------------------------------------------------------

@@ -110,6 +110,19 @@ def test_word_frequency_per_kchar_value(spark):
     assert out["freq_spark"] == pytest.approx(2 / 13 * 1000)
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Skew-resistant join must be result-identical to the plain join —
+    salting changes the physical distribution only. 90% of the left
+    side shares one hot key."""
+    left = [(1 if i < 900 else i, f"l{i}") for i in range(1000)]
+    right = [(k, f"r{k}") for k in range(0, 200)]
+    ldf = spark.createDataFrame(left, ["k", "lv"])
+    rdf = spark.createDataFrame(right, ["k", "rv"])
+    plain = ldf.join(rdf, "k").select("k", "lv", "rv")
+    salted = rel.salted_join(ldf, rdf, ["k"], salt_buckets=8).select("k", "lv", "rv")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_read_text_with_fallback_mixed_charsets(spark, tmp_path_factory):
     """S3: one UTF-8 file + one GB18030 file in a dir; both decode."""
     import os
