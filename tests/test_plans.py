@@ -63,6 +63,43 @@ def test_flagship_stays_in_codegen(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge-join with
+    ZERO Exchange operators — the co-located join that makes repeated
+    fact joins affordable at 100 TB."""
+    from big_data_analysis_spark.io import write_bucketed_table
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    write_bucketed_table(
+        t["orders"], "b_orders", ["o_custkey"], num_buckets=4, sort_by=["o_custkey"]
+    )
+    write_bucketed_table(
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", ["o_custkey"], num_buckets=4, sort_by=["o_custkey"],
+    )
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        # Force a sort-merge join (tiny test tables would broadcast and
+        # hide the property under test) and freeze AQE for inspection.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = formatted_plan(joined)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        # And it still returns the right rows.
+        expected = t["orders"].join(
+            t["customer"].withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_spread_restores_parallelism(spark, sf_dir):
     from big_data_analysis_spark.io import spread
 
