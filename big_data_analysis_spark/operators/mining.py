@@ -118,21 +118,28 @@ def pair_association_rules(
         .filter(F.col("pair_support") >= min_support)
     )
 
-    fwd = enriched.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        F.col("pair_support").alias("support"),
-        (F.col("pair_cnt") / F.col("cnt_a")).alias("confidence"),
-        ((F.col("pair_cnt") / F.col("cnt_a")) / (F.col("cnt_b") / F.col("n_txn"))).alias("lift"),
-    )
-    bwd = enriched.select(
-        F.col("item_b").alias("antecedent"),
-        F.col("item_a").alias("consequent"),
-        F.col("pair_support").alias("support"),
-        (F.col("pair_cnt") / F.col("cnt_b")).alias("confidence"),
-        ((F.col("pair_cnt") / F.col("cnt_b")) / (F.col("cnt_a") / F.col("n_txn"))).alias("lift"),
-    )
-    return fwd.unionByName(bwd).filter(F.col("confidence") >= min_confidence)
+    # Emit BOTH rule directions from one pass: a union of two selects
+    # over `enriched` would re-run the whole explode/join/agg per
+    # branch; exploding a 2-element struct array keeps a single branch.
+    def rule(ant, cons, cnt_ant, cnt_cons):
+        conf = F.col("pair_cnt") / F.col(cnt_ant)
+        return F.struct(
+            F.col(ant).alias("antecedent"),
+            F.col(cons).alias("consequent"),
+            F.col("pair_support").alias("support"),
+            conf.alias("confidence"),
+            (conf / (F.col(cnt_cons) / F.col("n_txn"))).alias("lift"),
+        )
+
+    both = enriched.select(
+        F.explode(
+            F.array(
+                rule("item_a", "item_b", "cnt_a", "cnt_b"),
+                rule("item_b", "item_a", "cnt_b", "cnt_a"),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return both.filter(F.col("confidence") >= min_confidence)
 
 
 def fpgrowth_rules(
