@@ -912,6 +912,31 @@ def q_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
 
 
+@query(
+    "bpe_token_counts",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS n_ws_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star token counting, BPE-ish variant: word-or-punctuation
+    regex tokens vs whitespace tokens, per source — the cost model for
+    LLM corpus budgeting. regexp_count keeps it codegen, no tokenizer
+    UDF."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return d.groupBy("source").agg(
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]")))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
 # =========================================================================
 # Similarity II: exact cosine near-dup pairs (oracle-verified)
 # =========================================================================

@@ -100,6 +100,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """§4.2 partition pruning: a date-partitioned parquet sink read back
+    with a partition filter must scan only matching partitions."""
+    import shutil
+
+    from big_data_analysis_spark.io import load_tables as lt
+    from big_data_analysis_spark.io import write_parquet
+
+    out = "/root/repo/.scratch/part-events"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = lt(spark, sf_dir, ["events"])["events"].withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    write_parquet(ev, out, partition_by=["day"])
+
+    first_day = ev.agg(F.min("day")).head()[0]
+    df = spark.read.parquet(out).filter(F.col("day") == F.lit(first_day))
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "day" in m.group(1), plan[:1500]
+    # Value check: pruned read equals the filtered original.
+    assert df.count() == ev.filter(F.col("day") == F.lit(first_day)).count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """A-ext approx aggregates: approx_count_distinct within 5% of exact
+    (the 100 TB substitute for exact COUNT(DISTINCT) global shuffles)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a")).head()["a"]
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_spread_restores_parallelism(spark, sf_dir):
     from big_data_analysis_spark.io import spread
 
