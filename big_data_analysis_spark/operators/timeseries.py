@@ -120,6 +120,28 @@ def time_ordered_split(
     return train, test
 
 
+def add_rank_features(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Ranking battery (SURVEY §2.6 extension row): rank / dense_rank /
+    ntile / lead over one window definition — one shuffle, four
+    expressions."""
+    w = _window(partition_by, order_by)
+    first_order = order_by[0] if isinstance(order_by[0], str) else None
+    lead_col = F.lead(F.col(first_order)).over(w) if first_order else F.lit(None)
+    return df.withColumns(
+        {
+            "rk": F.rank().over(w),
+            "dense_rk": F.dense_rank().over(w),
+            "tile": F.ntile(n_tiles).over(w),
+            "next_value": lead_col,
+        }
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -656,6 +656,76 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rank_orders_by_nation",
+    """
+    SELECT o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS dense_rk,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           round(lead(o_totalprice) OVER w, 2) AS next_value
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_rank_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension row: rank / dense_rank / ntile / lead in one
+    window pass (bounded slice keeps the global-order window small;
+    at scale you'd always partition this window)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].filter(F.col("o_orderkey") < 2000)
+    out = ts.add_rank_features(
+        o.select("o_orderkey", F.col("o_totalprice")),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n_tiles=4,
+    )
+    lead_price = F.lead("o_totalprice").over(
+        Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("dense_rk").cast("long").alias("dense_rk"),
+        F.col("tile").cast("long").alias("tile"),
+        F.round(lead_price, 2).alias("next_value"),
+    )
+
+
+@query(
+    "frequent_items_trend",
+    """
+    WITH prices AS (
+        SELECT date_trunc('month', l_shipdate) AS period, p_brand AS item,
+               round(avg(l_extendedprice / l_quantity), 6) AS price
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2
+    ), lagged AS (
+        SELECT period, item, price,
+               lag(price) OVER (PARTITION BY item ORDER BY period) AS prev
+        FROM prices
+    ), items AS (
+        SELECT period,
+               item || '=' || CASE WHEN price > prev * 1.05 THEN 'up'
+                                   WHEN price < prev * 0.95 THEN 'down'
+                                   ELSE 'flat' END AS it
+        FROM lagged WHERE prev IS NOT NULL AND price IS NOT NULL
+    ), n AS (SELECT count(DISTINCT period) AS n_txn FROM items)
+    SELECT it AS item, count(*) AS item_count,
+           round(count(*) * 1.0 / n.n_txn, 6) AS support
+    FROM items, n
+    GROUP BY it, n.n_txn
+    HAVING count(*) * 1.0 / n.n_txn >= 0.4
+    """,
+)
+def q_frequent_items_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A10 directly: frequent 1-itemsets with min-support over the
+    trend transactions (the SimpleApriori first stage,
+    蔬菜价格相关性分析.py:141-150)."""
+    prices = _brand_monthly_prices(spark, sf_dir)
+    txns = mining.trend_transactions(prices, "period", "item", "price")
+    out = mining.frequent_items(txns, items_col="items", min_support=0.4)
+    return out.select("item", "item_count", F.round("support", 6).alias("support"))
+
+
+@query(
     "fpgrowth_rules_pairs",
     _TREND_RULES_ORACLE.format(min_support=TREND_MIN_SUPPORT, min_confidence=TREND_MIN_CONFIDENCE),
 )

@@ -125,12 +125,24 @@ def session_event_counts(
     )
 
 
-def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id. With a watermark, state for
-    ids older than the watermark is evicted (bounded memory at scale);
-    the batch twin is a plain dropDuplicates."""
+def streaming_dedup(
+    events: DataFrame, watermark: str = "1 hour", within_watermark: bool = False
+) -> DataFrame:
+    """Streaming exact dedup on event_id; the batch twin is a plain
+    dropDuplicates.
+
+    ``within_watermark=False``: classic dropDuplicates — exact across
+    the whole stream, but state grows with distinct ids forever.
+    ``within_watermark=True``: dropDuplicatesWithinWatermark — state is
+    evicted past the watermark, so memory is bounded at 100 TB/day
+    streams; duplicates arriving farther apart than the watermark are
+    NOT caught (the standard trade, correct when producers only ever
+    retry within the delay window)."""
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+        wm = events.withWatermark("ts", watermark)
+        if within_watermark:
+            return wm.dropDuplicatesWithinWatermark(["event_id"])
+        return wm.dropDuplicates(["event_id"])
     return events.dropDuplicates(["event_id"])
 
 

@@ -75,6 +75,15 @@ def test_streaming_dedup_parity(spark, sf_dir):
     assert result.count() == events.select("event_id").distinct().count()
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Bounded-state variant: on a single availableNow batch (all data
+    within the watermark) it equals the exact dedup."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    stream = streaming_dedup(read_events_stream(spark, sf_dir), within_watermark=True)
+    result = run_available_now(stream, "dedup_wwm_parity")
+    assert result.count() == events.select("event_id").distinct().count()
+
+
 def test_watermark_advances_and_bounds_state(spark):
     """Two micro-batches through a watermarked aggregate. Asserts the
     contract Spark actually guarantees (Structured Streaming guide,
