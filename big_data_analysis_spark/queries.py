@@ -1144,6 +1144,29 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stateful_running_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 custom stateful operator, oracle-verified: per-user running
+    totals via applyInPandasWithState (arbitrary GroupState across
+    micro-batches). One availableNow batch -> each user's single emitted
+    row IS the final state, so it must hash-match the plain aggregate."""
+    from big_data_analysis_spark.streaming import read_events_stream, run_available_now
+    from big_data_analysis_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    result = run_available_now(stream, output_mode="update")
+    return result.select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    )
+
+
+@query(
     "streaming_dedup_count",
     "SELECT count(DISTINCT event_id) AS n_unique FROM events",
 )

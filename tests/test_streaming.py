@@ -84,6 +84,66 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert result.count() == events.select("event_id").distinct().count()
 
 
+def test_stateful_running_totals_across_batches(spark, sf_dir):
+    """applyInPandasWithState carries per-key state across micro-batches:
+    with maxFilesPerTrigger forcing >=1 batch, the LAST emitted row per
+    user must equal the batch groupBy totals."""
+    from big_data_analysis_spark.streaming.stateful import running_user_totals
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    result = run_available_now(stream, "running_totals", output_mode="update")
+    # Update-mode memory sink holds per-batch upserts; the max n_events
+    # row per user is the final state.
+    rows = result.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    assert final == expected
+
+
+def test_stateful_state_carries_between_two_batches(spark):
+    """Explicit two-batch check: a user in both batches shows a
+    cumulative (not per-batch) total in the second emission."""
+    import time
+
+    from big_data_analysis_spark.streaming.stateful import running_user_totals
+
+    src_dir = os.path.join(SCRATCH, "stateful-src")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 1.0), (2, "2024-01-01 00:01:00", 8, 2.0)],
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 00:02:00", 7, 10.0)],
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(os.path.join(src_dir, "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(src_dir + "/*")
+    )
+    result = run_available_now(
+        running_user_totals(stream), "stateful_2batch", output_mode="update"
+    )
+    rows = sorted(
+        ((r["user_id"], r["n_events"], r["total_value"]) for r in result.collect())
+    )
+    # user 7: batch1 emission (1, 1.0) then cumulative batch2 (2, 11.0)
+    assert (7, 1, 1.0) in rows and (7, 2, 11.0) in rows, rows
+    assert (8, 1, 2.0) in rows
+
+
 def test_watermark_advances_and_bounds_state(spark):
     """Two micro-batches through a watermarked aggregate. Asserts the
     contract Spark actually guarantees (Structured Streaming guide,
