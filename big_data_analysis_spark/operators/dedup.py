@@ -14,7 +14,7 @@ array functions) — no Python in the hot path, fully distributed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
@@ -63,27 +63,102 @@ def _token_shingles(text_col, n: int):
     )
 
 
+def jaccard_prefix_index(
+    shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Prefix index for the set-similarity join (PPJoin prefix-filtering
+    principle, Xiao et al. 2008): order each document's shingles by
+    GLOBAL document frequency (rarest first, shingle string as a
+    deterministic tie-break) and keep only the first
+    |set| - ceil(t*|set|) + 1 per document. Any pair with J >= t has
+    overlap >= ceil(t*|set|) on each side, so the two prefixes must
+    share at least one shingle — indexing only prefixes loses no true
+    pair while a stop-word-like shingle (huge docs-per-shingle bucket)
+    falls out of most prefixes, bounding the quadratic per-bucket cost
+    that is the one scale risk of the plain inverted index.
+
+    Input: (id, sh: array<string>, sh_size). Output: (id, sh_size,
+    shingle) rows — the inverted index to self-join on.
+    """
+    exploded = shingled.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "shingle")
+    # ceil with a small epsilon so float noise (0.1*10 -> 1.0000000002)
+    # can only LENGTHEN the prefix, never shorten it below the bound.
+    prefix_len = F.col("sh_size") - F.ceil(F.lit(threshold) * F.col("sh_size") - F.lit(1e-9)) + 1
+    return (
+        exploded.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("id", "sh_size", "shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all pairs with
     J(a,b) >= threshold, id_a < id_b.
 
-    Implementation: explode shingles -> self-join on shingle (only
-    co-occurring pairs are ever materialized) -> count common shingles ->
-    J = common / (|A| + |B| - common). This is the classic inverted-index
-    set-similarity join: cost is sum over shingles of (docs-per-shingle
-    choose 2), NOT (all docs choose 2). For 100 TB add a prefix filter
-    (sort shingles by global frequency, index only the first
-    (1-t)*|set|+1) — hook left simple here.
+    Implementation (prefix_filter=True, the 100 TB path): classic
+    filter-verify set-similarity join.
+      1. Prefix index (``jaccard_prefix_index``): only the globally
+         rarest |set| - ceil(t*|set|) + 1 shingles per doc are indexed.
+      2. Candidate generation: self-join the prefix index on shingle
+         with a length filter (J >= t forces t*|A| <= |B| <= |A|/t).
+      3. Verify: join candidates back to the full shingle arrays and
+         compute the exact Jaccard via ``array_intersect`` (per-row
+         hash intersect, no further shuffle fan-out).
+    Output is identical to the naive inverted-index join (oracle
+    hash-match holds either way); only the candidate count shrinks.
+
+    With prefix_filter=False: plain inverted-index join — explode
+    shingles -> self-join on shingle -> count common shingles ->
+    J = common / (|A| + |B| - common). Cost is sum over shingles of
+    (docs-per-shingle choose 2); a single stop-word-like shingle makes
+    one bucket quadratic, which is exactly what the prefix filter fixes.
     """
     shingled = df.select(
         F.col(id_col).alias("id"), _token_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
+    if prefix_filter:
+        index = jaccard_prefix_index(shingled, threshold)
+        a, b = index.alias("a"), index.alias("b")
+        # Length filter: J >= t  =>  overlap >= t*max(|A|,|B|) and
+        # overlap <= min(|A|,|B|)  =>  each size >= t * the other.
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("b.sh_size") >= F.lit(threshold) * F.col("a.sh_size") - F.lit(1e-9))
+                & (F.col("a.sh_size") >= F.lit(threshold) * F.col("b.sh_size") - F.lit(1e-9)),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        fa = shingled.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_size").alias("size_a")
+        )
+        fb = shingled.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_size").alias("size_b")
+        )
+        return (
+            cands.join(fa, "id_a")
+            .join(fb, "id_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     exploded = shingled.select("id", "sh_size", F.explode("sh").alias("shingle"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
@@ -120,10 +195,12 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int
     exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
     # Hash the shingle STRING once, then derive the hash family by
     # seeded xorshift permutations of the 64-bit value: x = h ^ c_i;
-    # x ^= x << a_i; x ^= x >> b_i. Each step is an invertible linear
-    # map, so h_i is a bijection of the hash space — the permutation
-    # model MinHash assumes — at ~5 long ops per member instead of
-    # re-hashing the string per member (~1.5x faster end-to-end).
+    # x ^= x << a_i; x ^= x >>> b_i. With the LOGICAL right shift
+    # (shiftrightunsigned) each step is an invertible linear map, so
+    # h_i is a bijection of the hash space — the permutation model
+    # MinHash assumes — at ~5 long ops per member instead of re-hashing
+    # the string per member (~1.5x faster end-to-end). (An arithmetic
+    # shift would sign-extend and make the xor-shift 2-to-1.)
     import random
 
     rng = random.Random(0x5EED)
@@ -135,7 +212,7 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int
         b = rng.randrange(1, 32)
         x = h.bitwiseXOR(F.lit(c))
         x = x.bitwiseXOR(F.shiftleft(x, a))
-        return x.bitwiseXOR(F.shiftright(x, b))
+        return x.bitwiseXOR(F.shiftrightunsigned(x, b))
 
     aggs = [F.min(member(i)).alias(f"h{i}") for i in range(num_hashes)]
     sigs = exploded.groupBy("id").agg(*aggs)

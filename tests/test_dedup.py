@@ -80,6 +80,40 @@ def test_exact_dedup_fingerprint_normalization(spark):
     assert fp.select("fingerprint").distinct().count() == 2
 
 
+def test_prefix_filter_same_output_fewer_candidates(spark, docs):
+    """The prefix-filtered join must return EXACTLY the naive join's
+    pairs (filter-verify is lossless) while indexing strictly fewer
+    shingle postings than the full inverted index."""
+    sample = docs.filter(F.col("doc_id") < 100)
+    naive = dd.ngram_jaccard_pairs(sample, "text", "doc_id", n=1, threshold=0.5, prefix_filter=False)
+    fast = dd.ngram_jaccard_pairs(sample, "text", "doc_id", n=1, threshold=0.5, prefix_filter=True)
+    truth = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in naive.collect()}
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in fast.collect()}
+    assert got == truth and len(truth) > 0
+
+    shingled = sample.select(
+        F.col("doc_id").alias("id"), dd._token_shingles(F.col("text"), 1).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    full_postings = shingled.select(F.explode("sh")).count()
+    prefix_postings = dd.jaccard_prefix_index(shingled, 0.5).count()
+    assert prefix_postings < full_postings, (prefix_postings, full_postings)
+
+
+def test_prefix_filter_handcheck(spark):
+    """Hand-checked: prefix join at t=0.6 finds the one qualifying pair
+    even when the shared rare tokens sit at different positions."""
+    df = spark.createDataFrame(
+        [(1, "common1 common2 rare1 rare2"), (2, "common1 common2 rare1 rare3"),
+         (3, "common1 common2 zz1 zz2 zz3 zz4")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", n=1, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): pytest.approx(3 / 5)}
+
+
 def test_ngram_jaccard_exact_values(spark):
     """Hand-checked Jaccard on token sets."""
     df = spark.createDataFrame(
