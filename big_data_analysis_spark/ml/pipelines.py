@@ -5,7 +5,7 @@ sklearn classifiers on a scaled feature matrix with a stratified 70/30
 split and 5-fold CV. Re-expressed here as pyspark.ml Pipelines:
 
 - M1  StandardScaler(withMean, withStd)       fit on train only
-- M2  stratified split via sampleBy, seed 42
+- M2  exact stratified split (per-class histogram thresholds), seed 42
 - M3  LogisticRegression
 - M5  DecisionTreeClassifier(maxDepth=5)
 - M6  NaiveBayes(modelType='gaussian')
@@ -66,18 +66,101 @@ def assemble_features(
 
 
 def stratified_split(
-    df: DataFrame, label_col: str, train_fraction: float = 0.7, seed: int = 42
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float = 0.7,
+    seed: int = 42,
+    id_cols: Sequence[str] | None = None,
+    num_buckets: int = 4096,
 ) -> tuple[DataFrame, DataFrame]:
-    """M2: stratified train/test split (reference 乳腺癌预测.py:83-85,
-    ``train_test_split(stratify=y)``). ``sampleBy`` keeps per-class
-    fractions; the complement (anti-join on a row id would be exact but
-    adds a shuffle) is taken with a deterministic per-row hash so the
-    split is reproducible and single-pass at any scale."""
-    # Deterministic per-row coin: hash of all columns -> uniform [0,1).
-    coin = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))) % 1_000_000) / 1_000_000.0
-    with_coin = df.withColumn("__coin", coin)
-    train = with_coin.filter(F.col("__coin") < train_fraction).drop("__coin")
-    test = with_coin.filter(F.col("__coin") >= train_fraction).drop("__coin")
+    """M2: EXACT stratified train/test split (reference 乳腺癌预测.py:83-85,
+    ``train_test_split(stratify=y)``): every class puts exactly
+    round(train_fraction * n_class) rows in train, like sklearn's exact
+    per-class stratification — not just in expectation.
+
+    Deterministic and scale-safe:
+    - Each row gets a hash coin in [0,1) from ``id_cols`` (pass a stable
+      id subset! defaulting to all columns means adding/dropping a
+      feature column reshuffles the split) and a coin bucket.
+    - Pass 1: per-(class, bucket) histogram — at most
+      classes x num_buckets rows collected, independent of data size.
+    - The driver walks each class's histogram to the bucket where the
+      cumulative count crosses k = round(f * n): rows in buckets below
+      the boundary are train, above are test — resolved by a broadcast
+      join + filter, no shuffle of the data.
+    - Only the boundary bucket (~n_class/num_buckets rows per class) is
+      ranked with a window to take the exact residual — the one
+      per-class serial step touches a 1/num_buckets sliver, never the
+      whole class partition.
+
+    ``id_cols`` must uniquely identify rows (a primary key): rows with
+    identical ids get identical sort keys, so the boundary-bucket
+    row_number breaks their tie arbitrarily and the two copies can land
+    on opposite sides of the split (train and test are evaluated as
+    separate lazy plans). With a unique key the (coin, tie) order is
+    total and both plans resolve identically.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    hash_cols = [F.col(c) for c in (id_cols if id_cols else df.columns)]
+    coin = (F.abs(F.xxhash64(*hash_cols, F.lit(seed))) % 1_000_000) / 1_000_000.0
+    # Secondary tie-break hash so equal coins rank deterministically.
+    tie = F.xxhash64(*hash_cols, F.lit(seed + 1))
+    with_coin = (
+        df.withColumn("__coin", coin)
+        .withColumn("__tie", tie)
+        .withColumn(
+            "__bkt",
+            F.least(
+                F.floor(F.col("__coin") * num_buckets).cast("int"), F.lit(num_buckets - 1)
+            ),
+        )
+    )
+    hist = (
+        with_coin.groupBy(F.col(label_col).alias("__lbl"), "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    per: dict = {}
+    for r in hist:
+        per.setdefault(r["__lbl"], {})[r["__bkt"]] = r["__n"]
+    rows = []
+    for lbl, bkts in per.items():
+        n = sum(bkts.values())
+        k = int(round(train_fraction * n))
+        cum, boundary, resid = 0, num_buckets, 0
+        for bkt in sorted(bkts):
+            c = bkts[bkt]
+            if cum + c >= k:
+                boundary, resid = bkt, k - cum
+                break
+            cum += c
+        rows.append((lbl, boundary, resid))
+    bounds_schema = StructType(
+        [
+            StructField("__lbl", df.schema[label_col].dataType, True),
+            StructField("__b", IntegerType(), False),
+            StructField("__r", LongType(), False),
+        ]
+    )
+    bounds = df.sparkSession.createDataFrame(rows, bounds_schema)
+    joined = with_coin.join(
+        F.broadcast(bounds), F.col(label_col).eqNullSafe(F.col("__lbl"))
+    ).drop("__lbl")
+    drop_cols = ["__coin", "__tie", "__bkt", "__b", "__r"]
+    below = joined.filter(F.col("__bkt") < F.col("__b")).drop(*drop_cols)
+    above = joined.filter(F.col("__bkt") > F.col("__b")).drop(*drop_cols)
+    w = Window.partitionBy(label_col).orderBy("__coin", "__tie")
+    boundary_rows = joined.filter(F.col("__bkt") == F.col("__b")).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    train = below.unionByName(
+        boundary_rows.filter(F.col("__rn") <= F.col("__r")).drop(*drop_cols, "__rn")
+    )
+    test = above.unionByName(
+        boundary_rows.filter(F.col("__rn") > F.col("__r")).drop(*drop_cols, "__rn")
+    )
     return train, test
 
 
@@ -127,6 +210,7 @@ def classification_benchmark(
     train_fraction: float = 0.7,
     seed: int = 42,
     cv_folds: int = 0,
+    id_cols: Sequence[str] | None = None,
 ) -> tuple[DataFrame, dict[str, PipelineModel]]:
     """The 乳腺癌预测 benchmark loop (reference :105-160): per model,
     fit on the stratified train split, score the test split, optionally
@@ -134,7 +218,7 @@ def classification_benchmark(
     reference's leaderboard shape sorted by accuracy desc, fitted models).
     """
     models = models or default_classifiers(len(feature_cols), label_col=label_col)
-    train, test = stratified_split(df, label_col, train_fraction, seed)
+    train, test = stratified_split(df, label_col, train_fraction, seed, id_cols=id_cols)
     train = train.cache()
     test = test.cache()
 

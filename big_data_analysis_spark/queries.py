@@ -1321,8 +1321,8 @@ def q_golden_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sample_id"),
         *[F.col(c).cast("double").alias(c) for c in feats],
         (F.col("l_extendedprice") > med).cast("double").alias("label"),
-    )
-    train, test = pl.stratified_split(labeled, "label", 0.7, seed=42)
+    ).dropDuplicates(["sample_id"])  # split needs a unique row key
+    train, test = pl.stratified_split(labeled, "label", 0.7, seed=42, id_cols=["sample_id"])
     pipe = Pipeline(
         stages=pl.assemble_features(feats)
         + [pl.default_classifiers(len(feats))["logistic_regression"]]

@@ -36,14 +36,47 @@ def lineitem_labeled(spark, sf_dir):
     )
 
 
-def test_stratified_split_preserves_ratio(lineitem_labeled):
-    train, test = pl.stratified_split(lineitem_labeled, "label", 0.7, seed=42)
-    n_train, n_test = train.count(), test.count()
-    assert n_train + n_test == lineitem_labeled.count()
-    assert 0.6 < n_train / (n_train + n_test) < 0.8
-    pos_all = lineitem_labeled.agg(F.avg("label")).head()[0]
-    pos_train = train.agg(F.avg("label")).head()[0]
-    assert abs(pos_all - pos_train) < 0.05
+IDS = ["l_orderkey", "l_linenumber"]
+
+
+@pytest.fixture(scope="module")
+def lineitem_unique(lineitem_labeled):
+    """stratified_split requires id_cols to be a unique row key; the
+    synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    dedupe for the split tests."""
+    return lineitem_labeled.dropDuplicates(IDS).cache()
+
+
+def test_stratified_split_exact_per_class(lineitem_unique):
+    """Exact stratification: train gets round(0.7 * n_class) rows of
+    EVERY class (±1), matching sklearn's stratify=y — not just in
+    expectation."""
+    lineitem_labeled = lineitem_unique
+    train, test = pl.stratified_split(lineitem_labeled, "label", 0.7, seed=42, id_cols=IDS)
+    totals = {r["label"]: r["n"] for r in
+              lineitem_labeled.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["label"]: r["n"] for r in
+           train.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lbl, n in totals.items():
+        assert abs(got.get(lbl, 0) - round(0.7 * n)) <= 1, (lbl, got.get(lbl, 0), n)
+    assert train.count() + test.count() == sum(totals.values())
+
+
+def test_stratified_split_deterministic_and_disjoint(lineitem_unique):
+    """Same seed -> identical split; train/test partition the input; and
+    the split depends only on id_cols, so adding a feature column does
+    not reshuffle membership."""
+    lineitem_labeled = lineitem_unique
+    t1, _ = pl.stratified_split(lineitem_labeled, "label", 0.7, seed=42, id_cols=IDS)
+    t2, s2 = pl.stratified_split(lineitem_labeled, "label", 0.7, seed=42, id_cols=IDS)
+    key = lambda df: {(r["l_orderkey"], r["l_linenumber"]) for r in df.select(*IDS).collect()}
+    ids1, ids2 = key(t1), key(t2)
+    assert ids1 == ids2
+    assert not (ids2 & key(s2))
+
+    widened = lineitem_labeled.withColumn("extra_feature", F.col("l_quantity") * 2)
+    t3, _ = pl.stratified_split(widened, "label", 0.7, seed=42, id_cols=IDS)
+    assert key(t3) == ids1
 
 
 def test_classification_benchmark_floors(lineitem_labeled):
