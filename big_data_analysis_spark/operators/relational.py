@@ -196,7 +196,18 @@ def salted_join(
     match. Use when ONE key dominates (AQE's skew-join splits oversized
     partitions, but salting also fixes the single-hot-key hash-agg that
     follows). Cost: |other| x salt_buckets rows shuffled — keep the
-    replicated side the smaller one."""
+    replicated side the smaller one.
+
+    Only join types that never emit unmatched OTHER-side rows are
+    allowed: the replicated side's unmatched rows would surface once per
+    salt bucket under right/full outer, duplicating null-extended rows."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated side is "
+            "duplicated per salt bucket, so right/full outer joins would emit "
+            "unmatched rows salt_buckets times. Use inner/left/semi/anti."
+        )
     keys = list(on)
     salted = skewed.withColumn(
         "__salt", (F.abs(F.xxhash64(*[F.col(c) for c in keys], F.monotonically_increasing_id())) % salt_buckets)

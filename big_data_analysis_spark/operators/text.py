@@ -132,8 +132,6 @@ def parse_cn_numeral(s: str | None) -> int | None:
             unit = _CN_UNITS[ch]
             total += (current or 1) * unit
             current = 0
-        elif ch == "零":
-            continue
         else:
             return None
     return total + current

@@ -1161,8 +1161,12 @@ def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = running_user_totals(read_events_stream(spark, sf_dir))
     result = run_available_now(stream, output_mode="update")
-    return result.select(
-        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    # Update-mode memory sink keeps one row per user per micro-batch; if
+    # the file source ever splits the backlog, the final state is the
+    # row with the highest running count — collapse per user.
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
     )
 
 

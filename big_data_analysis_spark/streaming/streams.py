@@ -186,14 +186,23 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # Reading the memory table now would silently return partial
+            # results (and leak a running query) — stop and fail loud.
+            q.stop()
+            raise TimeoutError(
+                f"availableNow query {name!r} still running after {timeout_sec}s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
 def _has_aggregation(df: DataFrame) -> bool:
-    """Complete output mode is required for streaming aggregates into the
-    memory sink; append only works for stateless/dedup queries."""
+    """Streaming aggregates into the memory sink run in UPDATE output
+    mode here (complete mode would disable watermark semantics — see
+    run_available_now); append only works for stateless/dedup queries,
+    so detect aggregation from the analyzed plan to pick the default."""
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan

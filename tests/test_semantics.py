@@ -126,6 +126,30 @@ def test_gbk_csv_roundtrip(spark):
     assert rows == {"白菜": 1.5, "猪肉": 12.8}
 
 
+def test_gbk_csv_leading_blank_and_quoted_header(spark):
+    """S2 hardening: a file starting with a blank line still finds its
+    header, and quoted header fields containing commas parse with
+    csv-module semantics (not naive split(','))."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "gbk_tricky.csv")
+    with open(path, "w", encoding="gbk") as f:
+        f.write('\n"名称, 中文",价格\n白菜,1.5\n')
+    df = read_csv(spark, path, encoding="GBK")
+    assert df.columns == ["名称, 中文", "价格"]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["价格"] == 1.5
+
+
+def test_salted_join_rejects_outer(spark):
+    """Replicated-side outer joins would duplicate unmatched rows once
+    per salt bucket — the API must refuse them."""
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(ValueError, match="salted_join"):
+        rel.salted_join(df, df.select("k"), ["k"], how="full_outer")
+    with pytest.raises(ValueError, match="salted_join"):
+        rel.salted_join(df, df.select("k"), ["k"], how="right")
+
+
 def test_cn_numeral_parser(spark):
     """P13 (reference 红楼梦作者分析.py:59-82)."""
     cases = {
