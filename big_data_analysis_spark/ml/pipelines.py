@@ -202,6 +202,63 @@ def classification_metrics(
     return out
 
 
+def per_class_report(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """M15: per-class precision/recall/F1/support, the reference's
+    ``classification_report`` table (乳腺癌预测.py:142-146,190) that the
+    weighted evaluator metrics don't expose.
+
+    One full pass builds the confusion cells (|classes|^2 rows, then
+    localCheckpoint so the three tiny derivations below don't re-scan
+    the predictions); every later step runs on the cell table only.
+    Classes appearing in either column are reported (sklearn semantics);
+    zero denominators yield 0.0, and f1 = 2*tp/(predicted+support) is
+    the algebraic 2PR/(P+R) without intermediate rounding."""
+    cells = (
+        predictions.groupBy(
+            F.col(label_col).alias("__t"), F.col(prediction_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    classes = (
+        cells.select(F.col("__t").alias("label"))
+        .unionByName(cells.select(F.col("__p").alias("label")))
+        .distinct()
+    )
+    actual = cells.groupBy(F.col("__t").alias("label")).agg(
+        F.sum("__n").alias("__support")
+    )
+    predicted = cells.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__n").alias("__predicted")
+    )
+    tp = cells.filter(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("label"), F.col("__n").alias("__tp")
+    )
+    rep = (
+        classes.join(actual, "label", "left")
+        .join(predicted, "label", "left")
+        .join(tp, "label", "left")
+        .na.fill(0, ["__support", "__predicted", "__tp"])
+    )
+    prec = F.coalesce(F.try_divide(F.col("__tp"), F.col("__predicted")), F.lit(0.0))
+    rec = F.coalesce(F.try_divide(F.col("__tp"), F.col("__support")), F.lit(0.0))
+    f1 = F.coalesce(
+        F.try_divide(2 * F.col("__tp"), F.col("__predicted") + F.col("__support")),
+        F.lit(0.0),
+    )
+    return rep.select(
+        "label",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.col("__support").cast("long").alias("support"),
+    ).orderBy("label")
+
+
 def classification_benchmark(
     df: DataFrame,
     label_col: str,

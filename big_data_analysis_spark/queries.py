@@ -1225,6 +1225,46 @@ def q_confusion_matrix_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PER_CLASS_ORACLE = """
+WITH pred AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+           CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS p
+    FROM lineitem
+), cells AS (
+    SELECT t, p, count(*) AS n FROM pred GROUP BY t, p
+), classes AS (
+    SELECT DISTINCT t AS label FROM cells
+    UNION SELECT DISTINCT p FROM cells
+), actual AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS support FROM cells GROUP BY t),
+   predicted AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS predicted FROM cells GROUP BY p),
+   tp AS (SELECT t AS label, n AS tp FROM cells WHERE t = p)
+SELECT c.label,
+       round(coalesce(tp.tp * 1.0 / nullif(predicted.predicted, 0), 0), 6) AS "precision",
+       round(coalesce(tp.tp * 1.0 / nullif(actual.support, 0), 0), 6) AS recall,
+       round(coalesce(2.0 * tp.tp / nullif(predicted.predicted + actual.support, 0), 0), 6) AS f1,
+       coalesce(actual.support, 0) AS support
+FROM classes c
+LEFT JOIN actual ON c.label = actual.label
+LEFT JOIN predicted ON c.label = predicted.label
+LEFT JOIN tp ON c.label = tp.label
+"""
+
+
+@query("per_class_report_rule", _PER_CLASS_ORACLE)
+def q_per_class_report_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 per-class precision/recall/F1/support, oracle-verified on the
+    same rule classifier as confusion_matrix_rule — the reference's
+    classification_report table (乳腺癌预测.py:142-146,190)."""
+    from big_data_analysis_spark.ml.pipelines import per_class_report
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    preds = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        (F.col("l_discount") > 0.05).cast("int").alias("prediction"),
+    )
+    return per_class_report(preds)
+
+
 _OLS_ORACLE = """
 WITH stats AS (
     SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,

@@ -261,3 +261,20 @@ def test_dbscan_small_blobs(spark):
     rows = {r["eps"]: r for r in sweep.collect()}
     assert rows[0.5]["n_clusters"] == 2
     assert rows[100.0]["n_clusters"] == 1  # everything merges at huge eps
+
+
+def test_per_class_report_matches_sklearn_semantics(spark):
+    """M15 per-class report: hand-checked values incl. a class that is
+    never predicted (precision 0, recall 0) — sklearn's
+    classification_report contract."""
+    # y_true: 0,0,0,1,1,2 ; y_pred: 0,1,0,1,1,1  (class 2 never predicted)
+    pairs = [(0, 0), (0, 1), (0, 0), (1, 1), (1, 1), (2, 1)]
+    df = spark.createDataFrame(pairs, ["label", "prediction"])
+    rep = {r["label"]: r for r in pl.per_class_report(df).collect()}
+    assert set(rep) == {0, 1, 2}
+    assert rep[0]["precision"] == 1.0 and rep[0]["recall"] == pytest.approx(2 / 3)
+    assert rep[1]["precision"] == 0.5 and rep[1]["recall"] == 1.0
+    assert rep[2]["precision"] == 0.0 and rep[2]["recall"] == 0.0 and rep[2]["f1"] == 0.0
+    assert rep[0]["support"] == 3 and rep[1]["support"] == 2 and rep[2]["support"] == 1
+    # f1 = 2PR/(P+R)
+    assert rep[1]["f1"] == pytest.approx(2 * 0.5 * 1.0 / 1.5, abs=1e-6)
