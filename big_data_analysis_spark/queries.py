@@ -1391,6 +1391,71 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).drop("cluster")
 
 
+_AUDIO_WAV_ORACLE = """
+SELECT user_id,
+       100 + (user_id % 50) * 10 AS n_frames,
+       1 + user_id % 2 AS n_channels
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0)
+"""
+
+
+@query("audio_decode_wav", _AUDIO_WAV_ORACLE)
+def q_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 audio decode, oracle-verified THROUGH a real codec: per user a
+    PCM-16 WAV is synthesized (stdlib wave) with frame/channel counts
+    given by a closed-form formula of user_id, then decoded back by
+    decode_media(media_kind='audio') — the stdlib-wave real decode path,
+    no stub. The decoded (n_frames, n_channels) must reproduce the
+    formula exactly, proving bytes really round-trip the codec. The
+    generator is Python-per-row by necessity (it fabricates binary
+    payloads for the harness); the decode under test is the engine's
+    Arrow-batched mapInPandas path."""
+    import pandas as _pd
+
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    users = ev.select("user_id").where(F.col("user_id") % 17 == 0).distinct()
+
+    def gen(it):
+        import io as _io
+        import math
+        import struct
+        import wave
+
+        for pdf in it:
+            payloads = []
+            for uid in pdf["user_id"]:
+                n = int(100 + (uid % 50) * 10)
+                ch = int(1 + uid % 2)
+                buf = _io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack(
+                                "<" + "h" * ch,
+                                *([int(20000 * math.sin(2 * math.pi * 440 * i / 8000))] * ch),
+                            )
+                            for i in range(n)
+                        )
+                    )
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"path": pdf["user_id"].astype(str), "content": payloads}
+            )
+
+    media = users.mapInPandas(gen, schema="path string, content binary")
+    decoded = mm.decode_media(media, media_kind="audio")
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        F.col("path").cast("bigint").alias("user_id"),
+        F.col("width").alias("n_frames"),
+        F.col("height").alias("n_channels"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5/M25-M26 multimodal plumbing over driver data: documents
     text re-encoded as an opaque binary media column, decoded +
