@@ -6,7 +6,9 @@ truth consistency. Spark mapping:
 
 - M18 pyspark.ml.feature.PCA(k=2) + explainedVariance
 - M19 pyspark.ml.clustering.KMeans(k, seed)
-- M20 Ward gap -> BisectingKMeans (divisive hierarchical analogue)
+- M20 Ward: exact numpy linkage + dendrogram cut on a COLLECTED matrix
+      (ward_linkage / ward_cluster, the reference's ~120-row regime);
+      BisectingKMeans remains the at-scale divisive analogue
 - M21 DBSCAN gap -> exact numpy implementation on a COLLECTED matrix
       (small-data path, documented; the reference's own usage is 120
       rows). The scalable path would be an eps-grid cell join — out of
@@ -151,3 +153,102 @@ def cluster_truth_consistency(
     ).head()
     acc = float(row["acc"])
     return max(acc, 1.0 - acc)
+
+
+def ward_linkage(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    id_col: str | None = None,
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """M20: Ward hierarchical-clustering linkage table (the reference's
+    dendrogram input, 红楼梦作者分析.py:297-299) on a COLLECTED matrix —
+    the documented small-data path (reference usage is ~120 chapter
+    rows; ``max_rows`` guards misuse; BisectingKMeans is the at-scale
+    divisive analogue).
+
+    Pure numpy Lance-Williams recurrence on squared euclidean distances
+    (no scipy dependency); output rows follow scipy's linkage
+    convention: step t merges ``cluster_a``/``cluster_b`` (original
+    points are 0..n-1, merged clusters n+t) at cophenetic ``distance``
+    into a cluster of ``size``. Ward distances are monotone
+    non-decreasing across steps (asserted in tests)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"ward_linkage is a small-data path (n={n} > {max_rows})")
+    cols = ([id_col] if id_col else []) + list(feature_cols)
+    pdf = df.select(*cols).toPandas()
+    x = pdf[list(feature_cols)].to_numpy(dtype=float)
+
+    sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(sq, np.inf)
+    sizes = np.ones(n)
+    cluster_id = np.arange(n)
+    active = np.ones(n, dtype=bool)
+    merges = []
+    for step in range(n - 1):
+        masked = np.where(active[:, None] & active[None, :], sq, np.inf)
+        i, j = np.unravel_index(np.argmin(masked), masked.shape)
+        if i > j:
+            i, j = j, i
+        d = float(np.sqrt(sq[i, j]))
+        a, b = int(cluster_id[i]), int(cluster_id[j])
+        new_size = sizes[i] + sizes[j]
+        merges.append((min(a, b), max(a, b), round(d, 9), int(new_size)))
+        # Lance-Williams (Ward) update of squared distances into slot i.
+        k_mask = active.copy()
+        k_mask[[i, j]] = False
+        nk = sizes[k_mask]
+        upd = (
+            (sizes[i] + nk) * sq[i, k_mask]
+            + (sizes[j] + nk) * sq[j, k_mask]
+            - nk * sq[i, j]
+        ) / (sizes[i] + sizes[j] + nk)
+        sq[i, k_mask] = upd
+        sq[k_mask, i] = upd
+        sizes[i] = new_size
+        cluster_id[i] = n + step
+        active[j] = False
+    out = df.sparkSession.createDataFrame(
+        [(t,) + m for t, m in enumerate(merges)],
+        "step int, cluster_a int, cluster_b int, distance double, size int",
+    )
+    return out
+
+
+def ward_cluster(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    k: int,
+    id_col: str | None = None,
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """M20: cut the Ward dendrogram at ``k`` clusters and label the rows
+    (reference fcluster usage). Runs the linkage, replays the first
+    n-k merges with union-find, relabels components 0..k-1 in
+    first-appearance order, and returns the input with a ``cluster``
+    column. Same small-data contract as ward_linkage."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"ward_cluster is a small-data path (n={n} > {max_rows})")
+    linkage = ward_linkage(df, feature_cols, id_col=id_col, max_rows=max_rows).collect()
+    parent = list(range(n + len(linkage)))
+
+    def find(u: int) -> int:
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for row in sorted(linkage, key=lambda r: r["step"])[: n - k]:
+        new = n + row["step"]
+        parent[find(row["cluster_a"])] = new
+        parent[find(row["cluster_b"])] = new
+    labels, remap = [], {}
+    for i in range(n):
+        root = find(i)
+        labels.append(remap.setdefault(root, len(remap)))
+    cols = ([id_col] if id_col else []) + list(feature_cols)
+    pdf = df.select(*cols).toPandas()
+    pdf["cluster"] = labels
+    return df.sparkSession.createDataFrame(pdf)

@@ -1495,6 +1495,23 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
 
 
+def q_ward_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20 Ward hierarchical clustering (rows-only: the linkage's merge
+    order is not SQL-expressible): dendrogram table over a bounded
+    deterministic slice of the embeddings (vec_id < 120 — the
+    reference's own ~120-row regime, 红楼梦作者分析.py:297-299). Value
+    properties (known merge distances, monotonicity, blob purity) are
+    pinned in tests/test_ml.py."""
+    from big_data_analysis_spark.ml import clustering as cl
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    small = emb.filter(F.col("vec_id") < 120).select(
+        "vec_id", *[F.element_at("embedding", i + 1).alias(f"e{i}") for i in range(8)]
+    )
+    return cl.ward_linkage(small, [f"e{i}" for i in range(8)], id_col="vec_id")
+
+
+QUERIES["ward_linkage_docs"] = q_ward_linkage_docs
 QUERIES["golden_predictions"] = q_golden_predictions
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["multimodal_decode"] = q_multimodal_decode

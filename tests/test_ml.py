@@ -278,3 +278,46 @@ def test_per_class_report_matches_sklearn_semantics(spark):
     assert rep[0]["support"] == 3 and rep[1]["support"] == 2 and rep[2]["support"] == 1
     # f1 = 2PR/(P+R)
     assert rep[1]["f1"] == pytest.approx(2 * 0.5 * 1.0 / 1.5, abs=1e-6)
+
+
+def test_ward_linkage_known_values(spark):
+    """Ward linkage on 1-D points {0,1,10,11}: the two unit pairs merge
+    at euclidean distance 1, then the pair-of-pairs merges at
+    sqrt(2*n1*n2/(n1+n2) * ||c1-c2||^2) = sqrt(200) — scipy's ward()
+    convention, hand-derived (no scipy in this container)."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate([0.0, 1.0, 10.0, 11.0])], ["id", "x"])
+    rows = sorted(cl.ward_linkage(df, ["x"], id_col="id").collect(), key=lambda r: r["step"])
+    assert [r["distance"] for r in rows[:2]] == [1.0, 1.0]
+    assert rows[2]["distance"] == pytest.approx(200**0.5, abs=1e-6)
+    assert {(rows[0]["cluster_a"], rows[0]["cluster_b"]), (rows[1]["cluster_a"], rows[1]["cluster_b"])} == {(0, 1), (2, 3)}
+    assert rows[2]["size"] == 4
+    # Ward distances are monotone non-decreasing.
+    ds = [r["distance"] for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_ward_cluster_blobs_and_monotonicity(spark):
+    """Cutting the dendrogram at k=2 separates two far blobs exactly,
+    and the full linkage stays monotone on gaussian data."""
+    import random
+
+    random.seed(11)
+    rows = [(i, random.gauss(0, 0.2), random.gauss(0, 0.2)) for i in range(60)] + [
+        (60 + i, random.gauss(8, 0.2), random.gauss(8, 0.2)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    labeled = cl.ward_cluster(df, ["x", "y"], k=2, id_col="id")
+    groups = {
+        r["cluster"]: r["n"]
+        for r in labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(groups.values()) == [40, 60]
+    # Every blob maps to exactly one cluster label.
+    purity = labeled.withColumn("blob", (F.col("id") >= 60).cast("int"))
+    assert purity.select("blob", "cluster").distinct().count() == 2
+
+    ds = [r["distance"] for r in sorted(cl.ward_linkage(df, ["x", "y"], id_col="id").collect(), key=lambda r: r["step"])]
+    assert ds == sorted(ds)
+
+    with pytest.raises(ValueError, match="small-data"):
+        cl.ward_linkage(df, ["x", "y"], max_rows=10)
