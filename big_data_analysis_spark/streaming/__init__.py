@@ -3,6 +3,8 @@
 from big_data_analysis_spark.streaming.streams import (  # noqa: F401
     read_events_stream,
     run_available_now,
+    parse_kafka_events,
+    read_events_kafka,
     session_event_counts,
     sliding_event_counts,
     streaming_dedup,

@@ -66,6 +66,62 @@ def read_events_stream(
     return stream
 
 
+#: Wire schema of an events record on a Kafka topic (JSON value).
+EVENTS_JSON_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Project Kafka's wire columns (binary key/value + metadata) to the
+    events schema: JSON-decode ``value``, keep the broker metadata that
+    matters for replay/debug. Pure column expressions, so it applies
+    identically to a real ``format('kafka')`` stream and to a mocked
+    batch DataFrame with the same wire schema (how the unit test drives
+    it — the Kafka connector jar is not in this container)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_JSON_SCHEMA).alias("e"),
+        F.col("topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+    )
+    return parsed.select("e.*", "topic", "kafka_partition", "kafka_offset")
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source for the events stream: same downstream operators as
+    the file source (transformations are source-agnostic). Requires the
+    spark-sql-kafka connector on the cluster classpath — probed up
+    front so a missing jar fails with a clear message instead of an
+    opaque ClassNotFoundException at start(). ``maxOffsetsPerTrigger``
+    is the backpressure knob (rows per micro-batch across partitions)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "Kafka connector not on the classpath — add the "
+            "spark-sql-kafka-0-10 package to use read_events_kafka"
+        ) from exc
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return parse_kafka_events(reader.load())
+
+
 def tumbling_event_counts(
     events: DataFrame, duration: str = "1 day", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -190,3 +190,18 @@ def test_csv_sink_roundtrip(spark):
     write_csv(df.orderBy("id"), path, single_file=True)
     back = read_csv(spark, path)
     assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_csv_sink_bom(spark):
+    """S6 utf-8-sig flag: BOM present exactly once, and the file still
+    round-trips through the reader."""
+    import glob
+
+    df = spark.createDataFrame([(1, "名称")], ["id", "v"])
+    path = os.path.join(SCRATCH, "bom_csv")
+    write_csv(df, path, single_file=True, bom=True)
+    part = glob.glob(os.path.join(path, "part-*.csv"))[0]
+    raw = open(part, "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf") and not raw[3:].startswith(b"\xef\xbb\xbf")
+    back = read_csv(spark, path)
+    assert back.count() == 1

@@ -199,3 +199,50 @@ def test_watermark_advances_and_bounds_state(spark):
     # Jan-10 window: the upsert history shows count 2 (batch 1) then 3.
     jan10 = [r["n_events"] for r in rows if r["window_start"].isoformat().startswith("2024-01-10")]
     assert sorted(jan10) == [2, 3], rows
+
+
+def test_kafka_projection_on_mocked_wire_batch(spark):
+    """parse_kafka_events is pure column logic, so drive it with a batch
+    DataFrame shaped like Kafka's wire schema (the connector jar is not
+    in this container): JSON values decode to the events schema and
+    broker metadata survives."""
+    import json
+
+    from big_data_analysis_spark.streaming import parse_kafka_events
+
+    recs = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:05", "user_id": 7,
+         "event_type": "click", "value": 1.5, "props": "{\"k\":1}"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:06", "user_id": 8,
+         "event_type": "view", "value": None, "props": None},
+    ]
+    wire = spark.createDataFrame(
+        [
+            (None, json.dumps(r).encode(), "events", 0, i)
+            for i, r in enumerate(recs)
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    out = parse_kafka_events(wire).orderBy("event_id").collect()
+    assert [r["event_id"] for r in out] == [1, 2]
+    assert out[0]["user_id"] == 7 and out[0]["value"] == 1.5
+    assert out[0]["event_type"] == "click"
+    assert out[0]["ts"] is not None and out[0]["ts"].second == 5
+    assert out[1]["value"] is None
+    assert out[0]["topic"] == "events" and out[0]["kafka_offset"] == 0
+    # Malformed JSON -> null-structured row, not a task failure.
+    bad = spark.createDataFrame(
+        [(None, b"not json", "events", 0, 0)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    row = parse_kafka_events(bad).head()
+    assert row["event_id"] is None
+
+
+def test_read_events_kafka_missing_connector_raises(spark):
+    """Without the kafka connector jar the constructor must fail with an
+    actionable message, not an opaque ClassNotFoundException later."""
+    from big_data_analysis_spark.streaming import read_events_kafka
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_events_kafka(spark, "localhost:9092", "events")
