@@ -421,3 +421,59 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (LLM-pipeline north star)
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination scan: (train doc, benchmark doc) pairs
+    sharing at least one word ``n``-gram, with the count of DISTINCT
+    shared n-grams — the standard eval-leakage check an LLM data
+    pipeline runs before training (n=13 in GPT-3/PaLM practice; smaller
+    default here for the short synthetic docs).
+
+    Plan: both sides explode DISTINCT n-grams -> inner equi-join on the
+    gram (an inverted index — cost is per-gram bucket products, never
+    |train| x |benchmark|) -> groupBy pair. The benchmark side is tiny
+    in practice, so Spark broadcast-joins it; at 100 TB the gram join
+    shuffles only gram-matched rows and a stop-gram cap could reuse
+    jaccard_prefix_index's frequency ordering if ever needed.
+    """
+    grams = lambda side, name: side.select(
+        F.col(id_col).alias(name), _token_shingles(F.col(text_col), n).alias("g")
+    ).select(name, F.explode("g").alias("gram"))
+    t, b = grams(train, "train_id"), grams(benchmark, "bench_id")
+    return (
+        t.join(b, "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop training docs contaminated by the benchmark set: anti-join
+    against the ids flagged by ``contamination_pairs`` (>= min_shared
+    distinct shared n-grams with ANY benchmark doc)."""
+    flagged = (
+        contamination_pairs(train, benchmark, text_col, id_col, n)
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, on=id_col, how="left_anti")

@@ -138,3 +138,63 @@ def parse_cn_numeral(s: str | None) -> int | None:
 
 
 cn_numeral_udf = F.udf(parse_cn_numeral, IntegerType())
+
+
+def repetition_metrics(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document, pure array
+    expressions (no explode, no shuffle — each doc computes its own
+    metrics in the scan stage):
+
+    - ``n_tokens``           whitespace token count
+    - ``distinct_token_frac`` |distinct tokens| / n_tokens
+    - ``dup_bigram_frac``     1 - |distinct bigrams| / |bigrams|
+      (the 'repeated n-gram fraction' quality filter: boilerplate and
+      looping generations score high)
+    Single-token/empty docs define the fractions as 1.0 / 0.0 (nothing
+    to repeat)."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    bigrams = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 2), "
+        f"i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1]))"
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn(
+            "distinct_token_frac",
+            F.when(n > 0, F.size(F.array_distinct(w)) / n).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                n > 1,
+                1.0 - F.size(F.array_distinct(bigrams)) / (n - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+#: RE2-and-Java compatible PII patterns (kept to the common regex
+#: subset so the DuckDB oracle runs the IDENTICAL pattern).
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
+    """PII scrub for training text (LLM-pipeline north star): replace
+    emails / international-format phone numbers with typed placeholder
+    tokens and count what was removed — pure regexp expressions in the
+    scan stage, no Python. Pattern set is deliberately the
+    RE2 ∩ Java-regex subset so the same strings drive the SQL oracle;
+    a production pass would add locale-specific patterns behind the
+    same shape."""
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(redacted, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_phones", n_phones)
+        .withColumn(out_col, redacted)
+    )

@@ -937,6 +937,133 @@ def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+    FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+), b AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 10 = 0),
+   tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 10 != 0)
+SELECT train_id, bench_id, count(*) AS n_shared
+FROM tr JOIN b USING (gram)
+GROUP BY train_id, bench_id
+HAVING count(*) >= 3
+"""
+
+
+@query("contamination_pairs_docs", _CONTAMINATION_ORACLE)
+def q_contamination_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline decontamination, oracle-verified: every-10th doc
+    plays the benchmark set; report (train, bench) pairs sharing >= 3
+    distinct word 5-grams — the eval-leakage scan run before training.
+    Inverted-index join on the gram, never train x bench."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dd.contamination_pairs(train, bench, "text", "doc_id", n=5).filter(
+        F.col("n_shared") >= 3
+    )
+
+
+_REPETITION_ORACLE = """
+WITH m AS (
+    SELECT source,
+           string_split(text, ' ') AS w,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), g AS (
+    SELECT source, n,
+           len(list_distinct(w)) * 1.0 / n AS distinct_frac,
+           1.0 - len(list_distinct([w[i] || ' ' || w[i+1]
+                                    FOR i IN generate_series(1, n - 1)])) * 1.0 / (n - 1)
+             AS dup_bigram_frac
+    FROM m WHERE n > 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n), 4) AS avg_tokens,
+       round(avg(distinct_frac), 6) AS avg_distinct_token_frac,
+       round(avg(dup_bigram_frac), 6) AS avg_dup_bigram_frac
+FROM g GROUP BY source
+"""
+
+
+@query("repetition_docs", _REPETITION_ORACLE)
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition profile per source, oracle-verified:
+    distinct-token and duplicate-bigram fractions — the repeated-n-gram
+    quality filters an LLM corpus pipeline applies. Pure array
+    expressions in the scan stage (no explode, no extra shuffle)."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    m = tx.repetition_metrics(d, "text").filter(F.col("n_tokens") > 1)
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("distinct_token_frac"), 6).alias("avg_distinct_token_frac"),
+        F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+    )
+
+
+_PII_ORACLE = """
+WITH aug AS (
+    SELECT source,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact user' || doc_id ||
+                     '@example.com or call +12 345 678 901'
+                ELSE text END AS text2
+    FROM documents
+), red AS (
+    SELECT source, text2,
+           len(regexp_extract_all(text2,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+           regexp_replace(text2,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g')
+             AS after_email
+    FROM aug
+), red2 AS (
+    SELECT source, n_emails,
+           len(regexp_extract_all(after_email, '\\+[0-9][0-9 -]{7,}[0-9]')) AS n_phones,
+           regexp_replace(after_email, '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')
+             AS redacted
+    FROM red
+)
+SELECT source,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(length(redacted)) AS BIGINT) AS redacted_chars
+FROM red2 GROUP BY source
+"""
+
+
+@query("pii_redaction_docs", _PII_ORACLE)
+def q_pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline PII scrub, oracle-verified: synthetic emails/phones
+    injected into every 3rd doc, redacted with the RE2-and-Java common
+    regex subset (identical pattern strings drive the DuckDB oracle);
+    per-source counts + redacted corpus size. Pure regexp expressions."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    aug = d.withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or call +12 345 678 901"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = tx.redact_pii(aug, "text2")
+    return red.groupBy("source").agg(
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )
+
+
 _DEDUP_GROUPS_ORACLE = """
 WITH RECURSIVE toks AS (
     SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS sh

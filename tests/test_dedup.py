@@ -123,3 +123,29 @@ def test_ngram_jaccard_exact_values(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got[(1, 2)] == pytest.approx(3 / 5)  # |{a,b,c}| / |{a,b,c,d,e}|
     assert (1, 3) not in got
+
+
+def test_contamination_and_decontaminate(spark):
+    """Decontamination: overlap counts are exact distinct-5-gram counts
+    and the anti-join removes exactly the flagged train docs."""
+    from big_data_analysis_spark.operators import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 2 distinct 5-grams
+    train = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, "totally different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, shared)], ["doc_id", "text"])
+    pairs = {
+        (r["train_id"], r["bench_id"]): r["n_shared"]
+        for r in dd.contamination_pairs(train, bench, "text", "doc_id", n=5).collect()
+    }
+    # doc 1 contains the full benchmark string -> both its 5-grams.
+    assert pairs[(1, 100)] == 2
+    assert (2, 100) not in pairs
+
+    clean = dd.decontaminate(train, bench, "text", "doc_id", n=5)
+    assert [r["doc_id"] for r in clean.collect()] == [2]

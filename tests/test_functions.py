@@ -54,3 +54,36 @@ def test_array_helpers_and_clamp(spark):
 def test_sql_registration(spark):
     register(spark)
     assert spark.sql("SELECT cn_numeral('一百零八') AS n").head()["n"] == 108
+
+
+def test_repetition_metrics_hand_values(spark):
+    """'a b a b a' -> 5 tokens, 2 distinct, bigrams {a b, b a} distinct 2
+    of 4 -> dup fraction 0.5; a single-token doc defines 1.0/0.0."""
+    from big_data_analysis_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "solo")], ["id", "text"])
+    rows = {r["id"]: r for r in tx.repetition_metrics(df, "text").collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["distinct_token_frac"] == pytest.approx(2 / 5)
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(0.5)
+    assert rows[2]["distinct_token_frac"] == 1.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii_hand_values(spark):
+    from big_data_analysis_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@foo-bar.example.org and b@c.io now"),
+            (2, "call +49 170 123 4567 today"),
+            (3, "clean text"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in tx.redact_pii(df, "text").collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 0
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert rows[2]["n_phones"] == 1
+    assert rows[2]["redacted"] == "call <PHONE> today"
+    assert rows[3]["redacted"] == "clean text" and rows[3]["n_emails"] == 0
