@@ -184,3 +184,98 @@ def tumbling_window_agg(
         *group_by,
         *agg_cols,
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, attach the value
+    columns of the LATEST right row with the same key and
+    ``right.ts <= left.ts`` (backward, inclusive) — the
+    trade-vs-quote / feature-vs-snapshot join Spark has no built-in for.
+
+    100 TB plan — the union trick, not a join: tag both sides, union,
+    ONE shuffle on the key, sort (ts, side) within each partition, and
+    carry the right values forward with ``last(ignorenulls)`` over an
+    unbounded-preceding frame. Cost is a single Exchange + in-partition
+    sort regardless of how many left rows each right row serves; the
+    join-then-filter-then-argmax formulation would shuffle the same data
+    AND blow up on key x time fan-out. Right side should be unique per
+    (key, ts) — pre-aggregate if not, or ties resolve by sort order.
+
+    Output: all left columns, plus each value col as ``<col><suffix>``
+    and the matching right timestamp as ``<ts_col><suffix>`` (NULL when
+    no right row precedes the left row)."""
+    keys = list(on)
+    vals = list(value_cols)
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in vals],
+    ).withColumn(f"{ts_col}{suffix}", F.col(ts_col))
+    l = left.withColumn("__side", F.lit(1))
+    for c in vals:
+        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn(f"{ts_col}{suffix}", F.lit(None).cast(right.schema[ts_col].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            if c in [f"{v}{suffix}" for v in vals] + [f"{ts_col}{suffix}"]
+            else F.col(c)
+            for c in unioned.columns
+        ]
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (point-in-interval) join: pair every point row with every
+    interval row of the same key where
+    ``start <= point_ts <= end`` (inclusive both ends).
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    |points| x |intervals| work, a 100 TB non-starter. This is the
+    bucketed formulation instead: each interval EXPLODES over the
+    fixed-width time buckets it covers, points compute their single
+    bucket, both sides equi-join on (keys..., bucket) — one ordinary
+    shuffled hash join whose candidate count is bounded by per-bucket
+    density — and the exact containment predicate filters the
+    candidates. ``bucket_seconds`` trades replication (long intervals
+    explode over more buckets) against candidate fan-in (coarse buckets
+    collide more); size it near the typical interval length."""
+    keys = list(on)
+    width = F.lit(int(bucket_seconds) * 1_000_000)
+    p_b = points.withColumn("__bkt", F.floor(F.unix_micros(F.col(point_ts)) / width))
+    i_b = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / width),
+                F.floor(F.unix_micros(F.col(end_col)) / width),
+            )
+        ),
+    )
+    joined = p_b.join(i_b, on=keys + ["__bkt"]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("__bkt")

@@ -1270,6 +1270,78 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(ev, gap="30 minutes")
 
 
+_ASOF_ORACLE = """
+WITH v AS (
+    SELECT user_id, ts, max(value) AS vvalue
+    FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS view_ts, round(v.vvalue, 4) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@query("asof_purchase_view", _ASOF_ORACLE)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join, oracle-verified against DuckDB's
+    native ASOF JOIN: each purchase gets the latest view at-or-before
+    it per user (backward inclusive; views pre-aggregated to unique
+    (user, ts) so ties are well-defined). Single-shuffle union-trick
+    plan — see operators.timeseries.asof_join."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = ts.asof_join(purchases, views, ["user_id"], "ts", ["vvalue"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("view_ts"),
+        F.round("vvalue_asof", 4).alias("view_value"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT p.event_id AS purchase_id, count(*) AS n_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+GROUP BY p.event_id
+"""
+
+
+@query("click_attribution_window", _ATTRIBUTION_ORACLE)
+def q_click_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join, oracle-verified: clicks attributed to the
+    30-minute window before each purchase of the same user. Uses the
+    bucketed interval_join (equi-join on (user, time-bucket) + exact
+    containment filter) — never the BroadcastNestedLoopJoin a raw
+    inequality join would plan. Inner semantics: purchases with zero
+    window clicks don't appear (matches the SQL)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = ts.interval_join(
+        clicks, purchases, "ts", "w_start", "w_end", on=["user_id"], bucket_seconds=1800
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
 @query(
     "stateful_running_totals",
     """

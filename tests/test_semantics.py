@@ -205,3 +205,52 @@ def test_csv_sink_bom(spark):
     assert raw.startswith(b"\xef\xbb\xbf") and not raw[3:].startswith(b"\xef\xbb\xbf")
     back = read_csv(spark, path)
     assert back.count() == 1
+
+
+def test_asof_join_hand_values(spark):
+    """As-of join: backward inclusive, per key, NULL when nothing
+    precedes — hand-checked against the definition."""
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 10, "L3")],
+        ["k", "t", "lv"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "lv")
+    right = spark.createDataFrame(
+        [("a", 7, 1.0), ("a", 10, 2.0), ("a", 15, 3.0), ("c", 1, 9.0)],
+        ["k", "t", "rv"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "rv")
+    out = {
+        r["lv"]: (r["rv_asof"], r["t_asof"])
+        for r in ts.asof_join(left, right, ["k"], "t", ["rv"]).collect()
+    }
+    assert out["L0"] == (None, None)  # nothing at or before t=5
+    assert out["L1"][0] == 2.0  # t=10 matches the equal-ts right row (inclusive)
+    assert out["L2"][0] == 3.0  # latest <= 20 is t=15
+    assert out["L3"] == (None, None)  # key b has no right rows
+
+
+def test_interval_join_hand_values_and_plan(spark):
+    """Interval join: inclusive containment, bucket width smaller AND
+    larger than the intervals gives identical results, and the plan is
+    an equi hash join — never BroadcastNestedLoopJoin."""
+    from big_data_analysis_spark.plans import formatted_plan
+
+    pts = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 30), ("b", 10)], ["k", "t"]
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    iv = spark.createDataFrame(
+        [("a", 0, 10, "w1"), ("a", 25, 40, "w2"), ("b", 50, 60, "w3")],
+        ["k", "s", "e", "w"],
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "w",
+    )
+    for width in (2, 3600):
+        out = ts.interval_join(pts, iv, "t", "s", "e", on=["k"], bucket_seconds=width)
+        got = sorted((r["w"], r["t"].second + 60 * r["t"].minute) for r in out.collect())
+        assert got == [("w1", 5), ("w1", 10), ("w2", 30)], (width, got)
+    plan = formatted_plan(
+        ts.interval_join(pts, iv, "t", "s", "e", on=["k"], bucket_seconds=2)
+    )
+    assert "NestedLoop" not in plan
