@@ -307,3 +307,26 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str], order_by: Sequen
     (Extension: the reference only does global top-k, O2.)"""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    seed: str = "",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic, ENGINE-PORTABLE sampling (LLM-pipeline staple:
+    carve a reproducible held-out slice of a 100 TB corpus that any
+    other system can re-derive row-for-row): bucket = first 8 hex chars
+    of md5(seed + key) -> keep bucket < fraction * buckets. md5 is
+    bit-identical across Spark / DuckDB / Python / Presto, unlike
+    xxhash64 or rand(seed) which are engine-private. Pure codegen
+    expressions; the filter runs in the scan stage — no shuffle, no
+    sort, and the sample is stable under repartitioning and engine
+    migration. Keys should uniquely identify rows for an exact-fraction
+    interpretation (duplicated keys travel together by design — that IS
+    the point of key-hash sampling)."""
+    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    return df.filter(bucket < int(fraction * buckets))

@@ -1270,6 +1270,25 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(ev, gap="30 minutes")
 
 
+_HASH_SAMPLE_ORACLE = """
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5('split1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 1000000 < 100000
+"""
+
+
+@query("hash_sample_docs", _HASH_SAMPLE_ORACLE)
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic sampling, oracle-verified: the 10%
+    held-out slice selected by md5-bucket in Spark is row-for-row the
+    slice DuckDB selects with the same expression — the property that
+    makes a corpus split reproducible across engines (unlike rand(seed)
+    or xxhash64, which are engine-private)."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return rel.hash_sample(d, ["doc_id"], 0.1, seed="split1").select("doc_id", "source")
+
+
 _ASOF_ORACLE = """
 WITH v AS (
     SELECT user_id, ts, max(value) AS vvalue
@@ -1340,6 +1359,23 @@ def q_click_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, "ts", "w_start", "w_end", on=["user_id"], bucket_seconds=1800
     )
     return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@query("streaming_attribution_join", _ATTRIBUTION_ORACLE)
+def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stream-stream time-interval join, oracle-verified with the
+    SAME SQL as the batch interval_join query (click_attribution_window)
+    — the strongest parity statement available: two totally different
+    physical strategies (bucketed equi-join vs watermarked symmetric
+    hash join with state eviction) must hash-match the one oracle."""
+    from big_data_analysis_spark.streaming import read_events_stream, run_available_now
+    from big_data_analysis_spark.streaming.streams import stream_stream_attribution
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution(ev1, ev2)
+    pairs = run_available_now(joined)
+    return pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
 
 
 @query(

@@ -66,6 +66,42 @@ def read_events_stream(
     return stream
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """§2.11 stream-stream JOIN with a time-range condition: each click
+    pairs with the same user's purchases arriving within ``window``
+    after it (the streaming twin of timeseries.interval_join's
+    attribution query — same rows, proven by the shared SQL oracle).
+
+    Both sides carry watermarks AND the join condition bounds each
+    side's event time relative to the other — the two requirements that
+    let Spark evict join state instead of buffering both streams
+    forever. Append output: a pair emits once both inputs' watermarks
+    pass it. Works identically on batch inputs (tests drive parity)."""
+    c = clicks.select("user_id", F.col("ts").alias("click_ts"))
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_ts"
+    )
+
+
 #: Wire schema of an events record on a Kafka topic (JSON value).
 EVENTS_JSON_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "

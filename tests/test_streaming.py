@@ -246,3 +246,47 @@ def test_read_events_kafka_missing_connector_raises(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join == the batch interval_join twin on
+    the same static events — two physical strategies, one result."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators import timeseries as ts
+    from big_data_analysis_spark.streaming import read_events_stream, run_available_now
+    from big_data_analysis_spark.streaming.streams import stream_stream_attribution
+
+    c = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    p = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    streamed = run_available_now(stream_stream_attribution(c, p))
+    got = {
+        (r["purchase_id"], r["click_ts"]) for r in streamed.collect()
+    }
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    batch = ts.interval_join(
+        clicks, purchases, "ts", "w_start", "w_end", on=["user_id"], bucket_seconds=1800
+    )
+    expected = {(r["purchase_id"], r["ts"]) for r in batch.collect()}
+    assert got == expected and expected
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    """hash_sample picks the same rows whatever the physical layout."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators import relational as rel
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    a = {r["doc_id"] for r in rel.hash_sample(d, ["doc_id"], 0.2, seed="s").select("doc_id").collect()}
+    b = {r["doc_id"] for r in rel.hash_sample(d.repartition(17), ["doc_id"], 0.2, seed="s").select("doc_id").collect()}
+    assert a == b and a
+    # Different seed -> a (near-certainly) different slice.
+    c2 = {r["doc_id"] for r in rel.hash_sample(d, ["doc_id"], 0.2, seed="other").select("doc_id").collect()}
+    assert a != c2
