@@ -477,3 +477,55 @@ def decontaminate(
         .distinct()
     )
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """C4-style GLOBAL span dedup (the 'remove any three-sentence span
+    occurring twice' rule, token-chunk variant): split every document
+    into fixed ``span_tokens``-word chunks, keep only the corpus-wide
+    FIRST occurrence of each exact chunk (ordered by (doc, position)),
+    and reassemble the surviving chunks in document order.
+
+    Plan — two bounded shuffles, no self-join:
+      1. posexplode chunks, shuffle on the CHUNK text for the
+         first-occurrence ranking window (row_number over
+         (chunk | doc, pos)); hot chunks concentrate but each group
+         only ranks its own occurrences — linear, not quadratic.
+      2. shuffle kept chunks back on the doc id; reassembly sorts each
+         doc's few chunks with array_sort over collected (pos, chunk)
+         structs — in-memory per doc, no per-group sort pass.
+    Documents whose every chunk is claimed elsewhere drop out (matches
+    the SQL oracle's semantics)."""
+    w = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(span_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * span_tokens + 1, span_tokens), " "),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(chunks).alias("__pos", "__chunk")
+    )
+    first = Window.partitionBy("__chunk").orderBy("__id", "__pos")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ).alias("text_dedup")
+        )
+        .withColumnRenamed("__id", id_col)
+    )

@@ -1270,6 +1270,33 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(ev, gap="30 minutes")
 
 
+_SPAN_DEDUP_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(w[(i-1)*8+1 : least(i*8, len(w))], ' ') AS chunk
+    FROM toks, unnest(generate_series(1, CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)
+), ranked AS (
+    SELECT doc_id, pos, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+    FROM chunks
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+@query("span_dedup_docs", _SPAN_DEDUP_ORACLE)
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup, oracle-verified on full reassembled
+    text: only the corpus-wide first occurrence of each 8-token chunk
+    survives; docs are rebuilt in order. Two bounded shuffles — see
+    operators.dedup.dedup_spans_global."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return dd.dedup_spans_global(d, "text", "doc_id", span_tokens=8)
+
+
 _HASH_SAMPLE_ORACLE = """
 SELECT doc_id, source
 FROM documents

@@ -149,3 +149,23 @@ def test_contamination_and_decontaminate(spark):
 
     clean = dd.decontaminate(train, bench, "text", "doc_id", n=5)
     assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_dedup_spans_global_hand_case(spark):
+    """First corpus-wide occurrence of a chunk wins; later copies are cut
+    from their docs; a fully-duplicated doc disappears."""
+    from big_data_analysis_spark.operators import dedup as dd
+
+    span = "one two three four"  # span_tokens=4 chunk
+    df = spark.createDataFrame(
+        [
+            (1, span + " alpha beta gamma delta"),
+            (2, span + " keep these words here"),  # loses the shared chunk
+            (3, span),  # nothing left -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text_dedup"] for r in dd.dedup_spans_global(df, "text", "doc_id", span_tokens=4).collect()}
+    assert out[1] == span + " alpha beta gamma delta"
+    assert out[2] == "keep these words here"
+    assert 3 not in out
