@@ -330,3 +330,57 @@ def hash_sample(
     key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
     return df.filter(bucket < int(fraction * buckets))
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix in long form (col_a, col_b,
+    corr), the reference's price-correlation heatmap input
+    (蔬菜价格相关性分析.py pivot + DataFrame.corr): ALL n*(n-1)/2 pairs
+    computed in ONE aggregate pass (map-side combined corr states — one
+    scan however many columns), then unpivoted driver-side from the
+    single result row. Upper triangle only, a < b by column order."""
+    cols = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg_row = df.agg(
+        *[F.corr(a, b).alias(f"{i}") for i, (a, b) in enumerate(pairs)]
+    ).head()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(a, b, float(agg_row[f"{i}"]) if agg_row[f"{i}"] is not None else None)
+         for i, (a, b) in enumerate(pairs)],
+        "col_a string, col_b string, corr double",
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str = "bin",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """pandas ``qcut`` equivalent: equal-frequency binning via ntile
+    over a global ordering (one total-order shuffle — Spark plans a
+    range-partitioned sort, not a single-partition funnel). Pass
+    ``order_tiebreak`` (a unique key) to make bin assignment
+    deterministic for duplicated values at bin boundaries."""
+    w = Window.orderBy(F.col(col), *[F.col(c) for c in order_tiebreak])
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def iqr_outlier_filter(
+    df: DataFrame, col: str, k: float = 1.5, exact: bool = True
+) -> DataFrame:
+    """Tukey IQR rule: keep rows within
+    [Q1 - k*IQR, Q3 + k*IQR] — the describe-based outlier trim of the
+    reference's cleaning stages. ``exact=False`` switches to
+    approx_percentile for a one-pass sketch at very large scale; the
+    quantiles are a 1-row aggregate either way (broadcast into the
+    filter, no data shuffle)."""
+    fn = "percentile" if exact else "approx_percentile"
+    q = df.agg(
+        F.expr(f"{fn}({col}, 0.25)").alias("q1"),
+        F.expr(f"{fn}({col}, 0.75)").alias("q3"),
+    ).head()
+    lo, hi = q["q1"] - k * (q["q3"] - q["q1"]), q["q3"] + k * (q["q3"] - q["q1"])
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))

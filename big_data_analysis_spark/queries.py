@@ -1270,6 +1270,85 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(ev, gap="30 minutes")
 
 
+_CORR_MATRIX_ORACLE = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
+@query("corr_matrix_lineitem", _CORR_MATRIX_ORACLE)
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's correlation-heatmap input
+    (蔬菜价格相关性分析.py DataFrame.corr), oracle-verified: all 6
+    pairs of 4 lineitem measures in ONE aggregate pass (the SQL oracle
+    needs 6 scans; the operator needs 1)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    m = rel.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return m.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+_QCUT_ORACLE = """
+WITH b AS (
+    SELECT l_extendedprice AS v,
+           ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+    FROM lineitem
+)
+SELECT bin, count(*) AS n, round(avg(v), 4) AS avg_price
+FROM b GROUP BY bin
+"""
+
+
+@query("qcut_price_deciles", _QCUT_ORACLE)
+def q_qcut_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas qcut equivalent, oracle-verified: equal-frequency price
+    deciles via ntile over a range-partitioned global sort, profiled
+    per bin."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    binned = rel.quantile_bins(
+        li, "l_extendedprice", 10, order_tiebreak=["l_orderkey", "l_linenumber"]
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+_IQR_ORACLE = """
+WITH q AS (
+    SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+           quantile_cont(l_extendedprice, 0.75) AS q3
+    FROM lineitem
+)
+SELECT count(*) AS n_kept, round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem, q
+WHERE l_extendedprice BETWEEN q1 - 1.5 * (q3 - q1) AND q3 + 1.5 * (q3 - q1)
+"""
+
+
+@query("iqr_filter_price", _IQR_ORACLE)
+def q_iqr_filter_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier trim, oracle-verified: row count + mean of the
+    kept band (exact interpolated quartiles both sides)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    kept = rel.iqr_outlier_filter(li, "l_extendedprice", k=1.5)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
 _SPAN_DEDUP_ORACLE = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -137,3 +137,31 @@ def test_read_text_with_fallback_mixed_charsets(spark, tmp_path_factory):
     texts = {os.path.basename(r["path"]): r["text"] for r in out.collect()}
     assert texts["a.txt"] == "hello 世界"
     assert texts["b.txt"] == "价格分析"
+
+
+def test_correlation_matrix_known_values(spark):
+    """y=2x -> corr 1; z = -x -> corr -1; matrix covers all pairs once."""
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -1.0 * i) for i in range(20)], ["x", "y", "z"]
+    )
+    m = {(r["col_a"], r["col_b"]): r["corr"] for r in rel.correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(m) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert m[("x", "y")] == pytest.approx(1.0)
+    assert m[("x", "z")] == pytest.approx(-1.0)
+
+
+def test_quantile_bins_balanced(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "v"])
+    out = rel.quantile_bins(df, "v", 4, order_tiebreak=["id"])
+    counts = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+    # Bins respect value order: every bin-1 value < every bin-4 value.
+    b1max = out.filter(F.col("bin") == 1).agg(F.max("v")).head()[0]
+    b4min = out.filter(F.col("bin") == 4).agg(F.min("v")).head()[0]
+    assert b1max < b4min
+
+
+def test_iqr_outlier_filter(spark):
+    df = spark.createDataFrame([(float(v),) for v in list(range(1, 21)) + [1000.0]], ["v"])
+    kept = [r["v"] for r in rel.iqr_outlier_filter(df, "v").collect()]
+    assert 1000.0 not in kept and len(kept) == 20
