@@ -212,3 +212,56 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, fully distributed:
+    posexplode the dims -> one groupBy (label, dim) average -> collect_list
+    back into an ordered array. Scales in |rows| x dim with map-side
+    combine; nothing touches the driver."""
+    dims = emb.select(
+        F.col(label_col).alias("c_label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    per_dim = dims.groupBy("c_label", "dim").agg(F.avg("v").alias("cv"))
+    return per_dim.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def assign_nearest_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF cell-assignment step, and a
+    1-NN classifier over class centroids): broadcast the tiny centroid
+    table, compute every (row, centroid) squared L2 with a JVM
+    zip_with/aggregate expression, take the argmin per row with a
+    min-of-structs — no shuffle of the data, no Python."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid").cast("array<double>"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(centroids)).withColumn("__d2", d2)
+    best = F.min(F.struct(F.col("__d2"), F.col("c_label"))).alias("__best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best, F.first(F.col("label")).alias("label"))
+        .select(
+            id_col,
+            "label",
+            F.col("__best.c_label").alias("assigned_label"),
+            F.round(F.sqrt(F.col("__best.__d2")), 6).alias("dist"),
+        )
+    )

@@ -1270,6 +1270,44 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(ev, gap="30 minutes")
 
 
+_CENTROID_ORACLE = """
+WITH dims AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+), cent AS (
+    SELECT label AS c_label, dim, avg(v) AS cv FROM dims GROUP BY 1, 2
+), d AS (
+    SELECT dims.vec_id, dims.label, cent.c_label,
+           sum((dims.v - cent.cv) * (dims.v - cent.cv)) AS d2
+    FROM dims JOIN cent USING (dim)
+    GROUP BY 1, 2, 3
+), best AS (
+    SELECT vec_id, label, c_label AS assigned_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+    FROM d
+)
+SELECT label, assigned_label, count(*) AS n
+FROM best WHERE rn = 1 GROUP BY label, assigned_label
+"""
+
+
+@query("centroid_assignment_embeddings", _CENTROID_ORACLE)
+def q_centroid_assignment_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment over the embeddings (the IVF
+    cell-assignment step as a 1-NN-to-centroid classifier),
+    oracle-verified: per-label centroids computed distributed
+    (posexplode + one groupBy), assignment via broadcast + JVM
+    zip_with/aggregate distance + min-of-structs argmin; output is the
+    label x assigned-label confusion counts."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = similarity.label_centroids(emb)
+    assigned = similarity.assign_nearest_centroid(emb, cents)
+    return assigned.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 _CORR_MATRIX_ORACLE = """
 SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
        round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem

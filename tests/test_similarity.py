@@ -83,3 +83,19 @@ def test_batch_inference_linear_softmax(spark):
     assert rows[1]["probabilities"][0] == pytest.approx(expected, rel=1e-9)
     assert rows[3 if 3 in rows else 3]["probabilities"][0] == pytest.approx(0.5)
     assert sum(rows[1]["probabilities"]) == pytest.approx(1.0)
+
+
+def test_label_centroids_and_assignment(spark):
+    """Two tight clusters around (0,0) and (10,10): centroids land near
+    the means and every point assigns to its own label's centroid."""
+    from big_data_analysis_spark.operators import similarity as sim
+
+    rows = [(i, [0.1 * (i % 3), -0.1 * (i % 2)], 0) for i in range(12)] + [
+        (100 + i, [10.0 + 0.1 * (i % 3), 10.0 - 0.1 * (i % 2)], 1) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = {r["c_label"]: r["centroid"] for r in sim.label_centroids(df).collect()}
+    assert abs(cents[0][0] - 0.1) < 0.05 and abs(cents[1][0] - 10.1) < 0.05
+    assigned = sim.assign_nearest_centroid(df, sim.label_centroids(df))
+    bad = assigned.filter(F.col("label") != F.col("assigned_label")).count()
+    assert bad == 0
