@@ -141,3 +141,22 @@ def test_spread_restores_parallelism(spark, sf_dir):
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     assert spread(d).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of union trick must cost exactly ONE Exchange (the window
+    partitioning) — the whole point over a join-then-argmax plan."""
+    import re
+
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators import timeseries as ts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = ts.asof_join(purchases, views, ["user_id"], "ts", ["value"])
+    plan = formatted_plan(out)
+    # Count operator detail entries ("(9) Exchange"), not tree echo lines.
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
