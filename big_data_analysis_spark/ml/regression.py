@@ -130,3 +130,36 @@ def gbt_regressor(label_col: str = "label", features_col: str = "features") -> G
     nonlinearity class scalably; the RFF+linear path (ml.kernel) is the
     kernel-faithful alternative."""
     return GBTRegressor(labelCol=label_col, featuresCol=features_col, maxIter=20, seed=42)
+
+
+def rff_kernel_regressor(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    n_components: int = 200,
+    gamma: float = 1.0,
+    reg_param: float = 0.01,
+    seed: int = 42,
+):
+    """M14 kernel-faithful path for the SVR(RBF) gap
+    (新冠疫情分析.py:166-170): Rahimi-Recht random Fourier features
+    approximate the RBF kernel's feature map, then ridge on the mapped
+    features = approximate kernel ridge regression — the same RBF
+    function class as SVR (squared loss instead of epsilon-insensitive,
+    the documented delta), at LINEAR cost in rows instead of the
+    kernel matrix's quadratic.
+
+    Returns (fitted LinearRegressionModel, mapped DataFrame). Apply the
+    same mapping (same seed!) to any scoring frame."""
+    from big_data_analysis_spark.ml.kernel import add_rff_features
+
+    mapped = add_rff_features(
+        df, list(feature_cols), n_components=n_components, gamma=gamma, seed=seed
+    )
+    lr = LinearRegression(
+        labelCol=label_col,
+        featuresCol="rff_features",
+        regParam=reg_param,
+        elasticNetParam=0.0,
+    )
+    return lr.fit(mapped), mapped

@@ -321,3 +321,34 @@ def test_ward_cluster_blobs_and_monotonicity(spark):
 
     with pytest.raises(ValueError, match="small-data"):
         cl.ward_linkage(df, ["x", "y"], max_rows=10)
+
+
+def test_rff_kernel_regressor_learns_nonlinear_target(spark):
+    """M14: y = sin(2x) — a plain linear fit is near-useless (R^2 ~ 0)
+    while RFF kernel ridge fits it well, demonstrating the RBF function
+    class at linear cost."""
+    import math
+
+    rows = [(i, -3.0 + 6.0 * i / 400.0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "x"]).withColumn(
+        "label", F.sin(2.0 * F.col("x"))
+    )
+    model, mapped = rg.rff_kernel_regressor(
+        df, "label", ["x"], n_components=200, gamma=2.0, reg_param=1e-4
+    )
+    preds = model.transform(mapped)
+    rmse = preds.agg(
+        F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))
+    ).head()[0]
+    assert rmse < 0.15, rmse
+
+    lin = rg.linear_regressor(reg_param=0.0)
+    from pyspark.ml import Pipeline as _P
+
+    lin_preds = (
+        _P(stages=pl.assemble_features(["x"]) + [lin]).fit(df).transform(df)
+    )
+    lin_rmse = lin_preds.agg(
+        F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))
+    ).head()[0]
+    assert rmse < lin_rmse / 2  # kernel path at least halves the error
