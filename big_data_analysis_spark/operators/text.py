@@ -198,3 +198,51 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataF
         .withColumn("n_phones", n_phones)
         .withColumn(out_col, redacted)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF with smooth idf (ln((N+1)/(df+1)) + 1, sklearn's
+    formulation) and per-document top-``k`` terms — the corpus
+    keyword-extraction step of a text-analytics pipeline.
+
+    Plan: explode tokens once -> (doc, term) counts [shuffle 1] ->
+    document frequency per term [shuffle 2, map-side combined] ->
+    broadcast N (1-row) -> rank window per doc [shuffle 3 on doc id].
+    All shuffles key on bounded-cardinality keys; nothing is collected.
+    Ties rank deterministically by (tfidf desc, term asc)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -1270,6 +1270,39 @@ def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(ev, gap="30 minutes")
 
 
+_TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n_docs + 1) * 1.0 / (dfreq.df + 1)) + 1) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@query("tfidf_top_terms_docs", _TFIDF_ORACLE)
+def q_tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction, oracle-verified per term and score:
+    smooth-idf (sklearn formulation), top-3 terms per document with
+    deterministic tie-break. Three bounded shuffles, N broadcast from a
+    1-row aggregate."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return tx.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
 _CENTROID_ORACLE = """
 WITH dims AS (
     SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,

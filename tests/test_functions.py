@@ -87,3 +87,21 @@ def test_redact_pii_hand_values(spark):
     assert rows[2]["n_phones"] == 1
     assert rows[2]["redacted"] == "call <PHONE> today"
     assert rows[3]["redacted"] == "clean text" and rows[3]["n_emails"] == 0
+
+
+def test_tfidf_top_terms_hand_values(spark):
+    """Two docs: a term appearing only in doc 1 outranks the shared
+    term; smooth-idf values check out by hand."""
+    import math
+
+    from big_data_analysis_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "rare shared shared"), (2, "shared shared shared")], ["doc_id", "text"]
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tx.tfidf_top_terms(df, "text", "doc_id", k=2).collect()}
+    # idf(rare): ln(3/2)+1 ; idf(shared): ln(3/3)+1 = 1
+    assert out[(1, "rare")]["tfidf"] == pytest.approx(1 * (math.log(3 / 2) + 1), abs=1e-6)
+    assert out[(1, "shared")]["tfidf"] == pytest.approx(2.0, abs=1e-6)
+    assert out[(1, "rare")]["rank"] == 2 and out[(1, "shared")]["rank"] == 1
+    assert out[(2, "shared")]["tfidf"] == pytest.approx(3.0, abs=1e-6)
