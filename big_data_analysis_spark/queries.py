@@ -937,6 +937,77 @@ def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LLM_PIPELINE_ORACLE = """
+WITH quality AS (  -- stage 1: quality floor
+    SELECT doc_id, text, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+    FROM documents
+    WHERE length(text) >= 50
+      AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+), deduped AS (    -- stage 2: exact dedup, keep lowest doc_id per fingerprint
+    SELECT q.* FROM quality q
+    JOIN (
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS doc_id
+        FROM quality GROUP BY 1
+    ) k USING (doc_id)
+), bench AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+grams AS (
+    SELECT DISTINCT d.doc_id,
+           array_to_string(w[i:i+4], ' ') AS gram
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM documents) d
+    , unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+), contaminated AS (  -- stage 3: any 5-gram shared with the benchmark slice
+    SELECT DISTINCT g1.doc_id
+    FROM grams g1
+    JOIN grams g2 ON g1.gram = g2.gram
+    JOIN bench b ON g2.doc_id = b.doc_id
+    WHERE g1.doc_id % 10 != 0
+), cleaned AS (
+    SELECT * FROM deduped
+    WHERE doc_id % 10 != 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), sampled AS (    -- stage 4: deterministic 50% held-in slice
+    SELECT * FROM cleaned
+    WHERE ('0x' || substr(md5('corpus-v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 < 500000
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 4) AS avg_chars
+FROM sampled GROUP BY source
+"""
+
+
+@query("llm_corpus_pipeline", _LLM_PIPELINE_ORACLE)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole LLM data-prep pipeline as ONE lazy DataFrame DAG,
+    oracle-verified end to end: quality floor (length/token minimums) ->
+    exact dedup (fingerprint, keep lowest id) -> benchmark
+    decontamination (drop train docs sharing any 5-gram with the
+    held-out slice) -> deterministic 50% md5 sample -> per-source corpus
+    stats. Catalyst sees all four stages at once — filters push into the
+    scan, the dedup/decontamination joins plan as one pipeline, and no
+    stage materializes driver-side. This is the composition story the
+    individual operator oracles build toward."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    quality = d.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).filter((F.length("text") >= 50) & (F.col("n_tok") >= 10))
+    deduped = dd.exact_dedup(quality, "text", "doc_id")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = deduped.filter(F.col("doc_id") % 10 != 0)
+    cleaned = dd.decontaminate(train, bench, "text", "doc_id", n=5)
+    sampled = rel.hash_sample(cleaned, ["doc_id"], 0.5, seed="corpus-v1")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
 _CONTAMINATION_ORACLE = """
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

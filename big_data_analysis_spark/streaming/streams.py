@@ -298,3 +298,40 @@ def _has_aggregation(df: DataFrame) -> bool:
     so detect aggregation from the analyzed plan to pick the default."""
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def write_stream_parquet_idempotent(
+    result: DataFrame,
+    path: str,
+    query_name: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """File sink with exactly-once REPLAY semantics via foreachBatch:
+    each micro-batch overwrites its own ``batch_id=<n>`` partition
+    directory, so a batch replayed after a failure rewrites the same
+    files instead of appending duplicates — idempotence comes from the
+    deterministic (batch_id -> directory) mapping, the pattern for any
+    non-transactional sink (the built-in parquet sink is append-only
+    and relies on its manifest; this works for ANY rewriteable target).
+    Runs availableNow to completion and raises on timeout like
+    run_available_now."""
+    name = query_name or f"sink_{uuid.uuid4().hex[:12]}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            os.path.join(_scratch_dir(), f"{name}-{uuid.uuid4().hex[:8]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"foreachBatch sink {name!r} still running after {timeout_sec}s")

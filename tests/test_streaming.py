@@ -290,3 +290,40 @@ def test_hash_sample_stable_under_repartition(spark, sf_dir):
     # Different seed -> a (near-certainly) different slice.
     c2 = {r["doc_id"] for r in rel.hash_sample(d, ["doc_id"], 0.2, seed="other").select("doc_id").collect()}
     assert a != c2
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_dir):
+    """foreachBatch parquet sink: rows written == stream rows, and
+    re-writing the same batch id (a replay) leaves the same rows — no
+    duplicates."""
+    import glob
+    import shutil
+
+    from big_data_analysis_spark.streaming import read_events_stream, streaming_dedup
+    from big_data_analysis_spark.streaming.streams import (
+        write_stream_parquet_idempotent,
+    )
+
+    out = "/root/repo/.scratch/fb-sink"
+    shutil.rmtree(out, ignore_errors=True)
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+    write_stream_parquet_idempotent(stream, out)
+    back = spark.read.parquet(*glob.glob(out + "/batch_id=*"))
+    n1 = back.count()
+    expected = (
+        spark.read.parquet(sf_dir + "/events.parquet")
+        .select("event_id").distinct().count()
+    )
+    assert n1 == expected
+
+    # Replay batch 0 by hand: overwrite-mode must not duplicate.
+    batch_dir = sorted(glob.glob(out + "/batch_id=*"))[0]
+    df0 = spark.read.parquet(batch_dir)
+    rows0 = df0.count()
+    staging = out + "-replay-staging"
+    df0.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(batch_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    assert spark.read.parquet(batch_dir).count() == rows0
+    assert spark.read.parquet(*glob.glob(out + "/batch_id=*")).count() == n1
+    shutil.rmtree(out, ignore_errors=True)
