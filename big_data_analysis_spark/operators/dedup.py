@@ -448,12 +448,31 @@ def contamination_pairs(
     shuffles only gram-matched rows and a stop-gram cap could reuse
     jaccard_prefix_index's frequency ordering if ever needed.
     """
-    grams = lambda side, name: side.select(
-        F.col(id_col).alias(name), _token_shingles(F.col(text_col), n).alias("g")
-    ).select(name, F.explode("g").alias("gram"))
-    t, b = grams(train, "train_id"), grams(benchmark, "bench_id")
+    t = gram_index(train, text_col, id_col, n).withColumnRenamed("id", "train_id")
+    b = gram_index(benchmark, text_col, id_col, n).withColumnRenamed("id", "bench_id")
+    return contamination_pairs_from_index(t, b)
+
+
+def gram_index(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Inverted n-gram index: one (id, gram) row per DISTINCT word
+    n-gram per document. Build it ONCE (persist / write it) when several
+    consumers — decontamination, Jaccard candidates, novelty scans —
+    need the same shingles; the tokenize + explode is the expensive part
+    and this is its single-scan form."""
+    return df.select(
+        F.col(id_col).alias("id"), _token_shingles(F.col(text_col), n).alias("g")
+    ).select("id", F.explode("g").alias("gram"))
+
+
+def contamination_pairs_from_index(
+    train_grams: DataFrame, bench_grams: DataFrame
+) -> DataFrame:
+    """``contamination_pairs`` over pre-built ``gram_index`` frames
+    (columns ``train_id``/``bench_id`` + ``gram``) — lets both sides
+    come from ONE persisted index scan when train and benchmark live in
+    the same table."""
     return (
-        t.join(b, "gram")
+        train_grams.join(bench_grams, "gram")
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -135,6 +135,28 @@ def dedup_keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Colum
     )
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """SCD1 merge (``MERGE INTO`` semantics on plain tables): union the
+    snapshot with the delta and keep, per key, the single row with the
+    highest ``order_col`` (version number / commit timestamp — must
+    strictly order snapshot vs delta rows for a deterministic winner).
+    Updates overwrite, inserts (keys only in ``updates``) append,
+    untouched keys pass through.
+
+    Plan: one ranking window over one shuffle on ``keys`` — identical
+    shape to ``dedup_keep_last``. At scale, bucket both tables on
+    ``keys`` and the merge runs shuffle-free; the union adds no exchange
+    because unionByName is a narrow op.
+    """
+    merged = target.unionByName(updates)
+    return dedup_keep_last(merged, keys, [F.col(order_col).desc()])
+
+
 def drop_rows_with_null(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """D2: drop rows containing any null (reference 蔬菜价格相关性分析.py:29)."""
     return df.na.drop(subset=list(subset) if subset else None)

@@ -91,6 +91,67 @@ def cosine_self_join_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def knn_blas_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN, BLAS tier: same semantics and output contract as
+    ``cosine_self_join_topk`` (per-query exact top-k, rounded-6 cosine,
+    ties by neighbor id) but the inner loop is one numpy matmul per
+    Arrow batch instead of a per-pair codegen expression.
+
+    The query matrix is tiny driver state shipped in the UDF closure
+    (the same broadcast-small-side assumption as the cross-join tier).
+    Each ``mapInPandas`` batch computes corpus-batch x query-matrix in a
+    single GEMM and emits only its LOCAL top-k per query, so the shuffle
+    into the final per-query window carries O(batches x |queries| x k)
+    rows — never the full |corpus| x |queries| score matrix. Rounding
+    happens inside the batch, and the local and global orderings are the
+    same total order (rounded sim desc, neighbor id asc), so the partial
+    top-k provably preserves the global top-k. This is the pattern that
+    wins at 100 TB: GPU/BLAS scoring per partition, k-row spill per
+    partition, one small shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(Q, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            N = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # dot / (|n| * |q|) — the same association as the HOF tier
+            # and the SQL oracle, so rounded-6 values agree.
+            S = np.round((N @ Q.T) / np.outer(np.linalg.norm(N, axis=1), q_norms), 6)
+            for j in range(len(q_ids)):
+                mask = n_ids != q_ids[j]
+                ids_m, s_m = n_ids[mask], S[mask, j]
+                top = np.lexsort((ids_m, -s_m))[:k]
+                yield pd.DataFrame(
+                    {"q_id": q_ids[j], "n_id": ids_m[top], "cosine_sim": s_m[top]}
+                )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, n_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def hyperplane_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (0..2^num_planes-1).
 

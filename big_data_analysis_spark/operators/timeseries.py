@@ -142,6 +142,60 @@ def add_rank_features(
     )
 
 
+def history_intervals(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """SCD2 compaction: collapse an event log into validity intervals —
+    one row per RUN of consecutive identical ``state_col`` per key, with
+    ``valid_from`` / ``valid_to`` / ``is_current`` (half-open intervals;
+    ``valid_to`` is the next run's start, null on the current run).
+
+    Change detection is ``lag(state)``; the run id is a running sum of
+    change flags; interval bounds come from a keyed aggregate plus one
+    ``lead``. All three windows share the SAME partitioning (the key),
+    so the whole op costs a single shuffle on ``partition_by`` — the
+    plan a warehouse MERGE/SCD2 pipeline wants at scale.
+
+    ``(ts_col, tiebreak_col)`` must totally order events within a key
+    for deterministic runs.
+    """
+    w = _window(partition_by, [ts_col, tiebreak_col])
+    prev = F.lag(F.col(state_col)).over(w)
+    changed = (prev.isNull() | (prev != F.col(state_col))).cast("long")
+    runs = df.withColumn("__chg", changed).withColumn(
+        "seg", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy(*partition_by, "seg", state_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = _window(partition_by, ["seg"])
+    nxt = F.lead("valid_from").over(w2)
+    return grouped.withColumns(
+        {"valid_to": nxt, "is_current": nxt.isNull()}
+    )
+
+
+def add_distribution_features(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Distribution-position battery: ``percent_rank`` (share of rows
+    strictly below, (rank-1)/(n-1)) and ``cume_dist`` (inclusive CDF
+    position) over one window definition — one shuffle, two expressions.
+    Complements ``add_rank_features``; both values are exact rationals of
+    row counts, so they compare bit-stably across engines."""
+    w = _window(partition_by, order_by)
+    return df.withColumns(
+        {"pct_rank": F.percent_rank().over(w), "cume_d": F.cume_dist().over(w)}
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

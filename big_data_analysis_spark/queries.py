@@ -1029,13 +1029,15 @@ def q_contamination_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline decontamination, oracle-verified: every-10th doc
     plays the benchmark set; report (train, bench) pairs sharing >= 3
     distinct word 5-grams — the eval-leakage scan run before training.
-    Inverted-index join on the gram, never train x bench."""
+    Inverted-index join on the gram, never train x bench. Train and
+    benchmark live in the same table here, so the gram index is built
+    ONCE and persisted — one tokenize+shingle scan feeds both join
+    sides instead of two."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    bench = d.filter(F.col("doc_id") % 10 == 0)
-    train = d.filter(F.col("doc_id") % 10 != 0)
-    return dd.contamination_pairs(train, bench, "text", "doc_id", n=5).filter(
-        F.col("n_shared") >= 3
-    )
+    grams = dd.gram_index(d, "text", "doc_id", n=5).persist()
+    t = grams.filter(F.col("id") % 10 != 0).withColumnRenamed("id", "train_id")
+    b = grams.filter(F.col("id") % 10 == 0).withColumnRenamed("id", "bench_id")
+    return dd.contamination_pairs_from_index(t, b).filter(F.col("n_shared") >= 3)
 
 
 _REPETITION_ORACLE = """
@@ -1999,3 +2001,159 @@ QUERIES["golden_predictions"] = q_golden_predictions
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["multimodal_decode"] = q_multimodal_decode
 QUERIES["ivf_ann_topk"] = q_ivf_ann_topk
+
+
+# =========================================================================
+# Scale-path batch kNN (BLAS tier) + warehouse merge ops (SCD1/SCD2)
+# + distribution windows
+# =========================================================================
+
+_KNN_BLAS_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+    SELECT q.q_id, e.vec_id AS n_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.q_id
+)
+SELECT q_id, n_id, cosine_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) <= 5
+"""
+
+
+@query("knn_blas_batch", _KNN_BLAS_ORACLE)
+def q_knn_blas_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN through the BLAS tier (mapInPandas + one GEMM per Arrow
+    batch, per-batch partial top-k), oracle-verified against the exact
+    per-query cross-join ranking. Recall is 1.0 by construction — this
+    is the throughput formulation of the exact tier, not an ANN."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 3)
+    return similarity.knn_blas_topk(emb, qs, k=5)
+
+
+_UPSERT_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+), delta AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 2 AS version
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice, 2
+    FROM orders WHERE o_orderkey % 997 = 0
+), u AS (
+    SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT o_orderkey, o_totalprice AS price, CAST(version AS INT) AS version
+FROM u
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+"""
+
+
+@query("upsert_orders", _UPSERT_ORACLE)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE semantics on plain tables, oracle-verified: a delta of
+    updated prices (every 7th key) plus genuinely new keys (every 997th,
+    shifted id range) merged into the orders snapshot; updates win by
+    version, inserts append, untouched rows pass through. One ranking
+    window over one shuffle on the key (dedup_keep_last's plan) —
+    bucket both sides on the key at scale and it runs shuffle-free."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("version", F.lit(2))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("version", F.lit(2))
+    )
+    merged = rel.merge_upsert(
+        base, updates.unionByName(inserts), ["o_orderkey"], "version"
+    )
+    # Scalar IEEE multiply is bit-identical across engines — no rounding
+    # needed (rounding HERE would itself diverge: Spark HALF_UP vs DuckDB
+    # on .xx5-boundary doubles).
+    return merged.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "version"
+    )
+
+
+_SCD2_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 30
+), c AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, event_type, ts,
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+    FROM c
+), g AS (
+    SELECT user_id, event_type, seg, min(ts) AS valid_from,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, seg, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_events
+FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+"""
+
+
+@query("scd2_user_event_history", _SCD2_ORACLE)
+def q_scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of the event log, oracle-verified: per user,
+    consecutive runs of the same event_type collapse into validity
+    intervals (valid_from / valid_to half-open, is_current on the last
+    run). All three windows share one partitioning -> a single shuffle
+    on user_id."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"].filter(
+        F.col("user_id") < 30
+    )
+    hist = ts.history_intervals(ev, ["user_id"], "ts", "event_type", "event_id")
+    return hist.select(
+        "user_id", "event_type", "seg", "valid_from", "valid_to",
+        "is_current", "n_events",
+    )
+
+
+_DIST_RANKS_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_d
+FROM orders WHERE o_orderkey < 5000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("distribution_ranks_orders", _DIST_RANKS_ORACLE)
+def q_distribution_ranks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist battery (§2.6 extension), oracle-verified:
+    distribution position of every order's price within its priority
+    class — one partitioned window, two expressions, exact rationals."""
+    o = (
+        load_tables(spark, sf_dir, ["orders"])["orders"]
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    out = ts.add_distribution_features(
+        o, ["o_totalprice", "o_orderkey"], ["o_orderpriority"]
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority",
+        F.round("pct_rank", 6).alias("pct_rank"),
+        F.round("cume_d", 6).alias("cume_d"),
+    )

@@ -165,3 +165,62 @@ def test_iqr_outlier_filter(spark):
     df = spark.createDataFrame([(float(v),) for v in list(range(1, 21)) + [1000.0]], ["v"])
     kept = [r["v"] for r in rel.iqr_outlier_filter(df, "v").collect()]
     assert 1000.0 not in kept and len(kept) == 20
+
+
+def test_merge_upsert_update_insert_passthrough(spark):
+    from big_data_analysis_spark.operators import relational as rel
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, version int"
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2)], "k int, v string, version int"
+    )
+    out = {
+        r["k"]: (r["v"], r["version"])
+        for r in rel.merge_upsert(base, delta, ["k"], "version").collect()
+    }
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_history_intervals_runs_and_chain(spark):
+    from datetime import datetime
+
+    from big_data_analysis_spark.operators import timeseries as ts
+
+    t = lambda s: datetime(2024, 1, 1, 0, s)
+    rows = [
+        (1, t(0), "x", 10),
+        (1, t(1), "x", 11),
+        (1, t(2), "y", 12),
+        (1, t(3), "x", 13),
+        (2, t(0), "z", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, state string, event_id int"
+    )
+    hist = ts.history_intervals(df, ["user_id"], "ts", "state", "event_id")
+    got = sorted(
+        (r["user_id"], r["seg"], r["state"], r["n_events"],
+         r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, 1, "x", 2, t(0), t(2), False),
+        (1, 2, "y", 1, t(2), t(3), False),
+        (1, 3, "x", 1, t(3), None, True),
+        (2, 1, "z", 1, t(0), None, True),
+    ]
+
+
+def test_distribution_features_values(spark):
+    from big_data_analysis_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (10.0, 20.0, 30.0, 40.0)], "grp string, v double"
+    )
+    out = ts.add_distribution_features(df, ["v"], ["grp"])
+    rows = {r["v"]: (r["pct_rank"], r["cume_d"]) for r in out.collect()}
+    assert rows[10.0] == (0.0, 0.25)
+    assert rows[30.0] == (pytest.approx(2 / 3), 0.75)
+    assert rows[40.0] == (1.0, 1.0)

@@ -99,3 +99,18 @@ def test_label_centroids_and_assignment(spark):
     assigned = sim.assign_nearest_centroid(df, sim.label_centroids(df))
     bad = assigned.filter(F.col("label") != F.col("assigned_label")).count()
     assert bad == 0
+
+
+def test_knn_blas_matches_hof_tier(emb):
+    """The BLAS (mapInPandas GEMM) tier must return EXACTLY the rounded
+    top-k of the HOF cross-join tier — recall 1.0, same tie order."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    hof = sim.cosine_self_join_topk(emb, queries, k=5)
+    hof_rows = sorted(
+        (r["q_id"], r["n_id"], round(r["cosine_sim"], 6)) for r in hof.collect()
+    )
+    blas_rows = sorted(
+        (r["q_id"], r["n_id"], r["cosine_sim"])
+        for r in sim.knn_blas_topk(emb, queries, k=5).collect()
+    )
+    assert blas_rows == hof_rows
