@@ -160,3 +160,35 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = formatted_plan(out)
     # Count operator detail entries ("(9) Exchange"), not tree echo lines.
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_history_intervals_single_shuffle(spark, sf_dir):
+    """SCD2 compaction: all three windows + the keyed aggregate share the
+    user_id partitioning, so the whole op must cost exactly ONE Exchange."""
+    import re
+
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators import timeseries as ts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = ts.history_intervals(ev, ["user_id"], "ts", "event_type", "event_id")
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_merge_upsert_single_shuffle(spark, sf_dir):
+    """SCD1 merge: union is narrow; the only Exchange is the keep-last
+    ranking window's hash partitioning on the merge key."""
+    import re
+
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators import relational as rel
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1))
+    delta = o.filter(F.col("o_orderkey") % 7 == 0).withColumn("version", F.lit(2))
+    out = rel.merge_upsert(base, delta, ["o_orderkey"], "version")
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
