@@ -464,6 +464,34 @@ def gram_index(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFra
     ).select("id", F.explode("g").alias("gram"))
 
 
+def novelty_scores(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document novelty: per document, the fraction of its DISTINCT
+    word ``n``-grams that also occur in at least one OTHER document
+    (``dup_gram_frac``; 0 = fully novel, 1 = everything appears
+    elsewhere). The corpus-quality metric a dedup pass is judged by —
+    run it before/after dedup and the delta is the pipeline's effect.
+
+    Plan: one gram index scan -> gram document-frequency aggregate ->
+    join back on the gram -> per-doc average. Both the aggregate and the
+    join shuffle on the gram key (bounded by vocabulary, map-side
+    combined); nothing is quadratic in documents.
+    """
+    grams = gram_index(df, text_col, id_col, n)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(freq, "gram")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg((F.col("__df") > 1).cast("double")), 6).alias(
+                "dup_gram_frac"
+            ),
+        )
+    )
+
+
 def contamination_pairs_from_index(
     train_grams: DataFrame, bench_grams: DataFrame
 ) -> DataFrame:

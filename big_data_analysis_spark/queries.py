@@ -2157,3 +2157,31 @@ def q_distribution_ranks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pct_rank", 6).alias("pct_rank"),
         F.round("cume_d", 6).alias("cume_d"),
     )
+
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+    FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+), f AS (
+    SELECT gram, count(*) AS df FROM grams GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(avg(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_gram_frac
+FROM grams JOIN f USING (gram)
+GROUP BY doc_id
+"""
+
+
+@query("novelty_docs", _NOVELTY_ORACLE)
+def q_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty scores (the RefinedWeb-style 'how much of
+    this doc exists elsewhere' corpus metric), oracle-verified: per doc,
+    the fraction of its distinct word 3-grams with corpus document
+    frequency > 1. Gram-keyed aggregate + join — vocabulary-bounded,
+    never doc-pair-quadratic."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return dd.novelty_scores(d, "text", "doc_id", n=3)

@@ -169,3 +169,23 @@ def test_dedup_spans_global_hand_case(spark):
     assert out[1] == span + " alpha beta gamma delta"
     assert out[2] == "keep these words here"
     assert 3 not in out
+
+
+def test_novelty_scores_known_corpus(spark):
+    from big_data_analysis_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # grams: "a b c", "b c d"
+            (2, "a b c e"),   # grams: "a b c", "b c e"
+            (3, "x y z w"),   # fully novel
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["dup_gram_frac"])
+        for r in dd.novelty_scores(df, "text", "doc_id", n=3).collect()
+    }
+    assert out[1] == (2, 0.5)   # "a b c" shared with doc 2
+    assert out[2] == (2, 0.5)
+    assert out[3] == (2, 0.0)

@@ -224,3 +224,45 @@ def test_distribution_features_values(spark):
     assert rows[10.0] == (0.0, 0.25)
     assert rows[30.0] == (pytest.approx(2 / 3), 0.75)
     assert rows[40.0] == (1.0, 1.0)
+
+
+def test_jsonl_and_orc_roundtrip(spark, sf_dir, tmp_path_factory):
+    """JSONL and ORC sources/sinks: documents slice roundtrips exactly
+    (values AND explicit-schema types), proving the corpus-interchange
+    path both directions."""
+    from big_data_analysis_spark import io as bio
+
+    base = tmp_path_factory.mktemp("fmt")
+    d = (
+        bio.load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text", "source")
+    )
+    expect = sorted((r["doc_id"], r["text"], r["source"]) for r in d.collect())
+
+    bio.write_jsonl(d, str(base / "docs_jsonl"))
+    back_j = bio.read_jsonl(
+        spark, str(base / "docs_jsonl"), "doc_id long, text string, source string"
+    )
+    assert back_j.schema == d.schema
+    assert sorted(tuple(r) for r in back_j.select("doc_id", "text", "source").collect()) == expect
+
+    bio.write_orc(d, str(base / "docs_orc"))
+    back_o = bio.read_orc(spark, str(base / "docs_orc"))
+    assert back_o.schema == d.schema
+    assert sorted(tuple(r) for r in back_o.select("doc_id", "text", "source").collect()) == expect
+
+
+def test_jsonl_corrupt_line_is_tolerated(spark, tmp_path_factory):
+    from big_data_analysis_spark import io as bio
+
+    p = tmp_path_factory.mktemp("badjson") / "corpus.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n{"doc_id": 2, "text": "fine"}\n')
+    # Spark refuses to answer queries touching ONLY _corrupt_record on a
+    # raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first.
+    df = bio.read_jsonl(
+        spark, str(p), "doc_id long, text string, _corrupt_record string"
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
