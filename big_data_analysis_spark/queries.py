@@ -2185,3 +2185,87 @@ def q_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never doc-pair-quadratic."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     return dd.novelty_scores(d, "text", "doc_id", n=3)
+
+
+_STREAM_ENRICHED_ORACLE = """
+SELECT date_trunc('day', e.ts) AS day,
+       coalesce(n.n_name, 'UNKNOWN') AS nation,
+       count(*) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_enriched_daily", _STREAM_ENRICHED_ORACLE)
+def q_streaming_enriched_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stream-static join, oracle-verified: the events stream is
+    enriched per micro-batch against a broadcast customer->nation dim
+    (left join; unmatched users land in UNKNOWN), then tumbling-daily
+    aggregated under a watermark — the canonical enrich-then-aggregate
+    production stream, hash-matched against the equivalent batch SQL."""
+    from big_data_analysis_spark.streaming import (
+        enrich_with_dim,
+        read_events_stream,
+        run_available_now,
+    )
+
+    t = load_tables(spark, sf_dir, ["customer", "nation"])
+    dim = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("dim_key"), "n_name")
+    )
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    enriched = enrich_with_dim(stream, dim, "user_id", "dim_key")
+    agg = (
+        enriched.groupBy(
+            F.window(F.col("ts"), "1 day").alias("win"),
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "nation",
+            "n_events",
+            "sum_value",
+        )
+    )
+    result = run_available_now(agg)
+    return result.select(
+        F.col("window_start").cast("date").alias("day"),
+        "nation",
+        "n_events",
+        "sum_value",
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("variant_props_stats", _VARIANT_ORACLE)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type,
+    oracle-verified: try_parse_json once into a variant column (binary
+    encoding — parsed ONCE, not per path access like get_json_object),
+    then typed variant_get extraction feeding ordinary aggregates.
+    The at-scale pattern for JSON-heavy event tables: parse at ingest,
+    store variant, push typed extraction into scans."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )

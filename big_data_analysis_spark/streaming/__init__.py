@@ -1,6 +1,7 @@
 """Structured Streaming surface (SURVEY.md §2.11)."""
 
 from big_data_analysis_spark.streaming.streams import (  # noqa: F401
+    enrich_with_dim,
     read_events_stream,
     run_available_now,
     parse_kafka_events,

@@ -102,6 +102,26 @@ def stream_stream_attribution(
     )
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """§2.11 stream-STATIC join: enrich each streaming row with columns
+    from a batch dimension table (the lookup every production stream
+    does before aggregating). Stateless — no watermark requirement, no
+    join state: the dim is broadcast and each micro-batch hash-joins
+    against it; Spark re-reads the dim per batch, so a slowly-changing
+    dim picks up updates between batches. Left join keeps stream rows
+    with no dim match (route them to an UNKNOWN bucket downstream
+    rather than dropping data)."""
+    return stream.join(
+        F.broadcast(dim), F.col(stream_key) == F.col(dim_key), how
+    )
+
+
 #: Wire schema of an events record on a Kafka topic (JSON value).
 EVENTS_JSON_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
