@@ -354,6 +354,26 @@ def hash_sample(
     return df.filter(bucket < int(fraction * buckets))
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str | Column,
+    seed: str = "",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Per-row-probability deterministic sampling (the corpus-MIXING
+    staple: keep each document with probability equal to a per-row
+    weight — a quality score, or a per-source mixing ratio joined on —
+    so the kept set is reproducible row-for-row on any engine). Same
+    engine-portable md5 bucket as ``hash_sample``; the threshold is now
+    a COLUMN in [0,1] instead of a constant. Pure codegen filter in the
+    scan stage — no shuffle, stable under repartitioning."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    return df.filter(bucket < w * buckets)
+
+
 def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Pairwise Pearson correlation matrix in long form (col_a, col_b,
     corr), the reference's price-correlation heatmap input

@@ -246,3 +246,42 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def pack_offsets(
+    df: DataFrame,
+    token_col: str,
+    order_by: Sequence[str],
+    capacity: int,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    layout: documents laid end-to-end in ``order_by`` order, the token
+    stream cut into fixed ``capacity``-token training examples). Emits
+    per document its ``start_offset`` in the stream, the ``chunk_id``
+    containing its first token, and ``crosses_boundary`` (doc straddles
+    a chunk cut — the rows an attention-masking packer cares about).
+
+    One running-sum window. ``partition_by`` shards the stream (pack per
+    source/shard) — REQUIRED at scale: an empty partition_by funnels the
+    global cumsum through one partition, same caveat as with_row_number.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (cum - F.col(token_col)).cast("long")
+    cap = F.lit(capacity).cast("long")
+    first_chunk = F.floor(start / cap)
+    last_chunk = F.floor((cum - 1) / cap)
+    return df.withColumns(
+        {
+            "start_offset": start,
+            "chunk_id": first_chunk,
+            "crosses_boundary": first_chunk != last_chunk,
+        }
+    )

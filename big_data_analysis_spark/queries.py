@@ -2269,3 +2269,75 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("k"), 6).alias("avg_k"),
         F.max("k").alias("max_k"),
     )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+    SELECT source, doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+), c AS (
+    SELECT source, doc_id, n_tok,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT source, doc_id, n_tok,
+       CAST(cum - n_tok AS BIGINT) AS start_offset,
+       CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+       ((cum - n_tok) // 512) != ((cum - 1) // 512) AS crosses_boundary
+FROM c
+"""
+
+
+@query("pack_sequences_docs", _PACK_ORACLE)
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining, oracle-verified: per-source
+    token streams (docs concatenated in doc_id order) cut into 512-token
+    examples; each doc reports its stream offset, owning chunk, and
+    whether it straddles a cut. Keyed window — one shuffle on source."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return tx.pack_offsets(
+        toks, "n_tok", ["doc_id"], capacity=512, partition_by=["source"]
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+), kept AS (
+    SELECT * FROM t
+    WHERE ('0x' || substr(md5('mix-v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 < least(1.0, n_tok / 60.0) * 1000000
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source
+"""
+
+
+@query("weighted_sample_docs", _WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (corpus mixing),
+    oracle-verified: each doc kept with probability min(1, n_tok/60) —
+    longer docs oversampled — via the engine-portable md5 bucket, so
+    DuckDB re-derives the identical kept set row-for-row. Per-source
+    kept counts prove the mixing ratios."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    weight = F.least(F.lit(1.0), F.col("n_tok") / 60.0)
+    kept = rel.weighted_hash_sample(t, ["doc_id"], weight, seed="mix-v1")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

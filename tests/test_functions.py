@@ -105,3 +105,36 @@ def test_tfidf_top_terms_hand_values(spark):
     assert out[(1, "shared")]["tfidf"] == pytest.approx(2.0, abs=1e-6)
     assert out[(1, "rare")]["rank"] == 2 and out[(1, "shared")]["rank"] == 1
     assert out[(2, "shared")]["tfidf"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_pack_offsets_known_stream(spark):
+    from big_data_analysis_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [("s", 1, 300), ("s", 2, 300), ("s", 3, 100), ("s", 4, 400)],
+        "source string, doc_id int, n_tok int",
+    )
+    out = {
+        r["doc_id"]: (r["start_offset"], r["chunk_id"], r["crosses_boundary"])
+        for r in tx.pack_offsets(
+            df, "n_tok", ["doc_id"], capacity=512, partition_by=["source"]
+        ).collect()
+    }
+    # stream: [0,300) [300,600) [600,700) [700,1100); chunks cut at 512, 1024
+    assert out[1] == (0, 0, False)
+    assert out[2] == (300, 0, True)    # straddles the 512 cut
+    assert out[3] == (600, 1, False)
+    assert out[4] == (700, 1, True)    # straddles the 1024 cut
+
+
+def test_weighted_hash_sample_extremes_and_determinism(spark):
+    from big_data_analysis_spark.operators import relational as rel
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 2).alias("parity"))
+    all_kept = rel.weighted_hash_sample(df, ["id"], F.lit(1.0), seed="s")
+    none_kept = rel.weighted_hash_sample(df, ["id"], F.lit(0.0), seed="s")
+    assert all_kept.count() == 500 and none_kept.count() == 0
+    half = rel.weighted_hash_sample(df, ["id"], F.lit(0.5), seed="s")
+    ids1 = sorted(r["id"] for r in half.collect())
+    ids2 = sorted(r["id"] for r in half.collect())
+    assert ids1 == ids2 and 150 < len(ids1) < 350
