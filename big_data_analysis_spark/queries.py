@@ -2341,3 +2341,50 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+_EMB_GROUPS_ORACLE = """
+WITH RECURSIVE e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.35
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+), comp AS (
+    SELECT src, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT component, CAST(count(*) AS BIGINT) AS group_size
+FROM comp GROUP BY component
+"""
+
+
+@query("embedding_dedup_groups", _EMB_GROUPS_ORACLE)
+def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup GROUP resolution, oracle-verified: exact
+    cosine pairs (>= 0.35, bounded verification slice vec_id < 400; the
+    LSH/IVF tiers are the unbounded-scale candidate generators) ->
+    connected components by min-label propagation -> (component, size).
+    The oracle recomputes the components via recursive-CTE transitive
+    closure — the same double-check the token-Jaccard groups get."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+        F.col("vec_id") < 400
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(similarity.cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    comps = dd.connected_components(pairs)
+    return comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))

@@ -266,3 +266,31 @@ def test_jsonl_corrupt_line_is_tolerated(spark, tmp_path_factory):
     good = df.filter(F.col("_corrupt_record").isNull())
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 2 and bad.count() == 1
+
+
+def test_schema_evolution_and_compaction(spark, tmp_path_factory):
+    from big_data_analysis_spark import io as bio
+
+    base = tmp_path_factory.mktemp("evolve")
+    v1 = spark.range(10).select(F.col("id"), F.lit("a").alias("src"))
+    v2 = spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("src"), (F.col("id") * 2).alias("extra")
+    )
+    v1.write.parquet(str(base / "t" / "p1"))
+    v2.write.parquet(str(base / "t" / "p2"))
+    merged = bio.read_parquet_evolved(spark, str(base / "t" / "p*"))
+    assert set(merged.columns) == {"id", "src", "extra"}
+    assert merged.count() == 20
+    # Old files surface the evolved column as null.
+    assert merged.filter(F.col("extra").isNull()).count() == 10
+
+    # Compaction: many tiny files -> one file, same rows.
+    frag = spark.range(1000).repartition(32)
+    frag.write.parquet(str(base / "frag"))
+    n = bio.compact_parquet(spark, str(base / "frag"), str(base / "compact"))
+    assert n == 1
+    import glob as _glob
+
+    parts = _glob.glob(str(base / "compact" / "part-*.parquet"))
+    assert len(parts) == 1
+    assert bio.read_parquet(spark, str(base / "compact")).count() == 1000
