@@ -105,3 +105,67 @@ def test_keep_last_matches_pandas_on_random_frame(spark):
     sdf = spark.createDataFrame(rows, ["k", "seq", "v"])
     got = {r["k"]: r["v"] for r in dedup_keep_last(sdf, ["k"], ["seq"]).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Operator properties over randomized batched inputs (one Spark job per
+# test run, not per example)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_idempotent_and_complete(spark):
+    """Applying the same delta twice == once (idempotence of MERGE), and
+    the merged keyset is exactly base ∪ delta — on a randomized table."""
+    import random
+
+    from big_data_analysis_spark.operators import relational as rel
+
+    rng = random.Random(7)
+    base_rows = [(k, rng.randint(0, 99), 1) for k in range(200)]
+    delta_rows = [
+        (rng.randint(0, 299), rng.randint(100, 199), 2) for _ in range(120)
+    ]
+    # Unique delta keys (MERGE contract: one update row per key).
+    delta_rows = list({r[0]: r for r in delta_rows}.values())
+    base = spark.createDataFrame(base_rows, "k int, v int, version int")
+    delta = spark.createDataFrame(delta_rows, "k int, v int, version int")
+
+    once = rel.merge_upsert(base, delta, ["k"], "version")
+    twice = rel.merge_upsert(once, delta, ["k"], "version")
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    assert {r[0] for r in got_once} == {r[0] for r in base_rows} | {
+        r[0] for r in delta_rows
+    }
+    # Every delta key carries the delta value.
+    d = {r[0]: r[1] for r in delta_rows}
+    assert all(v == d[k] for k, v, _ in got_once if k in d)
+
+
+def test_pack_offsets_contiguous_stream(spark):
+    """Offsets tile the per-shard token stream exactly: sorted by order
+    key, each doc starts where the previous ended, and chunk bounds
+    agree with integer division — on randomized token counts."""
+    import random
+
+    from big_data_analysis_spark.operators import text as tx
+
+    rng = random.Random(11)
+    rows = [
+        (f"s{rng.randint(0, 2)}", i, rng.randint(1, 700)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    out = tx.pack_offsets(df, "n_tok", ["doc_id"], capacity=256, partition_by=["source"])
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append(r)
+    for docs in by_src.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in docs:
+            assert r["start_offset"] == expect_start
+            assert r["chunk_id"] == r["start_offset"] // 256
+            end_chunk = (r["start_offset"] + r["n_tok"] - 1) // 256
+            assert r["crosses_boundary"] == (r["chunk_id"] != end_chunk)
+            expect_start += r["n_tok"]
