@@ -374,6 +374,30 @@ def weighted_hash_sample(
     return df.filter(bucket < w * buckets)
 
 
+def balanced_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n_per_group: int,
+    key_cols: Sequence[str],
+    seed: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exact-N-per-group deterministic subset (the balanced-corpus
+    builder: 'exactly 10k docs per source'): rank rows within each group
+    by the md5 of their key (engine-portable shuffle order, same trick
+    as ``hash_sample``) and keep rank <= N. Groups smaller than N pass
+    through whole. One shuffle on ``group_cols``; the rank is stable
+    under repartitioning and re-derivable on any engine."""
+    key = F.concat_ws(
+        "\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.md5(key), *key_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_group)
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Pairwise Pearson correlation matrix in long form (col_a, col_b,
     corr), the reference's price-correlation heatmap input

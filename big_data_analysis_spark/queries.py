@@ -2388,3 +2388,25 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = dd.connected_components(pairs)
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+
+
+_BALANCED_ORACLE = """
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('bal-v1' || chr(31) || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+) WHERE rk <= 30
+"""
+
+
+@query("balanced_sample_docs", _BALANCED_ORACLE)
+def q_balanced_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-corpus subset, oracle-verified: exactly 30 docs per
+    source, picked by engine-portable md5 rank — DuckDB re-derives the
+    identical membership AND rank, row-for-row."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    out = rel.balanced_sample(d, ["source"], 30, ["doc_id"], seed="bal-v1")
+    return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))

@@ -10,4 +10,5 @@ from big_data_analysis_spark.streaming.streams import (  # noqa: F401
     sliding_event_counts,
     streaming_dedup,
     tumbling_event_counts,
+    write_stream_upsert,
 )

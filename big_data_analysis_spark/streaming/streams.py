@@ -355,3 +355,65 @@ def write_stream_parquet_idempotent(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(f"foreachBatch sink {name!r} still running after {timeout_sec}s")
+
+
+def write_stream_upsert(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    query_name: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming SCD1 materialized view: foreachBatch merges every
+    micro-batch into the keyed snapshot at ``path`` via
+    ``relational.merge_upsert`` (highest ``order_col`` per key wins) and
+    swaps the new snapshot in with directory renames — read-merge-write,
+    never append. Because merge_upsert is idempotent (re-merging an
+    already-applied delta is a no-op — pinned by a property test), a
+    batch REPLAYED after a crash converges to the same snapshot: the
+    foreachBatch at-least-once contract becomes effectively-once here.
+    On a real lake this exact loop is `MERGE INTO` on a table format;
+    the rename swap is the plain-directory equivalent sized for local
+    checkpoints and tests."""
+    import shutil
+
+    from big_data_analysis_spark.operators.relational import merge_upsert
+
+    name = query_name or f"upsert_{uuid.uuid4().hex[:12]}"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            merged = merge_upsert(
+                spark.read.parquet(path), batch_df, keys, order_col
+            )
+        else:
+            # First batch: still run the merge so in-batch duplicates
+            # resolve by the same keep-highest rule.
+            merged = merge_upsert(
+                batch_df.limit(0), batch_df, keys, order_col
+            )
+        staging = f"{path}.staging"
+        # Materialize BEFORE touching the live dir (the plan lazily
+        # reads it), then swap via renames.
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{path}.old"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            os.path.join(_scratch_dir(), f"{name}-{uuid.uuid4().hex[:8]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"upsert sink {name!r} still running after {timeout_sec}s")

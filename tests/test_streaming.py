@@ -327,3 +327,46 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir):
     assert spark.read.parquet(batch_dir).count() == rows0
     assert spark.read.parquet(*glob.glob(out + "/batch_id=*")).count() == n1
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_upsert_snapshot_matches_batch_merge(spark):
+    """Streaming SCD1 sink over two micro-batches: the final snapshot
+    must equal the batch merge of all data (latest version per key),
+    and re-running the whole stream over the same source (fresh
+    checkpoint, existing snapshot) must not change it — replay
+    convergence."""
+    import time
+
+    from big_data_analysis_spark.streaming.streams import write_stream_upsert
+
+    src_dir = os.path.join(SCRATCH, "upsert-src")
+    snap = os.path.join(SCRATCH, "upsert-snap")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, version int"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "B", 2), (3, "c", 2)], "k int, v string, version int"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b2"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        write_stream_upsert(stream, snap, ["k"], "version")
+
+    run()
+    expect = {1: ("a", 1), 2: ("B", 2), 3: ("c", 2)}
+    got = {
+        r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(snap).collect()
+    }
+    assert got == expect
+    run()  # full replay into the existing snapshot
+    got2 = {
+        r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(snap).collect()
+    }
+    assert got2 == expect
