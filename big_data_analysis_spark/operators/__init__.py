@@ -8,4 +8,5 @@ Modules map to SURVEY.md §2 sections:
 - similarity  : brute-force + LSH-bucketed ANN over embeddings (north star)
 - mining      : frequent itemsets + association rules (A8-A11, M27)
 - multimodal  : binary-column plumbing with stubbed decoders (S5, M25, M26)
+- dq          : single-pass data-quality audits (orphans, dup keys, domains)
 """

@@ -2410,3 +2410,241 @@ def q_balanced_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     out = rel.balanced_sample(d, ["source"], 30, ["doc_id"], seed="bal-v1")
     return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+# =========================================================================
+# Multi-join analytics classics (TPC-H-shaped on the subset schema) —
+# these exist to exercise Catalyst's join planning the way a 100 TB
+# warehouse would: selective dim filters first, shuffle joins on the
+# fact keys, broadcast only the genuinely tiny dims (nation/region),
+# partial aggregation before the final shuffle.
+# =========================================================================
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority", _SHIPPING_PRIORITY_ORACLE)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x date-filtered
+    orders x late-shipping lineitems, top-10 orders by open revenue.
+    Customer is fact-scale at 100 TB, so it is NOT broadcast — both
+    joins shuffle on their keys after the selective filters prune
+    (filters reach the parquet scan; plan-asserted for this family in
+    tests/test_plans.py). Dates land pushed down as binary comparisons."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    agg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    )
+    return rel.top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+_LOCAL_SUPPLIER_VOLUME_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("local_supplier_volume", _LOCAL_SUPPLIER_VOLUME_ORACLE)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join with the local-supplier constraint
+    (customer and supplier share a nation). Join order matters at
+    100 TB: nation⋈region (tiny, broadcast into supplier) restricts
+    suppliers to the region BEFORE the fact joins; the
+    s_nationkey = c_nationkey constraint rides along as a join
+    predicate on the final shuffle join rather than a post-filter, so
+    the region prune cuts the supplier side early."""
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            t["nation"].n_regionkey == t["region"].r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(asia_nations), t["supplier"].s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    fact = (
+        orders.join(t["customer"].select("c_custkey", "c_nationkey"),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            sup,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return fact.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+_RETURNED_ITEMS_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_items", _RETURNED_ITEMS_ORACLE)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most value last quarter. The
+    returnflag filter pushes into the lineitem scan, the quarter filter
+    into orders; only nation is broadcast. Top-20 with c_custkey
+    tiebreak for a deterministic total order."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return rel.top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+_DQ_AUDIT_ORACLE = """
+SELECT 'lineitem_null_keys' AS check_name,
+       CAST(count(*) FILTER (l_orderkey IS NULL OR l_partkey IS NULL) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS total FROM lineitem
+UNION ALL
+SELECT 'lineitem_bad_discount',
+       CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders_bad_status',
+       CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'customer_negative_acctbal',
+       CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'orders_dup_orderkey',
+       CAST(sum(cnt - 1) AS BIGINT),
+       CAST(sum(cnt) AS BIGINT)
+FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+"""
+
+
+@query("dq_audit", _DQ_AUDIT_ORACLE)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-admission data-quality report: null/domain rules folded
+    into ONE scan per table (operators.dq.predicate_audit), referential
+    integrity as single-pass left joins against distinct parent keys,
+    PK uniqueness as one groupBy — all unioned into one lazy DAG. The
+    shape a 100 TB ingest gates on before publishing a partition."""
+    from big_data_analysis_spark.operators import dq
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    return dq.audit_union(
+        [
+            dq.predicate_audit(
+                li,
+                {
+                    "lineitem_null_keys": F.col("l_orderkey").isNull()
+                    | F.col("l_partkey").isNull(),
+                    "lineitem_bad_discount": (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 1),
+                    "lineitem_nonpositive_qty": F.col("l_quantity") <= 0,
+                },
+            ),
+            dq.predicate_audit(
+                orders,
+                {"orders_bad_status": ~F.col("o_orderstatus").isin("O", "F", "P")},
+            ),
+            dq.predicate_audit(
+                cust, {"customer_negative_acctbal": F.col("c_acctbal") < 0}
+            ),
+            dq.orphan_count(li, orders, {"l_orderkey": "o_orderkey"}, "lineitem_orphan_orderkey"),
+            dq.orphan_count(orders, cust, {"o_custkey": "c_custkey"}, "orders_orphan_custkey"),
+            dq.duplicate_key_count(orders, ["o_orderkey"], "orders_dup_orderkey"),
+        ]
+    )

@@ -1,0 +1,76 @@
+"""Data-quality audit operators (operators/dq.py): value correctness
+on seeded violations, and the single-scan plan property the 100 TB
+design depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.io import load_tables
+from big_data_analysis_spark.operators import dq
+from big_data_analysis_spark.plans import formatted_plan, scan_infos
+from big_data_analysis_spark.queries import QUERIES
+
+
+def test_predicate_audit_counts_seeded_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (None, 5.0), (4, -1.0)], "k int, v double"
+    )
+    out = dq.predicate_audit(
+        df, {"null_k": F.col("k").isNull(), "neg_v": F.col("v") < 0}
+    )
+    got = {r["check_name"]: (r["violations"], r["total"]) for r in out.collect()}
+    assert got == {"null_k": (1, 4), "neg_v": (2, 4)}
+
+
+def test_predicate_audit_is_single_scan(spark, sf_dir):
+    """N predicates over one table must fold into ONE table scan — the
+    whole point vs. running N separate count queries."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = dq.predicate_audit(
+        li,
+        {
+            "a": F.col("l_quantity") <= 0,
+            "b": F.col("l_discount") < 0,
+            "c": F.col("l_orderkey").isNull(),
+        },
+    )
+    assert len(scan_infos(out)) == 1, formatted_plan(out)
+
+
+def test_orphan_count_finds_seeded_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = dq.orphan_count(child, parent, {"fk": "pk"}, "orphans").collect()[0]
+    # 9 has no parent; NULL FK also counts as unresolvable.
+    assert (row["check_name"], row["violations"], row["total"]) == ("orphans", 2, 4)
+
+
+def test_duplicate_key_count_surplus_rows(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,), (3,)], "k int")
+    row = dq.duplicate_key_count(df, ["k"], "dups").collect()[0]
+    # dedup would remove 3 rows (two extra 1s, one extra 3).
+    assert (row["violations"], row["total"]) == (3, 6)
+
+
+def test_dq_audit_query_shape_and_clean_tables(spark, sf_dir):
+    rows = QUERIES["dq_audit"](spark, sf_dir).collect()
+    got = {r["check_name"]: r for r in rows}
+    assert len(got) == 8
+    # Synthetic TPC-H data is referentially clean...
+    assert got["lineitem_orphan_orderkey"]["violations"] == 0
+    assert got["orders_dup_orderkey"]["violations"] == 0
+    # ...but account balances do go negative, so the audit is not
+    # trivially all-zero.
+    assert got["customer_negative_acctbal"]["violations"] > 0
+    for r in rows:
+        assert r["total"] > 0
+
+
+def test_multijoin_classics_push_filters_to_scans(spark, sf_dir):
+    """shipping_priority: the segment, order-date, and ship-date
+    filters must each reach their parquet scan."""
+    df = QUERIES["shipping_priority"](spark, sf_dir)
+    pushed = [f for s in scan_infos(df) for f in (s["pushed_filters"] or [])]
+    for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert any(col in f for f in pushed), (col, pushed)
