@@ -450,3 +450,60 @@ def iqr_outlier_filter(
     ).head()
     lo, hi = q["q1"] - k * (q["q3"] - q["q1"]), q["q3"] + k * (q["q3"] - q["q1"])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Equi-width histogram over a fixed [lo, hi] range: one
+    map-side-combinable groupBy on the bin id — the distributed
+    equivalent of the reference's plt.hist. Fixed edges keep it
+    single-pass (a data-derived range would need a min/max pre-pass)
+    and make the bin function pure arithmetic, so the same expression
+    is re-derivable on any engine. Rows outside [lo, hi] are dropped;
+    x == hi lands in the last bin (numpy convention)."""
+    width = (hi - lo) / n_bins
+    x = F.col(col)
+    bin_id = F.least(
+        F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(n_bins - 1)
+    ).cast("long")
+    return (
+        df.filter((x >= lo) & (x <= hi))
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lo_edge", F.lit(lo) + F.col("bin") * F.lit(width))
+        .withColumn("hi_edge", F.lit(lo) + (F.col("bin") + 1) * F.lit(width))
+        .select("bin", "lo_edge", "hi_edge", "cnt")
+    )
+
+
+def approx_profile(
+    df: DataFrame,
+    distinct_cols: Sequence[str],
+    quantile_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One-pass sketch profile of a table: HyperLogLog++ distinct
+    counts (approx_count_distinct) + KLL-style quantile sketch
+    (approx_percentile), all in a single aggregate. THE way to profile
+    100 TB — exact distinct is a full shuffle of every key and exact
+    percentiles a global sort, while sketches are fixed-size,
+    mergeable, map-side-combined state. Long-form output
+    (stat, value); error bounds pinned by tests against exact answers
+    at test scale."""
+    aggs = [
+        F.approx_count_distinct(c).cast("double").alias(f"approx_distinct_{c}")
+        for c in distinct_cols
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.expr(
+                f"approx_percentile({quantile_col}, {q}, {accuracy})"
+            ).cast("double").alias(f"approx_p{int(q * 100)}_{quantile_col}")
+        )
+    aggs.append(F.count(F.lit(1)).cast("double").alias("n_rows"))
+    one_row = df.agg(*aggs)
+    names = [f.name for f in one_row.schema.fields]
+    pairs = ", ".join(f"'{n}', `{n}`" for n in names)
+    return one_row.selectExpr(f"stack({len(names)}, {pairs}) AS (stat, value)")

@@ -333,3 +333,38 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
     )
     return joined.drop("__bkt")
+
+
+def add_ewma(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    alpha: float = 0.4,
+    span: int = 5,
+    shift: int = 0,
+) -> DataFrame:
+    """Finite-window EWMA (pandas ``ewm(alpha=..., adjust=True)``
+    truncated to the trailing ``span`` rows): weight (1-alpha)^i on the
+    i-th lag, normalized by the weights of the lags actually present —
+    so partial windows at a series head match pandas' adjust=True
+    semantics over the truncated history. Expressed as a fixed
+    left-to-right sum of ``span`` lag() terms over ONE window (no HOF,
+    no collect_list buffer), which keeps it whole-stage codegen and —
+    because the summation order is explicit — bit-reproducible on any
+    engine. ``shift=1`` gives the leakage-safe variant that excludes
+    the current row (same discipline as add_trailing_mean)."""
+    w = _window(partition_by, order_by)
+    out = {}
+    for c in cols:
+        num: Column | None = None
+        den: Column | None = None
+        for i in range(span):
+            weight = (1.0 - alpha) ** i
+            lagged = F.lag(F.col(c), shift + i).over(w)
+            term = F.when(lagged.isNotNull(), lagged * F.lit(weight)).otherwise(F.lit(0.0))
+            wterm = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+            num = term if num is None else num + term
+            den = wterm if den is None else den + wterm
+        out[f"{c}_ewma"] = num / F.nullif(den, F.lit(0.0))
+    return df.withColumns(out)

@@ -2648,3 +2648,87 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.duplicate_key_count(orders, ["o_orderkey"], "orders_dup_orderkey"),
         ]
     )
+
+
+# =========================================================================
+# Distribution analytics: equi-width histogram, EWMA smoothing, sketches.
+# =========================================================================
+
+_HISTOGRAM_ORACLE = """
+WITH binned AS (
+    SELECT CAST(least(floor((p_retailprice - 900.0) / 5.0), 19) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM part
+    WHERE p_retailprice >= 900.0 AND p_retailprice <= 1000.0
+    GROUP BY 1
+)
+SELECT bin, 900.0 + bin * 5.0 AS lo_edge, 900.0 + (bin + 1) * 5.0 AS hi_edge,
+       CAST(cnt AS BIGINT) AS cnt
+FROM binned
+"""
+
+
+@query("histogram_retailprice", _HISTOGRAM_ORACLE)
+def q_histogram_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 x 5.0-wide bins over [900, 1000]):
+    one map-side-combinable groupBy on pure bin arithmetic, re-derived
+    bit-identically by the oracle."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    return rel.equi_width_histogram(part, "p_retailprice", 900.0, 1000.0, 20)
+
+
+def _ewma_oracle_sql(alpha: float = 0.4, span: int = 5) -> str:
+    """Build the EWMA oracle with the SAME left-to-right summation
+    order and weight literals as timeseries.add_ewma, so the doubles
+    are bit-identical (no rounding needed — IEEE ops, fixed order)."""
+    num, den = [], []
+    for i in range(span):
+        w = repr((1.0 - alpha) ** i)
+        lag = f"lag(n, {i}) OVER w"
+        num.append(f"CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {w} ELSE 0.0 END")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, CAST(n AS BIGINT) AS n,
+       ({' + '.join(num)}) / nullif(({' + '.join(den)}), 0.0) AS n_ewma
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+"""
+
+
+@query("ewma_daily_orders", _ewma_oracle_sql())
+def q_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=0.4, span=5, pandas adjust=True over the
+    truncated window) of daily order counts per priority class — the
+    smoothing the reference's COVID trend plots apply, partitioned so
+    the window never funnels through one task. Values hash-match the
+    oracle bit-for-bit: integer counts in, explicit summation order."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out = ts.add_ewma(
+        daily, ["n"], order_by=["day"], partition_by=["o_orderpriority"],
+        alpha=0.4, span=5, shift=0,
+    )
+    return out.select(
+        "o_orderpriority", "day", F.col("n").cast("long").alias("n"),
+        F.col("n_ewma").alias("n_ewma"),
+    )
+
+
+@query("sketch_profile_events")
+def q_sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass sketch profile of events: HLL++ distinct user/event_type
+    counts + approx percentiles of value. Approximate by design (no SQL
+    oracle; DuckDB's sketches differ) — error bounds vs exact answers
+    are pinned by test_relational.py::test_approx_profile_error_bounds."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return rel.approx_profile(
+        ev, ["user_id", "event_type"], "value", quantiles=(0.5, 0.95)
+    )

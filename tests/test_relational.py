@@ -294,3 +294,41 @@ def test_schema_evolution_and_compaction(spark, tmp_path_factory):
     parts = _glob.glob(str(base / "compact" / "part-*.parquet"))
     assert len(parts) == 1
     assert bio.read_parquet(spark, str(base / "compact")).count() == 1000
+
+
+def test_equi_width_histogram_boundaries(spark):
+    from big_data_analysis_spark.operators.relational import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.49,), (0.5,), (0.99,), (1.0,), (-0.1,), (1.1,)], "x double"
+    )
+    rows = {r["bin"]: r for r in equi_width_histogram(df, "x", 0.0, 1.0, 2).collect()}
+    # out-of-range dropped; x == hi clamped into the last bin
+    assert rows[0]["cnt"] == 2 and rows[1]["cnt"] == 3
+    assert rows[0]["lo_edge"] == 0.0 and rows[1]["hi_edge"] == 1.0
+
+
+def test_approx_profile_error_bounds(spark, sf_dir):
+    """Sketches must land near the exact answers: HLL++ within 5% on
+    distinct counts, approx_percentile within the p5-ish neighborhood
+    of the exact percentile (compared by rank tolerance)."""
+    from big_data_analysis_spark.operators.relational import approx_profile
+    from big_data_analysis_spark.io import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    got = {r["stat"]: r["value"] for r in approx_profile(
+        ev, ["user_id", "event_type"], "value", quantiles=(0.5, 0.95)
+    ).collect()}
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("t"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    assert abs(got["approx_distinct_user_id"] - exact["u"]) <= 0.05 * exact["u"]
+    assert abs(got["approx_distinct_event_type"] - exact["t"]) <= 0.05 * max(exact["t"], 1)
+    spread_ = ev.agg(F.max("value") - F.min("value")).head()[0]
+    assert abs(got["approx_p50_value"] - exact["p50"]) <= 0.05 * spread_
+    assert abs(got["approx_p95_value"] - exact["p95"]) <= 0.05 * spread_
+    assert got["n_rows"] == exact["n"]

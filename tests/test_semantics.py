@@ -254,3 +254,33 @@ def test_interval_join_hand_values_and_plan(spark):
         ts.interval_join(pts, iv, "t", "s", "e", on=["k"], bucket_seconds=2)
     )
     assert "NestedLoop" not in plan
+
+
+def test_ewma_matches_pandas_adjusted(spark, series_df):
+    """EWMA with span >= series length == pandas ewm(alpha,
+    adjust=True).mean() (no truncation in play); the truncated form is
+    the same formula over the last `span` lags."""
+    pdf = _pandas_frame()
+    expected = pdf["y"].ewm(alpha=0.4, adjust=True).mean().tolist()
+    got = [
+        r["y_ewma"]
+        for r in ts.add_ewma(
+            series_df, ["y"], order_by=["day"], alpha=0.4, span=12
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_ewma_truncation_and_leakage_shift(spark, series_df):
+    """span=1, shift=1 degenerates to lag(1): the leakage-safe base
+    case; and a truncated span uses only the trailing `span` values."""
+    rows = (
+        ts.add_ewma(series_df, ["y"], order_by=["day"], alpha=0.4, span=1, shift=1)
+        .orderBy("day")
+        .collect()
+    )
+    ys = [r["y"] for r in rows]
+    got = [r["y_ewma"] for r in rows]
+    assert got[0] is None and got[1:] == ys[:-1]
