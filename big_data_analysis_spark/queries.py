@@ -2732,3 +2732,53 @@ def q_sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.approx_profile(
         ev, ["user_id", "event_type"], "value", quantiles=(0.5, 0.95)
     )
+
+
+# =========================================================================
+# Custom Python DataSource connector (sources.py), oracle-verified:
+# DuckDB re-derives the connector's ENTIRE deterministic output (ids,
+# source labels, generated text, quality scores) from the same md5
+# recurrence — full row-fidelity proof that a from-scratch connector
+# slots into the verified surface like any built-in format.
+# =========================================================================
+
+_SYNTH_WORDS = (
+    "data spark shuffle join scan filter window stream batch merge "
+    "vector token corpus sample dedup quality index bucket sketch plan"
+).split()
+
+
+def _synthdocs_oracle(rows: int = 1000, parts: int = 8, seed: str = "synth-v1") -> str:
+    wl = "[" + ", ".join(f"'{w}'" for w in _SYNTH_WORDS) + "]"
+    nw = len(_SYNTH_WORDS)
+    per_part = rows // parts  # oracle assumes an even split
+    h = (
+        lambda tail: f"('0x' || substr(md5('{seed}' || chr(31) || {tail}), 1, 16))::UBIGINT"
+    )
+    return f"""
+SELECT i AS doc_id,
+       ['web', 'books', 'code', 'wiki'][CAST(1 + (i // {per_part}) % 4 AS INT)] AS source,
+       array_to_string(
+         list_transform(
+           range(CAST(5 + {h("i")} % 20 AS INT)),
+           k -> {wl}[CAST(1 + {h("i || chr(31) || k")} % {nw} AS INT)]),
+         ' ') AS text,
+       ({h("i || chr(31) || 'q'")} % 1000000) / 1000000.0 AS quality
+FROM range({rows}) t(i)
+"""
+
+
+@query("synthdocs_scan", _synthdocs_oracle())
+def q_synthdocs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the synthdocs Python DataSource (1000 rows, 8 partitions).
+    sf_dir is unused: the connector generates from (seed, doc_id)
+    hashes only, which is exactly why the oracle can replay it."""
+    from big_data_analysis_spark.sources import register_synthdocs
+
+    register_synthdocs(spark)
+    return (
+        spark.read.format("synthdocs")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )

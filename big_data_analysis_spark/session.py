@@ -55,6 +55,9 @@ def get_spark(
         # sources are GBK/GB18030 (SURVEY.md §2.1 S2/S3) — restore the
         # full Java charset set for the binary-decode CSV path.
         .config("spark.sql.legacy.javaCharsets", "true")
+        # Python DataSource connectors (sources.py) implement
+        # pushFilters; Spark 4 gates that behind this flag.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # decode() on malformed bytes: REPLACE (U+FFFD) instead of error —
         # the charset-fallback reader tests for the replacement char to
         # pick the right charset per file (reference 红楼梦作者分析.py:31-42

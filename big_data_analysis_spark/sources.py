@@ -1,0 +1,116 @@
+"""Custom connector via the Python DataSource API (Spark 4): a
+deterministic synthetic-documents source with REAL filter pushdown and
+partition pruning — the extension surface a user reaches for when the
+data lives behind an API/format Spark has no built-in reader for.
+
+Why it matters at 100 TB: a naive custom reader generates/fetches
+everything and lets Spark filter afterwards; this one implements
+``pushFilters`` so `source = 'web'` / `source IN (...)` predicates
+prune whole input partitions BEFORE any row is produced (each
+partition carries one source label). Every partition generates rows
+from (seed, partition_id, row_index) hashes only — no RNG state, no
+driver-side data, fully rerun-stable, so task retries are exact
+replays (the same property the parquet scans get for free).
+
+Usage::
+
+    register_synthdocs(spark)
+    df = (spark.read.format("synthdocs")
+          .option("rows", 100000).option("partitions", 64)
+          .load().filter(F.col("source") == "web"))
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.session import SparkSession
+
+SYNTH_SOURCES = ("web", "books", "code", "wiki")
+_WORDS = (
+    "data spark shuffle join scan filter window stream batch merge "
+    "vector token corpus sample dedup quality index bucket sketch plan"
+).split()
+
+
+def _h(*parts: object) -> int:
+    """Stable 64-bit hash of the parts — the only randomness source."""
+    raw = "\x1f".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+        self.seed = options.get("seed", "synth-v1")
+        self.keep_sources = set(SYNTH_SOURCES)
+
+    # -- pushdown ---------------------------------------------------------
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        """Handle source-equality predicates natively; everything else
+        stays with Spark. Returned filters must be the unhandled subset
+        (by reference, per the API contract)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("source",):
+                self.keep_sources &= {f.value}
+            elif isinstance(f, In) and f.attribute == ("source",):
+                self.keep_sources &= set(f.value)
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        """One source label per partition -> a pushed source predicate
+        prunes partitions here, before any read() task is scheduled."""
+        return [
+            InputPartition(pid)
+            for pid in range(self.n_parts)
+            if SYNTH_SOURCES[pid % len(SYNTH_SOURCES)] in self.keep_sources
+        ]
+
+    # -- generation -------------------------------------------------------
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        pid = partition.value
+        source = SYNTH_SOURCES[pid % len(SYNTH_SOURCES)]
+        per_part = self.n_rows // self.n_parts
+        extra = self.n_rows % self.n_parts
+        lo = pid * per_part + min(pid, extra)
+        n = per_part + (1 if pid < extra else 0)
+        for doc_id in range(lo, lo + n):
+            bits = _h(self.seed, doc_id)
+            n_words = 5 + bits % 20
+            words = [
+                _WORDS[_h(self.seed, doc_id, k) % len(_WORDS)]
+                for k in range(n_words)
+            ]
+            quality = (_h(self.seed, doc_id, "q") % 10**6) / 10**6
+            yield (doc_id, source, " ".join(words), quality)
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, source string, text string, quality double"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(dict(self.options))
+
+
+def register_synthdocs(spark: SparkSession) -> None:
+    """Idempotent registration of the synthdocs format. Also flips the
+    Spark 4 gate for Python-source filter pushdown in case the session
+    was not built by session.get_spark."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthDocsDataSource)

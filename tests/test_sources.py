@@ -1,0 +1,75 @@
+"""Python DataSource API connector (sources.py): determinism, row
+accounting, and — the scale property — that source predicates prune
+input partitions inside the connector rather than filtering after."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_spark.sources import SYNTH_SOURCES, register_synthdocs
+
+
+def _load(spark, **opts):
+    register_synthdocs(spark)
+    r = spark.read.format("synthdocs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_synthdocs_rowcount_schema_and_determinism(spark):
+    df = _load(spark, rows=1000, partitions=8)
+    assert df.count() == 1000
+    assert [f.name for f in df.schema.fields] == ["doc_id", "source", "text", "quality"]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, _load(spark, rows=1000, partitions=8).collect()))
+    assert a == b
+    # doc_ids are a exact partition of [0, 1000) even with uneven splits
+    ids = [r[0] for r in a]
+    assert ids == list(range(1000))
+
+
+def test_synthdocs_uneven_split_accounts_every_row(spark):
+    df = _load(spark, rows=103, partitions=8)
+    assert df.count() == 103
+    assert df.select("doc_id").distinct().count() == 103
+
+
+def test_synthdocs_source_filter_prunes_partitions(spark):
+    """EqualTo('source', 'web') must reach pushFilters and drop 6 of 8
+    input partitions before scheduling — observable as the scan's task
+    count, not just the row values."""
+    df = _load(spark, rows=1000, partitions=8).filter(F.col("source") == "web")
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.collect()
+    assert rows and all(r["source"] == "web" for r in rows)
+    # IN-list pushdown keeps two labels -> 4 of 8 partitions
+    df2 = _load(spark, rows=1000, partitions=8).filter(
+        F.col("source").isin("web", "code")
+    )
+    assert df2.rdd.getNumPartitions() == 4
+
+
+def test_synthdocs_residual_filter_stays_correct(spark):
+    """A non-source predicate is NOT pushed (returned to Spark) and the
+    combined query still computes correctly."""
+    df = _load(spark, rows=1000, partitions=8).filter(
+        (F.col("source") == "books") & (F.col("quality") > 0.5)
+    )
+    rows = df.collect()
+    assert all(r["source"] == "books" and r["quality"] > 0.5 for r in rows)
+    full = _load(spark, rows=1000, partitions=8).collect()
+    expect = sum(1 for r in full if r["source"] == "books" and r["quality"] > 0.5)
+    assert len(rows) == expect
+
+
+def test_synthdocs_feeds_engine_operators(spark):
+    """The connector output flows into the normal operator stack (the
+    point of a DataSource: everything downstream is just a DataFrame)."""
+    from big_data_analysis_spark.operators import relational as rel
+
+    df = _load(spark, rows=400, partitions=4)
+    top = rel.top_k_per_group(
+        df, ["source"], [F.col("quality").desc(), F.col("doc_id")], 3
+    )
+    assert top.count() == 3 * len(SYNTH_SOURCES)
