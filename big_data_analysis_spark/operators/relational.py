@@ -507,3 +507,45 @@ def approx_profile(
     names = [f.name for f in one_row.schema.fields]
     pairs = ", ".join(f"'{n}', `{n}`" for n in names)
     return one_row.selectExpr(f"stack({len(names)}, {pairs}) AS (stat, value)")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff of two keyed snapshots: one full-outer join on
+    ``keys``, rows classified ``added`` (key only in new), ``deleted``
+    (only in old), or ``changed`` (both sides, any compare column
+    differs under null-safe equality); unchanged rows — the bulk of any
+    real snapshot pair — are dropped before they move again. Output
+    carries both sides as ``old_<c>`` / ``new_<c>`` columns.
+
+    Scale shape: exactly one shuffle per side (the join on ``keys``);
+    the struct equality is a codegen expression so the 'unchanged'
+    filter runs inside the join stage, and everything downstream sees
+    only the (tiny) change set. This is the engine's answer to audit /
+    reconciliation jobs that would otherwise collect both tables."""
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(*keys, F.struct(*compare_cols).alias("__old"))
+    n = new.select(*keys, F.struct(*compare_cols).alias("__new"))
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("deleted"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
+    )
+    out = j.withColumn("change_type", change).filter(
+        F.col("change_type").isNotNull()
+    )
+    return out.select(
+        *keys,
+        "change_type",
+        *[F.col(f"__old.{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"__new.{c}").alias(f"new_{c}") for c in compare_cols],
+    )

@@ -368,3 +368,50 @@ def add_ewma(
             den = wterm if den is None else den + wterm
         out[f"{c}_ewma"] = num / F.nullif(den, F.lit(0.0))
     return df.withColumns(out)
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_cols: Sequence[str],
+    step: str = "1 day",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Densify a per-key time series (pandas ``asfreq`` + ``ffill``, the
+    reference's daily COVID series assumes no calendar gaps —
+    新冠疫情分析.py treats row order as day order, which silently breaks
+    on missing dates): build the full spine between each key's min and
+    max timestamp with ``sequence()``, left-join the observed rows, and
+    forward-fill ``value_cols`` with last(ignorenulls) so every gap row
+    carries the most recent observation. ``observed_col`` marks real
+    rows (1) vs spine-filled gaps (0).
+
+    Scale shape: one groupBy for the per-key bounds (map-combinable),
+    the spine explodes driver-free on the executors (bounded by
+    range/step per key), one shuffle joins spine to observations on
+    (keys, time), and the fill window repartitions by ``keys`` only —
+    no global sort, no collect. Leading gaps stay null by construction
+    (nothing to carry forward), matching pandas ``ffill``."""
+    joined = (
+        df.groupBy(*keys)
+        .agg(F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {step})")
+            ).alias(time_col),
+        )
+        .join(df.withColumn("__obs", F.lit(1)), [*keys, time_col], "left")
+    )
+    w = (
+        _window(keys, [time_col])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumns(
+            {c: F.last(F.col(c), ignorenulls=True).over(w) for c in value_cols}
+        )
+        .withColumn(observed_col, F.coalesce(F.col("__obs"), F.lit(0)))
+        .drop("__obs")
+    )

@@ -2782,3 +2782,132 @@ def q_synthdocs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+# =========================================================================
+# Gap-fill / date-spine densification (timeseries.gap_fill): sparse
+# daily revenue per ASIA nation -> full calendar spine -> forward fill.
+# The oracle rebuilds the spine with generate_series and the fill with
+# an IGNORE NULLS window — row-for-row including the observed flag.
+# =========================================================================
+
+_GAP_FILL_ORACLE = """
+WITH agg AS (
+    SELECT n_name, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_totalprice > 350000
+    GROUP BY 1, 2
+), bounds AS (
+    SELECT n_name, min(d) AS lo, max(d) AS hi FROM agg GROUP BY 1
+), spine AS (
+    SELECT n_name, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+), j AS (
+    SELECT s.n_name, s.d, a.revenue,
+           CASE WHEN a.revenue IS NULL THEN 0 ELSE 1 END AS observed
+    FROM spine s LEFT JOIN agg a ON s.n_name = a.n_name AND s.d = a.d
+)
+SELECT n_name, d,
+       last_value(revenue IGNORE NULLS) OVER (
+           PARTITION BY n_name ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue,
+       observed
+FROM j
+"""
+
+
+@query("gap_fill_daily_revenue", _GAP_FILL_ORACLE)
+def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high-value revenue per ASIA nation, densified to a full
+    calendar with forward fill. The >350k filter makes the series
+    genuinely sparse, so most output rows are spine-generated gap rows
+    carrying the last observation — the exact shape a feature pipeline
+    needs before lag/rolling windows can assume row=day."""
+    t = load_tables(
+        spark, sf_dir, ["orders", "customer", "nation", "region"]
+    )
+    asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    agg = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 350000)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return ts.gap_fill(agg, ["n_name"], "d", ["revenue"])
+
+
+# =========================================================================
+# Snapshot diff / CDC reconciliation (relational.snapshot_diff): the
+# "new" snapshot is derived deterministically from orders (deletes,
+# price updates, inserts by orderkey residue), so DuckDB can rebuild
+# both snapshots and re-derive the exact change set via the same
+# full-outer-join classification.
+# =========================================================================
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 103 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, 'N', o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_type,
+       o.o_totalprice AS old_o_totalprice,
+       n.o_totalprice AS new_o_totalprice
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus <> n.o_orderstatus
+   OR o.o_totalprice <> n.o_totalprice
+"""
+
+
+@query("snapshot_diff_orders", _SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two snapshots of orders: ~1% of keys deleted, ~1%
+    repriced (+1000.0 — IEEE addition, bit-identical cross-engine, so
+    no rounding needed), ~1% inserted under shifted keys. Only the
+    change set comes back; the unchanged bulk dies inside the join
+    stage."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 103 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1000.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return rel.snapshot_diff(o, new, ["o_orderkey"]).select(
+        "o_orderkey", "change_type", "old_o_totalprice", "new_o_totalprice"
+    )

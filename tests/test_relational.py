@@ -332,3 +332,58 @@ def test_approx_profile_error_bounds(spark, sf_dir):
     assert abs(got["approx_p50_value"] - exact["p50"]) <= 0.05 * spread_
     assert abs(got["approx_p95_value"] - exact["p95"]) <= 0.05 * spread_
     assert got["n_rows"] == exact["n"]
+
+
+def test_gap_fill_spine_ffill_and_leading_nulls(spark):
+    """gap_fill densifies each key to its own [min, max] calendar, marks
+    spine rows observed=0, forward-fills values, and leaves LEADING
+    gaps null (nothing to carry) — pandas asfreq+ffill semantics."""
+    import datetime as dt
+
+    from big_data_analysis_spark.operators.timeseries import gap_fill
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), None),        # leading observation is null
+            ("a", d(2024, 1, 2), 10.0),
+            # gap: Jan 3, Jan 4
+            ("a", d(2024, 1, 5), 20.0),
+            ("b", d(2024, 2, 1), 7.0),         # separate, later spine
+            ("b", d(2024, 2, 3), None),        # observed-but-null: ffill carries 7
+        ],
+        "k string, day date, v double",
+    )
+    out = {
+        (r["k"], r["day"]): (r["v"], r["observed"])
+        for r in gap_fill(df, ["k"], "day", ["v"]).collect()
+    }
+    assert len(out) == 5 + 3  # a: Jan1-5, b: Feb1-3
+    assert out[("a", d(2024, 1, 1))] == (None, 1)      # leading null stays null
+    assert out[("a", d(2024, 1, 3))] == (10.0, 0)      # gap row, filled
+    assert out[("a", d(2024, 1, 4))] == (10.0, 0)
+    assert out[("a", d(2024, 1, 5))] == (20.0, 1)
+    assert out[("b", d(2024, 2, 2))] == (7.0, 0)       # b's own spine
+    assert out[("b", d(2024, 2, 3))] == (7.0, 1)       # null observation ffilled
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    """added/deleted/changed classification; null-safe compare means
+    null==null is UNCHANGED (dropped) while null->value is changed."""
+    from big_data_analysis_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 9.0), (5, "e", 5.0), (4, "x", 4.0)],
+        "k int, s string, v double",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(rows) == {3, 4, 5}  # 1 identical, 2 null==null -> dropped
+    assert rows[3]["change_type"] == "changed" and rows[3]["new_v"] == 9.0
+    assert rows[4]["change_type"] == "changed"  # null -> 'x' IS a change
+    assert rows[5]["change_type"] == "added" and rows[5]["old_v"] is None
+    deleted = snapshot_diff(new, old, ["k"])
+    assert {r["k"]: r["change_type"] for r in deleted.collect()}[5] == "deleted"
