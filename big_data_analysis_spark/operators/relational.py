@@ -549,3 +549,33 @@ def snapshot_diff(
         *[F.col(f"__old.{c}").alias(f"old_{c}") for c in compare_cols],
         *[F.col(f"__new.{c}").alias(f"new_{c}") for c in compare_cols],
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    temperature_coeff: float,
+    seed: str = "",
+    rate_col: str = "keep_rate",
+) -> DataFrame:
+    """Sqrt-temperature source mixing (the LLM-corpus rebalancer: keep
+    rate proportional to count^(alpha-1) with alpha=0.5, so a source's
+    expected kept size is T*sqrt(count) — giant sources are squashed,
+    small sources pass through nearly whole). Rate per group is
+    min(1, T / sqrt(count_g)); membership uses the engine-portable md5
+    bucket of ``weighted_hash_sample``, so any engine re-derives the
+    kept set row-for-row. alpha=0.5 is deliberate: sqrt is
+    correctly-rounded IEEE everywhere and the rate needs NO
+    cross-source normalizing sum, so the whole computation is
+    bit-reproducible cross-engine (a pow()-based alpha would not be).
+
+    Scale shape: one map-combinable groupBy for the counts (a handful
+    of rows), broadcast back onto the fact table, then a pure codegen
+    filter in the scan stage — no shuffle of the corpus itself."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(temperature_coeff)) / F.sqrt(F.col("__n"))
+    )
+    joined = df.join(F.broadcast(counts), group_col).withColumn(rate_col, rate)
+    return weighted_hash_sample(joined, key_cols, rate_col, seed=seed).drop("__n")

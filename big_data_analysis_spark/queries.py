@@ -2911,3 +2911,70 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.snapshot_diff(o, new, ["o_orderkey"]).select(
         "o_orderkey", "change_type", "old_o_totalprice", "new_o_totalprice"
     )
+
+
+# =========================================================================
+# Sqrt-temperature mixture sampling (relational.mixture_sample): the
+# oracle recomputes each source's keep rate min(1, T/sqrt(count)) and
+# replays the md5 membership test — sqrt and division are IEEE
+# bit-identical across engines, so membership matches row-for-row.
+# =========================================================================
+
+_MIXTURE_ORACLE = """
+WITH counts AS (
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), kept AS (
+    SELECT e.event_id, e.event_type,
+           least(1.0, 8.0 / sqrt(c.n)) AS keep_rate
+    FROM events e JOIN counts c USING (event_type)
+    WHERE ('0x' || substr(md5('temp-v1' || chr(31) || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 < least(1.0, 8.0 / sqrt(c.n)) * 1000000
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       min(keep_rate) AS keep_rate,
+       CAST(min(event_id) AS BIGINT) AS first_kept_id
+FROM kept GROUP BY event_type
+"""
+
+
+@query("mixture_sample_events", _MIXTURE_ORACLE)
+def q_mixture_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the (skewed) event_type distribution with sqrt
+    temperature: expected kept per type is 8*sqrt(count), so the
+    heaviest types are sampled hardest and rare types pass nearly
+    whole. Per-type kept counts, the applied rate, and the first kept
+    id pin both the rate arithmetic and the exact membership."""
+    ev = spread(load_tables(spark, sf_dir, ["events"])["events"])
+    kept = rel.mixture_sample(ev, "event_type", ["event_id"], 8.0, seed="temp-v1")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("keep_rate").alias("keep_rate"),
+        F.min("event_id").alias("first_kept_id"),
+    )
+
+
+@query(
+    "streaming_distinct_users",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 streaming distinct counting, oracle-verified: distinct
+    aggregation is unsupported in streaming, so the engine's two-stage
+    rewrite (watermarked dropDuplicates on (user, window) -> windowed
+    count, chained stateful operators) runs via availableNow and must
+    hash-match the plain count(DISTINCT) SQL."""
+    from big_data_analysis_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        tumbling_distinct_users,
+    )
+
+    stream = tumbling_distinct_users(read_events_stream(spark, sf_dir))
+    result = run_available_now(stream)
+    return result.select(
+        F.col("window_start").cast("date").alias("day"), "n_users"
+    )

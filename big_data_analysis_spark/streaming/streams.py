@@ -417,3 +417,28 @@ def write_stream_upsert(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(f"upsert sink {name!r} still running after {timeout_sec}s")
+
+
+def tumbling_distinct_users(
+    events: DataFrame, duration: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Distinct users per tumbling window. ``count_distinct`` is
+    unsupported inside a streaming aggregation (distinct state is
+    unmergeable across micro-batches), so this uses the canonical
+    two-stage rewrite: dropDuplicates on (user, window) — each user
+    counted once per window, state keyed by the pair and evicted by the
+    watermark — then an ordinary windowed count over the survivors.
+    Chained stateful operators (dedup -> windowed agg) are legal here
+    because both stages key on the same event-time window. The batch
+    twin is the same two stages minus the watermark, equal to
+    count(DISTINCT user_id) per window — which is exactly what the SQL
+    oracle checks."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dedup = src.select(
+        F.window(F.col("ts"), duration).alias("win"), F.col("user_id")
+    ).dropDuplicates(["win", "user_id"])
+    return (
+        dedup.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("win.start").alias("window_start"), "n_users")
+    )

@@ -387,3 +387,22 @@ def test_snapshot_diff_classification_and_null_safety(spark):
     assert rows[5]["change_type"] == "added" and rows[5]["old_v"] is None
     deleted = snapshot_diff(new, old, ["k"])
     assert {r["k"]: r["change_type"] for r in deleted.collect()}[5] == "deleted"
+
+
+def test_mixture_sample_sqrt_temperature(spark):
+    """Skewed groups: the big group is squashed toward T*sqrt(n) kept
+    rows, the tiny group's rate saturates at 1.0 (passes whole), and
+    the kept set is deterministic across calls."""
+    from big_data_analysis_spark.operators.relational import mixture_sample
+
+    rows = [(i, "big") for i in range(4000)] + [(i + 10000, "tiny") for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept = mixture_sample(df, "grp", ["id"], 4.0, seed="t")
+    by_grp = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # big: rate 4/sqrt(4000) ~ 0.0632 -> expect ~253 kept; binomial 5-sigma ~ +-79
+    assert 170 <= by_grp["big"] <= 340
+    assert by_grp["tiny"] == 9  # rate saturates at 1.0
+    rates = {r["grp"]: r["keep_rate"] for r in kept.select("grp", "keep_rate").distinct().collect()}
+    assert rates["tiny"] == 1.0 and abs(rates["big"] - 4.0 / 4000**0.5) < 1e-12
+    again = sorted(r["id"] for r in mixture_sample(df, "grp", ["id"], 4.0, seed="t").collect())
+    assert again == sorted(r["id"] for r in kept.collect())

@@ -370,3 +370,48 @@ def test_stream_upsert_snapshot_matches_batch_merge(spark):
         r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(snap).collect()
     }
     assert got2 == expect
+
+
+def test_streaming_distinct_users_two_batches(spark):
+    """Cross-batch distinct: the same user reappearing in a later
+    micro-batch of the SAME window must not bump the count (dedup state
+    carries), while a new user must. Update-mode memory sink emits one
+    row per window per changing batch — the last emission (= max, the
+    count is monotone) is the answer."""
+    import time
+
+    from big_data_analysis_spark.streaming.streams import (
+        run_available_now,
+        tumbling_distinct_users,
+    )
+
+    src_dir = os.path.join(SCRATCH, "distinct-src")
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 7, 1.0), (2, "2024-01-01 02:00:00", 8, 1.0)],
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(3, "2024-01-01 03:00:00", 7, 1.0),   # duplicate user, same day
+         (4, "2024-01-01 04:00:00", 9, 1.0),   # new user, same day
+         (5, "2024-01-02 01:00:00", 7, 1.0)],  # next day: counts again
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(os.path.join(src_dir, "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    result = run_available_now(
+        tumbling_distinct_users(stream), "distinct_2batch"
+    )
+    import collections
+    final = collections.defaultdict(int)
+    for r in result.collect():
+        final[r["window_start"].date().isoformat()] = max(
+            final[r["window_start"].date().isoformat()], r["n_users"]
+        )
+    assert final == {"2024-01-01": 3, "2024-01-02": 1}, dict(final)
