@@ -576,3 +576,82 @@ def dedup_spans_global(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Edit-distance similarity join (symmetric-delete filter-verify)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """Exact edit-distance similarity join: all pairs with
+    levenshtein(a, b) <= k, id_a < id_b — the entity-resolution staple
+    (near-identical names/titles/SKUs) that a naive implementation
+    writes as a cross join with a per-pair distance call.
+
+    Filter-verify via symmetric-delete blocking (the FastSS / SymSpell
+    family — public, exact): if ed(a, b) <= k then deleting at most k
+    characters from each side can make them EQUAL, so every true pair
+    shares at least one entry in the union of its <=k-deletion variant
+    sets. Candidates are generated by self-joining the variant index on
+    the variant string, then verified with the built-in JVM
+    ``levenshtein`` (sharing a variant proves distance <= 2k, not <= k).
+
+    Why this blocking and not q-gram prefixes (Ed-Join): gram-based
+    filters degrade to all-pairs exactly on the corpora this join is
+    for — near-identical strings (IDs, padded names) where only a
+    couple of gram positions vary and every prefix slot falls back to a
+    ubiquitous gram. A shared deletion variant instead forces the two
+    strings to AGREE on every non-deleted position, so bucket sizes
+    track the true-match density: on 'Customer#00000NNNN' names the
+    candidate set is within a small factor of the true pair set (pinned
+    by a test), never n^2.
+
+    Cost/scale: the index holds O(L^k) variants per string (L+1 for
+    k=1) — generated by k explode rounds, all codegen expressions; the
+    candidate join shuffles on the variant hash (uniform); verification
+    is one JVM levenshtein per DISTINCT candidate pair. Intended for
+    small k (1-2), which is the practical typo/OCR regime; for looser
+    similarity use the Jaccard/MinHash tiers instead."""
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    delete_one = lambda v: F.explode(  # noqa: E731 — local expression helper
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(v), F.lit(1))),
+                lambda i: F.concat(
+                    v.substr(F.lit(1), i - F.lit(1)),
+                    v.substr(i + F.lit(1), F.length(v)),
+                ),
+            )
+        )
+    )
+    variants = base.select("id", "s", F.col("s").alias("v"))
+    frontier = variants
+    for _ in range(k):
+        frontier = frontier.select("id", "s", delete_one(F.col("v")).alias("v"))
+        variants = variants.unionByName(frontier)
+    index = variants.dropDuplicates(["id", "v"])
+    a, b = index.alias("a"), index.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s"))) <= k),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.levenshtein("s_a", "s_b") <= k).select(
+        "id_a", "id_b", F.levenshtein("s_a", "s_b").alias("dist")
+    )

@@ -2978,3 +2978,32 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("window_start").cast("date").alias("day"), "n_users"
     )
+
+
+# =========================================================================
+# Edit-distance similarity join (dedup.edit_distance_pairs):
+# symmetric-delete blocking + levenshtein verify on customer names. The
+# oracle is
+# the brute-force recompute — every (a,b) with distance <= 1 — so any
+# false negative from the blocking would hash-mismatch instantly.
+# =========================================================================
+
+_EDIT_PAIRS_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("fuzzy_name_pairs", _EDIT_PAIRS_ORACLE)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1, via
+    symmetric-delete blocking (never a cross join). ID-like names are
+    the worst case for gram-based blocking — nearly every gram is
+    shared — but a common deletion variant forces agreement on all
+    non-deleted positions, so candidates track the true pair density
+    (the bounds test pins the factor)."""
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return dd.edit_distance_pairs(c, "c_name", "c_custkey", k=1)
