@@ -1,0 +1,82 @@
+"""Iterative graph operators.
+
+The engine already resolves duplicate GROUPS via min-label propagation
+(dedup.connected_components). This module adds PageRank — the
+importance-scoring side of graph analytics (domain authority for
+corpus quality weighting, entity salience) — with the same iterative
+DataFrame discipline: each round is a join + groupBy expressed
+declaratively, and ``localCheckpoint`` truncates the lineage so the
+plan does not grow exponentially with iterations (the classic failure
+of naive iterative Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    damping: float = 0.85,
+    check_dangling: bool = True,
+) -> DataFrame:
+    """PageRank over a directed edge list: ``iterations`` rounds of
+    r(v) <- (1-d)/N + d * sum over in-edges (u,v) of r(u)/outdeg(u),
+    from a uniform start. Returns (node, rank).
+
+    Requires every node to have at least one OUT-edge (undirected /
+    bipartite graphs satisfy this by construction — feed both edge
+    directions); with dangling nodes this recurrence leaks rank mass,
+    so they are rejected up front unless ``check_dangling=False``.
+
+    Scale shape: the edge list (joined once with out-degrees) is
+    localCheckpointed and reused every round; each iteration is one
+    shuffle-join of edges against the current ranks plus one
+    map-combinable groupBy on dst — both partition on node ids, no
+    all-pairs anything. Ranks are localCheckpointed per round: the
+    iteration count stays out of the plan depth, which is what makes
+    20-iteration runs viable on a real cluster. A fixed iteration
+    count (not a convergence test) keeps the whole run deterministic
+    and replayable."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if check_dangling and outdeg.count() < n:
+        raise ValueError(
+            "pagerank: graph has dangling nodes (no out-edges); add "
+            "reverse edges or pass check_dangling=False to accept rank "
+            "mass leaking"
+        )
+    # Keep the out-degree (not a precomputed reciprocal): the per-edge
+    # contribution must be the single division rank/deg so independent
+    # recomputations (the SQL oracle) get bit-identical terms.
+    weighted = e.join(outdeg, "src").localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(iterations):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("__contrib"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -579,3 +579,25 @@ def mixture_sample(
     )
     joined = df.join(F.broadcast(counts), group_col).withColumn(rate_col, rate)
     return weighted_hash_sample(joined, key_cols, rate_col, seed=seed).drop("__n")
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_col: str = "variable",
+    val_col: str = "value",
+) -> DataFrame:
+    """Wide-to-long reshape (pandas ``melt``): each input row becomes
+    len(value_cols) rows of (ids..., variable name, value). Wraps the
+    built-in ``unpivot``, which lowers to an Expand node — one codegen
+    projection emitting N rows per input row, no shuffle, no join, and
+    column pruning still reaches the scan (only id+value columns are
+    read). Values are cast to their common promoted type, as in SQL
+    UNPIVOT. The inverse is ``pivot_agg``."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_col,
+        val_col,
+    )

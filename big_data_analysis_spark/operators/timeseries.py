@@ -415,3 +415,38 @@ def gap_fill(
         .withColumn(observed_col, F.coalesce(F.col("__obs"), F.lit(0)))
         .drop("__obs")
     )
+
+
+def add_range_agg(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    window_seconds: int,
+    partition_by: Sequence[str],
+    aggs: Sequence[str] = ("sum", "count"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Trailing EVENT-TIME window aggregates: for each row, aggregate
+    ``value_col`` over the partition's rows whose ``time_col`` falls in
+    [t - window_seconds, t] — a RANGE frame over the epoch, not a ROWS
+    frame. This is the feature ROWS frames (add_trailing_mean) cannot
+    express: 'spend in the last 30 days' depends on the *timestamps*,
+    not on how many observations happen to precede the row; irregular
+    series make the two semantics arbitrarily different.
+
+    One shuffle on ``partition_by``; the frame is evaluated with
+    Spark's sliding window accumulation inside the sort — no
+    self-join, no explode. Rows sharing a timestamp are frame PEERS:
+    each sees the full peer group's contribution (standard RANGE
+    semantics in every engine, and the determinism condition: the
+    result does not depend on peer order)."""
+    pre = prefix if prefix is not None else f"{value_col}_{window_seconds}s"
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(time_col).cast("timestamp").cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    fns = {"sum": F.sum, "count": F.count, "avg": F.avg, "min": F.min, "max": F.max}
+    return df.withColumns(
+        {f"{pre}_{a}": fns[a](F.col(value_col)).over(w) for a in aggs}
+    )

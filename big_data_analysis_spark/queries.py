@@ -3007,3 +3007,138 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bounds test pins the factor)."""
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
     return dd.edit_distance_pairs(c, "c_name", "c_custkey", k=1)
+
+
+# =========================================================================
+# Event-time RANGE window (timeseries.add_range_agg): per-customer
+# trailing 30-day spend. Window SUMs of doubles are NOT summation-order
+# -stable across engines (DuckDB uses segment trees, Spark accumulates
+# in sort order), so the summed measure is integer cents — exact in
+# both — divided back to currency once, outside the window.
+# =========================================================================
+
+_RANGE_AGG_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_orderdate AS DATE) AS order_day,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS spend_30d,
+       CAST(count(*) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_orders_30d
+FROM orders
+"""
+
+
+@query("range_window_spend", _RANGE_AGG_ORACLE)
+def q_range_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing 30-day spend and order count at every
+    order event — the event-time RANGE feature a ROWS frame cannot
+    express on irregular order histories."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
+        "__cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    out = ts.add_range_agg(
+        o,
+        "__cents",
+        "o_orderdate",
+        30 * 86400,
+        ["o_custkey"],
+        aggs=("sum", "count"),
+        prefix="w30",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        (F.col("w30_sum") / 100.0).alias("spend_30d"),
+        F.col("w30_count").alias("n_orders_30d"),
+    )
+
+
+@query(
+    "melt_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def q_melt_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of part's numeric columns (the reshape
+    every profiling/plotting step wants). Values promote to double;
+    the Expand node emits both rows per part in one scan pass."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    return rel.melt(
+        p, ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+# =========================================================================
+# PageRank (operators/graph.py) on the bipartite customer-supplier
+# trade graph. The oracle unrolls the SAME fixed-iteration recurrence
+# as a generated CTE chain; both engines compute identical IEEE terms
+# ((1-d)/N, rank/deg, d*sum), and the per-node sums differ only by
+# summation order — last-ulp noise that 8 iterations amplify to at
+# most ~1e-15 relative, absorbed by the final round(rank, 8).
+# =========================================================================
+
+
+def _pagerank_oracle(iters: int = 8, d: float = 0.85) -> str:
+    sql = """
+WITH edges AS (
+    SELECT DISTINCT o_custkey AS src, 10000000 + l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM bi UNION ALL SELECT dst FROM bi)
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+"""
+    for i in range(1, iters + 1):
+        sql += f"""r{i} AS (
+    SELECT nodes.node,
+           CAST({1.0 - d!r} AS DOUBLE) / nn.n
+             + CAST({d!r} AS DOUBLE) * coalesce(s.contrib, CAST(0.0 AS DOUBLE)) AS rank
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT bi.dst AS node, sum(r{i-1}.rank / outdeg.deg) AS contrib
+        FROM bi JOIN r{i-1} ON bi.src = r{i-1}.node
+        JOIN outdeg ON bi.src = outdeg.src
+        GROUP BY bi.dst
+    ) s ON nodes.node = s.node
+),
+"""
+    return sql.rstrip().rstrip(",") + f"\nSELECT node, round(rank, 8) AS rank FROM r{iters}"
+
+
+@query("pagerank_trade_graph", _pagerank_oracle())
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected bipartite trade graph (customers
+    <-> suppliers they transacted with, both edge directions so no
+    node dangles). Importance concentrates on high-degree suppliers —
+    the corpus-weighting / entity-salience pattern at warehouse
+    scale."""
+    from big_data_analysis_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    fwd = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(bi, iterations=8)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -284,3 +284,37 @@ def test_edit_distance_delete_blocking_bounds_candidates(spark):
     # (small constant factor), not n^2 like gram blocking here.
     assert true_pairs <= n_cands <= true_pairs * 3
     assert n_cands < n * (n - 1) / 2 * 0.2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Hand graph vs dense numpy power iteration (same fixed-iteration
+    recurrence): ranks agree to float tolerance, mass sums to ~1, and
+    the hub out-scores the spokes. Dangling nodes are rejected."""
+    import numpy as np
+    import pytest
+
+    from big_data_analysis_spark.operators.graph import pagerank
+
+    # star + tail, undirected (both directions -> no dangling)
+    und = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=12).collect()}
+
+    n, d, iters = 5, 0.85, 12
+    adj = np.zeros((n, n))
+    for a, b in und:
+        adj[a, b] = adj[b, a] = 1.0
+    m = adj / adj.sum(axis=1, keepdims=True)   # row-stochastic
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (m.T @ r)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] == max(got.values())
+
+    dangling = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(dangling)

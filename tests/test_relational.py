@@ -406,3 +406,19 @@ def test_mixture_sample_sqrt_temperature(spark):
     assert rates["tiny"] == 1.0 and abs(rates["big"] - 4.0 / 4000**0.5) < 1e-12
     again = sorted(r["id"] for r in mixture_sample(df, "grp", ["id"], 4.0, seed="t").collect())
     assert again == sorted(r["id"] for r in kept.collect())
+
+
+def test_melt_shape_nulls_and_no_shuffle(spark):
+    """melt emits one row per (id, value col) incl. nulls, promotes to
+    the common type, and lowers to an Expand with no Exchange."""
+    from big_data_analysis_spark.operators.relational import melt
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, None, 2.5)], "id int, a int, b double"
+    )
+    out = melt(df, ["id"], ["a", "b"], "var", "val")
+    rows = {(r["id"], r["var"]): r["val"] for r in out.collect()}
+    assert rows == {(1, "a"): 10.0, (1, "b"): 1.5, (2, "a"): None, (2, "b"): 2.5}
+    assert dict(out.dtypes)["val"] == "double"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Exchange" not in plan

@@ -284,3 +284,30 @@ def test_ewma_truncation_and_leakage_shift(spark, series_df):
     ys = [r["y"] for r in rows]
     got = [r["y_ewma"] for r in rows]
     assert got[0] is None and got[1:] == ys[:-1]
+
+
+def test_range_agg_event_time_vs_rows_and_peers(spark):
+    """RANGE frame semantics: the trailing window follows timestamps
+    (a long gap empties it — a ROWS frame would not), and rows sharing
+    a timestamp are peers that each see the full peer-group sum."""
+    from big_data_analysis_spark.operators.timeseries import add_range_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10),
+            (2, "2024-01-01 00:00:30", 5),
+            (3, "2024-01-01 00:02:00", 2),    # 60s window: only itself + none
+            (4, "2024-01-01 00:02:00", 3),    # peer of row 3
+        ],
+        "id int, ts string, v int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["id"]: (r["w_sum"], r["w_count"])
+        for r in add_range_agg(
+            df.withColumn("k", F.lit("g")), "v", "ts", 60, ["k"],
+            aggs=("sum", "count"), prefix="w",
+        ).collect()
+    }
+    assert out[1] == (10, 1)
+    assert out[2] == (15, 2)          # 30s apart: inside 60s window
+    assert out[3] == (5, 2) and out[4] == (5, 2)  # gap emptied it; peers share
