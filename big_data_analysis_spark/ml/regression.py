@@ -163,3 +163,25 @@ def rff_kernel_regressor(
         elasticNetParam=0.0,
     )
     return lr.fit(mapped), mapped
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression in ONE aggregate pass: the
+    built-in ``regr_slope`` / ``regr_intercept`` / ``regr_r2`` /
+    ``regr_count`` aggregates compute every group's closed-form OLS fit
+    map-side-combinably — millions of per-entity trend lines (price
+    drift per SKU, engagement slope per user cohort) without fitting
+    millions of models or shuffling anything but the group keys. This
+    is the scale path for 'fit a line per key'; the Spark ML
+    ``linear_regressor`` path is for the multi-feature case."""
+    return df.groupBy(*group_cols).agg(
+        F.regr_slope(F.col(y_col), F.col(x_col)).alias("slope"),
+        F.regr_intercept(F.col(y_col), F.col(x_col)).alias("intercept"),
+        F.regr_r2(F.col(y_col), F.col(x_col)).alias("r2"),
+        F.regr_count(F.col(y_col), F.col(x_col)).alias("n_obs"),
+    )

@@ -601,3 +601,33 @@ def melt(
         var_col,
         val_col,
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str],
+    z: float = 3.0,
+    zscore_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score outlier detection: one map-combinable
+    aggregate computes each group's mean and sample stddev, broadcast
+    back onto the rows (the group cardinality is tiny relative to the
+    facts), and rows with |x - mu| > z * sigma survive. The
+    z-score itself is kept for ranking/inspection. Groups with zero
+    variance (sigma = 0 or a single row) produce no outliers — null
+    stddev is filtered, not propagated. Same single-pass shape as
+    ``iqr_outlier_filter`` but parametric; at 100 TB the stats pass
+    and the filter pass are each one scan, no sort."""
+    stats = df.groupBy(*group_by).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sigma"),
+    )
+    joined = df.join(F.broadcast(stats), list(group_by))
+    score = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        joined.withColumn(zscore_col, score)
+        .filter(F.col("__sigma") > 0)
+        .filter(F.abs(F.col(zscore_col)) > z)
+        .drop("__mu", "__sigma")
+    )

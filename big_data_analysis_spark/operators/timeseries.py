@@ -450,3 +450,29 @@ def add_range_agg(
     return df.withColumns(
         {f"{pre}_{a}": fns[a](F.col(value_col)).over(w) for a in aggs}
     )
+
+
+def add_rolling_median(
+    df: DataFrame,
+    cols: Sequence[str],
+    n: int,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    shift: int = 0,
+) -> DataFrame:
+    """Trailing rolling MEDIAN over the last ``n`` rows (pandas
+    ``rolling(n, min_periods=1).median()``; ``shift=1`` excludes the
+    current row for the leakage-safe variant). Unlike rolling sums and
+    means, an exact percentile is a SELECTION (plus one midpoint
+    average for even frames) — no accumulation — so the result is
+    bit-identical on any engine regardless of summation order, which
+    is why the oracle needs no rounding. The robust-smoothing twin of
+    ``add_trailing_mean``: a single spike moves the mean but not the
+    median."""
+    w = _window(partition_by, order_by).rowsBetween(-(n - 1) - shift, -shift)
+    return df.withColumns(
+        {
+            f"{c}_med{n}": F.expr(f"percentile({c}, 0.5)").over(w)
+            for c in cols
+        }
+    )

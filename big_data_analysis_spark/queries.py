@@ -3142,3 +3142,155 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(bi, iterations=8)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+# =========================================================================
+# Wave 5: robust rolling stats, per-group OLS, cohort retention,
+# parametric outliers.
+# =========================================================================
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+    SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, d, revenue,
+       quantile_cont(revenue, 0.5) OVER (
+           PARTITION BY o_orderpriority ORDER BY d
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS revenue_med7
+FROM daily
+"""
+
+
+@query("rolling_median_revenue", _ROLLING_MEDIAN_ORACLE)
+def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily revenue per order priority — the
+    robust trend line. Needs no rounding games: an exact windowed
+    percentile is a selection, bit-identical on every engine."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return ts.add_rolling_median(
+        daily, ["revenue"], 7, ["d"], ["o_orderpriority"]
+    ).withColumnRenamed("revenue_med7", "revenue_med7").select(
+        "o_orderpriority", "d", "revenue", F.col("revenue_med7")
+    )
+
+
+_GROUPED_OLS_ORACLE = """
+SELECT n_name,
+       round(regr_slope(o_totalprice, x), 6) AS slope,
+       round(regr_intercept(o_totalprice, x), 2) AS intercept,
+       round(regr_r2(o_totalprice, x), 6) AS r2,
+       CAST(regr_count(o_totalprice, x) AS BIGINT) AS n_obs
+FROM (
+    SELECT n_name, o_totalprice,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS DOUBLE) AS x
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+"""
+
+
+@query("grouped_ols_nation_trend", _GROUPED_OLS_ORACLE)
+def q_grouped_ols_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value trend line per nation in one aggregate pass:
+    closed-form OLS via regr_* aggregates (slope per day since
+    1995-01-01). 'Fit a line per key' without fitting models per key —
+    the per-entity trend pattern at warehouse scale."""
+    from big_data_analysis_spark.ml.regression import grouped_ols
+
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    obs = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "o_totalprice",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .cast("double")
+            .alias("x"),
+        )
+    )
+    out = grouped_ols(obs, ["n_name"], "x", "o_totalprice")
+    return out.select(
+        "n_name",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.col("n_obs"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH first_order AS (
+    SELECT o_custkey,
+           date_trunc('month', min(o_orderdate)) AS cohort_month
+    FROM orders GROUP BY o_custkey
+), activity AS (
+    SELECT DISTINCT o.o_custkey, f.cohort_month,
+           date_trunc('month', o.o_orderdate) AS activity_month
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+)
+SELECT CAST(cohort_month AS DATE) AS cohort_month,
+       CAST(datediff('month', cohort_month, activity_month) AS INT) AS age_months,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention_orders", _COHORT_ORACLE)
+def q_cohort_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention matrix: customers grouped by
+    first-order month, counted once per later month they were active.
+    Two shuffles total — the min-per-customer aggregate and the
+    (cohort, age) count; the dedup rides the second groupBy's keys."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    activity = (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.date_trunc("month", F.col("o_orderdate")).alias("activity_month"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_month").cast("date").alias("cohort_month"),
+        F.months_between(F.col("activity_month"), F.col("cohort_month"))
+        .cast("int")
+        .alias("age_months"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sigma, 4) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 2.5
+"""
+
+
+@query("zscore_outlier_events", _ZSCORE_ORACLE)
+def q_zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric per-type outliers: |z| > 2.5 against each event
+    type's own mean/stddev — one stats pass broadcast back, one filter
+    pass."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = rel.zscore_outliers(ev, "value", ["event_type"], z=2.5)
+    return out.select(
+        "event_id", "event_type", "value", F.round("zscore", 4).alias("zscore")
+    )

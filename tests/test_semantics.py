@@ -311,3 +311,65 @@ def test_range_agg_event_time_vs_rows_and_peers(spark):
     assert out[1] == (10, 1)
     assert out[2] == (15, 2)          # 30s apart: inside 60s window
     assert out[3] == (5, 2) and out[4] == (5, 2)  # gap emptied it; peers share
+
+
+def test_rolling_median_matches_pandas_and_resists_spikes(spark):
+    """Trailing median == pandas rolling(n, min_periods=1).median();
+    a single spike that drags the mean leaves the median unmoved."""
+    import pandas as pd
+
+    from big_data_analysis_spark.operators.timeseries import (
+        add_rolling_median,
+        add_trailing_mean,
+    )
+
+    vals = [10.0, 11.0, 9.0, 1000.0, 10.0, 12.0, 11.0, 9.0]
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["t"]: r["v_med3"]
+        for r in add_rolling_median(
+            df.withColumn("__g", F.lit(1)), ["v"], 3, ["t"], ["__g"]
+        ).collect()
+    }
+    want = pdf["v"].rolling(3, min_periods=1).median()
+    for t in range(len(vals)):
+        assert got[t] == want[t], (t, got[t], want[t])
+    # the spike at t=3 sits in t=4's window [9, 1000, 10]: the mean
+    # blows past 300 while the median stays at the central 10
+    mean_row = add_trailing_mean(
+        df.withColumn("__g", F.lit(1)), ["v"], [3], ["t"], ["__g"]
+    ).filter(F.col("t") == 4).head()
+    assert got[4] == 10.0 and mean_row["v_ma3"] > 300
+
+
+def test_grouped_ols_recovers_known_lines(spark):
+    """Two groups with exact linear data: slope/intercept recovered to
+    float precision, r2 == 1, and a noisy group gets r2 < 1."""
+    from big_data_analysis_spark.ml.regression import grouped_ols
+
+    rows = [("a", float(x), 2.0 * x + 5.0) for x in range(10)]
+    rows += [("b", float(x), -1.5 * x + 3.0) for x in range(10)]
+    rows += [("c", float(x), x + (1.0 if x % 2 else -1.0)) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert abs(got["a"]["slope"] - 2.0) < 1e-12 and abs(got["a"]["intercept"] - 5.0) < 1e-12
+    assert abs(got["b"]["slope"] + 1.5) < 1e-12
+    assert abs(got["a"]["r2"] - 1.0) < 1e-12
+    assert got["c"]["r2"] < 1.0 and got["c"]["n_obs"] == 10
+
+
+def test_zscore_outliers_flags_and_zero_variance(spark):
+    """The planted outlier is flagged with the right z-score; a
+    zero-variance group yields no outliers instead of NaN/error."""
+    from big_data_analysis_spark.operators.relational import zscore_outliers
+
+    rows = [(i, "g1", 10.0) for i in range(20)] + [(100, "g1", 10.0)]
+    rows = [(i, "g1", float(v)) for i, v in enumerate([9, 10, 11, 10, 9, 11, 10, 9, 11, 10])]
+    rows += [(99, "g1", 50.0)]                      # clear outlier
+    rows += [(200 + i, "flat", 7.0) for i in range(5)]  # sigma == 0
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = zscore_outliers(df, "v", ["g"], z=2.5)
+    got = out.collect()
+    assert [r["id"] for r in got] == [99]
+    assert got[0]["zscore"] > 2.5
