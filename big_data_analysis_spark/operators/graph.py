@@ -80,3 +80,67 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    (edges may arrive in either/both directions and with duplicates —
+    they are canonicalized first). Returns (node, n_triangles) for
+    every node in at least one triangle.
+
+    Scale shape — the degree-orientation trick that makes distributed
+    triangle counting tractable: orient every edge from its
+    lower-(degree, id) endpoint to its higher one. Each triangle then
+    has exactly one 'pivot' enumeration, and the wedge join
+    e1(a,b) ⋈ e2(b,c) fans out per node by its OUT-degree under this
+    orientation, which is bounded by O(sqrt(|E|)) even for hub nodes
+    (a hub's edges mostly point INTO it) — the n^2 wedge explosion on
+    skewed graphs becomes O(E^1.5) total work, the node-iterator
+    optimum. Wedges are then confirmed by one more join against the
+    oriented edge list. The tiny orientation result is identical to
+    sorting by id on a degree-regular graph, so an id-oriented SQL
+    enumeration is a valid oracle: the triangle SET is
+    orientation-independent."""
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    wedges = ranked.alias("e1").join(
+        ranked.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"), "b"
+    )
+    tri = wedges.join(
+        ranked.select(F.col("a"), F.col("b").alias("c")).alias("e3"), ["a", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

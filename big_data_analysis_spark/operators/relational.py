@@ -631,3 +631,69 @@ def zscore_outliers(
         .filter(F.abs(F.col(zscore_col)) > z)
         .drop("__mu", "__sigma")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str],
+    k: float = 3.5,
+    z_col: str = "robust_z",
+) -> DataFrame:
+    """Robust per-group outliers via the median absolute deviation:
+    flag rows with |x - median| > k * 1.4826 * MAD (1.4826 scales MAD
+    to sigma under normality, so k is comparable to a z threshold).
+    Unlike ``zscore_outliers`` the estimator itself is outlier-proof —
+    one wild value inflates a stddev and hides itself, but moves a
+    median not at all. Cost: two exact-percentile aggregate passes
+    (median, then MAD of the residuals) whose tiny per-group results
+    broadcast back onto the facts; exact percentiles are selections,
+    so the stats are engine-bit-identical. Zero-MAD groups (a constant
+    majority) produce no outliers rather than dividing by zero."""
+    med = df.groupBy(*group_by).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    j = df.join(F.broadcast(med), list(group_by))
+    mad = j.groupBy(*group_by).agg(
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    j2 = j.join(F.broadcast(mad), list(group_by))
+    z = (F.col(value_col) - F.col("__med")) / (F.lit(1.4826) * F.col("__mad"))
+    return (
+        j2.filter(F.col("__mad") > 0)
+        .withColumn(z_col, z)
+        .filter(F.abs(F.col(z_col)) > k)
+        .drop("__med", "__mad")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip values into the group's
+    [lower_q, upper_q] exact quantiles instead of dropping them — the
+    outlier treatment that preserves row count (``iqr_outlier_filter``
+    and ``mad_outliers`` are the dropping/flagging siblings). One
+    percentile aggregate per group broadcast back, then a pure
+    least/greatest clamp — no sort of the fact table, no second
+    shuffle. At 100 TB swap ``percentile`` for ``approx_percentile``
+    at the call site if the per-group exact sort-spill matters; the
+    clamp itself is unchanged."""
+    q = df.groupBy(*group_by).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("__hi"),
+    )
+    out = out_col or f"{value_col}_w"
+    return (
+        df.join(F.broadcast(q), list(group_by))
+        .withColumn(
+            out,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -476,3 +476,80 @@ def add_rolling_median(
             for c in cols
         }
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached stage i, where
+    reaching means an event of stages[i] STRICTLY AFTER the timestamp
+    that qualified them for stage i-1 (first-touch semantics — the
+    earliest qualifying event per stage is the anchor, matching the
+    classic product-analytics definition). Returns one row per stage:
+    (stage_idx, stage, n_users).
+
+    Build shape: stage i is a join of the (already tiny) stage-i-1
+    user set against a type-filtered slice of the events, then a
+    min-per-user aggregate — each stage shrinks, so the chain of
+    joins gets cheaper as it goes; the per-stage counts are 1-row
+    aggregates unioned lazily into one DAG (the driver loop builds
+    plan, not data)."""
+    cur = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    out = None
+    for i, stage in enumerate(stages):
+        if i > 0:
+            cur = (
+                df.filter(F.col(type_col) == stage)
+                .join(cur.select(user_col, F.col("__t").alias("__prev_t")), user_col)
+                .filter(F.col(ts_col) > F.col("__prev_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        row = cur.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: order each
+    user's events by time (plus ``tiebreak`` columns for deterministic
+    ordering under equal timestamps), pair each event with its
+    predecessor via lag, and estimate P(to|from) as the empirical
+    fraction. Returns (from_state, to_state, n_transitions, p).
+
+    One window shuffle on user_col, one groupBy on the (tiny)
+    state-pair space, and the row-normalization runs as a window sum
+    over that tiny aggregate — nothing re-touches the fact table."""
+    w = _window([user_col], [F.col(ts_col), *[F.col(c) for c in tiebreak]])
+    pairs = (
+        df.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_state"),
+            F.col(type_col).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "p",
+        F.col("n_transitions") / F.sum("n_transitions").over(total),
+    )

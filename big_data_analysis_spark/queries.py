@@ -3294,3 +3294,165 @@ def q_zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "value", F.round("zscore", 4).alias("zscore")
     )
+
+
+# =========================================================================
+# Wave 6: product analytics (funnel, Markov), graph triangles, robust
+# outlier treatments.
+# =========================================================================
+
+_FUNNEL_ORACLE = """
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+"""
+
+
+@query("funnel_events", _FUNNEL_ORACLE)
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel with first-touch
+    anchors: each stage requires an event strictly after the
+    timestamp that qualified the user for the previous stage."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ts.funnel_counts(
+        ev, ["view", "click", "purchase"], "user_id", "ts", "event_type"
+    )
+
+
+_MARKOV_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type AS from_state, event_type AS to_state,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query("markov_event_transitions", _MARKOV_ORACLE)
+def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream (event_id tiebreak makes the ordering
+    deterministic under equal timestamps)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = ts.markov_transitions(ev, "user_id", "ts", "event_type", ["event_id"])
+    return out.select(
+        "from_state", "to_state", "n_transitions", F.round("p", 6).alias("p")
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
+@query("triangle_copurchase", _TRIANGLE_ORACLE)
+def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-purchase graph (parts
+    sharing an order are adjacent). The engine orients edges by
+    degree (the O(E^1.5) node-iterator bound); the oracle enumerates
+    by id — the triangle SET is orientation-independent, so the
+    counts must hash-match."""
+    from big_data_analysis_spark.operators.graph import triangle_counts
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    edges = a.join(
+        li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")),
+        "k",
+    ).filter(F.col("src") < F.col("dst"))
+    return triangle_counts(edges)
+
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+FROM events e
+JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND abs((e.value - m.med) / (1.4826 * d.mad)) > 2.5
+"""
+
+
+@query("mad_outlier_events", _MAD_ORACLE)
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |x - median| > 2.5 * 1.4826 * MAD.
+    The estimator ignores the outliers it hunts — contrast
+    zscore_outlier_events, where a wild value inflates sigma."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = rel.mad_outliers(ev, "value", ["event_type"], k=2.5)
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("robust_z", 4).alias("robust_z"),
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH q AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.01) AS lo,
+           quantile_cont(l_extendedprice, 0.99) AS hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(least(greatest(l.l_extendedprice, q.lo), q.hi), 4) AS price_w
+FROM lineitem l JOIN q USING (l_returnflag)
+"""
+
+
+@query("winsorize_prices", _WINSORIZE_ORACLE)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization of extended price into the
+    [p01, p99] band — outlier treatment that keeps every row. Clipped
+    values are either originals (exact) or group percentiles; the
+    round(4) absorbs the engines' interpolation-order ulp."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    out = rel.winsorize(li, "l_extendedprice", ["l_returnflag"], 0.01, 0.99)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_extendedprice_w", 4).alias("price_w"),
+    )

@@ -373,3 +373,97 @@ def test_zscore_outliers_flags_and_zero_variance(spark):
     got = out.collect()
     assert [r["id"] for r in got] == [99]
     assert got[0]["zscore"] > 2.5
+
+
+def test_funnel_counts_respects_event_order(spark):
+    """A user whose purchase precedes the click does NOT reach the
+    purchase stage; first-touch anchors are the earliest qualifiers."""
+    from big_data_analysis_spark.operators.timeseries import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: purchase BEFORE click -> stops at click
+        (2, 10, "view"), (2, 30, "click"), (2, 20, "purchase"),
+        # u3: click with no prior view -> never enters
+        (3, 10, "click"), (3, 20, "purchase"),
+        # u4: view only
+        (4, 10, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], "user_id", "ts", "event_type"
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_markov_transitions_probabilities(spark):
+    """Known chain: a->b twice, a->c once => P(b|a)=2/3 exactly."""
+    from big_data_analysis_spark.operators.timeseries import markov_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["p"])
+        for r in markov_transitions(df, "user_id", "ts", "event_type").collect()
+    }
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "c")] == (1, 1 / 3)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got  # chain ends don't transition across users
+
+
+def test_triangle_counts_canonicalization_and_known_graph(spark):
+    """K4 minus one edge = 2 triangles; duplicated / reversed / self
+    edges must not change the answer. Shared edge's endpoints sit in
+    both triangles."""
+    from big_data_analysis_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (2, 4), (3, 4), (3, 2), (4, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    # triangles: (1,2,3) and (2,3,4); edge 2-3 shared
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_mad_outliers_resist_masking(spark):
+    """A 1000x spike is flagged by MAD but masks itself from the
+    z-score rule: one spike among n rows can reach at most
+    z = (n-1)/sqrt(n) ~ 2.67 here, so it stays under z=2.8 while its
+    robust z is in the thousands."""
+    from big_data_analysis_spark.operators.relational import (
+        mad_outliers,
+        zscore_outliers,
+    )
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0, 9.0, 10000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    mad_hits = mad_outliers(df, "value", ["grp"], k=3.5).collect()
+    assert [r["value"] for r in mad_hits] == [10000.0]
+    z_hits = zscore_outliers(df, "value", ["grp"], z=2.8).collect()
+    assert z_hits == []  # masked: the spike owns the stddev
+
+
+def test_winsorize_preserves_rows_and_clips(spark):
+    """Row count unchanged; min/max of the output equal the group's
+    p01/p99; interior values untouched."""
+    from big_data_analysis_spark.operators.relational import winsorize
+
+    vals = [float(x) for x in range(1, 101)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, value double")
+    out = winsorize(df, "value", ["grp"], 0.05, 0.95)
+    rows = out.collect()
+    assert len(rows) == 100
+    ws = [r["value_w"] for r in rows]
+    # percentile(0.05) of 1..100 = 5.95, percentile(0.95) = 95.05
+    assert min(ws) == 5.95 and max(ws) == 95.05
+    interior = [r for r in rows if 6 <= r["value"] <= 95]
+    assert all(r["value_w"] == r["value"] for r in interior)
