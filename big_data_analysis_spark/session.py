@@ -51,6 +51,7 @@ def get_spark(
         # parquet reader rejects; read as long and let io.read_parquet
         # restore micros-timestamp semantics from the footer schema.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Spark 4 whitelists charsets in encode/decode; the reference's
         # sources are GBK/GB18030 (SURVEY.md §2.1 S2/S3) — restore the
         # full Java charset set for the binary-decode CSV path.
