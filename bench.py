@@ -4,9 +4,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver collect bottleneck). The first query absorbs JVM/session warmup;
-a tiny warmup action runs first so per-query numbers reflect plan
-execution, not session startup.
+driver collect bottleneck). A tiny warmup action runs first so
+per-query numbers reflect plan execution, not session startup; each
+query then runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the per-query MEDIAN, so one noisy run in a contended sandbox cannot
+fabricate a regression (r2 lesson: a single-shot bench drifted +34%
+on unchanged code).
 """
 
 from __future__ import annotations
@@ -77,16 +80,27 @@ def warmup(spark) -> None:
             pass
 
 
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
 def main() -> None:
     spark = get_spark("bdas-bench")
     warmup(spark)
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        start = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - start, 3)
+    # Round-robin over the query set rather than back-to-back reps of
+    # the same query: transient sandbox contention then hits rep k of
+    # MANY queries instead of all reps of one, which the median rejects.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _rep in range(REPS):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            start = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            samples[name].append(time.perf_counter() - start)
+
+    timings = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
