@@ -143,6 +143,24 @@ def test_spread_restores_parallelism(spark, sf_dir):
     assert spread(d).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
 
 
+def test_spread_is_noop_on_parallel_input(spark):
+    """The 100 TB contract: an input that already scans with adequate
+    parallelism must pass through spread() UNCHANGED — no round-robin
+    Exchange ahead of map-side work. (A many-filed petabyte table
+    arrives as thousands of splits; repartitioning it would shuffle
+    the entire table for nothing.)"""
+    from big_data_analysis_spark.io import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1_000_000, 1, numPartitions=par)
+    out = spread(wide)
+    assert out is wide  # identity, not merely same partition count
+    assert "Exchange" not in formatted_plan(out.select("id"))
+
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    assert spread(narrow).rdd.getNumPartitions() == par
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """The as-of union trick must cost exactly ONE Exchange (the window
     partitioning) — the whole point over a join-then-argmax plan."""
