@@ -7,4 +7,8 @@ Modules:
 - kernel       : random Fourier features — RBF-kernel approximation for the
                  LinearSVC/LinearRegression gap (M7/M14)
 - inference    : Arrow-batched batch model inference (M25)
+- evaluation   : ROC / calibration / gains / chi² / entropy-gain as pure
+                 DataFrame aggregations (M15/M17 adjacency)
+- features     : column-level encodings and scalings that stay plain
+                 DataFrame columns (M1 adjacency)
 """

@@ -4,8 +4,12 @@ sklearn metric tables it prints).
 
 Everything here is a pure DataFrame aggregation — no model object, no
 driver-side loops — so each op runs on a billion scored rows the same
-way it runs on a thousand: one or two shuffles, all arithmetic inside
-whole-stage codegen.
+way it runs on a thousand. The scale contract all four table ops share:
+the only global window runs over the DISTINCT-SCORE (or per-bucket)
+aggregate, never the raw rows, so the single-partition sort that a
+naive percent_rank/ntile would force is bounded by |distinct scores|,
+not |rows|. Divisions use try_divide so degenerate inputs (single-class
+labels) yield nulls instead of an ANSI DIVIDE_BY_ZERO.
 """
 
 from __future__ import annotations
@@ -14,19 +18,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def roc_curve(
-    df: DataFrame, label_col: str, score_col: str
-) -> DataFrame:
+def _per_score(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """One map-side-combined groupBy(score): ties collapse BEFORE the
+    shuffle, so every downstream window ranks |distinct scores| rows."""
+    return df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(label_col).cast("long")).alias("__pos"),
+    )
+
+
+def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     """M17 as data, not a model method: ROC points from any (label,
     score) columns — threshold sweep over every DISTINCT score value,
     descending, with TPR = cum_tp / P and FPR = cum_fp / N.
 
-    Plan: one groupBy(score) (map-side combined — ties collapse before
-    the shuffle) then a cumulative-sum window over the distinct scores.
-    The window is a single global ordering over DISTINCT scores — a
-    range-partitioned sort of at most |distinct scores| rows, never the
-    raw row count. Round-trip safe: counts are exact longs; the two
-    ratios are rounded at the edge.
+    Plan: one groupBy(score) then a cumulative-sum window over the
+    distinct scores. Single-class inputs (P=0 or N=0) yield null
+    tpr/fpr via try_divide rather than raising under ANSI mode.
     """
     per_score = df.groupBy(F.col(score_col).alias("threshold")).agg(
         F.sum(F.col(label_col).cast("long")).alias("__pos"),
@@ -43,8 +51,8 @@ def roc_curve(
         .withColumn("__n", F.sum("__neg").over(totals))
         .select(
             "threshold",
-            F.round(F.col("__cum_tp") / F.col("__p"), 6).alias("tpr"),
-            F.round(F.col("__cum_fp") / F.col("__n"), 6).alias("fpr"),
+            F.round(F.try_divide(F.col("__cum_tp"), F.col("__p")), 6).alias("tpr"),
+            F.round(F.try_divide(F.col("__cum_fp"), F.col("__n")), 6).alias("fpr"),
         )
     )
 
@@ -52,29 +60,56 @@ def roc_curve(
 def calibration_table(
     df: DataFrame, label_col: str, score_col: str, n_bins: int = 10
 ) -> DataFrame:
-    """Reliability-diagram table: rank-normalize the score with
-    percent_rank (exactly one IEEE division per row — bit-identical
-    across engines, unlike exp/sigmoid normalizations), cut into
-    ``n_bins`` equal-rank bins, and report each bin's empirical
-    positive rate against its mean normalized score. A calibrated
-    scorer has pos_rate ≈ mean_score per bin.
+    """Reliability-diagram table: rank-normalize the score to [0, 1]
+    (percent_rank semantics: tied rows share (rank-1)/(N-1)), cut into
+    ``n_bins`` equal-rank bins, report each bin's empirical positive
+    rate against its mean normalized score. A calibrated scorer has
+    pos_rate ≈ mean_score per bin.
 
-    Ties share a percent_rank (rank semantics), so bin membership is
-    deterministic under shuffle without a tiebreaker column.
+    Distributed formulation: because every row with the same score has
+    the SAME percent_rank and lands in the SAME bin, the per-row rank
+    never needs materializing. One groupBy(score) collapses the data;
+    a cumulative-count window over the distinct-score table yields each
+    score's rank (= 1 + rows strictly below); bin membership and the
+    weighted bin aggregates all derive from that tiny frame. No global
+    sort of raw rows anywhere.
     """
-    pr = F.percent_rank().over(Window.orderBy(score_col))
-    binned = df.select(
-        F.col(label_col).cast("long").alias("__y"), pr.alias("__pr")
-    ).withColumn(
-        "bin",
-        F.least(F.floor(F.col("__pr") * n_bins), F.lit(n_bins - 1)).cast("int"),
+    per_score = _per_score(df, label_col, score_col)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = Window.partitionBy()
+    ranked = (
+        per_score.withColumn("__cum", F.sum("__c").over(w))
+        .withColumn("__n_tot", F.sum("__c").over(totals))
+        # rank-1 of every row tied at this score (all share the group's
+        # first index); percent_rank = __r0 / (N-1)
+        .withColumn("__r0", F.col("__cum") - F.col("__c"))
+        .withColumn(
+            "__pr",
+            F.coalesce(
+                F.try_divide(F.col("__r0"), F.col("__n_tot") - 1),
+                F.lit(0.0),  # N == 1: lone row ranks 0.0, as percent_rank does
+            ),
+        )
+        .withColumn(
+            "bin",
+            F.least(F.floor(F.col("__pr") * n_bins), F.lit(n_bins - 1)).cast("int"),
+        )
     )
+    # mean_score stays exact-integer until ONE final division
+    # (Σ r0·c / (Σc · (N−1))) — bit-identical across engines and
+    # partitionings, no float-summation-order sensitivity.
     return (
-        binned.groupBy("bin")
+        ranked.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("__pr"), 6).alias("mean_score"),
-            F.round(F.avg("__y"), 6).alias("pos_rate"),
+            F.sum("__c").alias("n"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("__r0") * F.col("__c")),
+                    F.sum("__c") * (F.max("__n_tot") - 1),
+                ),
+                6,
+            ).alias("mean_score"),
+            F.round(F.try_divide(F.sum("__pos"), F.sum("__c")), 6).alias("pos_rate"),
         )
         .orderBy("bin")
     )
@@ -83,37 +118,81 @@ def calibration_table(
 def cumulative_gains(
     df: DataFrame, label_col: str, score_col: str, n_buckets: int = 10
 ) -> DataFrame:
-    """Gains/lift table: rows bucketed by score DESCENDING rank into
+    """Gains/lift table: rows ranked by score DESCENDING into
     ``n_buckets`` equal-population buckets; per bucket, the cumulative
     fraction of all positives captured so far and the lift vs random
     targeting. The campaign-targeting readout of a binary scorer.
 
-    ntile handles the bucketing (equal counts ±1); the cumulative sums
-    run over the n_buckets-row aggregate, not the raw data.
+    Tie handling: a score shared by many rows is split ACROSS the
+    buckets its rank range spans, positives allocated proportionally
+    (the expected value over random tie order). That removes both the
+    single-partition global ntile AND the optimistic label-descending
+    tiebreak the naive formulation had: ties can no longer pack
+    positives into early buckets.
+
+    Plan: one groupBy(score); a cumulative window over distinct scores
+    gives each score group its rank interval (lo, hi]; each group
+    explodes to only the buckets it overlaps (≤ n_buckets, usually 1);
+    one final groupBy(bucket). Raw rows are touched exactly once.
     """
-    nt = F.ntile(n_buckets).over(
-        Window.orderBy(F.col(score_col).desc(), F.col(label_col).desc())
+    per_score = _per_score(df, label_col, score_col)
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = Window.partitionBy()
+    spans = (
+        per_score.withColumn("__hi", F.sum("__c").over(w))
+        .withColumn("__lo", F.col("__hi") - F.col("__c"))
+        .withColumn("__n_tot", F.sum("__c").over(totals))
+        .withColumn("__tot_pos", F.sum("__pos").over(totals))
+    )
+    bucket_width = F.col("__n_tot") / n_buckets
+    # Buckets this score group's rank interval (lo, hi] overlaps.
+    first_b = (F.floor(F.col("__lo") / bucket_width) + 1).cast("int")
+    last_b = F.ceil(F.col("__hi") / bucket_width).cast("int")
+    exploded = spans.select(
+        "__c",
+        "__pos",
+        "__lo",
+        "__hi",
+        "__n_tot",
+        "__tot_pos",
+        F.explode(
+            F.sequence(first_b, F.least(last_b, F.lit(n_buckets)))
+        ).alias("bucket"),
+    )
+    b_lo = (F.col("bucket") - 1) * bucket_width
+    b_hi = F.col("bucket") * bucket_width
+    overlap = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("__hi").cast("double"), b_hi)
+        - F.greatest(F.col("__lo").cast("double"), b_lo),
     )
     per_bucket = (
-        df.select(F.col(label_col).cast("long").alias("__y"))
-        .withColumn("bucket", nt)
+        exploded.withColumn("__take", overlap)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("__pos"))
+        .agg(
+            F.round(F.sum("__take"), 6).alias("n"),
+            F.sum(
+                F.col("__take") * F.try_divide(F.col("__pos"), F.col("__c"))
+            ).alias("__pos_take"),
+            F.max("__tot_pos").alias("__tot_pos"),
+            F.max("__n_tot").alias("__n_tot"),
+        )
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    totals = Window.partitionBy()
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        per_bucket.withColumn("__cum_pos", F.sum("__pos").over(w))
-        .withColumn("__cum_n", F.sum("n").over(w))
-        .withColumn("__tot_pos", F.sum("__pos").over(totals))
-        .withColumn("__tot_n", F.sum("n").over(totals))
+        per_bucket.withColumn("__cum_pos", F.sum("__pos_take").over(wb))
+        .withColumn("__cum_n", F.sum("n").over(wb))
         .select(
             "bucket",
             "n",
-            F.round(F.col("__cum_pos") / F.col("__tot_pos"), 6).alias("gain"),
+            F.round(F.try_divide(F.col("__cum_pos"), F.col("__tot_pos")), 6).alias("gain"),
             F.round(
-                (F.col("__cum_pos") / F.col("__tot_pos"))
-                / (F.col("__cum_n") / F.col("__tot_n")),
+                F.try_divide(
+                    F.try_divide(F.col("__cum_pos"), F.col("__tot_pos")),
+                    F.try_divide(F.col("__cum_n"), F.col("__n_tot")),
+                ),
                 6,
             ).alias("lift"),
         )
@@ -128,6 +207,11 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     (chi2, dof, n). The p-value lookup is a driver-side scipy call if
     needed — the statistic itself is the distributed part.
 
+    Null categories are REAL categories here: the marginal joins use
+    eqNullSafe, so a null level contributes cells to the statistic and
+    a level to the dof exactly like any other value (a USING join would
+    silently drop those cells while still counting them in n).
+
     Plan: ONE groupBy(a, b) over the data; marginals derive from the
     |A|x|B| cell table (re-aggregation of a tiny frame, no second
     scan).
@@ -137,15 +221,17 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)
     )
-    row_m = cells.groupBy("__a").agg(F.sum("__n").alias("__ra"))
-    col_m = cells.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    row_m = cells.groupBy(F.col("__a").alias("__a2")).agg(F.sum("__n").alias("__ra"))
+    col_m = cells.groupBy(F.col("__b").alias("__b2")).agg(F.sum("__n").alias("__cb"))
     total = cells.agg(F.sum("__n").alias("__t"))
-    full = cells.join(row_m, "__a").join(col_m, "__b").crossJoin(total)
+    full = (
+        cells.join(row_m, F.col("__a").eqNullSafe(F.col("__a2")))
+        .join(col_m, F.col("__b").eqNullSafe(F.col("__b2")))
+        .crossJoin(total)
+    )
     expected = F.col("__ra") * F.col("__cb") / F.col("__t")
     per_cell = full.select(
         ((F.col("__n") - expected) ** 2 / expected).alias("__x2"),
-        "__a",
-        "__b",
     )
     n_a = cells.select("__a").distinct().count()
     n_b = cells.select("__b").distinct().count()
@@ -160,7 +246,8 @@ def entropy_gain(df: DataFrame, label_col: str, feature_col: str) -> DataFrame:
     a decision-tree induction ranks features by (reference benchmarks
     DecisionTreeClassifier; this exposes the impurity math as an
     engine op). Returns one row: H(Y), H(Y|X) and their difference,
-    all in bits.
+    all in bits. Null feature/label levels count as levels (eqNullSafe
+    marginal join — see chi2_independence).
 
     Plan: ONE groupBy(feature, label) pass; both entropies derive from
     the tiny cell table (label marginal = re-aggregation, conditional
@@ -178,9 +265,9 @@ def entropy_gain(df: DataFrame, label_col: str, feature_col: str) -> DataFrame:
             (F.col("__ny") / total) * F.log2(F.col("__ny") / total)
         )).alias("h")
     )
-    feat_m = cells.groupBy("__x").agg(F.sum("__n").alias("__nx"))
+    feat_m = cells.groupBy(F.col("__x").alias("__x2")).agg(F.sum("__n").alias("__nx"))
     h_cond = (
-        cells.join(feat_m, "__x")
+        cells.join(feat_m, F.col("__x").eqNullSafe(F.col("__x2")))
         .groupBy("__x", "__nx")
         .agg(
             (-F.sum(

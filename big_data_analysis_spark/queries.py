@@ -3459,6 +3459,174 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Model-evaluation tables as engine queries (M15/M17 adjacency).
+# Label/score proxy: an order is "positive" when o_orderstatus = 'F';
+# the scorer under evaluation is o_totalprice. Deliberately a WEAK
+# scorer — the point is verifying the statistic, not the model.
+# =========================================================================
+
+_CALIBRATION_ORACLE = """
+WITH t AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+           o_totalprice AS score
+    FROM orders
+), pr AS (
+    SELECT y,
+           rank() OVER (ORDER BY score) - 1 AS r0,
+           count(*) OVER () AS nt
+    FROM t
+)
+SELECT least(CAST(floor((CAST(r0 AS DOUBLE) / (nt - 1)) * 10) AS INT), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(r0) AS DOUBLE) / (count(*) * (any_value(nt) - 1)), 6) AS mean_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM pr
+GROUP BY 1
+"""
+
+
+@query("calibration_orders", _CALIBRATION_ORACLE)
+def q_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 adjacency: reliability-diagram table of the o_totalprice
+    "scorer" against the o_orderstatus='F' label, 10 equal-rank bins.
+    Distributed formulation: the ranking window runs over DISTINCT
+    scores only; mean_score stays integer until one final division, so
+    Spark and DuckDB produce bit-identical doubles."""
+    from big_data_analysis_spark.ml import evaluation as ev
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return ev.calibration_table(o, "y", "score", n_bins=10)
+
+
+_GAINS_ORACLE = """
+WITH t AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+           o_totalprice AS score
+    FROM orders
+), per_score AS (
+    SELECT score, count(*) AS c, sum(y) AS pos FROM t GROUP BY score
+), spans AS (
+    SELECT c, pos,
+           sum(c) OVER (ORDER BY score DESC) AS hi,
+           sum(c) OVER (ORDER BY score DESC) - c AS lo,
+           sum(c) OVER () AS n_tot,
+           sum(pos) OVER () AS tot_pos
+    FROM per_score
+), expl AS (
+    SELECT s.*, CAST(b AS INT) AS bucket
+    FROM spans s,
+         unnest(generate_series(
+             CAST(floor(lo / (CAST(n_tot AS DOUBLE) / 10)) + 1 AS BIGINT),
+             least(CAST(ceil(hi / (CAST(n_tot AS DOUBLE) / 10)) AS BIGINT), 10)
+         )) AS u(b)
+), taken AS (
+    SELECT bucket,
+           round(sum(greatest(0.0,
+               least(CAST(hi AS DOUBLE), bucket * (CAST(n_tot AS DOUBLE) / 10))
+             - greatest(CAST(lo AS DOUBLE), (bucket - 1) * (CAST(n_tot AS DOUBLE) / 10))
+           )), 6) AS n,
+           sum(greatest(0.0,
+               least(CAST(hi AS DOUBLE), bucket * (CAST(n_tot AS DOUBLE) / 10))
+             - greatest(CAST(lo AS DOUBLE), (bucket - 1) * (CAST(n_tot AS DOUBLE) / 10))
+           ) * (CAST(pos AS DOUBLE) / c)) AS pos_take,
+           any_value(tot_pos) AS tot_pos,
+           any_value(n_tot) AS n_tot
+    FROM expl
+    GROUP BY bucket
+)
+SELECT bucket, n,
+       round(sum(pos_take) OVER (ORDER BY bucket) / tot_pos, 6) AS gain,
+       round((sum(pos_take) OVER (ORDER BY bucket) / tot_pos)
+             / (sum(n) OVER (ORDER BY bucket) / n_tot), 6) AS lift
+FROM taken
+"""
+
+
+@query("gains_orders", _GAINS_ORACLE)
+def q_gains_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 adjacency: cumulative gains/lift deciles for the
+    o_totalprice scorer. Tied scores split proportionally across the
+    buckets their rank range spans (expected value over random tie
+    order) — no global raw-row ntile, no label-peeking tiebreak."""
+    from big_data_analysis_spark.ml import evaluation as ev
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return ev.cumulative_gains(o, "y", "score", n_buckets=10)
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n
+    FROM orders GROUP BY 1, 2
+), rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY a),
+   cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY b),
+   tot AS (SELECT sum(n) AS t FROM cells)
+SELECT round(sum(pow(n - ra * cb / CAST(t AS DOUBLE), 2)
+                 / (ra * cb / CAST(t AS DOUBLE))), 4) AS chi2,
+       CAST(((SELECT count(*) FROM rm) - 1)
+            * ((SELECT count(*) FROM cm) - 1) AS BIGINT) AS dof,
+       CAST(any_value(t) AS BIGINT) AS n
+FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tot
+"""
+
+
+@query("chi2_orders", _CHI2_ORACLE)
+def q_chi2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: o_orderstatus × o_orderpriority.
+    One contingency pass; null levels would count as levels (eqNullSafe
+    marginal joins — exercised with nulls in tests/test_evaluation.py).
+    round(4): the cell-sum order differs between engines."""
+    from big_data_analysis_spark.ml import evaluation as ev
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    out = ev.chi2_independence(o, "o_orderstatus", "o_orderpriority")
+    return out.select(F.round("chi2", 4).alias("chi2"), "dof", "n")
+
+
+_ENTROPY_ORACLE = """
+WITH cells AS (
+    SELECT event_type AS x, CAST(value > 50 AS INT) AS y, count(*) AS n
+    FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells),
+hl AS (
+    SELECT -sum((ny / t) * log2(ny / t)) AS h
+    FROM (SELECT y, sum(n) AS ny FROM cells GROUP BY y), tot
+), hc AS (
+    SELECT sum((nx / t) * hx) AS h
+    FROM (
+        SELECT x, any_value(nx) AS nx,
+               -sum((CAST(n AS DOUBLE) / nx) * log2(CAST(n AS DOUBLE) / nx)) AS hx
+        FROM (SELECT c.x, c.y, c.n, fm.nx
+              FROM cells c JOIN (SELECT x, sum(n) AS nx FROM cells GROUP BY x) fm
+              USING (x))
+        GROUP BY x
+    ), tot
+)
+SELECT round((SELECT h FROM hl), 6) AS h_label,
+       round((SELECT h FROM hc), 6) AS h_conditional,
+       round((SELECT h FROM hl) - (SELECT h FROM hc), 6) AS info_gain
+"""
+
+
+@query("entropy_gain_events", _ENTROPY_ORACLE)
+def q_entropy_gain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of event_type as a split for the value>50
+    label — the decision-tree impurity math as one cell-table pass."""
+    from big_data_analysis_spark.ml import evaluation as ev
+
+    ev_t = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "event_type", (F.col("value") > 50).cast("int").alias("y")
+    )
+    return ev.entropy_gain(ev_t, "y", "event_type")
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -3522,6 +3690,10 @@ _DRIVER_PRIORITY: list[str] = [
     "winsorize_prices",
     # round-3 additions slot in here (above the rows-only filler) so
     # they are driver-checked the round they land.
+    "calibration_orders",
+    "gains_orders",
+    "chi2_orders",
+    "entropy_gain_events",
     # rows-only filler — weaker driver signal, so they take the last
     # window slots and are displaced first by new oracle queries.
     "minhash_pairs",

@@ -1,0 +1,124 @@
+"""Parity tests for ml/evaluation.py: every statistic checked against a
+hand-computed numpy reference on fixtures WITH ties and WITH null
+categories — the two cases the naive formulations got wrong (global
+raw-row windows; USING joins dropping null cells)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from big_data_analysis_spark.ml import evaluation as ev
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # scores with heavy ties; labels correlated with score
+    rows = [
+        (1.0 if (i * 7 + 3) % 10 < (s * 2 + 2) else 0.0, float(s))
+        for i, s in enumerate([j % 5 for j in range(200)])
+    ]
+    return spark.createDataFrame(rows, "label double, score double")
+
+
+def test_roc_curve_matches_numpy(spark, scored):
+    pts = {r["threshold"]: (r["tpr"], r["fpr"]) for r in ev.roc_curve(scored, "label", "score").collect()}
+    data = np.array(scored.collect())
+    y, s = data[:, 0], data[:, 1]
+    P, N = y.sum(), (1 - y).sum()
+    for thr in np.unique(s):
+        tpr = ((s >= thr) & (y == 1)).sum() / P
+        fpr = ((s >= thr) & (y == 0)).sum() / N
+        assert pts[thr] == (round(tpr, 6), round(fpr, 6))
+
+
+def test_roc_curve_single_class_yields_nulls_not_error(spark):
+    df = spark.createDataFrame([(1.0, 0.3), (1.0, 0.7)], "label double, score double")
+    rows = ev.roc_curve(df, "label", "score").collect()  # ANSI mode: must not raise
+    assert all(r["fpr"] is None and r["tpr"] is not None for r in rows)
+
+
+def test_calibration_table_matches_rawrow_percent_rank(spark, scored):
+    """The distributed per-score formulation must equal the definition:
+    percent_rank over RAW rows (ties share (rank-1)/(N-1)), floor-cut
+    into bins, per-bin weighted means."""
+    out = {r["bin"]: r for r in ev.calibration_table(scored, "label", "score", 4).collect()}
+    data = sorted(scored.collect(), key=lambda r: r["score"])
+    n = len(data)
+    ranks = {}
+    for idx, r in enumerate(data):
+        ranks.setdefault(r["score"], idx)  # first index = rank-1 for the tie group
+    prs = [(ranks[r["score"]]) / (n - 1) for r in data]
+    bins = [min(int(pr * 4), 3) for pr in prs]
+    for b in sorted(set(bins)):
+        members = [i for i, bb in enumerate(bins) if bb == b]
+        assert out[b]["n"] == len(members)
+        assert out[b]["mean_score"] == round(sum(prs[i] for i in members) / len(members), 6)
+        assert out[b]["pos_rate"] == round(
+            sum(data[i]["label"] for i in members) / len(members), 6
+        )
+
+
+def test_cumulative_gains_proportional_ties(spark):
+    """A fully-tied score column must produce gain == bucket/n_buckets
+    exactly (random targeting), REGARDLESS of label values — the old
+    label-descending tiebreak packed positives early and reported
+    optimistic gains; proportional splitting reports lift 1.0."""
+    df = spark.createDataFrame(
+        [(1.0 if i < 30 else 0.0, 5.0) for i in range(100)], "label double, score double"
+    )
+    rows = ev.cumulative_gains(df, "label", "score", 5).collect()
+    for r in rows:
+        assert r["n"] == 20.0
+        assert abs(r["gain"] - r["bucket"] / 5) < 1e-9
+        assert abs(r["lift"] - 1.0) < 1e-9
+
+
+def test_cumulative_gains_matches_numpy_no_ties(spark):
+    df = spark.createDataFrame(
+        [(1.0 if (i * 13) % 7 < 2 else 0.0, float(i)) for i in range(100)],
+        "label double, score double",
+    )
+    rows = ev.cumulative_gains(df, "label", "score", 10).collect()
+    data = sorted(df.collect(), key=lambda r: -r["score"])
+    tot_pos = sum(r["label"] for r in data)
+    for r in rows:
+        cum = sum(d["label"] for d in data[: r["bucket"] * 10])
+        assert abs(r["gain"] - round(cum / tot_pos, 6)) < 2e-6
+        assert r["n"] == 10.0
+
+
+def test_chi2_counts_null_categories(spark):
+    """Null levels are levels: cells with a null key must contribute to
+    X² and to dof. Reference value hand-computed over the full 3x2
+    contingency table (including the null row)."""
+    rows = (
+        [("a", "x")] * 20 + [("a", "y")] * 10
+        + [("b", "x")] * 5 + [("b", "y")] * 25
+        + [(None, "x")] * 15 + [(None, "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "ca string, cb string")
+    got = ev.chi2_independence(df, "ca", "cb").head()
+    obs = np.array([[20, 10], [5, 25], [15, 5]], dtype=float)
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert got["n"] == 80
+    assert got["dof"] == 2  # (3-1)*(2-1): the null level counts
+    assert got["chi2"] == round(chi2, 6)
+
+
+def test_entropy_gain_counts_null_feature(spark):
+    rows = [("x", 1.0)] * 30 + [("x", 0.0)] * 10 + [(None, 1.0)] * 5 + [(None, 0.0)] * 35
+    df = spark.createDataFrame(rows, "feat string, label double")
+    got = ev.entropy_gain(df, "label", "feat").head()
+
+    def h(ps):
+        return -sum(p * math.log2(p) for p in ps if p > 0)
+
+    h_label = h([35 / 80, 45 / 80])
+    h_cond = 40 / 80 * h([30 / 40, 10 / 40]) + 40 / 80 * h([5 / 40, 35 / 40])
+    assert got["h_label"] == round(h_label, 6)
+    assert got["h_conditional"] == round(h_cond, 6)
+    assert got["info_gain"] == round(h_label - h_cond, 6)
