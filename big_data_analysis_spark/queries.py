@@ -3458,6 +3458,24 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("real_bpe_token_counts")
+def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts from an ACTUALLY TRAINED BPE tokenizer (Sennrich et
+    al. 2016), closing the gap the regex 'BPE-ish' counter
+    (q_bpe_token_counts) left: merges are learned from the corpus'
+    distributed word counts, then applied per DISTINCT word via an
+    Arrow pandas UDF and broadcast back — BPE cost scales with
+    vocabulary, not corpus. Not SQL-expressible (iterative merge loop)
+    → rows-only driver check; the algorithm itself is parity-tested
+    against hand-traced merges in tests/test_tokenize.py."""
+    from big_data_analysis_spark.operators import tokenize as tkz
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = tkz.train_bpe(d, "text", num_merges=100, vocab_limit=10_000)
+    counts = tkz.bpe_token_counts(d, "text", "doc_id", merges)
+    return counts.filter(F.col("doc_id") < 20).orderBy("doc_id")
+
+
 # =========================================================================
 # Model-evaluation tables as engine queries (M15/M17 adjacency).
 # Label/score proxy: an order is "positive" when o_orderstatus = 'F';
@@ -3694,6 +3712,7 @@ _DRIVER_PRIORITY: list[str] = [
     "gains_orders",
     "chi2_orders",
     "entropy_gain_events",
+    "real_bpe_token_counts",
     # rows-only filler — weaker driver signal, so they take the last
     # window slots and are displaced first by new oracle queries.
     "minhash_pairs",
