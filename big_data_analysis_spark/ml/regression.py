@@ -165,6 +165,117 @@ def rff_kernel_regressor(
     return lr.fit(mapped), mapped
 
 
+def epsilon_svr_rff(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    epsilon: float = 0.1,
+    n_components: int = 100,
+    gamma: float = 1.0,
+    reg_param: float = 1e-4,
+    iters: int = 150,
+    lr: float = 0.6,
+    lr_decay: float = 0.02,
+    smoothing: float = 0.02,
+    avg_frac: float = 0.25,
+    seed: int = 42,
+):
+    """M14 closed for real: SVR with the TRUE epsilon-insensitive loss
+    (新冠疫情分析.py:155-162's ``SVR(kernel='rbf')``), not the squared-loss
+    ridge substitute. The RBF function class comes from Rahimi-Recht
+    random Fourier features (ml.kernel); the tube loss is minimized by
+    full-batch gradient descent with Nesterov momentum on a smoothed
+    (Huber-ized, transition width ``smoothing``) epsilon-insensitive
+    objective — the smoothing makes the gradient continuous so plain GD
+    converges; as smoothing -> 0 the objective IS the SVR primal with
+    ridge penalty ``reg_param``. Step size decays 1/(1+lr_decay·t) and
+    the returned weights are the POLYAK AVERAGE of the last
+    ``avg_frac`` of iterates — on the piecewise-linear tube loss the
+    raw final iterate rattles around the optimum (observed 10×-worse
+    RMSE), while the tail average converges like the theory says.
+
+    Scale shape: the per-iteration gradient is ONE distributed pass —
+    residual and subgradient factor are codegen column expressions over
+    a broadcast weight literal, and the d-dimensional gradient reduces
+    through ``Summarizer.mean`` (treeAggregate on vectors; no explode,
+    no driver-sized intermediate). Cost = iters × (one map + tree
+    reduce), the textbook shape for distributed full-batch GD. The
+    mapped frame is cached once.
+
+    Returns (weights ndarray incl. trailing bias, predict_fn:
+    DataFrame -> DataFrame adding ``prediction``).
+    """
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    from big_data_analysis_spark.ml.kernel import add_rff_features
+
+    def mapped_with_bias(frame: DataFrame) -> DataFrame:
+        m = add_rff_features(
+            frame, list(feature_cols), n_components=n_components, gamma=gamma, seed=seed
+        )
+        # trailing 1.0 = intercept feature; keep as plain array for the
+        # codegen dot product, convert to vector only at the reduce.
+        return m.withColumn(
+            "__phi", F.concat(vector_to_array("rff_features"), F.array(F.lit(1.0)))
+        )
+
+    train = mapped_with_bias(df).select(F.col(label_col).alias("__y"), "__phi").cache()
+    n_rows = train.count()  # materializes the cache
+    d = n_components + 1
+
+    w = np.zeros(d)
+    vel = np.zeros(d)
+    acc = np.zeros(d)
+    n_avg = max(1, int(iters * avg_frac))
+    mu = 0.9
+    for t in range(iters):
+        look = w + mu * vel  # Nesterov lookahead
+        w_lit = F.array(*[F.lit(float(x)) for x in look])
+        dot = F.aggregate(
+            F.zip_with("__phi", w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        r = F.col("__y") - dot
+        # smoothed d(loss)/d(pred): 0 in tube, ±1 outside, linear ramp
+        # of width `smoothing` in between (clamped difference quotient)
+        s = (
+            F.when(r > epsilon + smoothing, F.lit(-1.0))
+            .when(r > epsilon, -(r - epsilon) / F.lit(smoothing))
+            .when(r < -epsilon - smoothing, F.lit(1.0))
+            .when(r < -epsilon, -(r + epsilon) / F.lit(smoothing))
+            .otherwise(F.lit(0.0))
+        )
+        g_row = array_to_vector(F.transform("__phi", lambda x: x * s))
+        g_mean = np.array(
+            train.select(Summarizer.mean(g_row).alias("g")).head()["g"].toArray()
+        )
+        grad = g_mean + reg_param * np.append(look[:-1], 0.0)  # bias unpenalized
+        vel = mu * vel - (lr / (1.0 + lr_decay * t)) * grad
+        w = w + vel
+        if t >= iters - n_avg:
+            acc += w
+
+    w = acc / n_avg
+    train.unpersist()
+
+    def predict_fn(frame: DataFrame) -> DataFrame:
+        w_lit = F.array(*[F.lit(float(x)) for x in w])
+        out = mapped_with_bias(frame).withColumn(
+            "prediction",
+            F.aggregate(
+                F.zip_with("__phi", w_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return out.drop("__phi", "rff_features")
+
+    return w, predict_fn
+
+
 def grouped_ols(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -352,3 +352,54 @@ def test_rff_kernel_regressor_learns_nonlinear_target(spark):
         F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2))
     ).head()[0]
     assert rmse < lin_rmse / 2  # kernel path at least halves the error
+
+
+def test_epsilon_svr_fits_nonlinear_and_resists_outliers(spark):
+    """M14 true epsilon-insensitive SVR: (a) learns y=sin(2x) through
+    the RFF map (linear fit can't), (b) the tube loss shrugs off a few
+    wild outliers that visibly distort the squared-loss ridge fit —
+    the defining behavioral difference between the two losses."""
+    import math
+
+    import numpy as np
+
+    from big_data_analysis_spark.ml import regression as rg
+
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(-2.0, 2.0, 300)
+    ys = np.sin(2 * xs)
+    # five wild outliers
+    ys_out = ys.copy()
+    ys_out[:5] += 25.0
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys_out)], "x double, label double"
+    )
+
+    w, predict = rg.epsilon_svr_rff(
+        df, "label", ["x"], epsilon=0.05, n_components=60, gamma=1.0,
+        iters=150, lr=0.6, seed=42,
+    )
+    # score on a CLEAN grid against the true function
+    grid = spark.createDataFrame(
+        [(x / 50.0,) for x in range(-100, 101)], "x double"
+    )
+    preds = predict(grid).collect()
+    rmse_svr = math.sqrt(
+        sum((r["prediction"] - math.sin(2 * r["x"])) ** 2 for r in preds) / len(preds)
+    )
+    assert rmse_svr < 0.25, rmse_svr
+
+    # squared-loss ridge on the SAME rff map, same contaminated data
+    model, mapped = rg.rff_kernel_regressor(
+        df, "label", ["x"], n_components=60, gamma=1.0, reg_param=0.01, seed=42
+    )
+    from big_data_analysis_spark.ml.kernel import add_rff_features
+
+    grid_m = add_rff_features(grid, ["x"], n_components=60, gamma=1.0, seed=42)
+    ridge_preds = model.transform(grid_m).collect()
+    rmse_ridge = math.sqrt(
+        sum((r["prediction"] - math.sin(2 * r["x"])) ** 2 for r in ridge_preds)
+        / len(ridge_preds)
+    )
+    # the tube loss must be strictly more robust to the outliers
+    assert rmse_svr < rmse_ridge * 0.7, (rmse_svr, rmse_ridge)

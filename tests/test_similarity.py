@@ -114,3 +114,42 @@ def test_knn_blas_matches_hof_tier(emb):
         for r in sim.knn_blas_topk(emb, queries, k=5).collect()
     )
     assert blas_rows == hof_rows
+
+
+def test_mlp_artifact_inference_matches_driver_forward(spark, tmp_path):
+    """M25 honest path: train a real numpy MLP on XOR (linearly
+    inseparable — the linear stand-in cannot fit it), serialize the
+    checkpoint, score through the SparkFiles-distributed executor UDF,
+    and require (a) executor probabilities == driver forward pass to
+    1e-12 and (b) the model actually learned XOR."""
+    import numpy as np
+
+    from big_data_analysis_spark.ml.inference import (
+        NumpyMLP,
+        argmax_prediction,
+        batch_predict_from_artifact,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(-1, 1, size=(400, 2))
+    y = ((base[:, 0] > 0) ^ (base[:, 1] > 0)).astype(int)
+    model = NumpyMLP.train(base, y, hidden=8, n_classes=2, epochs=800, seed=3)
+    train_acc = (model.forward(base).argmax(1) == y).mean()
+    assert train_acc > 0.95, train_acc  # a linear model tops out ~0.5
+
+    path = str(tmp_path / "mlp.npz")
+    model.save(path)
+
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(base)],
+        "id long, features array<double>",
+    ).repartition(8)
+    scored = argmax_prediction(
+        batch_predict_from_artifact(df, "features", path)
+    ).collect()
+    probs = {r["id"]: r["probabilities"] for r in scored}
+    expect = NumpyMLP.load(path).forward(base)
+    for i in range(len(base)):
+        assert np.allclose(probs[i], expect[i], atol=1e-12)
+    acc = np.mean([r["prediction"] == y[r["id"]] for r in scored])
+    assert acc > 0.95, acc
