@@ -66,6 +66,23 @@ def get_spark(
         .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Streaming state at scale: the default HDFS-backed store keeps
+        # every key IN EXECUTOR MEMORY (maintenance thread snapshots to
+        # the checkpoint dir) — fine for the test suites' small keyed
+        # state, an OOM machine at 100 TB where a dedup/session state
+        # can hold billions of keys. RocksDB spills state to local SSD
+        # with changelog checkpointing, bounding heap by block cache
+        # instead of |state|. The provider ships in every stock Spark 4
+        # distribution; all streaming parity/replay suites
+        # (tests/test_streaming.py) run under it.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     if master is None and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
