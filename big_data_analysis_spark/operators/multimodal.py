@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -289,6 +290,97 @@ def resize_images(
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return df.select(path_col, content_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+AUGMENT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("flipped", StringType()),  # 'h' | 'none'
+        StructField("angle", DoubleType()),
+        StructField("brightness", DoubleType()),
+        StructField("method", StringType()),
+        StructField("augment_error", StringType()),
+    ]
+)
+
+
+def augment_images(
+    df: DataFrame,
+    flip_prob: float = 0.5,
+    max_rotate_deg: float = 15.0,
+    brightness_jitter: float = 0.2,
+    seed: int = 42,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """M26 randomized training augmentations (reference
+    猫狗大战分类.py:105-122's RandomHorizontalFlip/RandomRotation/
+    ColorJitter): per image, sample flip / rotation angle / brightness
+    factor and apply them with PIL (method='pil'); without codecs the
+    bytes pass through and only the SAMPLED PARAMETERS are emitted
+    (method='stub') so the plumbing stays testable.
+
+    The randomness is DERIVED, not drawn: each row's RNG seeds from
+    blake2(path, seed), so a retried/recomputed task, a different
+    partitioning, or a re-run produces byte-identical output — the
+    property Spark's recompute-on-failure model demands from any
+    'random' map. Different global seeds give different augmentation
+    draws (epoch = seed)."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _pil_available()
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                path = row[path_col]
+                h = hashlib.blake2b(
+                    f"{path}|{seed}".encode(), digest_size=8
+                ).digest()
+                rng = np.random.default_rng(int.from_bytes(h, "big"))
+                flip = bool(rng.random() < flip_prob)
+                angle = float(rng.uniform(-max_rotate_deg, max_rotate_deg))
+                bright = float(
+                    rng.uniform(1.0 - brightness_jitter, 1.0 + brightness_jitter)
+                )
+                out = {
+                    "path": path,
+                    "content": None,
+                    "flipped": "h" if flip else "none",
+                    "angle": round(angle, 4),
+                    "brightness": round(bright, 4),
+                    "method": "pil" if use_pil else "stub",
+                    "augment_error": None,
+                }
+                content = row[content_col]
+                try:
+                    if content is None or len(content) < 4:
+                        raise ValueError("empty or truncated media payload")
+                    if use_pil:
+                        import io as _io
+
+                        from PIL import Image, ImageEnhance
+
+                        img = Image.open(_io.BytesIO(content))
+                        img.load()
+                        if flip:
+                            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                        img = img.rotate(angle)
+                        img = ImageEnhance.Brightness(img).enhance(bright)
+                        buf = _io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out["content"] = buf.getvalue()
+                    else:
+                        out["content"] = bytes(content)
+                except Exception as exc:  # corrupt-file tolerance
+                    out["augment_error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=[f.name for f in AUGMENT_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(batches, schema=AUGMENT_SCHEMA)
 
 
 def media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:

@@ -182,3 +182,59 @@ def test_pil_real_decode(spark):
     resized = {r["path"]: r for r in mm.resize_images(df, 8, 8).collect()}
     assert resized["real.png"]["method"] == "pil"
     assert Image.open(_io.BytesIO(resized["real.png"]["content"])).size == (8, 8)
+
+
+def test_augment_images_deterministic_params(spark, media_dir):
+    """M26 randomized augmentations: parameters are derived from
+    (path, seed) — identical across partitionings and re-runs (the
+    Spark task-retry contract), different across seeds; corrupt
+    payloads yield augment_error rows, never task failures."""
+    df = read_binary_files(spark, media_dir)
+    a1 = {r["path"]: r for r in mm.augment_images(df, seed=1).collect()}
+    a1b = {r["path"]: r for r in mm.augment_images(df.repartition(5), seed=1).collect()}
+    a2 = {r["path"]: r for r in mm.augment_images(df, seed=2).collect()}
+    assert a1.keys() == a1b.keys() == a2.keys()
+    for p in a1:
+        assert (a1[p]["flipped"], a1[p]["angle"], a1[p]["brightness"]) == (
+            a1b[p]["flipped"], a1b[p]["angle"], a1b[p]["brightness"]
+        )
+    # across seeds at least one parameter draw must differ somewhere
+    assert any(
+        (a1[p]["angle"], a1[p]["brightness"]) != (a2[p]["angle"], a2[p]["brightness"])
+        for p in a1
+    )
+    # angle/brightness inside configured ranges
+    ok = [r for r in a1.values() if r["augment_error"] is None]
+    assert ok and all(-15.0 <= r["angle"] <= 15.0 for r in ok)
+    assert all(0.8 <= r["brightness"] <= 1.2 for r in ok)
+    bad = [r for r in a1.values() if r["augment_error"] is not None]
+    assert len(bad) == 1 and "corrupt" in bad[0]["path"]
+
+
+def test_augment_images_pil_branch(spark):
+    """Where PIL exists: a flipped red/blue half image really flips
+    (left column color swaps), and brightness=enhance really applies."""
+    PIL = pytest.importorskip("PIL")
+    import io as _io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (20, 10), (255, 0, 0))
+    for x in range(10, 20):
+        for y in range(10):
+            img.putpixel((x, y), (0, 0, 255))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([("half.png", buf.getvalue())], ["path", "content"])
+    # find a seed whose draw flips this path
+    for seed in range(40):
+        row = mm.augment_images(
+            df, flip_prob=0.5, max_rotate_deg=0.0, brightness_jitter=0.0, seed=seed
+        ).head()
+        if row["flipped"] == "h":
+            out = Image.open(_io.BytesIO(row["content"]))
+            assert out.getpixel((2, 5))[2] > 200  # blue now on the left
+            assert row["method"] == "pil"
+            break
+    else:
+        raise AssertionError("no flipping seed found in 40 tries — p < 1e-12")
