@@ -3458,6 +3458,189 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# More TPC-H classic shapes (Q14/Q17/Q18/Q19/Q22 analogues on the
+# available columns) — the "a reference user can run every query they
+# run today" breadth axis. All broadcast the dim side; revenue sums are
+# rounded at the edge.
+# =========================================================================
+
+_PROMO_REVENUE_ORACLE = """
+SELECT date_trunc('month', l_shipdate)::DATE AS period,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+@query("promo_revenue_monthly", _PROMO_REVENUE_ORACLE)
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly % of revenue from PROMO-type parts.
+    Broadcast part join; one groupBy(month); try_divide-free because a
+    month with zero revenue cannot appear (it has no rows)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("period"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)) / F.sum(rev), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
+_SMALL_QTY_ORACLE = """
+WITH avg_qty AS (
+    SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN avg_qty ON l_partkey = pk
+WHERE l_quantity < half_avg
+"""
+
+
+@query("small_qty_order_revenue", _SMALL_QTY_ORACLE)
+def q_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue loss if small-quantity orders (below
+    half the part's average quantity) went away. The correlated
+    subquery becomes a per-part aggregate re-joined on partkey — both
+    sides shuffle-partition on l_partkey, so AQE can plan a
+    co-partitioned join with no extra Exchange on the big side."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(half_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+_VOLUME_CUSTOMERS_ORACLE = """
+WITH big_orders AS (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_name, o_orderkey, o_orderdate::DATE AS o_orderdate,
+       o_totalprice, total_qty
+FROM big_orders
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("volume_customers", _VOLUME_CUSTOMERS_ORACLE)
+def q_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed 250 units.
+    The HAVING aggregate runs FIRST (shrinks lineitem to a few orders)
+    and only then joins orders/customer — filter-before-join is the
+    scale ordering; top-20 with a full tiebreak."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_DISCOUNTED_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("discounted_revenue_brands", _DISCOUNTED_REVENUE_ORACLE)
+def q_discounted_revenue_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates.
+    The p_brand IN (...) union of the disjunction pushes to the part
+    scan as a supersetting filter; the exact OR is applied post-join."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#13") & s.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#20") & s.between(20, 50) & q.between(20, 50))
+    )
+    part = t["part"].filter(F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#20"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SALES_OPPORTUNITY_ORACLE = """
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT substr(c_name, 10, 2) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+@query("sales_opportunity", _SALES_OPPORTUNITY_ORACLE)
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never
+    ordered. Scalar aggregate broadcast as a cross-join literal; the
+    NOT EXISTS is a left_anti join (no null-trap, unlike NOT IN)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    avg_bal = t["customer"].filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
 @query("real_bpe_token_counts")
 def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts from an ACTUALLY TRAINED BPE tokenizer (Sennrich et
