@@ -285,3 +285,70 @@ def pack_offsets(
             "crosses_boundary": first_chunk != last_chunk,
         }
     )
+
+
+def ngram_lm_scores(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020:
+    filter CommonCrawl by the perplexity of a Wikipedia-trained LM).
+    Here the LM is an add-alpha-smoothed bigram model TRAINED
+    DISTRIBUTED on ``train_df`` and applied to ``score_df``; emits per
+    document its token count, cross-entropy (bits/bigram) and
+    perplexity. Low cross-entropy = fluent/common text; high = noise,
+    boilerplate, other-language — the standard corpus-quality signal.
+
+    Scale shape: the LM is two groupBy counts (bigram, unigram) over
+    the training corpus — mergeable, map-side combined. Scoring joins
+    each doc's bigrams against the bigram table ON THE BIGRAM KEY: both
+    sides shuffle-partition by the same key, skew bounded by stop-pair
+    frequency; unseen bigrams fall back to the smoothing floor via left
+    join + coalesce. No driver-side state at any size; P(w2|w1) =
+    (c12 + a) / (c1 + a*V) needs V (vocab size) and is folded in as a
+    broadcast scalar.
+    """
+    toks = lambda c: F.split(F.trim(F.lower(F.regexp_replace(c, r"[^\w\s]", " "))), r"\s+")  # noqa: E731
+
+    def doc_bigrams(frame: DataFrame) -> DataFrame:
+        t = toks(F.col(text_col))
+        pairs = F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return frame.select(F.col(id_col), F.explode(pairs).alias("bg")).withColumn(
+            "w1", F.split(F.col("bg"), " ")[0]
+        )
+
+    train_bg = doc_bigrams(train_df)
+    bigram_counts = train_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    unigram_counts = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = train_bg.select(F.countDistinct("w1").alias("v"))
+
+    scored = (
+        doc_bigrams(score_df)
+        .join(bigram_counts, "bg", "left")
+        .join(unigram_counts, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+                )
+            ).alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("bits") / F.count(F.lit(1))).alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.pow(F.lit(2.0), F.col("cross_entropy")))
+    )

@@ -521,3 +521,22 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "qcut_price_deciles", "iqr_filter_price", "span_dedup_docs",
     "hash_sample_docs", "asof_purchase_view", "click_attribution_window",
 }
+
+
+def test_ngram_lm_scores_rank_fluent_above_garbage(spark):
+    """The perplexity filter's defining property: text made of common
+    bigrams scores lower cross-entropy than token soup, when both are
+    scored against an LM trained on the fluent corpus."""
+    from big_data_analysis_spark.operators.text import ngram_lm_scores
+
+    fluent = [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(20)]
+    train = spark.createDataFrame(fluent, "doc_id int, text string")
+    score = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "zxq flurp mat wibble cat qqzt")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_lm_scores(train, score, "text", "doc_id").collect()}
+    assert out[100]["cross_entropy"] < out[101]["cross_entropy"] - 2.0
+    assert out[100]["perplexity"] < out[101]["perplexity"]
+    # n_bigrams = tokens - 1
+    assert out[100]["n_bigrams"] == 5
