@@ -210,3 +210,69 @@ def test_merge_upsert_single_shuffle(spark, sf_dir):
     out = rel.merge_upsert(base, delta, ["o_orderkey"], "version")
     plan = formatted_plan(out)
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_tpch_shapes_broadcast_dims_and_push_filters(spark, sf_dir):
+    """The round-3 TPC-H shapes must keep their scale properties:
+    Q19's brand disjunction supersets to an IN filter pushed at the
+    part scan, and the part side broadcasts (no shuffle of lineitem
+    beyond its aggregation)."""
+    df = QUERIES["discounted_revenue_brands"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, formatted_plan(df)
+    scans = scan_infos(df)
+    part_scan = [s for s in scans if "p_brand" in (s["read_schema"] or [])]
+    assert part_scan and any(
+        "p_brand" in f for f in part_scan[0]["pushed_filters"]
+    ), scans
+
+    q22 = QUERIES["sales_opportunity"](spark, sf_dir)
+    plan22 = formatted_plan(q22)
+    assert "BroadcastNestedLoopJoin" in plan22 or "BroadcastExchange" in plan22
+    # anti join present (NOT EXISTS as left_anti, not a null-trap NOT IN)
+    assert "LeftAnti" in plan22, plan22[:2000]
+
+
+def test_zorder_write_clusters_all_dimensions(spark, sf_dir, tmp_path):
+    """Data-skipping property: after a Z-ordered write on (quantity,
+    extendedprice), a point-range predicate on EITHER column overlaps
+    the [min,max] footer stats of only a fraction of files; a plain
+    sort on quantity clusters quantity but leaves extendedprice ranges
+    spanning every file. Checked against real parquet footers."""
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_spark.io import write_parquet_zordered
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select(
+        "l_quantity", "l_extendedprice"
+    )
+    zdir, sdir = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    write_parquet_zordered(li, zdir, ["l_quantity", "l_extendedprice"], num_files=16)
+    li.repartitionByRange(16, "l_quantity").sortWithinPartitions(
+        "l_quantity"
+    ).write.mode("overwrite").parquet(sdir)
+
+    import glob
+
+    def overlap_fraction(d, col, lo, hi):
+        files = glob.glob(f"{d}/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmin = min(md.row_group(i).column(  # noqa: B023
+                [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+            ).statistics.min for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(
+                [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+            ).statistics.max for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit / len(files)
+
+    # narrow band on the SECOND dimension
+    z_frac = overlap_fraction(zdir, "l_extendedprice", 10_000.0, 10_500.0)
+    s_frac = overlap_fraction(sdir, "l_extendedprice", 10_000.0, 10_500.0)
+    assert z_frac <= 0.5, z_frac          # z-order skips most files
+    assert s_frac >= 0.9, s_frac          # single-col sort can't
+    # and the first dimension still clusters under z-order
+    zq = overlap_fraction(zdir, "l_quantity", 10.0, 12.0)
+    assert zq <= 0.75, zq
