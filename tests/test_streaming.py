@@ -9,6 +9,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from big_data_analysis_spark.io import load_tables
@@ -415,3 +416,44 @@ def test_streaming_distinct_users_two_batches(spark):
             final[r["window_start"].date().isoformat()], r["n_users"]
         )
     assert final == {"2024-01-01": 3, "2024-01-02": 1}, dict(final)
+
+
+def test_running_user_stats_matches_batch(spark, sf_dir):
+    """running_user_stats (transformWithState when the env has
+    protobuf, applyInPandasWithState fallback otherwise): the last
+    emitted row per user after draining equals the batch
+    count/sum/max aggregate exactly."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.streaming.stateful import running_user_stats
+    from big_data_analysis_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    out = run_available_now(
+        running_user_stats(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    # update-mode memory sink: take the LAST row per user
+    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    last = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    got = {r["user_id"]: r for r in last.collect()}
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    expect = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got.keys() == expect.keys()
+    for u in expect:
+        assert got[u]["n_events"] == expect[u]["n_events"]
+        assert abs(got[u]["total_value"] - expect[u]["total_value"]) < 1e-6
+        assert got[u]["max_value"] == expect[u]["max_value"]
