@@ -14,6 +14,7 @@ array functions) — no Python in the hot path, fully distributed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -654,4 +655,111 @@ def edit_distance_pairs(
     )
     return cands.filter(F.levenshtein("s_a", "s_b") <= k).select(
         "id_a", "id_b", F.levenshtein("s_a", "s_b").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Bloom-filter decontamination (the broadcast-filter scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key_col, num_bits: int, num_hashes: int):
+    """k bit positions per key as array<long> — all JVM-side xxhash64
+    with literal seeds, so the BUILD and PROBE sides share the exact
+    hash family (no Python reimplementation to drift)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 22, num_hashes: int = 5
+):
+    """Distributed Bloom-filter build over a key column: each key sets
+    ``num_hashes`` bits; bits pack 64-per-word via a map-side-combined
+    ``bit_or`` aggregate on the word index, and only the m/64-word
+    table (512 KiB at the 4M-bit default) ever reaches the driver.
+    Returns a numpy uint64 word array for broadcasting.
+
+    This is the anti-join shape Spark's own runtime row-level filters
+    use: when the 'dirty set' (benchmark grams, bad URLs, opted-out
+    ids) is millions of keys — too big to broadcast exactly, too small
+    to justify shuffling 100 TB of corpus — a fixed-size bloom of it
+    broadcasts to every executor and the corpus is filtered map-side
+    with zero shuffle, at a quantified false-positive cost
+    ((1-e^{-kn/m})^k; defaults give <1% at 500k keys)."""
+    import numpy as np
+
+    pos = df.select(F.explode(_bloom_positions(F.col(key_col), num_bits, num_hashes)).alias("p"))
+    words = (
+        pos.select(
+            F.shiftrightunsigned(F.col("p"), 6).alias("w"),
+            # F.shiftleft requires a literal count; SQL form takes a column
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    for r in words:
+        arr[r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def bloom_gram_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bloom_words,
+    n: int = 5,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Per document: how many of its DISTINCT word n-grams MIGHT be in
+    the bloomed key set (0 false negatives; false positives at the
+    filter's rate). Gram positions are computed JVM-side (same exprs as
+    the build); the broadcast word array is probed by an Arrow pandas
+    UDF with vectorized numpy bit tests — no shuffle, no join: the
+    whole decontamination scan is map-side. ``num_hashes`` must match
+    the build; the bit-space size is derived from the word array so it
+    cannot drift."""
+    import numpy as np
+
+    num_bits = len(bloom_words) * 64
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bloom_words)
+    k = num_hashes
+
+    @F.pandas_udf("int")
+    def hits(pos_lists: pd.Series) -> pd.Series:
+        words = bc.value
+
+        def count(flat):
+            if flat is None or len(flat) == 0:
+                return 0
+            p = np.asarray(flat, dtype=np.int64).reshape(-1, k)
+            w = words[p >> 6]
+            m = np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
+            return int(((w & m) != 0).all(axis=1).sum())
+
+        return pos_lists.map(count)
+
+    grams = df.select(
+        F.col(id_col),
+        _token_shingles(F.col(text_col), n).alias("__g"),
+    )
+    pos = grams.select(
+        id_col,
+        F.size("__g").alias("n_grams"),
+        F.flatten(
+            F.transform(
+                "__g", lambda g: _bloom_positions(g, num_bits, num_hashes)
+            )
+        ).alias("__pos"),
+    )
+    return pos.select(
+        id_col, "n_grams", hits(F.col("__pos")).alias("bloom_hits")
     )

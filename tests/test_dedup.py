@@ -318,3 +318,46 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     dangling = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="dangling"):
         pagerank(dangling)
+
+
+def test_bloom_decontamination_no_false_negatives_and_bounded_fp(spark):
+    """Bloom filter scale path: (a) every key inserted is found — a
+    contaminated doc can never slip through; (b) probing 4000 grams
+    DISJOINT from the 1000 inserted stays under 1% false positives at
+    the default sizing (theory: ~1e-11 at this load; 1% is a loose
+    ceiling)."""
+    from big_data_analysis_spark.operators.dedup import (
+        bloom_build,
+        bloom_gram_hits,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"inserted gram number {i} only",) for i in range(1000)], "gram string"
+    )
+    bloom = bloom_build(keys, "gram", num_bits=1 << 20, num_hashes=5)
+
+    # a "document" made of five inserted grams must hit 5/5 — the
+    # shingler sees each full text as its grams via n=1 word shingles,
+    # so build a text whose 1-grams ARE inserted keys
+    docs = spark.createDataFrame(
+        [(1, "zq0 zq1 zq2 zq3 zq4"), (2, "aa0 aa1 aa2 aa3 aa4")],
+        "doc_id int, text string",
+    )
+    ins = spark.createDataFrame([(f"zq{i}",) for i in range(5)], "gram string")
+    bloom2 = bloom_build(ins, "gram", num_bits=1 << 20, num_hashes=5)
+    out = {
+        r["doc_id"]: r
+        for r in bloom_gram_hits(docs, "text", "doc_id", bloom2, n=1).collect()
+    }
+    assert out[1]["bloom_hits"] == 5 and out[1]["n_grams"] == 5  # no false negatives
+    assert out[2]["bloom_hits"] <= 0  # disjoint doc: zero (fp would be <1%)
+
+    # FP bound on a large disjoint probe set
+    probe = spark.createDataFrame(
+        [(100 + i, f"disjoint token {i} xx") for i in range(4000)], "doc_id int, text string"
+    )
+    hits = bloom_gram_hits(probe, "text", "doc_id", bloom, n=4)
+    total = hits.agg(
+        F.sum("bloom_hits").alias("h"), F.sum("n_grams").alias("n")
+    ).head()
+    assert total["h"] / total["n"] < 0.01, (total["h"], total["n"])
