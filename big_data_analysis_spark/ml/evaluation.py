@@ -57,6 +57,29 @@ def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     )
 
 
+def auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Area under the ROC curve by trapezoidal rule over the
+    distinct-score sweep — one row (auc, n_pos, n_neg). Same scale
+    shape as roc_curve: the only window runs over distinct scores.
+    Ties are handled exactly (the trapezoid between consecutive
+    distinct scores IS the tie correction)."""
+    pts = roc_curve(df, label_col, score_col)
+    w = Window.orderBy("threshold")
+    # threshold DESC order = fpr ascending; lag along ascending fpr
+    prev_fpr = F.lag("fpr", -1, 0.0).over(w)
+    prev_tpr = F.lag("tpr", -1, 0.0).over(w)
+    area = (F.col("fpr") - prev_fpr) * (F.col("tpr") + prev_tpr) / 2
+    counts = df.agg(
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("n_neg"),
+    )
+    return (
+        pts.withColumn("__a", area)
+        .agg(F.round(F.sum("__a"), 6).alias("auc"))
+        .crossJoin(counts)
+    )
+
+
 def calibration_table(
     df: DataFrame, label_col: str, score_col: str, n_bins: int = 10
 ) -> DataFrame:

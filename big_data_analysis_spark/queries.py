@@ -3806,6 +3806,65 @@ def q_gains_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cumulative_gains(o, "y", "score", n_buckets=10)
 
 
+_AUC_ORACLE = """
+WITH t AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+           o_totalprice AS s
+    FROM orders
+), per AS (
+    SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg FROM t GROUP BY s
+), pts AS (
+    SELECT s,
+           round(sum(pos) OVER (ORDER BY s DESC) / CAST((SELECT sum(y) FROM t) AS DOUBLE), 6) AS tpr,
+           round(sum(neg) OVER (ORDER BY s DESC) / CAST((SELECT count(*) - sum(y) FROM t) AS DOUBLE), 6) AS fpr
+    FROM per
+), seg AS (
+    SELECT (fpr - coalesce(lead(fpr) OVER (ORDER BY s), 0.0))
+           * (tpr + coalesce(lead(tpr) OVER (ORDER BY s), 0.0)) / 2 AS a
+    FROM pts
+)
+SELECT round((SELECT sum(a) FROM seg), 6) AS auc,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+FROM t
+"""
+
+
+@query("auc_orders", _AUC_ORACLE)
+def q_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the o_totalprice scorer vs the o_orderstatus='F' label:
+    trapezoidal rule over the distinct-score ROC sweep (ties handled
+    exactly by the trapezoids). Near 0.5 by construction — the
+    statistic, not the model, is under test."""
+    from big_data_analysis_spark.ml import evaluation as ev
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return ev.auc(o, "y", "score")
+
+
+@query("bloom_decontaminate_docs")
+def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination scan (rows-only: the filter's bit
+    arithmetic is xxhash64-based, not SQL-expressible in DuckDB; no-
+    false-negative and FP-bound properties are pinned in
+    tests/test_dedup.py). Every 50th doc plays the benchmark; the scan
+    reports per-doc bloom hit counts — fully map-side on the corpus."""
+    from big_data_analysis_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bench_grams = (
+        dd.gram_index(docs.filter(F.col("doc_id") % 50 == 0), "text", "doc_id", 5)
+        .select("gram")
+        .distinct()
+    )
+    bloom = dd.bloom_build(bench_grams, "gram", num_bits=1 << 20, num_hashes=5)
+    out = dd.bloom_gram_hits(docs, "text", "doc_id", bloom, n=5)
+    return out.filter(F.col("bloom_hits") > 0).orderBy("doc_id")
+
+
 _CHI2_ORACLE = """
 WITH cells AS (
     SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n

@@ -122,3 +122,28 @@ def test_entropy_gain_counts_null_feature(spark):
     assert got["h_label"] == round(h_label, 6)
     assert got["h_conditional"] == round(h_cond, 6)
     assert got["info_gain"] == round(h_label - h_cond, 6)
+
+
+def test_auc_matches_mann_whitney_with_ties(spark, scored):
+    """Trapezoidal AUC over the distinct-score sweep must equal the
+    rank-based Mann-Whitney statistic with midranks — the standard
+    tie-exact equivalence (what sklearn computes)."""
+    got = ev.auc(scored, "label", "score").head()
+    data = np.array(scored.collect())
+    y, s = data[:, 0], data[:, 1]
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    r = 1
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2  # midrank
+        r += j - i
+        i = j
+    P, N = int(y.sum()), int((1 - y).sum())
+    u = ranks[y == 1].sum() - P * (P + 1) / 2
+    assert abs(got["auc"] - u / (P * N)) < 1e-5
+    assert got["n_pos"] == P and got["n_neg"] == N
