@@ -553,3 +553,72 @@ def markov_transitions(
         "p",
         F.col("n_transitions") / F.sum("n_transitions").over(total),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of statsmodels' seasonal_decompose): value = trend +
+    seasonal + residual.
+
+    - trend: centered moving average over a full window of ``period``
+      rows (period odd: symmetric window; period even: the standard
+      2xMA — MA(period) then MA(2) — so the window stays centered).
+      Edges without a full window get null trend (and null residual),
+      exactly like the reference implementations.
+    - seasonal: per phase (row position mod period) mean of the
+      detrended series, centered to sum to zero over one cycle.
+    - residual: value - trend - seasonal.
+
+    Scale shape: two ROWS-frame windows and one tiny groupBy(phase)
+    broadcast back. ``partition_by`` keys decompose many series at
+    once (per store, per brand...); without it the single global
+    series pays one range-partitioned sort, the unavoidable cost of
+    an ordered method."""
+    parts = list(partition_by or [])
+    w = Window.partitionBy(*parts).orderBy(order_col) if parts else Window.orderBy(order_col)
+    half = period // 2
+    if period % 2 == 1:
+        trend = F.when(
+            F.count(value_col).over(w.rowsBetween(-half, half)) == period,
+            F.avg(value_col).over(w.rowsBetween(-half, half)),
+        )
+    else:
+        ma = F.when(
+            F.count(value_col).over(w.rowsBetween(-half, half - 1)) == period,
+            F.avg(value_col).over(w.rowsBetween(-half, half - 1)),
+        )
+        with_ma = F.when(
+            F.count(value_col).over(w.rowsBetween(-half + 1, half)) == period,
+            F.avg(value_col).over(w.rowsBetween(-half + 1, half)),
+        )
+        trend = (ma + with_ma) / 2
+
+    base = df.withColumn("__trend", trend).withColumn(
+        "__phase", (F.row_number().over(w) - 1) % period
+    ).withColumn("__detrended", F.col(value_col) - F.col("__trend"))
+    phase_means = base.groupBy(*parts, "__phase").agg(
+        F.avg("__detrended").alias("__pm")
+    )
+    cycle_mean = phase_means.groupBy(*parts).agg(F.avg("__pm").alias("__cm"))
+    keys = ["__phase"] if not parts else [*parts, "__phase"]
+    out = (
+        base.join(F.broadcast(phase_means), keys, "left")
+        .join(F.broadcast(cycle_mean), parts, "left") if parts
+        else base.join(F.broadcast(phase_means), keys, "left").crossJoin(
+            F.broadcast(cycle_mean)
+        )
+    )
+    return (
+        out.withColumn("seasonal", F.col("__pm") - F.col("__cm"))
+        .withColumn("trend", F.col("__trend"))
+        .withColumn(
+            "residual", F.col(value_col) - F.col("__trend") - F.col("seasonal")
+        )
+        .drop("__trend", "__pm", "__cm", "__detrended", "__phase")
+    )

@@ -3865,6 +3865,49 @@ def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("bloom_hits") > 0).orderBy("doc_id")
 
 
+_SEASONAL_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), w AS (
+    SELECT day, y,
+           CASE WHEN count(y) OVER win = 7 THEN avg(y) OVER win END AS trend,
+           (row_number() OVER (ORDER BY day) - 1) % 7 AS phase
+    FROM daily
+    WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), pm AS (
+    SELECT phase, avg(y - trend) AS pmean FROM w GROUP BY phase
+), cm AS (SELECT avg(pmean) AS cmean FROM pm)
+SELECT w.day, round(w.y, 4) AS y, round(w.trend, 4) AS trend,
+       round(pm.pmean - cm.cmean, 4) AS seasonal,
+       round(w.y - w.trend - (pm.pmean - cm.cmean), 4) AS residual
+FROM w JOIN pm USING (phase) CROSS JOIN cm
+"""
+
+
+@query("seasonal_decompose_daily_events", _SEASONAL_ORACLE)
+def q_seasonal_decompose_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event count with
+    weekly seasonality: trend = centered 7-row MA (null at edges),
+    seasonal = zero-centered phase means of the detrended series,
+    residual = the rest. Component recovery on synthetic signals is
+    pinned in tests/test_semantics.py."""
+    from big_data_analysis_spark.operators.timeseries import seasonal_decompose
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    out = seasonal_decompose(daily, "day", "y", period=7)
+    return out.select(
+        "day",
+        F.round("y", 4).alias("y"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("residual", 4).alias("residual"),
+    )
+
+
 _CHI2_ORACLE = """
 WITH cells AS (
     SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n

@@ -540,3 +540,43 @@ def test_ngram_lm_scores_rank_fluent_above_garbage(spark):
     assert out[100]["perplexity"] < out[101]["perplexity"]
     # n_bigrams = tokens - 1
     assert out[100]["n_bigrams"] == 5
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """Additive signal trend(t)=0.5t, seasonal=[5,-2,-3] (period 3,
+    zero-sum): the decomposition must recover both to float precision
+    away from the edges, residual ~ 0, and edge rows (no full MA
+    window) must have null trend/residual — statsmodels semantics."""
+    from big_data_analysis_spark.operators.timeseries import seasonal_decompose
+
+    season = [5.0, -2.0, -3.0]
+    rows = [(t, 0.5 * t + season[t % 3]) for t in range(30)]
+    df = spark.createDataFrame(rows, "t int, y double")
+    out = {r["t"]: r for r in seasonal_decompose(df, "t", "y", 3).collect()}
+    assert out[0]["trend"] is None and out[0]["residual"] is None
+    assert out[29]["trend"] is None
+    for t in range(1, 29):
+        # centered MA of a linear trend is exact; seasonal sums to zero
+        assert abs(out[t]["trend"] - 0.5 * t) < 1e-9, (t, out[t])
+        assert abs(out[t]["seasonal"] - season[t % 3]) < 1e-9
+        assert abs(out[t]["residual"]) < 1e-9
+
+
+def test_seasonal_decompose_even_period_and_groups(spark):
+    """period=4 uses the 2xMA centered window; per-group decomposition
+    keeps series independent."""
+    from big_data_analysis_spark.operators.timeseries import seasonal_decompose
+
+    season = [2.0, 0.0, -1.0, -1.0]
+    rows = [("a", t, 1.0 * t + season[t % 4]) for t in range(24)] + [
+        ("b", t, -2.0 * t + season[t % 4]) for t in range(24)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = {
+        (r["g"], r["t"]): r
+        for r in seasonal_decompose(df, "t", "y", 4, partition_by=["g"]).collect()
+    }
+    for g, slope in (("a", 1.0), ("b", -2.0)):
+        for t in range(3, 21):
+            assert abs(out[(g, t)]["trend"] - slope * t) < 1e-9, (g, t, out[(g, t)])
+            assert abs(out[(g, t)]["residual"]) < 1e-9
