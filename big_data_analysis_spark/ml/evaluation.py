@@ -27,7 +27,44 @@ def _per_score(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     )
 
 
-def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def quantize_scores(
+    df: DataFrame, score_col: str, max_points: int, relative_error: float = 0.001
+) -> DataFrame:
+    """Scale guard for the sweep ops: map a CONTINUOUS score onto at
+    most ``max_points`` quantile-boundary representatives (each score
+    becomes the smallest boundary >= it). The distinct-score windows in
+    roc_curve/auc/calibration_table are global sorts — harmless when
+    scores are discrete, but a continuous scorer on billions of rows
+    makes |distinct| ~ |rows| and funnels them through one partition.
+    Quantile boundaries come from approx_percentile (mergeable sketch,
+    one pass, driver state = max_points doubles) and the binning is a
+    broadcast array lookup, so the downstream sweep is bounded by
+    max_points regardless of input size. AUC error is O(1/max_points).
+    """
+    qs = [i / max_points for i in range(1, max_points + 1)]
+    bounds = sorted(
+        set(
+            df.agg(
+                F.percentile_approx(
+                    score_col, qs, F.lit(int(1.0 / relative_error))
+                ).alias("b")
+            ).head()["b"]
+        )
+    )
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    # smallest boundary >= score; scores above the last boundary clamp
+    idx = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: F.when(F.col(score_col) > b, acc + 1).otherwise(acc),
+    )
+    rep = F.element_at(arr, F.least(idx + 1, F.lit(len(bounds))))
+    return df.withColumn(score_col, rep)
+
+
+def roc_curve(
+    df: DataFrame, label_col: str, score_col: str, max_points: int | None = None
+) -> DataFrame:
     """M17 as data, not a model method: ROC points from any (label,
     score) columns — threshold sweep over every DISTINCT score value,
     descending, with TPR = cum_tp / P and FPR = cum_fp / N.
@@ -35,7 +72,13 @@ def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     Plan: one groupBy(score) then a cumulative-sum window over the
     distinct scores. Single-class inputs (P=0 or N=0) yield null
     tpr/fpr via try_divide rather than raising under ANSI mode.
+    ``max_points`` bounds the sweep for continuous scores (see
+    quantize_scores) — REQUIRED reading at 100 TB: without it a
+    continuous score makes the distinct-score window a global sort of
+    ~|rows|.
     """
+    if max_points is not None:
+        df = quantize_scores(df, score_col, max_points)
     per_score = df.groupBy(F.col(score_col).alias("threshold")).agg(
         F.sum(F.col(label_col).cast("long")).alias("__pos"),
         F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("__neg"),
@@ -57,12 +100,17 @@ def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     )
 
 
-def auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def auc(
+    df: DataFrame, label_col: str, score_col: str, max_points: int | None = None
+) -> DataFrame:
     """Area under the ROC curve by trapezoidal rule over the
     distinct-score sweep — one row (auc, n_pos, n_neg). Same scale
     shape as roc_curve: the only window runs over distinct scores.
     Ties are handled exactly (the trapezoid between consecutive
-    distinct scores IS the tie correction)."""
+    distinct scores IS the tie correction). ``max_points`` quantizes
+    continuous scores (error O(1/max_points)) — the 100 TB setting."""
+    if max_points is not None:
+        df = quantize_scores(df, score_col, max_points)
     pts = roc_curve(df, label_col, score_col)
     w = Window.orderBy("threshold")
     # threshold DESC order = fpr ascending; lag along ascending fpr

@@ -147,3 +147,19 @@ def test_auc_matches_mann_whitney_with_ties(spark, scored):
     u = ranks[y == 1].sum() - P * (P + 1) / 2
     assert abs(got["auc"] - u / (P * N)) < 1e-5
     assert got["n_pos"] == P and got["n_neg"] == N
+
+
+def test_quantized_auc_approximates_exact(spark):
+    """max_points bounds the sweep for continuous scores; the
+    quantized AUC must sit within O(1/max_points) of exact."""
+    rows = [
+        ((1.0 if (i * 29) % 97 < 40 + (i % 50) else 0.0), float(i) + (i % 7) * 0.137)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "label double, score double")
+    exact = ev.auc(df, "label", "score").head()["auc"]
+    quant = ev.auc(df, "label", "score", max_points=64).head()["auc"]
+    assert abs(exact - quant) < 0.03, (exact, quant)
+    # the sweep really is bounded
+    pts = ev.roc_curve(df, "label", "score", max_points=64).count()
+    assert pts <= 64
