@@ -763,3 +763,76 @@ def bloom_gram_hits(
     return pos.select(
         id_col, "n_grams", hits(F.col("__pos")).alias("bloom_hits")
     )
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, width: int = 1 << 16, depth: int = 4
+):
+    """Distributed count-min sketch build over a key column: ``depth``
+    independent xxhash64 rows of ``width`` counters. One explode(depth)
+    + map-side-combined groupBy; only the depth x width counter table
+    (1 MiB at defaults) reaches the driver, regardless of input size.
+    Returns a numpy (depth, width) int64 array.
+
+    Completes the fixed-size-sketch family next to the Bloom filter
+    (membership) and HLL/approx-percentile (profile): approximate
+    COUNTS for astronomically-keyed columns where an exact groupBy's
+    shuffle or result size is the bottleneck. Estimates overcount by
+    at most eN with probability 1-delta at width=e/eps, depth=ln(1/d);
+    never undercount."""
+    import numpy as np
+
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(F.xxhash64(F.col(key_col), F.lit(1000 + i)), F.lit(width)).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    counts = (
+        rows.groupBy(F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    arr = np.zeros((depth, width), dtype=np.int64)
+    for r in counts:
+        arr[r["d"], r["b"]] = r["c"]
+    return arr
+
+
+def countmin_estimate(
+    df: DataFrame, key_col: str, sketch, width: int | None = None
+) -> DataFrame:
+    """Estimated occurrence count per input row's key: min over the
+    sketch's depth rows — broadcast numpy probe in an Arrow UDF, keys
+    hashed JVM-side with the build's seeds (same family by
+    construction). Map-side only; join nothing."""
+    import numpy as np
+
+    depth, w = sketch.shape
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(sketch)
+
+    @F.pandas_udf("long")
+    def est(pos_lists: pd.Series) -> pd.Series:
+        sk = bc.value
+
+        def one(flat):
+            p = np.asarray(flat, dtype=np.int64)
+            return int(sk[np.arange(len(p)), p].min())
+
+        return pos_lists.map(one)
+
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(1000 + i)), F.lit(w))
+            for i in range(depth)
+        ]
+    )
+    return df.withColumn("est_count", est(pos))

@@ -361,3 +361,31 @@ def test_bloom_decontamination_no_false_negatives_and_bounded_fp(spark):
         F.sum("bloom_hits").alias("h"), F.sum("n_grams").alias("n")
     ).head()
     assert total["h"] / total["n"] < 0.01, (total["h"], total["n"])
+
+
+def test_countmin_never_undercounts_and_is_tight_on_heavy_hitters(spark):
+    """CM guarantee: estimate >= true count always; on a skewed stream
+    the heavy keys' estimates are exact or near-exact at this sizing."""
+    import random
+
+    from big_data_analysis_spark.operators.dedup import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rng = random.Random(7)
+    keys = [f"heavy{i}" for i in range(5)] * 2000 + [
+        f"tail{rng.randrange(20000)}" for _ in range(20000)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sketch = countmin_build(df, "k", width=1 << 14, depth=4)
+
+    true = {}
+    for k in keys:
+        true[k] = true.get(k, 0) + 1
+    probe = spark.createDataFrame([(k,) for k in sorted(true)], "k string")
+    est = {r["k"]: r["est_count"] for r in countmin_estimate(probe, "k", sketch).collect()}
+    assert all(est[k] >= c for k, c in true.items())  # never undercount
+    for i in range(5):
+        k = f"heavy{i}"
+        assert est[k] - true[k] <= 0.01 * len(keys), (k, est[k], true[k])
