@@ -169,3 +169,58 @@ def test_pack_offsets_contiguous_stream(spark):
             end_chunk = (r["start_offset"] + r["n_tok"] - 1) // 256
             assert r["crosses_boundary"] == (r["chunk_id"] != end_chunk)
             expect_start += r["n_tok"]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=30
+    ),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_segments_always_reassemble(words, num_merges):
+    """For ANY vocabulary and merge budget: every word's segments
+    concatenate back to word + EOW, and segment count is >= 1."""
+    from collections import Counter
+
+    from big_data_analysis_spark.operators import tokenize as tk
+
+    wc = Counter(words)
+    ranks = {p: i for i, p in enumerate(tk.bpe_train(dict(wc), num_merges))}
+    for w in set(words) | {"zz", "a"}:
+        segs = tk.bpe_segment(w, ranks)
+        assert len(segs) >= 1
+        assert "".join(segs) == w + tk.EOW
+
+
+def test_seasonal_decomposition_identity_any_series(spark):
+    """value == trend + seasonal + residual EXACTLY wherever trend is
+    defined, for an arbitrary (seedy, non-seasonal) series — the
+    additive identity is structural, not statistical."""
+    import random
+
+    from big_data_analysis_spark.operators.timeseries import seasonal_decompose
+
+    rng = random.Random(3)
+    rows = [(t, rng.uniform(-100, 100)) for t in range(40)]
+    df = spark.createDataFrame(rows, "t int, y double")
+    for period in (3, 4, 7):
+        for r in seasonal_decompose(df, "t", "y", period).collect():
+            if r["trend"] is not None:
+                assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+
+
+def test_calibration_partitions_rows_exactly(spark):
+    """Bin sizes sum to N and the weighted pos_rate recovers the global
+    positive rate — conservation laws of the binning."""
+    import random
+
+    from big_data_analysis_spark.ml.evaluation import calibration_table
+
+    rng = random.Random(5)
+    rows = [(float(rng.random() < 0.3), float(rng.choice([1, 2, 2, 3, 5]))) for _ in range(500)]
+    df = spark.createDataFrame(rows, "label double, score double")
+    out = calibration_table(df, "label", "score", 5).collect()
+    assert sum(r["n"] for r in out) == 500
+    global_rate = sum(r["pos_rate"] * r["n"] for r in out) / 500
+    assert abs(global_rate - sum(x for x, _ in rows) / 500) < 1e-4
