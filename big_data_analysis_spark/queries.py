@@ -3865,6 +3865,68 @@ def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("bloom_hits") > 0).orderBy("doc_id")
 
 
+_YOY_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate)::DATE AS period,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT period, revenue,
+       round(100.0 * (revenue - lag(revenue, 12) OVER (ORDER BY period))
+             / lag(revenue, 12) OVER (ORDER BY period), 4) AS yoy_pct
+FROM monthly
+"""
+
+
+@query("yoy_revenue_growth", _YOY_ORACLE)
+def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: the lag-12 window over
+    the (tiny) monthly aggregate — the heavy scan collapses to months
+    before any window runs; first-year months get null yoy_pct."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("period")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    prev = F.lag("revenue", 12).over(Window.orderBy("period"))
+    return monthly.select(
+        "period",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY user_id
+), daily AS (
+    SELECT e.ts::DATE AS day, e.user_id, f.first_day
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2, 3
+)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM daily GROUP BY day
+"""
+
+
+@query("new_vs_returning_users", _NEW_RETURNING_ORACLE)
+def q_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users: expanding distinct-count
+    reframed as first-seen-date arithmetic — one per-user min
+    aggregate joined back, no expanding-window distinct state. The
+    standard growth-accounting readout."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.distinct().join(firsts, "user_id")
+    return daily.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("int")).cast("long").alias("new_users"),
+        F.sum((F.col("day") > F.col("first_day")).cast("int")).cast("long").alias("returning_users"),
+    )
+
+
 _SEASONAL_ORACLE = """
 WITH daily AS (
     SELECT ts::DATE AS day, CAST(count(*) AS DOUBLE) AS y
