@@ -144,3 +144,56 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts in its own community; each round it
+    adopts the most frequent label among its neighbors (ties -> the
+    smallest label, so the algorithm is deterministic under any
+    partitioning — the published async/random variant is not, which a
+    distributed engine cannot afford). Returns (node, community).
+
+    Differs from connected_components on purpose: CC merges anything
+    reachable; LPA keeps DENSELY linked regions together while sparse
+    bridges between them do not flip labels, so two cliques joined by
+    one edge stay two communities.
+
+    Scale shape per round: edges ⋈ labels (shuffle on node id), one
+    groupBy((node, label)) count, one max_by per node — all
+    partition-local after the join shuffle. Labels localCheckpoint
+    each round (lineage truncation, same discipline as pagerank)."""
+    both = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        neigh = both.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "community")
+        counted = neigh.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # most frequent neighbor label; ties -> smallest label value
+        best = counted.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("community").alias("c")
+                )
+            )["c"].alias("community")
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels

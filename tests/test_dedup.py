@@ -389,3 +389,21 @@ def test_countmin_never_undercounts_and_is_tight_on_heavy_hitters(spark):
     for i in range(5):
         k = f"heavy{i}"
         assert est[k] - true[k] <= 0.01 * len(keys), (k, est[k], true[k])
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two 5-cliques joined by a single bridge edge: connected
+    components would merge them; label propagation must keep two
+    communities (the bridge can never outvote 4 clique neighbors),
+    and each clique must be internally uniform."""
+    from big_data_analysis_spark.operators.graph import label_propagation
+
+    c1 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    c2 = [(i + 10, j + 10) for i in range(5) for j in range(5) if i < j]
+    bridge = [(4, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    out = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    comm1 = {out[i] for i in range(5)}
+    comm2 = {out[i + 10] for i in range(5)}
+    assert len(comm1) == 1 and len(comm2) == 1
+    assert comm1 != comm2
