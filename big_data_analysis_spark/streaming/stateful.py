@@ -179,3 +179,70 @@ def running_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_SCHEMA = (
+    "user_id bigint, ts timestamp, value double, zscore double, is_anomaly boolean"
+)
+_WELFORD_STATE_SCHEMA = "n bigint, mean double, m2 double"
+
+
+def streaming_anomalies(
+    events: DataFrame, z_threshold: float = 3.0, min_history: int = 5, watermark: str = "1 hour"
+) -> DataFrame:
+    """In-stream anomaly flags: each event's value is z-scored against
+    the running Welford mean/variance of all PRIOR events of its key
+    (strictly-before semantics: the event never sees itself, so one
+    wild spike cannot mask itself — the MAD lesson applied to
+    streams). Events arriving before ``min_history`` observations are
+    never flagged. Emits every event with its zscore (null until
+    history suffices).
+
+    State per key is three numbers (n, mean, M2) — O(keys) memory,
+    watermark-bounded; within a micro-batch rows process in ts order,
+    so a replay of the same batches yields identical flags.
+
+    Batch twin for parity: an expanding window with the frame
+    (unboundedPreceding, -1) computes the same prior-only stats —
+    asserted in tests/test_streaming.py.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out = {"user_id": [], "ts": [], "value": [], "zscore": [], "is_anomaly": []}
+        for _, r in rows.iterrows():
+            v = float(r["value"]) if pd.notna(r["value"]) else 0.0
+            z = None
+            if n >= min_history and m2 > 0:
+                std = math.sqrt(m2 / (n - 1))
+                z = (v - mean) / std if std > 0 else None
+            out["user_id"].append(key[0])
+            out["ts"].append(r["ts"])
+            out["value"].append(v)
+            out["zscore"].append(z)
+            out["is_anomaly"].append(bool(z is not None and abs(z) > z_threshold))
+            # Welford update AFTER scoring: strictly-prior semantics
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(out)
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_WELFORD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -457,3 +457,48 @@ def test_running_user_stats_matches_batch(spark, sf_dir):
         assert got[u]["n_events"] == expect[u]["n_events"]
         assert abs(got[u]["total_value"] - expect[u]["total_value"]) < 1e-6
         assert got[u]["max_value"] == expect[u]["max_value"]
+
+
+def test_streaming_anomalies_match_batch_expanding_window(spark, sf_dir):
+    """The stream's strictly-prior Welford z-scores must equal a batch
+    expanding window with frame (unboundedPreceding, -1) — same mean,
+    same sample std, same flags — for every event with enough history."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.streaming.stateful import streaming_anomalies
+    from big_data_analysis_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    out = run_available_now(
+        streaming_anomalies(read_events_stream(spark, sf_dir)), output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["ts"]): r
+        for r in out.collect()
+    }
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id", "ts", F.coalesce("value", F.lit(0.0)).alias("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.avg("value").over(w).alias("mean"),
+        F.stddev_samp("value").over(w).alias("std"),
+    ).collect()
+    checked = 0
+    for r in batch:
+        g = got[(r["user_id"], r["ts"])]
+        if r["n"] >= 5 and r["std"] and r["std"] > 0:
+            expect_z = (r["value"] - r["mean"]) / r["std"]
+            assert g["zscore"] is not None and abs(g["zscore"] - expect_z) < 1e-6
+            assert g["is_anomaly"] == (abs(expect_z) > 3.0)
+            checked += 1
+    assert checked > 500  # the parity actually exercised history
