@@ -403,3 +403,27 @@ def test_epsilon_svr_fits_nonlinear_and_resists_outliers(spark):
     )
     # the tube loss must be strictly more robust to the outliers
     assert rmse_svr < rmse_ridge * 0.7, (rmse_svr, rmse_ridge)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """S9: a fitted pipeline persists and reloads with identical
+    predictions — the pyspark.ml pass-through the engine relies on."""
+    from pyspark.ml import Pipeline, PipelineModel
+
+    from big_data_analysis_spark.ml import pipelines as pl
+
+    df = spark.createDataFrame(
+        [(float(i % 2), float(i), float(2 * i % 7)) for i in range(200)],
+        "label double, f1 double, f2 double",
+    )
+    pipe = Pipeline(
+        stages=pl.assemble_features(["f1", "f2"])
+        + [pl.default_classifiers(2)["logistic_regression"]]
+    )
+    model = pipe.fit(df)
+    path = str(tmp_path / "lr_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = [r["prediction"] for r in model.transform(df).select("prediction").collect()]
+    b = [r["prediction"] for r in reloaded.transform(df).select("prediction").collect()]
+    assert a == b
