@@ -697,3 +697,49 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def merge_aggregate_state(
+    state: DataFrame | None,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental rollup maintenance: fold a raw DELTA batch into a
+    materialized aggregate STATE without touching historical raw data —
+    the lakehouse incremental-ETL pattern (nightly base + hourly
+    deltas). Works for any MERGEABLE aggregate: counts and sums add,
+    min/max take extrema; avg derives as sum/n downstream. (Exact
+    count-distinct is NOT mergeable — use HLL sketches for that.)
+
+    state=None bootstraps from the delta alone. The merged result has
+    one row per key and the same schema either way, so the output IS
+    next cycle's state: write it with write_parquet / merge_upsert.
+
+    Scale shape: the delta aggregates first (map-side combine on the
+    small new data), then one keyed union+re-aggregate with the state
+    table — cost is O(|delta| + |state|), independent of how much raw
+    history the state summarizes. Parity with a full recompute over
+    base+delta is asserted in tests/test_relational.py.
+    """
+    ks = list(keys)
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias(count_col)]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    delta_agg = delta.groupBy(*ks).agg(*aggs)
+    if state is None:
+        return delta_agg
+    merged = state.select(delta_agg.columns).unionByName(delta_agg)
+    re_aggs = (
+        [F.sum(count_col).cast("long").alias(count_col)]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*ks).agg(*re_aggs)

@@ -422,3 +422,47 @@ def test_melt_shape_nulls_and_no_shuffle(spark):
     assert dict(out.dtypes)["val"] == "double"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Exchange" not in plan
+
+
+def test_merge_aggregate_state_equals_full_recompute(spark):
+    """Incremental rollup invariant: bootstrapping from batch 1 then
+    folding batches 2 and 3 must equal one aggregate over all rows —
+    per key, for count, sum, min and max."""
+    import random
+
+    from big_data_analysis_spark.operators.relational import merge_aggregate_state
+
+    rng = random.Random(17)
+    batches = [
+        [(f"k{rng.randint(0, 9)}", rng.uniform(-50, 50)) for _ in range(400)]
+        for _ in range(3)
+    ]
+    dfs = [spark.createDataFrame(b, "k string, v double") for b in batches]
+    # incremental fold (min/max tracked in their own columns)
+    state = None
+    for d in dfs:
+        d2 = d.withColumn("v_min", F.col("v")).withColumn("v_max", F.col("v"))
+        state = merge_aggregate_state(
+            state, d2, ["k"], sum_cols=["v"], min_cols=["v_min"], max_cols=["v_max"]
+        )
+    got = {r["k"]: r for r in state.collect()}
+    full = spark.createDataFrame(
+        [x for b in batches for x in b], "k string, v double"
+    )
+    expect = {
+        r["k"]: r
+        for r in full.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("v"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k]["n"] == expect[k]["n"]
+        assert abs(got[k]["v"] - expect[k]["v"]) < 1e-9
+        assert got[k]["v_min"] == expect[k]["v_min"]
+        assert got[k]["v_max"] == expect[k]["v_max"]
