@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
@@ -352,3 +353,40 @@ def ngram_lm_scores(
         )
         .withColumn("perplexity", F.pow(F.lit(2.0), F.col("cross_entropy")))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    form: str = "NFKC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Corpus text normalization (the C4/CCNet cleaning prelude):
+    Unicode normalization to ``form`` (NFKC folds fullwidth/compat
+    chars — the step that makes dedup hashes agree across visually
+    identical texts), control-character stripping, and whitespace
+    collapsing.
+
+    Unicode normalization has no Spark built-in, so it runs as an
+    Arrow pandas UDF over str.normalize (vectorized in pandas);
+    the control/whitespace steps stay JVM-side regexp_replace so only
+    the irreducible step pays the Python hop. Newlines survive both
+    steps (line structure is signal); tab/space runs collapse to one
+    space. Deterministic and idempotent:
+    normalize(normalize(x)) == normalize(x) (tested).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    out = out_col or text_col
+    col = _norm(F.col(text_col))
+    if strip_control:
+        col = F.regexp_replace(col, "[\\p{Cc}\\p{Cf}&&[^\\n\\t]]", "")
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, "[ \\t]+", " "))
+    return df.withColumn(out, col)

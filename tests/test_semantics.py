@@ -580,3 +580,26 @@ def test_seasonal_decompose_even_period_and_groups(spark):
         for t in range(3, 21):
             assert abs(out[(g, t)]["trend"] - slope * t) < 1e-9, (g, t, out[(g, t)])
             assert abs(out[(g, t)]["residual"]) < 1e-9
+
+
+def test_normalize_text_nfkc_control_and_idempotence(spark):
+    """NFKC folds fullwidth/compat forms (the dedup-hash agreement
+    step), control chars vanish (newlines survive), tab/space runs
+    collapse to one space, and the op is idempotent."""
+    from big_data_analysis_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Ｈｅｌｌｏ　ｗｏｒｌｄ"),          # fullwidth + ideographic space
+        (2, "café vs café"),       # NFC-vs-NFD é
+        (3, "a\x00b\x07c  d\te\nf"),          # control chars + runs
+        (4, "①②③ ﬁne"),                      # compat digits + ligature
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    once = normalize_text(df, "text")
+    got = {r["id"]: r["text"] for r in once.collect()}
+    assert got[1] == "Hello world"
+    assert "é" in got[2] and "́" not in got[2]  # composed either side
+    assert got[3] == "abc d e\nf"
+    assert got[4] == "123 fine"
+    twice = {r["id"]: r["text"] for r in normalize_text(once, "text").collect()}
+    assert twice == got
