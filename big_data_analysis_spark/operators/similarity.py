@@ -17,6 +17,7 @@ all math upcasts to double for stable, oracle-matchable results.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -325,4 +326,143 @@ def assign_nearest_centroid(
             F.col("__best.c_label").alias("assigned_label"),
             F.round(F.sqrt(F.col("__best.__d2")), 6).alias("dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011): the MEMORY tier of
+# the ANN stack. Exact/BLAS tiers keep full vectors (4*d bytes); IVF
+# prunes the search space but still stores full vectors; PQ compresses
+# each vector to m one-byte codes (64-dim float32 -> 8 bytes at m=8,
+# 32x), so a 100 TB embedding corpus's index fits a fraction of the
+# cluster's memory. Queries use asymmetric distance (ADC): the query
+# stays uncompressed; per-subvector distance tables are broadcast and
+# scoring is a table-lookup sum — no decompression ever happens.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Train PQ codebooks: split dimensions into ``m`` subvectors and
+    k-means each on a driver-side bounded sample (the standard
+    trainer shape — codebooks are (m, k, d/m), tiny; the SAMPLE is
+    bounded, never the corpus). Deterministic: seeded init, fixed
+    Lloyd iterations. Returns a numpy (m, k, d_sub) array."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in df.select(emb_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, d_sub))
+    for j in range(m):
+        x = sample[:, j * d_sub : (j + 1) * d_sub]
+        cent = x[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks, emb_col: str = "embedding", out_col: str = "pq_code"
+) -> DataFrame:
+    """Compress each embedding to ``m`` centroid indices (array<int>,
+    one byte of information each): vectorized argmin per subvector in
+    an Arrow batch, codebooks broadcast. The encoded table is what a
+    100 TB deployment persists; full vectors stay in cold storage."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def enc(embs: pd.Series) -> pd.Series:
+        books = bc.value
+        m, k, d_sub = books.shape
+        x = np.stack(embs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * d_sub : (j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, enc(F.col(emb_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    query_vec,
+    codebooks,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    n_results: int = 10,
+    rerank_with: DataFrame | None = None,
+    emb_col: str = "embedding",
+    overfetch: int = 10,
+) -> DataFrame:
+    """ADC top-k: the query builds an (m, k) distance table driver-side
+    (m*k subtractions — microseconds), broadcasts it, and every encoded
+    row scores as a sum of m table lookups in a vectorized Arrow batch.
+    Map-side scoring + TakeOrderedAndProject top-k: no shuffle except
+    the final k-row reduction. Returns (id, approx_l2) ascending.
+
+    ``rerank_with``: the production shape — ADC alone is lossy (at
+    m=8/k=16 only ~20% of the true top-10 lead the approx ranking, but
+    ~90-100% sit inside the top-100), so fetch ``overfetch * n_results``
+    candidates by ADC, broadcast-join JUST THOSE back to full vectors,
+    and rank the shortlist by exact L2. The expensive exact math
+    touches a few hundred rows regardless of corpus size."""
+    import numpy as np
+
+    m, k, d_sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.empty((m, k))
+    for j in range(m):
+        table[j] = ((codebooks[j] - q[j * d_sub : (j + 1) * d_sub]) ** 2).sum(-1)
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        t = bc.value
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        return pd.Series(t[np.arange(m), c].sum(1))
+
+    shortlist = (
+        encoded.select(id_col, adc(F.col(code_col)).alias("approx_l2"))
+        .orderBy("approx_l2", id_col)
+        .limit(n_results if rerank_with is None else n_results * overfetch)
+    )
+    if rerank_with is None:
+        return shortlist
+    q_lit = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
+    exact = F.aggregate(
+        F.zip_with(emb_col, q_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        rerank_with.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(id_col, exact.alias("l2"))
+        .orderBy("l2", id_col)
+        .limit(n_results)
     )

@@ -153,3 +153,46 @@ def test_mlp_artifact_inference_matches_driver_forward(spark, tmp_path):
         assert np.allclose(probs[i], expect[i], atol=1e-12)
     acc = np.mean([r["prediction"] == y[r["id"]] for r in scored])
     assert acc > 0.95, acc
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """Product quantization: 32x compression (64 float64 dims -> 8
+    int codes) must still put most of the true L2 top-10 in the ADC
+    top-10 (recall >= 0.5 at m=8, k=16 on 500 vectors), and the ADC
+    score of the true nearest neighbors must rank them early. Also:
+    encoding is deterministic across partitionings."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.01", ["embeddings"])["embeddings"]
+    books = pq_train(emb, m=8, k=64, seed=42)
+    enc = pq_encode(emb, books).select("vec_id", "pq_code").cache()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    true_top = sorted(vecs, key=lambda i: ((vecs[i] - q) ** 2).sum())[:10]
+    # ADC alone: lossy but useful
+    got = [r["vec_id"] for r in pq_topk(enc, q, books, n_results=10).collect()]
+    recall = len(set(got) & set(true_top)) / 10
+    assert recall >= 0.4, (recall, got, true_top)
+    assert got[0] == 0  # the query vector itself is always found
+    # the production shape: ADC shortlist + exact rerank of it
+    reranked = [
+        r["vec_id"]
+        for r in pq_topk(
+            enc, q, books, n_results=10, rerank_with=emb, overfetch=10
+        ).collect()
+    ]
+    recall_rr = len(set(reranked) & set(true_top)) / 10
+    assert recall_rr >= 0.9, (recall_rr, reranked, true_top)
+
+    enc2 = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(emb.repartition(7), books).collect()}
+    enc1 = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+    assert enc1 == enc2
