@@ -3686,6 +3686,23 @@ def q_lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pq_ann_topk")
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank (rows-only: the
+    k-means codebooks and ADC tables aren't SQL-expressible; recall
+    floors pinned in tests/test_similarity.py). 32x-compressed codes,
+    broadcast distance tables, shortlist rerank against full vectors."""
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    books = sim.pq_train(emb, m=8, k=64, seed=42)
+    enc = sim.pq_encode(emb, books).select("vec_id", "pq_code")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.pq_topk(
+        enc, list(qvec), books, n_results=10, rerank_with=emb, overfetch=10
+    )
+
+
 @query("real_bpe_token_counts")
 def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts from an ACTUALLY TRAINED BPE tokenizer (Sennrich et
