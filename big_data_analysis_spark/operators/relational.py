@@ -743,3 +743,34 @@ def merge_aggregate_state(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return merged.groupBy(*ks).agg(*re_aggs)
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top: int = 10
+) -> DataFrame:
+    """Join/aggregation skew diagnostic — the 'do I need salted_join /
+    AQE skew handling?' answer as data. One groupBy pass over the keys
+    yields, per hot key: its row count, share of the table, and the
+    ratio to a perfectly uniform key's share (skew_x — a key at
+    skew_x ~ 1 is harmless, a key at 100x will make one reducer run
+    100x longer than the median). Returns the ``top`` hottest keys
+    descending; feed the worst offenders to salted_join's salt count.
+    """
+    ks = list(key_cols)
+    counts = df.groupBy(*ks).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *ks,
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("key_rows") / (F.col("__total") / F.col("__nkeys")), 4
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("key_rows").desc(), *ks)
+        .limit(top)
+    )

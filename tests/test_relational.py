@@ -466,3 +466,19 @@ def test_merge_aggregate_state_equals_full_recompute(spark):
         assert abs(got[k]["v"] - expect[k]["v"]) < 1e-9
         assert got[k]["v_min"] == expect[k]["v_min"]
         assert got[k]["v_max"] == expect[k]["v_max"]
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    """A key holding half the table must report share ~0.5 and a
+    skew_x of ~nkeys/2; uniform keys sit near 1x."""
+    rows = [("hot", i) for i in range(500)] + [
+        (f"k{j}", i) for j in range(50) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    from big_data_analysis_spark.operators.relational import skew_report
+
+    out = skew_report(df, ["k"], top=5).collect()
+    assert out[0]["k"] == "hot"
+    assert abs(out[0]["share"] - 0.5) < 1e-6
+    assert abs(out[0]["skew_x"] - 25.5) < 0.01  # 500/(1000/51)
+    assert all(r["key_rows"] == 10 for r in out[1:])
