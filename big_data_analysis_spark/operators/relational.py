@@ -774,3 +774,45 @@ def skew_report(
         .orderBy(F.col("key_rows").desc(), *ks)
         .limit(top)
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    partition_by: Sequence[str] = (),
+    id_cols: Sequence[str] = (),
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement per group
+    (Efraimidis & Spirakis 2006 A-ES): each row draws key u^(1/w) with
+    u uniform in (0,1); the k largest keys per group are the sample —
+    provably equivalent to sequential weighted draws without
+    replacement. Complements the per-row Bernoulli samplers (those
+    give k only in expectation; this gives the contract 'hand me
+    exactly 10_000 docs per source, weight-proportional').
+
+    u derives from xxhash64(id_cols, seed) — not rand() — so retried
+    tasks, different partitionings, and re-runs select the SAME rows
+    (rand() re-draws on recompute, silently changing the sample
+    mid-job: the classic Spark sampling bug). One top-k window per
+    group; no global state.
+    """
+    ids = [F.col(c) for c in id_cols] if id_cols else [F.col(c) for c in df.columns]
+    # u in (0,1): 53-bit mantissa slice of the hash, never exactly 0
+    u = (
+        F.pmod(F.xxhash64(*ids, F.lit(seed)), F.lit(1 << 53)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 53) + 1))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = (
+        Window.partitionBy(*partition_by).orderBy(F.col("__aes_key").desc())
+        if partition_by
+        else Window.orderBy(F.col("__aes_key").desc())
+    )
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn("__aes_rn", F.row_number().over(w))
+        .filter(F.col("__aes_rn") <= k)
+        .drop("__aes_key", "__aes_rn")
+    )

@@ -482,3 +482,31 @@ def test_skew_report_ranks_hot_keys(spark):
     assert abs(out[0]["share"] - 0.5) < 1e-6
     assert abs(out[0]["skew_x"] - 25.5) < 0.01  # 500/(1000/51)
     assert all(r["key_rows"] == 10 for r in out[1:])
+
+
+def test_weighted_sample_exact_k_counts_and_proportionality(spark):
+    """A-ES sampler: exactly k rows per group, deterministic across
+    partitionings/seeds, and across many seeds a weight-10 row appears
+    far more often than a weight-1 row."""
+    rows = [(g, i, 10.0 if i < 5 else 1.0) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, i int, w double")
+
+    s1 = rel.weighted_sample_exact_k(df, "w", 10, ["g"], ["g", "i"], seed=1)
+    assert {r["g"]: 1 for r in s1.collect()} and s1.groupBy("g").count().collect()[0]["count"] == 10
+    assert s1.count() == 20  # exactly k per group
+    s1b = rel.weighted_sample_exact_k(df.repartition(7), "w", 10, ["g"], ["g", "i"], seed=1)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s1b.collect()))
+
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        s = rel.weighted_sample_exact_k(df, "w", 10, ["g"], ["g", "i"], seed=seed)
+        for r in s.collect():
+            if r["w"] == 10.0:
+                heavy_hits += 1
+            else:
+                light_hits += 1
+    # 10 heavy rows (w=10) vs 90 light (w=1) per 2 groups; heavy rows
+    # must be selected at several times the light per-row rate
+    heavy_rate = heavy_hits / (30 * 10)
+    light_rate = light_hits / (30 * 90)
+    assert heavy_rate > 3 * light_rate, (heavy_rate, light_rate)
