@@ -424,14 +424,74 @@ def quantile_bins(
     n_bins: int,
     out_col: str = "bin",
     order_tiebreak: Sequence[str] = (),
+    exact_ntile: bool = False,
 ) -> DataFrame:
-    """pandas ``qcut`` equivalent: equal-frequency binning via ntile
-    over a global ordering (one total-order shuffle — Spark plans a
-    range-partitioned sort, not a single-partition funnel). Pass
-    ``order_tiebreak`` (a unique key) to make bin assignment
-    deterministic for duplicated values at bin boundaries."""
-    w = Window.orderBy(F.col(col), *[F.col(c) for c in order_tiebreak])
-    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+    """pandas ``qcut`` equivalent: equal-frequency binning. Neither path
+    funnels the table through one partition (a bare
+    ``ntile().over(Window.orderBy(...))`` plans ``Exchange
+    SinglePartition`` — OOM-shaped at scale; plan-asserted against in
+    tests/test_plans.py).
+
+    Default path (``exact_ntile=False``): compute the n_bins-1 exact
+    percentile boundaries in ONE 1-row aggregate (distributed partial
+    aggregation), then assign bins by broadcast comparison — bin k is
+    the right-closed interval (b_{k-1}, b_k], pandas-qcut style. Rows
+    with equal values always share a bin, so heavy ties make bin sizes
+    unequal (exactly as pandas qcut). NULL values get a NULL bin.
+
+    ``exact_ntile=True``: SQL ``ntile`` semantics (bin sizes differ by
+    at most 1, ties may split across bins by ``order_tiebreak`` order)
+    computed distributed: range-repartition on the sort key, sort
+    within partitions, then lift per-partition row numbers to global
+    ranks via a driver-collected per-partition offset table (tiny —
+    one long per partition) and apply the ntile formula arithmetically.
+    Two passes over the sorted data (persisted between), zero
+    single-partition stages.
+    """
+    if not exact_ntile:
+        fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+        b = df.agg(
+            F.expr(f"percentile(`{col}`, array({fracs}))").alias("b")
+        ).head()["b"]
+        x = F.col(col)
+        bin_expr = F.lit(1)
+        for edge in b:
+            bin_expr = bin_expr + (x > F.lit(float(edge))).cast("int")
+        return df.withColumn(
+            out_col, F.when(x.isNotNull(), bin_expr).cast("int")
+        )
+
+    sort_exprs = [F.col(col), *[F.col(c) for c in order_tiebreak]]
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(nparts, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*sort_exprs)
+    rn = (F.row_number().over(w) + off[F.col("__pid")] - 1).cast("long")
+    base, rem = divmod(total, n_bins)
+    head = rem * (base + 1)
+    bin_col = (
+        F.when(rn < F.lit(head), F.floor(rn / F.lit(base + 1)))
+        .otherwise(F.lit(rem) + F.floor((rn - F.lit(head)) / F.lit(max(base, 1))))
+        + 1
+    )
+    return ordered.withColumn(out_col, bin_col.cast("int")).drop("__pid")
 
 
 def iqr_outlier_filter(

@@ -1456,12 +1456,13 @@ FROM b GROUP BY bin
 
 @query("qcut_price_deciles", _QCUT_ORACLE)
 def q_qcut_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas qcut equivalent, oracle-verified: equal-frequency price
-    deciles via ntile over a range-partitioned global sort, profiled
-    per bin."""
+    """pandas qcut equivalent, oracle-verified: exact-ntile price
+    deciles computed distributed (range repartition + per-partition
+    offset lift — no Exchange SinglePartition), profiled per bin."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     binned = rel.quantile_bins(
-        li, "l_extendedprice", 10, order_tiebreak=["l_orderkey", "l_linenumber"]
+        li, "l_extendedprice", 10,
+        order_tiebreak=["l_orderkey", "l_linenumber"], exact_ntile=True,
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

@@ -276,3 +276,22 @@ def test_zorder_write_clusters_all_dimensions(spark, sf_dir, tmp_path):
     # and the first dimension still clusters under z-order
     zq = overlap_fraction(zdir, "l_quantity", 10.0, 12.0)
     assert zq <= 0.75, zq
+
+
+def test_quantile_bins_has_no_single_partition_exchange(spark, sf_dir):
+    """The r3 verdict's one scale-killer: ntile over an unpartitioned
+    Window funnels the table through Exchange SinglePartition. Both
+    quantile_bins paths must avoid it — the boundary path is a 1-row
+    aggregate + broadcast CASE, the exact path a range repartition +
+    pid-partitioned window."""
+    from big_data_analysis_spark.operators.relational import quantile_bins
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    for exact in (False, True):
+        out = quantile_bins(
+            li, "l_extendedprice", 10,
+            order_tiebreak=["l_orderkey", "l_linenumber"], exact_ntile=exact,
+        )
+        plan = formatted_plan(out)
+        assert "Exchange SinglePartition" not in plan, (exact, plan[:2000])
+        out.unpersist()

@@ -152,13 +152,53 @@ def test_correlation_matrix_known_values(spark):
 
 def test_quantile_bins_balanced(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["id", "v"])
-    out = rel.quantile_bins(df, "v", 4, order_tiebreak=["id"])
-    counts = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
-    # Bins respect value order: every bin-1 value < every bin-4 value.
-    b1max = out.filter(F.col("bin") == 1).agg(F.max("v")).head()[0]
-    b4min = out.filter(F.col("bin") == 4).agg(F.min("v")).head()[0]
-    assert b1max < b4min
+    for exact in (False, True):
+        out = rel.quantile_bins(df, "v", 4, order_tiebreak=["id"], exact_ntile=exact)
+        counts = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {1: 25, 2: 25, 3: 25, 4: 25}, exact
+        # Bins respect value order: every bin-1 value < every bin-4 value.
+        b1max = out.filter(F.col("bin") == 1).agg(F.max("v")).head()[0]
+        b4min = out.filter(F.col("bin") == 4).agg(F.min("v")).head()[0]
+        assert b1max < b4min
+
+
+def test_quantile_bins_exact_ntile_matches_sql_ntile(spark):
+    """The distributed exact path (range repartition + per-partition
+    offset lift) must reproduce SQL ntile bin-for-bin, including the
+    uneven-remainder case (103 rows / 5 bins = sizes 21,21,21,20,20)
+    and duplicate values split across bins by the tiebreak."""
+    from pyspark.sql import Window
+
+    rows = [(i, float(i % 17)) for i in range(103)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r["id"]: r["bin"]
+        for r in rel.quantile_bins(df, "v", 5, order_tiebreak=["id"], exact_ntile=True).collect()
+    }
+    want = {
+        r["id"]: r["ref"]
+        for r in df.withColumn(
+            "ref", F.ntile(5).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_quantile_bins_default_path_tie_and_null_semantics(spark):
+    """Boundary path: equal values always share a bin (pandas qcut),
+    NULLs get a NULL bin."""
+    rows = [(i, 1.0) for i in range(50)] + [(i, 2.0) for i in range(50, 100)]
+    df = spark.createDataFrame(rows + [(100, None)], "id int, v double")
+    out = rel.quantile_bins(df, "v", 4)
+    by_v = {
+        r["v"]: r["bins"]
+        for r in out.groupBy("v").agg(F.collect_set("bin").alias("bins")).collect()
+    }
+    assert len(by_v[1.0]) == 1 and len(by_v[2.0]) == 1
+    assert by_v[1.0][0] < by_v[2.0][0]
+    assert by_v[None] == [None] or by_v[None] == []  # null v -> null bin
+    null_bin = out.filter(F.col("v").isNull()).head()["bin"]
+    assert null_bin is None
 
 
 def test_iqr_outlier_filter(spark):
