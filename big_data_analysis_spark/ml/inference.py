@@ -122,8 +122,15 @@ class NumpyMLP:
             m.b1 -= lr * gh.sum(0)
         return m
 
-    def save(self, path: str) -> None:
+    def save(self, path: str) -> str:
+        """Returns the actual path written: np.savez appends '.npz'
+        when the suffix is missing, which would otherwise desync the
+        saved file from the path handed to addFile() (the executor-side
+        SparkFiles.get would then miss at task runtime)."""
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         np.savez(path, w1=self.w1, b1=self.b1, w2=self.w2, b2=self.b2)
+        return path
 
     @classmethod
     def load(cls, path: str) -> "NumpyMLP":

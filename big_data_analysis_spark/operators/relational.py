@@ -121,12 +121,22 @@ def dedup_keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Colum
     ``drop_duplicates(keep='last')`` — pandas keeps file order; we make
     the order explicit and therefore deterministic).
 
-    ``order_by`` must be a total order within each key group (include a
-    unique tiebreaker) for deterministic output. Implemented as a ranking
-    window: one shuffle on ``keys``, no global sort.
+    ``order_by`` should be a total order within each key group; when it
+    is not, a final xxhash64-of-the-full-row tiebreak makes the winner
+    deterministic anyway — independent of partitioning, task retries,
+    and shuffle arrival order (without it, row_number picks whichever
+    tied row a nondeterministic shuffle delivered first; the winner
+    could silently change between runs). When ``order_by`` is already
+    total the tiebreak column never decides anything. Map-typed
+    columns are excluded from the hash (Spark forbids hashing maps);
+    full-duplicate rows tie on the hash too, but then every candidate
+    row is identical so the output is still deterministic. Implemented
+    as a ranking window: one shuffle on ``keys``, no global sort.
     """
+    hashable = [c for c, t in df.dtypes if not t.startswith("map")]
     w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() if isinstance(c, str) else c for c in order_by]
+        *[F.col(c).desc() if isinstance(c, str) else c for c in order_by],
+        F.xxhash64(*[F.col(c) for c in hashable]).asc(),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -855,8 +865,18 @@ def weighted_sample_exact_k(
     u derives from xxhash64(id_cols, seed) — not rand() — so retried
     tasks, different partitionings, and re-runs select the SAME rows
     (rand() re-draws on recompute, silently changing the sample
-    mid-job: the classic Spark sampling bug). One top-k window per
-    group; no global state.
+    mid-job: the classic Spark sampling bug).
+
+    Rows with NULL or non-positive weight are excluded up front: w=0
+    means zero selection probability under A-ES, and a negative w
+    would invert the key ordering (u^(1/w) > 1), silently promoting
+    invalid rows to the top of the sample.
+
+    Scale shape: grouped path is one top-k window per group (gets the
+    WindowGroupLimit rank-filter rewrite — plan-asserted); ungrouped
+    path is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort, no single-partition window).
     """
     ids = [F.col(c) for c in id_cols] if id_cols else [F.col(c) for c in df.columns]
     # u in (0,1): 53-bit mantissa slice of the hash, never exactly 0
@@ -865,14 +885,12 @@ def weighted_sample_exact_k(
         + F.lit(1.0)
     ) / F.lit(float((1 << 53) + 1))
     key = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = (
-        Window.partitionBy(*partition_by).orderBy(F.col("__aes_key").desc())
-        if partition_by
-        else Window.orderBy(F.col("__aes_key").desc())
-    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("__aes_key", key)
+    if not partition_by:
+        return keyed.orderBy(F.col("__aes_key").desc()).limit(k).drop("__aes_key")
+    w = Window.partitionBy(*partition_by).orderBy(F.col("__aes_key").desc())
     return (
-        df.withColumn("__aes_key", key)
-        .withColumn("__aes_rn", F.row_number().over(w))
+        keyed.withColumn("__aes_rn", F.row_number().over(w))
         .filter(F.col("__aes_rn") <= k)
         .drop("__aes_key", "__aes_rn")
     )

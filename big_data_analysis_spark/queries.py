@@ -1834,12 +1834,44 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, list(qvec), k=10, num_planes=4)
 
 
+_GOLDEN_ORACLE = """
+WITH labeled AS (
+    SELECT l_orderkey * 100 + l_linenumber AS sample_id,
+           CAST(max(l_extendedprice) >
+                (SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem)
+                AS BIGINT) AS y_true
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT count(*) AS n_rows,
+       count(DISTINCT sample_id) AS n_ids,
+       CAST(sum(y_true) AS BIGINT) AS n_positive,
+       true AS probs_valid,
+       true AS preds_binary,
+       true AS correct_consistent
+FROM labeled WHERE sample_id % 13 >= 9
+"""
+
+
+@query("golden_predictions", _GOLDEN_ORACLE)
 def q_golden_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3/M15/§5.2.3: logistic regression on lineitem features, emitted
-    in the reference's golden prediction-CSV shape (乳腺癌预测.py:203-219:
-    sample id, y_true, y_pred, per-class probabilities, correct flag).
-    Model quality floors are asserted in tests/test_ml.py; here the
-    driver checks schema stability + row production."""
+    """M3/M15/§5.2.3: logistic regression on lineitem features through
+    the reference's golden prediction-CSV shape (乳腺癌预测.py:203-219:
+    sample id, y_true, y_pred, per-class probabilities, correct flag),
+    reduced to a 1-row SHAPE CONTRACT the oracle can verify despite
+    model-training nondeterminism (SURVEY §5's golden-CSV carve-out):
+    row count, distinct ids and label counts are data-derived and
+    hash-compared exactly; the model-dependent fields are checked as
+    invariants (probabilities form a distribution, predictions land in
+    the label set, the correct flag is consistent). Uses a
+    sample_id%13 modulo split so DuckDB can reproduce the test-set
+    population (stratified_split's hash coins are engine-internal; M2
+    exactness has its own oracles). The synthetic lineitem has
+    duplicate (orderkey, linenumber) pairs, so rows collapse to one
+    per sample_id via deterministic max-aggregates (dropDuplicates
+    would keep an arbitrary, partitioning-dependent row). Per-row
+    golden output + model quality floors stay pinned in
+    tests/test_ml.py."""
     from pyspark.ml import Pipeline
 
     from big_data_analysis_spark.ml import pipelines as pl
@@ -1847,18 +1879,35 @@ def q_golden_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     med = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).head()[0]
-    labeled = li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sample_id"),
-        *[F.col(c).cast("double").alias(c) for c in feats],
-        (F.col("l_extendedprice") > med).cast("double").alias("label"),
-    ).dropDuplicates(["sample_id"])  # split needs a unique row key
-    train, test = pl.stratified_split(labeled, "label", 0.7, seed=42, id_cols=["sample_id"])
+    labeled = (
+        li.groupBy(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("sample_id")
+        )
+        .agg(*[F.max(c).cast("double").alias(c) for c in feats])
+        .withColumn("label", (F.col("l_extendedprice") > med).cast("double"))
+    )
+    train = labeled.filter(F.col("sample_id") % 13 < 9)
+    test = labeled.filter(F.col("sample_id") % 13 >= 9)
     pipe = Pipeline(
         stages=pl.assemble_features(feats)
         + [pl.default_classifiers(len(feats))["logistic_regression"]]
     )
     preds = pipe.fit(train).transform(test)
-    return pl.golden_prediction_output(preds, id_col="sample_id")
+    golden = pl.golden_prediction_output(preds, id_col="sample_id")
+    return golden.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("sample_id")).alias("n_ids"),
+        F.sum("y_true").cast("long").alias("n_positive"),
+        F.every(
+            (F.col("prob_positive") >= 0)
+            & (F.col("prob_positive") <= 1)
+            & (F.abs(F.col("prob_positive") + F.col("prob_negative") - 1) < 1e-4)
+        ).alias("probs_valid"),
+        F.every(F.col("y_pred").isin(0, 1)).alias("preds_binary"),
+        F.every(
+            F.col("correct") == (F.col("y_true") == F.col("y_pred"))
+        ).alias("correct_consistent"),
+    )
 
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1998,7 +2047,6 @@ def q_ward_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ward_linkage_docs"] = q_ward_linkage_docs
-QUERIES["golden_predictions"] = q_golden_predictions
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["multimodal_decode"] = q_multimodal_decode
 QUERIES["ivf_ann_topk"] = q_ivf_ann_topk

@@ -295,3 +295,23 @@ def test_quantile_bins_has_no_single_partition_exchange(spark, sf_dir):
         plan = formatted_plan(out)
         assert "Exchange SinglePartition" not in plan, (exact, plan[:2000])
         out.unpersist()
+
+
+def test_zorder_write_null_handling(spark, tmp_path):
+    """ADVICE r3: an all-NULL z-order column must fail loudly (its
+    min/max stats are None — it cannot cluster anything); rows with a
+    NULL in one z-order column must still be written, clustered into
+    the curve's first segment instead of getting a NULL Morton code."""
+    import pytest
+
+    from big_data_analysis_spark.io import read_parquet, write_parquet_zordered
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 10) if i % 7 else None, None) for i in range(100)],
+        "a double, b double, dead double",
+    )
+    with pytest.raises(ValueError, match="entirely NULL"):
+        write_parquet_zordered(df, str(tmp_path / "z1"), ["a", "dead"], num_files=4)
+    out = str(tmp_path / "z2")
+    write_parquet_zordered(df, out, ["a", "b"], num_files=4)
+    assert read_parquet(spark, out).count() == 100

@@ -196,3 +196,22 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     enc2 = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(emb.repartition(7), books).collect()}
     enc1 = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
     assert enc1 == enc2
+
+
+def test_numpymlp_save_normalizes_npz_suffix(tmp_path):
+    """ADVICE r3: np.savez appends '.npz' to suffix-less paths, which
+    desyncs the file on disk from the path later handed to addFile().
+    save() must normalize and return the real path."""
+    import os
+
+    import numpy as np
+
+    from big_data_analysis_spark.ml.inference import NumpyMLP
+
+    m = NumpyMLP(
+        np.zeros((2, 3)), np.zeros(3), np.zeros((3, 2)), np.zeros(2)
+    )
+    p = m.save(str(tmp_path / "ckpt"))  # no suffix
+    assert p.endswith(".npz") and os.path.exists(p)
+    assert m.save(str(tmp_path / "ckpt2.npz")) == str(tmp_path / "ckpt2.npz")
+    NumpyMLP.load(p)  # roundtrips
