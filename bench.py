@@ -56,6 +56,20 @@ BENCH_QUERIES = [
     "streaming_tumbling_daily",
 ]
 
+#: Extended set (VERDICT r3 #4): the heaviest round-2/3 operators had no
+#: longitudinal perf signal. Benched and reported separately — "value"
+#: stays the CORE set's total so cross-round comparability against
+#: BENCH_r01..r03 survives; "extended_total"/"grand_total" carry the
+#: new coverage.
+EXTENDED_QUERIES = [
+    "pagerank_trade_graph",
+    "lm_perplexity_docs",
+    "funnel_events",
+    "real_bpe_token_counts",
+    "bloom_decontaminate_docs",
+    "pq_ann_topk",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -90,9 +104,10 @@ def main() -> None:
     # Round-robin over the query set rather than back-to-back reps of
     # the same query: transient sandbox contention then hits rep k of
     # MANY queries instead of all reps of one, which the median rejects.
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    all_queries = BENCH_QUERIES + EXTENDED_QUERIES
+    samples: dict[str, list[float]] = {name: [] for name in all_queries}
     for _rep in range(REPS):
-        for name in BENCH_QUERIES:
+        for name in all_queries:
             fn = QUERIES[name]
             start = time.perf_counter()
             force(fn(spark, SF_DIR))
@@ -101,16 +116,20 @@ def main() -> None:
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
     }
+    core_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    ext_total = round(sum(timings[n] for n in EXTENDED_QUERIES), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": core_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "extended_total": ext_total,
+                "grand_total": round(core_total + ext_total, 3),
             }
         )
     )

@@ -504,6 +504,40 @@ def quantile_bins(
     return ordered.withColumn(out_col, bin_col.cast("int")).drop("__pid")
 
 
+def robust_scale(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str] = (),
+    out_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust standardization: (x - median) / IQR — the outlier-immune
+    twin of M1's fit-on-train z-score (sklearn RobustScaler semantics;
+    mean/std scaling lets one corrupted magnitude-1e9 cell shift every
+    other row's score, median/IQR does not). Zero-IQR groups (constant
+    or half-constant data) yield NULL, not a division blow-up.
+
+    Scale shape: the statistics are a per-group aggregate (or a 1-row
+    global aggregate) joined back — for the global case a broadcast
+    crossJoin, for grouped a key join Spark plans broadcast when the
+    group count is small. ``exact=False`` switches to approx_percentile
+    (fixed-size mergeable sketch) for the 100 TB path where an exact
+    per-group percentile's full value sort per key is not worth it."""
+    fn = "percentile" if exact else "approx_percentile"
+    stats = [
+        F.expr(f"{fn}(`{col}`, 0.5)").alias("__med"),
+        F.expr(f"{fn}(`{col}`, 0.75) - {fn}(`{col}`, 0.25)").alias("__iqr"),
+    ]
+    out = out_col or f"{col}_robust"
+    scaled = F.try_divide(F.col(col) - F.col("__med"), F.nullif(F.col("__iqr"), F.lit(0.0)))
+    if partition_by:
+        g = df.groupBy(*partition_by).agg(*stats)
+        joined = df.join(g, list(partition_by))
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*stats)))
+    return joined.withColumn(out, scaled).drop("__med", "__iqr")
+
+
 def iqr_outlier_filter(
     df: DataFrame, col: str, k: float = 1.5, exact: bool = True
 ) -> DataFrame:

@@ -478,6 +478,35 @@ def add_rolling_median(
     )
 
 
+def add_rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n: int,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing rolling Pearson correlation between two series over the
+    last ``n`` rows (pandas ``rolling(n).corr()`` — the co-movement
+    feature of the reference's price-correlation analysis
+    (蔬菜价格相关性分析.py) made windowed). ``corr`` is an ordinary
+    aggregate in Spark, so it runs as window state inside codegen — no
+    UDF, no self-join. Composed as try_divide(covar_samp, sx*sy)
+    rather than the builtin ``corr`` because under ANSI mode (Spark 4
+    default) ``corr`` raises DIVIDE_BY_ZERO on zero-variance frames —
+    including every partition's single-row first frame; the composed
+    form yields NULL there, matching SQL corr semantics on engines
+    whose corr special-cases it. One shuffle on ``partition_by`` (none
+    if already partitioned)."""
+    w = _window(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    c = F.try_divide(
+        F.covar_samp(x_col, y_col).over(w),
+        F.stddev_samp(x_col).over(w) * F.stddev_samp(y_col).over(w),
+    )
+    return df.withColumn(out_col or f"corr_{x_col}_{y_col}_{n}", c)
+
+
 def funnel_counts(
     df: DataFrame,
     stages: Sequence[str],

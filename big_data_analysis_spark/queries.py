@@ -4103,16 +4103,429 @@ def q_entropy_gain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-4 additions: remaining TPC-H join/aggregation shapes expressible
+# with the available columns (no partsupp / commitdate / shipmode in the
+# synthetic schema, so Q2/Q11/Q16/Q20/Q21 have no analogue; Q4/Q12 are
+# adapted to shipdate-vs-orderdate lateness) + windowed correlation and
+# robust scaling.
+# =========================================================================
+
+_FORECAST_REVENUE_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_effect,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_delta", _FORECAST_REVENUE_ORACLE)
+def q_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta if mid-band discounts were
+    dropped. Pure scan→filter→1-row aggregate: every predicate reaches
+    the parquet scan as a pushed filter and the whole thing is one
+    codegen stage with a map-side-combined aggregate — the canonical
+    'scan efficiency IS the query' case."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue_effect"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("volume_shipping_pairs", _VOLUME_SHIPPING_ORACLE)
+def q_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year. The two nation roles are the SAME broadcast dim aliased
+    twice; the nation filter semi-reduces supplier and customer BEFORE
+    they hit the fact table, so the big joins carry only qualifying
+    rows (Catalyst pushes the IN-filter through the join)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"])
+    pair = ("NATION_1", "NATION_2")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+)
+GROUP BY o_year
+"""
+
+
+@query("market_share_region", _MARKET_SHARE_ORACLE)
+def q_market_share_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part volume sold
+    into EUROPE, by order year. Six-table star: part/supplier/nation/
+    region broadcast (dims), orders/customer shuffle-joined to the
+    fact. The share is a conditional-sum ratio in ONE aggregate —
+    no second pass, no self-join."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "orders", "customer", "nation", "region"]
+    )
+    cust_nation = (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+_PRODUCT_PROFIT_ORACLE = """
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM (
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS amount
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+"""
+
+
+@query("product_profit_nation_year", _PRODUCT_PROFIT_ORACLE)
+def q_product_profit_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in the synthetic schema, so revenue
+    stands in for profit): per supplier-nation, per year, revenue on
+    parts whose name matches a substring. The selective LIKE filter
+    lives on the broadcast part dim, shrinking the fact join to
+    matching parts only."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "orders", "nation"])
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").contains("widget"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_profit")
+    )
+
+
+_CUST_ORDER_DIST_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("customer_order_distribution", _CUST_ORDER_DIST_ORACLE)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, including
+    k=0 (the LEFT join keeps order-less customers; count(o_orderkey)
+    skips their NULLs). Two aggregations, each map-side combinable;
+    the second input is one row per customer — tiny."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@query("top_supplier_quarter", _TOP_SUPPLIER_ORACLE)
+def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the max quarterly revenue.
+    The scalar-max subquery becomes a broadcast 1-row aggregate
+    crossJoin — no global window, no second shuffle of the revenue
+    table (which is one row per supplier, already small). Revenue is
+    rounded BEFORE the max comparison on both engines so float
+    summation-order noise cannot produce a spurious unique max."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_LATE_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("late_order_priority", _LATE_ORDER_PRIORITY_ORACLE)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to the available columns (no commitdate:
+    'late' = some line shipped >60 days after the order date): order
+    counts by priority for orders with at least one late line. EXISTS
+    compiles to a LEFT SEMI join — each order emitted at most once, no
+    post-join dedup, and the quarter filter pushes to the orders scan."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = o.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+_LATENESS_BUCKETS_ORACLE = """
+SELECT bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS low_line_count
+FROM (
+    SELECT o_orderpriority,
+           CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+                WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 'normal'
+                ELSE 'slow' END AS bucket
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+GROUP BY bucket
+"""
+
+
+@query("shipping_lateness_buckets", _LATENESS_BUCKETS_ORACLE)
+def q_shipping_lateness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no shipmode column: buckets are
+    ship-lag bands instead): line counts by lateness bucket split into
+    high/low priority — the classic conditional-sum pivot, one join +
+    one aggregate."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    lag = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(lag <= 30, "fast").when(lag <= 90, "normal").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_ROLLING_CORR_ORACLE = """
+WITH m AS (
+    SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           sum(o_totalprice) AS revenue, CAST(count(*) AS DOUBLE) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name, date_trunc('month', o_orderdate)
+)
+SELECT n_name, month,
+       round(corr(revenue, n_orders) OVER (
+           PARTITION BY n_name ORDER BY month
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS rev_qty_corr
+FROM m
+"""
+
+
+@query("rolling_corr_nation_monthly", _ROLLING_CORR_ORACLE)
+def q_rolling_corr_nation_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-movement: 6-month trailing Pearson correlation
+    between a nation's monthly revenue and order count — corr as a
+    window aggregate (state inside codegen, no UDF, no self-join),
+    partitioned by nation so the window shuffle is keyed, never
+    global. Single-row frames are NULL (zero variance) on both
+    engines."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    monthly = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    out = ts.add_rolling_corr(
+        monthly, "revenue", "n_orders", 6, order_by=["month"], partition_by=["n_name"],
+        out_col="rev_qty_corr",
+    )
+    return out.select(
+        "n_name", "month", F.round("rev_qty_corr", 6).alias("rev_qty_corr")
+    )
+
+
+_ROBUST_SCALE_ORACLE = """
+WITH s AS (
+    SELECT p_brand,
+           quantile_cont(p_retailprice, 0.5) AS med,
+           quantile_cont(p_retailprice, 0.75) - quantile_cont(p_retailprice, 0.25) AS iqr
+    FROM part GROUP BY p_brand
+)
+SELECT p_partkey, p_brand,
+       round((p_retailprice - med) / nullif(iqr, 0), 6) AS price_robust
+FROM part JOIN s USING (p_brand)
+"""
+
+
+@query("robust_scale_prices", _ROBUST_SCALE_ORACLE)
+def q_robust_scale_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand robust standardization of retail price: (x - median)
+    / IQR — sklearn RobustScaler semantics, outlier-immune where
+    mean/std scaling is not. Stats are one per-group aggregate joined
+    back (broadcast-sized: one row per brand); exact percentiles match
+    DuckDB's quantile_cont bit-for-bit."""
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    out = rel.robust_scale(p, "p_retailprice", partition_by=["p_brand"], out_col="__r")
+    return out.select(
+        "p_partkey", "p_brand", F.round("__r", 6).alias("price_robust")
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
 # registry entries (insertion order) against their DuckDB oracles each
 # round; entries past position 50 only get the local pytest oracle-parity
-# suite. Rounds 1-2 verified the original first 50 (green in
-# CORRECTNESS_r01/r02.json); this round rotates the window so every
-# query added in round 2 — none of which the driver has ever checked —
-# occupies the checked slots. Queries verified in past rounds slide past
-# the horizon but stay covered by tests/test_oracle_parity.py.
+# suite. Rounds 1-3 hard-verified 100 distinct queries (green in
+# CORRECTNESS_r01/r02/r03.json). Round 4 closes the book: the last 11
+# never-driver-checked queries + this round's 10 additions + the 4
+# queries whose code changed this round enter the window, and the
+# remaining 25 slots hold a rotating re-verification sample of
+# past-round queries so the external gate keeps catching regressions
+# (ADVICE r3) instead of being a one-time check per query. Queries past
+# the horizon stay covered by tests/test_oracle_parity.py.
 #
 # Keep _apply_driver_order() as the LAST statement in this module; new
 # queries must be registered above it and added to _DRIVER_PRIORITY to
@@ -4121,76 +4534,70 @@ def q_entropy_gain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # round-2 additions, oracle-backed, never driver-checked (42)
-    "streaming_attribution_join",
-    "stateful_running_totals",
-    "streaming_dedup_count",
-    "confusion_matrix_rule",
-    "per_class_report_rule",
-    "ols_metrics",
-    "audio_decode_wav",
-    "knn_blas_batch",
-    "upsert_orders",
-    "scd2_user_event_history",
-    "distribution_ranks_orders",
-    "novelty_docs",
-    "streaming_enriched_daily",
-    "variant_props_stats",
-    "pack_sequences_docs",
-    "weighted_sample_docs",
-    "embedding_dedup_groups",
-    "balanced_sample_docs",
-    "shipping_priority",
-    "local_supplier_volume",
-    "returned_items",
-    "dq_audit",
-    "histogram_retailprice",
-    "ewma_daily_orders",
-    "synthdocs_scan",
-    "gap_fill_daily_revenue",
-    "snapshot_diff_orders",
-    "mixture_sample_events",
-    "streaming_distinct_users",
-    "fuzzy_name_pairs",
-    "range_window_spend",
-    "melt_part_metrics",
-    "pagerank_trade_graph",
-    "rolling_median_revenue",
-    "grouped_ols_nation_trend",
-    "cohort_retention_orders",
-    "zscore_outlier_events",
-    "funnel_events",
-    "markov_event_transitions",
-    "triangle_copurchase",
-    "mad_outlier_events",
-    "winsorize_prices",
-    # round-3 additions slot in here (above the rows-only filler) so
-    # they are driver-checked the round they land.
-    "calibration_orders",
-    "gains_orders",
-    "chi2_orders",
-    "entropy_gain_events",
-    "lm_perplexity_docs",
-    "promo_revenue_monthly",
-    "volume_customers",
-    "small_qty_order_revenue",
-    # ^ 50 oracle-backed entries: the window is now fully hash-verified.
-    # Everything below sits outside the driver window this round and
-    # rotates in next round: the two remaining TPC-H shapes
-    # (discounted_revenue_brands, sales_opportunity) plus the
-    # rows-only set, whose correctness rests on the pytest parity
-    # suites.
+    # --- round-4 window ---
+    # (a) the 11 queries never checked by any round's driver window
+    # (VERDICT r3 "Next round" #1): 6 oracle-backed + 5 rows-only.
+    "discounted_revenue_brands",
+    "sales_opportunity",
+    "auc_orders",
+    "yoy_revenue_growth",
+    "new_vs_returning_users",
+    "seasonal_decompose_daily_events",
     "real_bpe_token_counts",
-    # rows-only filler — weaker driver signal, so they take the last
-    # window slots and are displaced first by new oracle queries.
-    "minhash_pairs",
-    "simhash_pairs",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
+    "pq_ann_topk",
+    "bloom_decontaminate_docs",
     "ward_linkage_docs",
-    "golden_predictions",
-    "kmeans_embeddings",
     "sketch_profile_events",
+    # (b) round-4 additions (all oracle-backed): remaining TPC-H
+    # shapes + windowed corr + robust scaling.
+    "forecast_revenue_delta",
+    "volume_shipping_pairs",
+    "market_share_region",
+    "product_profit_nation_year",
+    "customer_order_distribution",
+    "top_supplier_quarter",
+    "late_order_priority",
+    "shipping_lateness_buckets",
+    "rolling_corr_nation_monthly",
+    "robust_scale_prices",
+    # (c) queries whose code changed this round — re-verify externally
+    # even though past rounds passed them: golden_predictions gained a
+    # shape-contract oracle; quantile_bins was rewritten (qcut);
+    # dedup_keep_last gained the hash tiebreak (upsert_orders builds
+    # on it).
+    "golden_predictions",
+    "qcut_price_deciles",
+    "dedup_keep_last",
+    "upsert_orders",
+    # (d) rotating re-verification sample (ADVICE r3: keep the
+    # external gate catching regressions in past-round queries, not
+    # just one-time greens) — 25 slots spanning every module family;
+    # future rounds rotate a different past-round subset in.
+    "trend_rules",
+    "pricing_summary",
+    "top_customers",
+    "top3_orders_per_customer",
+    "describe_lineitem",
+    "pivot_returnflag",
+    "null_handling",
+    "json_extract_agg",
+    "window_lag_features",
+    "sessionize_events",
+    "word_freq_docs",
+    "dedup_exact_docs",
+    "jaccard_pairs_docs",
+    "cosine_topk",
+    "frequent_items_trend",
+    "fpgrowth_rules_pairs",
+    "lang_id_docs",
+    "quality_docs",
+    "llm_corpus_pipeline",
+    "contamination_pairs_docs",
+    "span_dedup_docs",
+    "asof_purchase_view",
+    "click_attribution_window",
+    "corr_matrix_lineitem",
+    "streaming_tumbling_daily",
 ]
 
 

@@ -224,3 +224,31 @@ def test_calibration_partitions_rows_exactly(spark):
     assert sum(r["n"] for r in out) == 500
     global_rate = sum(r["pos_rate"] * r["n"] for r in out) / 500
     assert abs(global_rate - sum(x for x, _ in rows) / 500) < 1e-4
+
+
+def test_add_rolling_corr_matches_numpy(spark):
+    """Trailing 3-row Pearson corr equals numpy's corrcoef per frame;
+    single-row frames are NULL (not an ANSI divide error), constant
+    frames are NULL."""
+    import numpy as np
+
+    from big_data_analysis_spark.operators.timeseries import add_rolling_corr
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 4.0]
+    ys = [2.0, 1.0, 4.0, 3.0, 6.0, 5.0]
+    df = spark.createDataFrame(
+        [(i, xs[i], ys[i]) for i in range(6)], "i int, x double, y double"
+    )
+    out = {
+        r["i"]: r["c"]
+        for r in add_rolling_corr(df, "x", "y", 3, order_by=["i"], out_col="c").collect()
+    }
+    assert out[0] is None  # single-point frame
+    for i in range(1, 6):
+        lo = max(0, i - 2)
+        expect = np.corrcoef(xs[lo : i + 1], ys[lo : i + 1])[0, 1]
+        assert abs(out[i] - expect) < 1e-9, (i, out[i], expect)
+    # constant series -> NULL
+    cdf = spark.createDataFrame([(i, 1.0, float(i)) for i in range(4)], "i int, x double, y double")
+    cout = add_rolling_corr(cdf, "x", "y", 3, order_by=["i"], out_col="c").collect()
+    assert all(r["c"] is None for r in cout)

@@ -598,3 +598,19 @@ def test_dedup_keep_last_ties_resolve_deterministically(spark):
     # and a total order_by still wins over the hash tiebreak
     tot = rel.dedup_keep_last(df, ["k"], ["ts", "payload"]).collect()
     assert {r["k"]: r["payload"] for r in tot}["k2"] == "p6"
+
+
+def test_robust_scale_semantics(spark):
+    """(x - median)/IQR per group; zero-IQR groups yield NULL, not a
+    divide error (ANSI mode); global path broadcasts a 1-row stats agg."""
+    rows = [("a", float(v)) for v in range(1, 101)] + [("const", 7.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = rel.robust_scale(df, "v", partition_by=["g"], out_col="r")
+    got = {(r["g"], r["v"]): r["r"] for r in out.collect()}
+    # group a: median 50.5, IQR = 75.25 - 25.75 = 49.5
+    assert got[("a", 50.5)] is None or abs(got[("a", 50.5)]) < 1e-9 if ("a", 50.5) in got else True
+    assert abs(got[("a", 100.0)] - (100.0 - 50.5) / 49.5) < 1e-9
+    assert all(v is None for (g, _), v in got.items() if g == "const")
+    # global path
+    gout = rel.robust_scale(df.select("v"), "v").collect()
+    assert len(gout) == 105 and any(r["v_robust"] is not None for r in gout)

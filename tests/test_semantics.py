@@ -478,12 +478,21 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # VERDICT r2 minimum set: round-2 operators never driver-checked
-        "pagerank_trade_graph", "funnel_events", "markov_event_transitions",
-        "snapshot_diff_orders", "upsert_orders", "scd2_user_event_history",
-        "gap_fill_daily_revenue", "ewma_daily_orders", "dq_audit",
-        "shipping_priority", "ols_metrics", "confusion_matrix_rule",
-        "synthdocs_scan", "streaming_attribution_join",
+        # VERDICT r3 #1: the 11 queries no driver window ever checked
+        "discounted_revenue_brands", "sales_opportunity", "auc_orders",
+        "yoy_revenue_growth", "new_vs_returning_users",
+        "seasonal_decompose_daily_events", "real_bpe_token_counts",
+        "pq_ann_topk", "bloom_decontaminate_docs", "ward_linkage_docs",
+        "sketch_profile_events",
+        # round-4 additions must be checked the round they land
+        "forecast_revenue_delta", "volume_shipping_pairs",
+        "market_share_region", "product_profit_nation_year",
+        "customer_order_distribution", "top_supplier_quarter",
+        "late_order_priority", "shipping_lateness_buckets",
+        "rolling_corr_nation_monthly", "robust_scale_prices",
+        # code changed this round -> external re-verification
+        "golden_predictions", "qcut_price_deciles", "dedup_keep_last",
+        "upsert_orders",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -520,6 +529,25 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "centroid_assignment_embeddings", "corr_matrix_lineitem",
     "qcut_price_deciles", "iqr_filter_price", "span_dedup_docs",
     "hash_sample_docs", "asof_purchase_view", "click_attribution_window",
+    # round-3 window (CORRECTNESS_r03.json: 50/50 full hash-match)
+    "streaming_attribution_join", "stateful_running_totals",
+    "streaming_dedup_count", "confusion_matrix_rule",
+    "per_class_report_rule", "ols_metrics", "audio_decode_wav",
+    "knn_blas_batch", "upsert_orders", "scd2_user_event_history",
+    "distribution_ranks_orders", "novelty_docs", "streaming_enriched_daily",
+    "variant_props_stats", "pack_sequences_docs", "weighted_sample_docs",
+    "embedding_dedup_groups", "balanced_sample_docs", "shipping_priority",
+    "local_supplier_volume", "returned_items", "dq_audit",
+    "histogram_retailprice", "ewma_daily_orders", "synthdocs_scan",
+    "gap_fill_daily_revenue", "snapshot_diff_orders", "mixture_sample_events",
+    "streaming_distinct_users", "fuzzy_name_pairs", "range_window_spend",
+    "melt_part_metrics", "pagerank_trade_graph", "rolling_median_revenue",
+    "grouped_ols_nation_trend", "cohort_retention_orders",
+    "zscore_outlier_events", "funnel_events", "markov_event_transitions",
+    "triangle_copurchase", "mad_outlier_events", "winsorize_prices",
+    "calibration_orders", "gains_orders", "chi2_orders",
+    "entropy_gain_events", "lm_perplexity_docs", "promo_revenue_monthly",
+    "volume_customers", "small_qty_order_revenue",
 }
 
 
