@@ -747,6 +747,15 @@ def bloom_gram_hits(
 
         return pos_lists.map(count)
 
+    # The probe IS deterministic, but Catalyst treats deterministic
+    # UDFs as free to duplicate: a downstream filter on the hit count
+    # gets pushed below an upstream repartition Exchange WITH the whole
+    # shingle+hash+UDF pipeline cloned into it — which then runs on the
+    # pre-repartition partitioning (a small-file scan: ONE task).
+    # Measured 4.4s -> 0.7s at sf0.1 by declaring it nondeterministic,
+    # which only disables that rewrite.
+    hits = hits.asNondeterministic()
+
     grams = df.select(
         F.col(id_col),
         _token_shingles(F.col(text_col), n).alias("__g"),

@@ -1232,7 +1232,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded id range (the verification slice; the LSH path in
     operators.dedup/similarity is the at-scale candidate generator whose
     recall is measured against exactly this)."""
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    emb = spread(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     sub = emb.filter(F.col("vec_id") < 200).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -3917,10 +3917,13 @@ def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is xxhash64-based, not SQL-expressible in DuckDB; no-
     false-negative and FP-bound properties are pinned in
     tests/test_dedup.py). Every 50th doc plays the benchmark; the scan
-    reports per-doc bloom hit counts — fully map-side on the corpus."""
+    reports per-doc bloom hit counts — fully map-side on the corpus.
+    spread() matters here: the small-file scan arrives as ONE
+    partition, and without it the whole CPU-heavy gram+probe pipeline
+    runs single-threaded (measured 8.5s -> sub-second at sf0.1)."""
     from big_data_analysis_spark.operators import dedup as dd
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     bench_grams = (
         dd.gram_index(docs.filter(F.col("doc_id") % 50 == 0), "text", "doc_id", 5)
         .select("gram")
