@@ -315,3 +315,39 @@ def test_zorder_write_null_handling(spark, tmp_path):
     out = str(tmp_path / "z2")
     write_parquet_zordered(df, out, ["a", "b"], num_files=4)
     assert read_parquet(spark, out).count() == 100
+
+
+def test_round4_tpch_shapes_plan_properties(spark, sf_dir):
+    """Round-4 TPC-H analogues keep their scale shapes: dims broadcast
+    into the fact joins (Q7/Q8/Q9), the EXISTS adaptation plans a LEFT
+    SEMI join (Q4 — one emit per order, no post-join dedup), Q6 pushes
+    every predicate to the lineitem scan, and Q15's scalar-max becomes
+    a broadcast, not a global window."""
+    q7 = QUERIES["volume_shipping_pairs"](spark, sf_dir)
+    assert broadcast_join_count(q7) >= 2, formatted_plan(q7)[:2000]
+    q8 = QUERIES["market_share_region"](spark, sf_dir)
+    assert broadcast_join_count(q8) >= 3, formatted_plan(q8)[:2000]
+    q9 = QUERIES["product_profit_nation_year"](spark, sf_dir)
+    assert broadcast_join_count(q9) >= 2, formatted_plan(q9)[:2000]
+
+    q4 = QUERIES["late_order_priority"](spark, sf_dir)
+    p4 = formatted_plan(q4)
+    assert "LeftSemi" in p4, p4[:2000]
+    scans4 = scan_infos(q4)
+    order_scan = [s for s in scans4 if "o_orderdate" in (s["read_schema"] or [])]
+    assert order_scan and any(
+        "o_orderdate" in f for f in order_scan[0]["pushed_filters"]
+    ), scans4
+
+    q6 = QUERIES["forecast_revenue_delta"](spark, sf_dir)
+    scans6 = scan_infos(q6)
+    li_scan = [s for s in scans6 if "l_discount" in (s["read_schema"] or [])]
+    assert li_scan, scans6
+    pushed = " ".join(li_scan[0]["pushed_filters"])
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+    q15 = QUERIES["top_supplier_quarter"](spark, sf_dir)
+    p15 = formatted_plan(q15)
+    assert "Window" not in p15, p15[:2000]
+    assert "BroadcastNestedLoopJoin" in p15 or "BroadcastExchange" in p15
