@@ -351,3 +351,49 @@ def test_round4_tpch_shapes_plan_properties(spark, sf_dir):
     p15 = formatted_plan(q15)
     assert "Window" not in p15, p15[:2000]
     assert "BroadcastNestedLoopJoin" in p15 or "BroadcastExchange" in p15
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
+    """§4.2 at 100 TB: when the partition filter is not a literal but
+    comes from a filtered dimension join (the star-schema norm), Spark
+    must still prune fact partitions AT RUNTIME (dynamic partition
+    pruning) — without DPP a 'WHERE dim.attr = x' join scans every
+    fact partition."""
+    import shutil
+
+    from big_data_analysis_spark.io import load_tables as lt
+    from big_data_analysis_spark.io import write_parquet
+
+    out = "/root/repo/.scratch/dpp-orders"
+    shutil.rmtree(out, ignore_errors=True)
+    t = lt(spark, sf_dir, ["orders", "customer"])
+    o = t["orders"].withColumn("o_year", F.year("o_orderdate"))
+    write_parquet(o, out, partition_by=["o_year"])
+
+    fact = spark.read.parquet(out)
+    # The qualifying years are DATA-DEPENDENT (above-median volume), so
+    # Catalyst cannot constant-fold them into a static partition filter
+    # — pruning must happen at runtime from the joined dim's build
+    # side. Two traps this construction avoids: a literal
+    # `dim_year == 1996` is constant-propagated through the equi-join
+    # into STATIC pruning (no DPP needed), and a bare LIMIT dim side
+    # fails Spark's hasSelectivePredicate heuristic (DPP only fires
+    # when the dim side carries a real Filter).
+    median_n = (
+        t["orders"]
+        .groupBy(F.year("o_orderdate"))
+        .count()
+        .agg(F.expr("percentile(count, 0.5)"))
+        .head()[0]
+    )
+    dim = (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").alias("dim_year"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > median_n)  # above-median-volume years
+    )
+    joined = fact.join(dim, fact["o_year"] == dim["dim_year"]).groupBy("o_year").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
