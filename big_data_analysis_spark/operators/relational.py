@@ -849,6 +849,62 @@ def merge_aggregate_state(
     return merged.groupBy(*ks).agg(*re_aggs)
 
 
+def merge_distinct_state(
+    delta: DataFrame,
+    state: DataFrame | None,
+    keys: Sequence[str],
+    distinct_cols: Sequence[str],
+    lgk: int = 12,
+) -> DataFrame:
+    """Incremental DISTINCT-COUNT maintenance — the piece
+    ``merge_aggregate_state`` explicitly cannot do (exact count-distinct
+    is not mergeable: |A ∪ B| ≠ |A| + |B|). Per key, each distinct
+    column is summarized as a DataSketches HLL sketch (binary column,
+    ~2^lgk bytes max); folding a delta is ``hll_union_agg`` — register
+    max-merge, commutative and associative, so ANY fold order yields
+    the identical sketch and estimate (asserted in tests). The merged
+    output has the same schema as the state: write it back as next
+    cycle's state.
+
+    Scale shape: delta aggregates first (map-side combined sketches on
+    the new data only), then one keyed union+re-aggregate with the
+    state — O(|delta| + |state| · sketch_size), independent of raw
+    history size. Read estimates off the state with
+    ``distinct_state_estimates``; error is the standard HLL bound
+    (~1.04/sqrt(2^lgk), ~1.6% at the lgk=12 default)."""
+    ks = list(keys)
+    delta_agg = delta.groupBy(*ks).agg(
+        *[
+            F.expr(f"hll_sketch_agg(`{c}`, {lgk})").alias(f"__hll_{c}")
+            for c in distinct_cols
+        ]
+    )
+    if state is None:
+        return delta_agg
+    merged = state.select(delta_agg.columns).unionByName(delta_agg)
+    return merged.groupBy(*ks).agg(
+        *[
+            F.expr(f"hll_union_agg(`__hll_{c}`)").alias(f"__hll_{c}")
+            for c in distinct_cols
+        ]
+    )
+
+
+def distinct_state_estimates(
+    state: DataFrame, distinct_cols: Sequence[str]
+) -> DataFrame:
+    """Read per-key approximate distinct counts off a
+    ``merge_distinct_state`` table: sketch -> estimate, keys preserved,
+    sketch columns dropped."""
+    out = state
+    for c in distinct_cols:
+        out = out.withColumn(
+            f"approx_distinct_{c}",
+            F.expr(f"hll_sketch_estimate(`__hll_{c}`)").cast("long"),
+        )
+    return out.drop(*[f"__hll_{c}" for c in distinct_cols])
+
+
 def skew_report(
     df: DataFrame, key_cols: Sequence[str], top: int = 10
 ) -> DataFrame:

@@ -614,3 +614,40 @@ def test_robust_scale_semantics(spark):
     # global path
     gout = rel.robust_scale(df.select("v"), "v").collect()
     assert len(gout) == 105 and any(r["v_robust"] is not None for r in gout)
+
+
+def test_merge_distinct_state_fold_order_and_accuracy(spark):
+    """Incremental HLL distinct state: (a) folding deltas in ANY order
+    yields the same estimates as one full recompute (register max-merge
+    is commutative/associative), (b) estimates are within the HLL
+    error bound of exact, (c) folding is idempotent-safe for disjoint
+    deltas (counts grow only with genuinely new values)."""
+    rows = [(i % 4, f"u{i % 500}", f"s{i % 37}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "day int, user string, sess string")
+    d1 = df.filter(F.col("day") < 2)
+    d2 = df.filter(F.col("day") >= 2)
+
+    s_inc = rel.merge_distinct_state(d1, None, ["day"], ["user", "sess"])
+    s_inc = rel.merge_distinct_state(d2, s_inc, ["day"], ["user", "sess"])
+    s_rev = rel.merge_distinct_state(d2, None, ["day"], ["user", "sess"])
+    s_rev = rel.merge_distinct_state(d1, s_rev, ["day"], ["user", "sess"])
+    s_full = rel.merge_distinct_state(df, None, ["day"], ["user", "sess"])
+
+    def est(s):
+        return {
+            r["day"]: (r["approx_distinct_user"], r["approx_distinct_sess"])
+            for r in rel.distinct_state_estimates(s, ["user", "sess"]).collect()
+        }
+
+    e_inc, e_rev, e_full = est(s_inc), est(s_rev), est(s_full)
+    assert e_inc == e_rev == e_full
+    exact = {
+        r["day"]: (r["u"], r["s"])
+        for r in df.groupBy("day")
+        .agg(F.countDistinct("user").alias("u"), F.countDistinct("sess").alias("s"))
+        .collect()
+    }
+    for day, (u, s) in exact.items():
+        gu, gs = e_inc[day]
+        assert abs(gu - u) <= max(3, 0.05 * u), (day, gu, u)
+        assert abs(gs - s) <= max(3, 0.05 * s), (day, gs, s)
