@@ -4515,6 +4515,113 @@ def q_robust_scale_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PART_VALUE_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+    FROM lineitem GROUP BY l_partkey
+), total AS (SELECT sum(value) AS tv FROM ps)
+SELECT l_partkey, round(value, 4) AS part_value
+FROM ps, total
+WHERE value > 0.001 * tv
+"""
+
+
+@query("important_part_value", _PART_VALUE_ORACLE)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: lineitem turnover stands in for
+    stock value): parts holding more than a fraction of total traded
+    value. The HAVING-vs-global-total correlated subquery becomes one
+    per-part aggregate + a broadcast 1-row total crossJoined into the
+    filter — the global scalar never forces a second pass over
+    lineitem."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    ps = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    total = ps.agg(F.sum("value").alias("tv"))
+    return (
+        ps.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("tv"))
+        .select("l_partkey", F.round("value", 4).alias("part_value"))
+    )
+
+
+_SUPPLIER_CNT_ORACLE = """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("supplier_count_by_part_attrs", _SUPPLIER_CNT_ORACLE)
+def q_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) for a filtered part subset, excluding flagged suppliers. The
+    NOT IN subquery compiles to a LEFT ANTI join against the (tiny,
+    broadcast) flagged-supplier set — safe here because s_suppkey is
+    non-null by construction; a nullable NOT IN column would need
+    null-aware anti-join semantics, which is exactly why the operator
+    library exposes anti_join on keys instead of raw NOT IN."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_TOP_SHIPPERS_ORACLE = """
+WITH q AS (
+    SELECT l_suppkey, sum(l_quantity) AS qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(qty, 4) AS qty
+FROM supplier JOIN q ON s_suppkey = l_suppkey
+WHERE qty > (SELECT 0.5 * avg(qty) FROM q)
+"""
+
+
+@query("heavy_small_part_shippers", _TOP_SHIPPERS_ORACLE)
+def q_heavy_small_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availability: shipped quantity
+    stands in): suppliers who moved more than half the average volume
+    of the 'small%' part family. Selective LIKE on the broadcast part
+    dim; the scalar average-of-aggregates is a broadcast 1-row frame,
+    not a window."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    small = t["part"].filter(F.col("p_name").startswith("small")).select("p_partkey")
+    q = (
+        t["lineitem"]
+        .join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = q.agg((0.5 * F.avg("qty")).alias("thr"))
+    return (
+        t["supplier"]
+        .join(q, F.col("s_suppkey") == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("thr"))
+        .select("s_suppkey", "s_name", F.round("qty", 4).alias("qty"))
+    )
+
+
 # =========================================================================
 # Driver verification window.
 #
@@ -4580,16 +4687,16 @@ _DRIVER_PRIORITY: list[str] = [
     "pricing_summary",
     "top_customers",
     "top3_orders_per_customer",
-    "describe_lineitem",
     "pivot_returnflag",
     "null_handling",
     "json_extract_agg",
     "window_lag_features",
     "sessionize_events",
-    "word_freq_docs",
+    "important_part_value",
+    "supplier_count_by_part_attrs",
+    "heavy_small_part_shippers",
     "dedup_exact_docs",
     "jaccard_pairs_docs",
-    "cosine_topk",
     "frequent_items_trend",
     "fpgrowth_rules_pairs",
     "lang_id_docs",

@@ -252,3 +252,35 @@ def test_add_rolling_corr_matches_numpy(spark):
     cdf = spark.createDataFrame([(i, 1.0, float(i)) for i in range(4)], "i int, x double, y double")
     cout = add_rolling_corr(cdf, "x", "y", 3, order_by=["i"], out_col="c").collect()
     assert all(r["c"] is None for r in cout)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=60),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=12, deadline=None)
+def test_quantile_bins_exact_ntile_property(spark, values, n_bins):
+    """Property: for ANY value multiset and bin count, the distributed
+    exact-ntile path reproduces SQL ntile bin-for-bin (sizes differ by
+    at most one, rank order respected, ties split by the tiebreak)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.operators.relational import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id int, v double"
+    )
+    got = {
+        r["id"]: r["bin"]
+        for r in quantile_bins(
+            df.repartition(5), "v", n_bins, order_tiebreak=["id"], exact_ntile=True
+        ).collect()
+    }
+    want = {
+        r["id"]: r["ref"]
+        for r in df.withColumn(
+            "ref", F.ntile(n_bins).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
