@@ -456,7 +456,10 @@ def quantile_bins(
     ranks via a driver-collected per-partition offset table (tiny —
     one long per partition) and apply the ntile formula arithmetically.
     Two passes over the sorted data (persisted between), zero
-    single-partition stages.
+    single-partition stages. The intermediate persist is released by
+    Spark's ContextCleaner once the returned frame is no longer
+    referenced; call ``.unpersist()`` on the result's lineage
+    explicitly in long-lived sessions that bin many tables.
     """
     if not exact_ntile:
         fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
