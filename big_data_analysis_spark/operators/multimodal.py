@@ -383,6 +383,96 @@ def augment_images(
     return df.select(path_col, content_col).mapInPandas(batches, schema=AUGMENT_SCHEMA)
 
 
+#: Output schema of the frame-sampling stage: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    n_frames_col: str = "n_frames",
+    every_k: int | None = None,
+    n_samples: int | None = None,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Video frame sampling over an opaque binary column with typed
+    metadata: emits ONE ROW PER SAMPLED FRAME (path, frame_idx,
+    features). Exactly one of ``every_k`` (fixed stride from frame 0)
+    or ``n_samples`` (uniform coverage: n evenly spaced indices
+    including first and last) selects the frames — the two standard
+    sampling policies for video pretraining data.
+
+    The Spark side is real and load-bearing: frame counts come from
+    the catalog's typed metadata column (never from decoding), the
+    per-frame fan-out happens INSIDE mapInPandas so a 2-hour video
+    never materializes as a JVM array of frames, and output batches
+    are Arrow-sized by input partition. The per-frame DECODE is the
+    container's documented stub (no video codec in scope): a
+    deterministic crc32-derived feature vector keyed by (bytes,
+    frame_idx) — task-retry stable, swap in pyav/decord on a cluster
+    with codecs. Corrupt/empty payloads yield decode_error rows, not
+    job failures."""
+    if (every_k is None) == (n_samples is None):
+        raise ValueError("pass exactly one of every_k / n_samples")
+    if every_k is not None and every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    if n_samples is not None and n_samples < 1:
+        raise ValueError("n_samples must be >= 1")
+
+    def indices(n: int) -> list[int]:
+        if n <= 0:
+            return []
+        if every_k is not None:
+            return list(range(0, n, every_k))
+        if n_samples >= n:
+            return list(range(n))
+        # uniform inclusive spacing: first and last frame always kept
+        step = (n - 1) / (n_samples - 1) if n_samples > 1 else 0.0
+        return sorted({round(i * step) for i in range(n_samples)})
+
+    def frame_features(content: bytes, idx: int) -> list[float]:
+        if not content or len(content) < 4:
+            raise ValueError("empty or truncated video payload")
+        feats, acc = [], zlib.crc32(content, idx + 1)
+        for j in range(feature_dim):
+            acc = zlib.crc32(content[:64], acc + j)
+            feats.append((acc % 10_000) / 10_000.0)
+        return feats
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                content, n = row[content_col], int(row[n_frames_col] or 0)
+                for idx in indices(n):
+                    out = {
+                        "path": row[path_col],
+                        "frame_idx": idx,
+                        "n_frames": n,
+                        "features": None,
+                        "decode_error": None,
+                    }
+                    try:
+                        out["features"] = frame_features(content, idx)
+                    except Exception as exc:
+                        out["decode_error"] = f"{type(exc).__name__}: {exc}"
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select(path_col, content_col, n_frames_col).mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Cheap metadata without decoding: byte size + magic-number sniff —
     pure expressions, no Python."""

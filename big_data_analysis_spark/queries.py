@@ -4622,6 +4622,43 @@ def q_heavy_small_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIDEO_FRAMES_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS path,
+       CAST(unnest(range(0, CAST(10 + user_id % 20 AS BIGINT), 3)) AS BIGINT) AS frame_idx,
+       CAST(10 + user_id % 20 AS BIGINT) AS n_frames
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 23 = 0)
+"""
+
+
+@query("video_frame_sample", _VIDEO_FRAMES_ORACLE)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/multimodal frame sampling, oracle-verified THROUGH the real
+    Spark plumbing: per selected user a synthetic 'video' binary is
+    fabricated with a closed-form frame count (10 + user_id % 20), and
+    sample_frames(every_k=3) must emit exactly the frames DuckDB
+    enumerates with range() — proving the metadata-driven fan-out
+    inside mapInPandas (indices, per-frame rows, counts) is exact. The
+    per-frame feature DECODE stays the container's documented stub and
+    is excluded from the compared columns (no video codec in scope)."""
+    from big_data_analysis_spark.operators.multimodal import sample_frames
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    vids = (
+        ev.filter(F.col("user_id") % 23 == 0)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").cast("string").alias("path"),
+            F.encode(
+                F.concat(F.lit("video-payload-"), F.col("user_id").cast("string")),
+                "utf-8",
+            ).alias("content"),
+            (10 + F.col("user_id") % 20).cast("long").alias("n_frames"),
+        )
+    )
+    return sample_frames(vids, every_k=3).select("path", "frame_idx", "n_frames")
+
+
 # =========================================================================
 # Driver verification window.
 #
@@ -4688,13 +4725,13 @@ _DRIVER_PRIORITY: list[str] = [
     "top_customers",
     "top3_orders_per_customer",
     "pivot_returnflag",
-    "null_handling",
     "json_extract_agg",
     "window_lag_features",
     "sessionize_events",
     "important_part_value",
     "supplier_count_by_part_attrs",
     "heavy_small_part_shippers",
+    "video_frame_sample",
     "dedup_exact_docs",
     "jaccard_pairs_docs",
     "frequent_items_trend",

@@ -238,3 +238,44 @@ def test_augment_images_pil_branch(spark):
             break
     else:
         raise AssertionError("no flipping seed found in 40 tries — p < 1e-12")
+
+
+def test_sample_frames_policies_and_determinism(spark):
+    """Frame sampling: every_k strides from 0; n_samples spans first to
+    last uniformly; per-frame features are deterministic in (bytes,
+    frame_idx) across repartitionings; corrupt payloads yield
+    decode_error rows instead of failing; metadata drives counts (no
+    decode needed to enumerate)."""
+    from big_data_analysis_spark.operators.multimodal import sample_frames
+
+    rows = [
+        ("v1", b"A" * 100, 10),
+        ("v2", b"B" * 100, 3),
+        ("corrupt", b"", 2),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary, n_frames long")
+
+    out = {(r["path"], r["frame_idx"]): r for r in
+           sample_frames(df, every_k=4).collect()}
+    assert sorted(i for (p, i) in out if p == "v1") == [0, 4, 8]
+    assert sorted(i for (p, i) in out if p == "v2") == [0]
+    assert out[("corrupt", 0)]["decode_error"] is not None
+
+    uni = sample_frames(df.filter("path = 'v1'"), n_samples=4).collect()
+    assert sorted(r["frame_idx"] for r in uni) == [0, 3, 6, 9]
+    over = sample_frames(df.filter("path = 'v2'"), n_samples=10).collect()
+    assert sorted(r["frame_idx"] for r in over) == [0, 1, 2]
+
+    a = {(r["path"], r["frame_idx"]): r["features"] for r in
+         sample_frames(df, every_k=2).collect()}
+    b = {(r["path"], r["frame_idx"]): r["features"] for r in
+         sample_frames(df.repartition(7), every_k=2).collect()}
+    assert a == b
+    assert a[("v1", 0)] != a[("v1", 2)]  # features keyed by frame index
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_frames(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        sample_frames(df, every_k=2, n_samples=3)

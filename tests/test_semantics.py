@@ -486,7 +486,7 @@ def test_driver_window_covers_critical_queries():
         "sketch_profile_events",
         # round-4 additions must be checked the round they land
         "important_part_value", "supplier_count_by_part_attrs",
-        "heavy_small_part_shippers",
+        "heavy_small_part_shippers", "video_frame_sample",
         "forecast_revenue_delta", "volume_shipping_pairs",
         "market_share_region", "product_profit_nation_year",
         "customer_order_distribution", "top_supplier_quarter",
