@@ -86,3 +86,125 @@ def audit_union(reports: list[DataFrame]) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def psi_numeric(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of ``cur[col]`` against ``ref[col]``
+    — the standard drift monitor a feature store runs between a
+    training snapshot and live traffic (PSI > 0.2 ≈ action threshold).
+
+    Scale shape: bin edges are the reference's exact interior
+    percentiles computed in ONE 1-row aggregate (never a global
+    sort/ntile — the same broadcast-boundaries discipline as
+    quantile_bins); both sides are then binned by pure comparison
+    arithmetic and counted with a map-side-combinable groupBy, so the
+    whole check is one scan per side regardless of table size. Bins
+    that lost all current-side mass are floored at ``floor`` before the
+    log so the index stays finite (mirrorable in any engine; the
+    reference side cannot be empty by construction of its own
+    quantiles, but is floored identically for symmetry).
+
+    Returns one row: (psi, n_ref, n_cur). Rows with NULL ``col`` are
+    excluded from both sides.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.filter(F.col(col).isNotNull()).agg(
+        F.percentile(F.col(col), F.lit(qs)).alias("edges")
+    ).head()["edges"]
+    # Duplicate edges (heavy ties) would create empty reference bins;
+    # collapse them so every bin has reference mass.
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(float(e))
+
+    def bin_expr(c: Column) -> Column:
+        # bin k  <=>  edges[k-1] < x <= edges[k]  (right-closed, like
+        # pandas.qcut); below/above the range folds into the end bins.
+        out = F.lit(len(uniq))
+        for k in range(len(uniq) - 1, -1, -1):
+            out = F.when(c <= F.lit(uniq[k]), F.lit(k)).otherwise(out)
+        return out.cast("long")
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(bin_expr(F.col(col)).alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = side_counts(ref, "n_ref")
+    c = side_counts(cur, "n_cur")
+    per_bin = r.join(c, "bin", "full").select(
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(floor))
+                 - F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(floor)))
+                * F.log(
+                    F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(floor))
+                    / F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(floor))
+                )
+            ).alias("term"),
+            "t_ref",
+            "t_cur",
+        )
+        .agg(
+            F.round(F.sum("term"), 6).alias("psi"),
+            F.max("t_ref").cast("long").alias("n_ref"),
+            F.max("t_cur").cast("long").alias("n_cur"),
+        )
+    )
+
+
+def js_divergence(
+    ref: DataFrame, cur: DataFrame, col: str
+) -> DataFrame:
+    """Jensen-Shannon divergence (base-2, so bounded in [0, 1]) between
+    the categorical distributions of ``ref[col]`` and ``cur[col]`` —
+    the symmetric, zero-safe drift measure for label / category mix
+    shift (0*log(0/m) contributes 0, so disjoint categories are fine
+    without smoothing, unlike KL).
+
+    One map-side-combined groupBy per side, full-outer join on the
+    category (NULL is a category via a sentinel coalesce), 1-row
+    aggregate out. Returns (jsd, n_categories).
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            F.coalesce(F.col(col).cast("string"), F.lit("__null__")).alias("cat")
+        ).agg(F.count(F.lit(1)).alias(name))
+
+    per_cat = side(ref, "n_ref").join(side(cur, "n_cur"), "cat", "full").select(
+        "cat",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = per_cat.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p = F.col("n_ref") / F.col("t_ref")
+    q = F.col("n_cur") / F.col("t_cur")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("n_ref") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_cur") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term), 6).alias("jsd"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+    )

@@ -212,3 +212,53 @@ def label_propagation(
         )
         labels = best.localCheckpoint(eager=True)
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from any
+    node in ``sources`` (a 1-column DataFrame of start nodes) to every
+    node reachable within ``max_hops``. Returns (node, dist) with
+    dist = 0 for the sources themselves — k-hop neighborhood expansion
+    (supply-chain blast radius, social reach, link-graph crawl depth).
+
+    Scale shape: classic frontier iteration. Each round joins ONLY the
+    current frontier (nodes first reached last round — shrinks as the
+    graph saturates) against the edge list, then anti-joins the
+    visited set to keep newly discovered nodes; both sides of every
+    join are keyed shuffles on the node id (the frontier is typically
+    broadcast-size and AQE demotes the exchange to a broadcast join on
+    its own). Visited and frontier are localCheckpointed per round so
+    plan depth stays O(1) in ``max_hops``. The edge list is
+    materialized once up front and reused every round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier[node_col])
+            .select(F.col("dst").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(node_col, F.col("dist").cast("long").alias("dist"))

@@ -398,3 +398,132 @@ def normalize_text(
     if collapse_whitespace:
         col = F.trim(F.regexp_replace(col, "[ \\t]+", " "))
     return df.withColumn(out, col)
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson-Sparck Jones / Okapi BM25)
+    over a document table: score every document against a bag of query
+    terms, return the ``top_k`` by score — the full-text-search
+    primitive a corpus-curation pipeline uses for targeted slicing
+    (and the lexical half of hybrid lexical+ANN retrieval).
+
+    Scale shape: the corpus is scanned ONCE. Tokenization is a codegen
+    regexp (lower + [a-z0-9]+); per-doc length comes from the same
+    expression; the token explode is immediately filtered to the
+    (broadcast-tiny) query-term set BEFORE the (doc, term) groupBy, so
+    the shuffle carries only query-term hits, not the whole posting
+    list. Document frequency per term and the corpus constants (N,
+    avgdl) are bounded aggregates joined back by broadcast. Final
+    top-k is a TakeOrderedAndProject (orderBy+limit), never a global
+    window. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's
+    non-negative variant); ties break on ascending doc id.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z0-9]+)")).alias(
+            "__toks"
+        ),
+    ).select(
+        "__id",
+        F.size("__toks").cast("double").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    hits = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    consts = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z0-9]+)"))
+            )
+        ).alias("avgdl"),
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "__id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("__id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("__id"))
+        .limit(top_k)
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+    keep_cols: Sequence[str] = (),
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    optional overlap (``stride`` < ``size``) — the RAG-indexing /
+    training-sequence preparation step. Emits one row per chunk with
+    its ordinal and 0-based start offset, so chunks are traceable back
+    to their source span.
+
+    Pure codegen: sequence() builds the start offsets from the row's
+    own length, posexplode fans out, substring slices — no Python, no
+    shuffle at all (chunking is embarrassingly row-local; downstream
+    repartition is the caller's choice). Documents shorter than one
+    chunk yield exactly one (possibly short) chunk; NULL/empty text
+    yields no rows.
+    """
+    if stride is None:
+        stride = size
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    starts = F.sequence(
+        F.lit(0), F.length(F.col(text_col)) - F.lit(1), F.lit(stride)
+    )
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            *keep_cols,
+            F.posexplode(starts).alias("chunk_idx", "start"),
+            F.col(text_col),
+        )
+        .select(
+            *keep_cols,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start"),
+            F.substring(F.col(text_col), F.col("start") + F.lit(1), F.lit(size)).alias(
+                chunk_col
+            ),
+        )
+    )

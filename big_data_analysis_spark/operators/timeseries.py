@@ -651,3 +651,75 @@ def seasonal_decompose(
         )
         .drop("__trend", "__pm", "__cm", "__detrended", "__phase")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    partition_by: Sequence[str],
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 0,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt double exponential smoothing per series (the linear-trend
+    member of the COVID-forecast family the reference fits; Holt 1957):
+      level_t = a*y_t + (1-a) * (level_{t-1} + trend_{t-1})
+      trend_t = b*(level_t - level_{t-1}) + (1-b) * trend_{t-1}
+    initialized level_1 = y_1, trend_1 = y_2 - y_1 (0 for length-1
+    series). Adds smoothed (level, trend) per row plus, when
+    ``horizon`` > 0, the h-step-ahead forecast level + h*trend from
+    each row.
+
+    The recurrence has an unbounded dependency horizon, so no fixed
+    lag-window expresses it (unlike add_ewma's truncated form):
+    this is the sanctioned applyInPandas shape — one shuffle on the
+    series keys, each series smoothed in one Arrow batch with a plain
+    float loop. Requires ``partition_by`` (a global un-keyed series
+    cannot scale and this engine refuses to fake it — pass a constant
+    key if one series is genuinely wanted and small). The float ops
+    are written in the exact textbook order above, so an independent
+    re-derivation (the SQL oracle's recursive CTE) is bit-identical.
+    """
+    if not partition_by:
+        raise ValueError("holt_linear requires partition_by series keys")
+    import pandas as pd
+
+    keep = [c for c in df.columns]
+    out_fields = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + [f"{level_col} double", f"{trend_col} double"]
+        + ([f"forecast_{horizon} double"] if horizon > 0 else [])
+    )
+
+    a, b = float(alpha), float(beta)
+    h = int(horizon)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_by), kind="mergesort").reset_index(
+            drop=True
+        )
+        ys = pdf[value_col].astype(float).tolist()
+        levels: list[float] = []
+        trends: list[float] = []
+        for i, y in enumerate(ys):
+            if i == 0:
+                lv = float(y)
+                tr = float(ys[1]) - float(ys[0]) if len(ys) > 1 else 0.0
+            else:
+                prev_l, prev_t = levels[-1], trends[-1]
+                lv = a * float(y) + (1.0 - a) * (prev_l + prev_t)
+                tr = b * (lv - prev_l) + (1.0 - b) * prev_t
+            levels.append(lv)
+            trends.append(tr)
+        pdf[level_col] = levels
+        pdf[trend_col] = trends
+        if h > 0:
+            pdf[f"forecast_{h}"] = [
+                lv + h * tr for lv, tr in zip(levels, trends)
+            ]
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(smooth, schema=out_fields)

@@ -4660,6 +4660,437 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-4 wave 2: retrieval (BM25), drift monitoring (PSI / JSD),
+# chunking, source-level quality gating, multi-source BFS, Holt
+# forecasting, and the TPC-H Q21 lateness shape.
+# =========================================================================
+
+
+def _bm25_oracle_sql(
+    terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75, top_k: int = 15
+) -> str:
+    """Mirror text.bm25_search term-for-term: literals are repr()'d from
+    the SAME Python floats the Spark expression uses, so both engines
+    evaluate identical doubles in identical order (only the final
+    per-doc sum is order-sensitive -> round(6))."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    k1p1, k1r, one_b, br = repr(k1 + 1.0), repr(k1), repr(1.0 - b), repr(b)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+), hits AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+    FROM toks WHERE term IN ({in_list}) GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1
+), consts AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS avgdl
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {k1p1})
+               / (tf + {k1r} * ({one_b} + {br} * dl / avgdl))
+           ), 6) AS bm25
+    FROM hits JOIN dfreq USING (term) CROSS JOIN consts
+    GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {top_k}
+"""
+
+
+@query("bm25_search_docs", _bm25_oracle_sql(("hash", "join", "spark", "vector")))
+def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the documents corpus: top-15 docs
+    for a 4-term query. One corpus scan; the token explode is filtered
+    to the broadcast query-term set before any shuffle; final top-k is
+    TakeOrderedAndProject. The lexical half of hybrid search next to
+    the ANN stack in similarity.py."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return tx.bm25_search(
+        d, "doc_id", "text", ("hash", "join", "spark", "vector"), top_k=15
+    )
+
+
+_PSI_ORACLE = """
+WITH ref AS (
+    SELECT value FROM events
+    WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), cur AS (
+    SELECT value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), e AS (
+    SELECT quantile_cont(value, 0.1) AS q1, quantile_cont(value, 0.2) AS q2,
+           quantile_cont(value, 0.3) AS q3, quantile_cont(value, 0.4) AS q4,
+           quantile_cont(value, 0.5) AS q5, quantile_cont(value, 0.6) AS q6,
+           quantile_cont(value, 0.7) AS q7, quantile_cont(value, 0.8) AS q8,
+           quantile_cont(value, 0.9) AS q9
+    FROM ref
+), rb AS (
+    SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2 WHEN value <= q4 THEN 3
+                WHEN value <= q5 THEN 4 WHEN value <= q6 THEN 5
+                WHEN value <= q7 THEN 6 WHEN value <= q8 THEN 7
+                WHEN value <= q9 THEN 8 ELSE 9 END AS bin, count(*) AS n_ref
+    FROM ref CROSS JOIN e GROUP BY 1
+), cb AS (
+    SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2 WHEN value <= q4 THEN 3
+                WHEN value <= q5 THEN 4 WHEN value <= q6 THEN 5
+                WHEN value <= q7 THEN 6 WHEN value <= q8 THEN 7
+                WHEN value <= q9 THEN 8 ELSE 9 END AS bin, count(*) AS n_cur
+    FROM cur CROSS JOIN e GROUP BY 1
+), j AS (
+    SELECT coalesce(rb.n_ref, 0) AS n_ref, coalesce(cb.n_cur, 0) AS n_cur
+    FROM rb FULL JOIN cb USING (bin)
+), t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j)
+SELECT round(sum(
+           (greatest(n_cur * 1.0 / t_cur, 1e-06) - greatest(n_ref * 1.0 / t_ref, 1e-06))
+           * ln(greatest(n_cur * 1.0 / t_cur, 1e-06) / greatest(n_ref * 1.0 / t_ref, 1e-06))
+       ), 6) AS psi,
+       CAST(max(t_ref) AS BIGINT) AS n_ref,
+       CAST(max(t_cur) AS BIGINT) AS n_cur
+FROM j CROSS JOIN t
+"""
+
+
+@query("psi_drift_events", _PSI_ORACLE)
+def q_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of events.value, first half of the
+    month (reference window) vs second half (current window) — the
+    feature-drift gate a model-serving pipeline runs per batch. Bin
+    edges are the reference's exact deciles from ONE 1-row aggregate,
+    binning is broadcast comparison arithmetic: one scan per side, no
+    global sort (dq.psi_numeric)."""
+    from big_data_analysis_spark.operators import dq
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return dq.psi_numeric(
+        ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut), "value"
+    )
+
+
+_JSD_ORACLE = """
+WITH r AS (
+    SELECT coalesce(event_type, '__null__') AS cat, count(*) AS n_ref
+    FROM events WHERE isodow(ts) NOT IN (6, 7) GROUP BY 1
+), c AS (
+    SELECT coalesce(event_type, '__null__') AS cat, count(*) AS n_cur
+    FROM events WHERE isodow(ts) IN (6, 7) GROUP BY 1
+), j AS (
+    SELECT coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+    FROM r FULL JOIN c USING (cat)
+), t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j)
+SELECT round(sum(
+           (CASE WHEN n_ref > 0 THEN (n_ref * 1.0 / t_ref)
+                 * log2((n_ref * 1.0 / t_ref)
+                        / ((n_ref * 1.0 / t_ref + n_cur * 1.0 / t_cur) / 2.0))
+                 ELSE 0.0 END
+            + CASE WHEN n_cur > 0 THEN (n_cur * 1.0 / t_cur)
+                 * log2((n_cur * 1.0 / t_cur)
+                        / ((n_ref * 1.0 / t_ref + n_cur * 1.0 / t_cur) / 2.0))
+                 ELSE 0.0 END) / 2.0
+       ), 6) AS jsd,
+       CAST(count(*) AS BIGINT) AS n_categories
+FROM j CROSS JOIN t
+"""
+
+
+@query("jsd_event_type_shift", _JSD_ORACLE)
+def q_jsd_event_type_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of the event-type mix, weekday vs
+    weekend traffic — the zero-safe categorical drift monitor (disjoint
+    categories need no smoothing, unlike KL). Two map-side-combined
+    groupBys + a full-outer on the tiny category space
+    (dq.js_divergence). Spark dayofweek(): 1=Sun..7=Sat; weekend =
+    {1, 7} == DuckDB isodow IN (6, 7)."""
+    from big_data_analysis_spark.operators import dq
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    wk = F.dayofweek("ts")
+    return dq.js_divergence(
+        ev.filter(~wk.isin(1, 7)), ev.filter(wk.isin(1, 7)), "event_type"
+    )
+
+
+_SOLE_LATE_ORACLE = """
+WITH lines AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS INT) AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), per_supp AS (
+    SELECT l_orderkey, l_suppkey, max(late) AS was_late
+    FROM lines GROUP BY 1, 2
+), per_order AS (
+    SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late_supp
+    FROM per_supp GROUP BY 1
+), waiting AS (
+    SELECT s.l_suppkey, count(*) AS numwait
+    FROM per_supp s JOIN per_order o USING (l_orderkey)
+    WHERE s.was_late = 1 AND o.n_supp >= 2 AND o.n_late_supp = 1
+    GROUP BY 1
+)
+SELECT s_name, CAST(numwait AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+@query("sole_late_shipper", _SOLE_LATE_ORACLE)
+def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the available columns: in multi-supplier orders, count per supplier
+    the orders where it was the ONLY late shipper (late = shipped >60
+    days after order date). Q21's EXISTS / NOT EXISTS self-joins are
+    re-expressed as ONE groupBy(order, supp) + ONE groupBy(order) —
+    two keyed shuffles on l_orderkey instead of three lineitem
+    self-join passes; top-20 is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    lines = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("was_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late_supp")
+    )
+    waiting = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("was_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return (
+        waiting.join(
+            F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_CHUNK_ORACLE = """
+WITH g AS (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(length(text) AS BIGINT), 90)) AS start
+    FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(start // 90 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       md5(substr(text, CAST(start + 1 AS INT), 120)) AS chunk_md5,
+       CAST(length(substr(text, CAST(start + 1 AS INT), 120)) AS BIGINT) AS chunk_len
+FROM g
+"""
+
+
+@query("chunk_docs_overlap", _CHUNK_ORACLE)
+def q_chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (size 120, stride 90 -> 30-char
+    overlap), the RAG-indexing / training-window prep step. Pure
+    codegen sequence+posexplode+substring — zero shuffle, zero Python
+    (text.chunk_text); chunks identified by md5 so the compared rows
+    stay small while still pinning exact chunk CONTENT."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = tx.chunk_text(d, "text", size=120, stride=90, keep_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.md5(F.encode(F.col("chunk"), "utf-8")).alias("chunk_md5"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
+_SOURCE_GATE_ORACLE = """
+WITH q AS (
+    SELECT source, doc_id, length(text) AS q_len,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens
+    FROM documents
+), per_source AS (
+    SELECT source, avg(q_tokens) AS src_avg_tokens, count(*) AS n_docs
+    FROM q GROUP BY source
+), overall AS (SELECT avg(q_tokens) AS overall_avg FROM q),
+kept AS (
+    SELECT source, n_docs, src_avg_tokens
+    FROM per_source CROSS JOIN overall
+    WHERE src_avg_tokens >= overall_avg
+)
+SELECT k.source, CAST(k.n_docs AS BIGINT) AS n_docs,
+       round(k.src_avg_tokens, 4) AS avg_tokens,
+       CAST(sum(q.q_len) AS BIGINT) AS total_chars
+FROM kept k JOIN q USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("source_quality_gate", _SOURCE_GATE_ORACLE)
+def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality gating (the C4/Gopher move of dropping
+    whole LOW-QUALITY SOURCES, not just documents): keep sources whose
+    mean token count clears the corpus mean, then report the surviving
+    slice. Doc-level quality -> per-source aggregate -> broadcast
+    1-row corpus mean -> broadcast semi-join back. The gate metric is
+    an integer-sum average, exact in any engine, so the >= comparison
+    cannot flip on summation order."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = tx.quality_score(d, "text").select("source", "q_len", "q_tokens")
+    per_source = q.groupBy("source").agg(
+        F.avg("q_tokens").alias("src_avg_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_len").alias("total_chars"),
+    )
+    overall = q.agg(F.avg("q_tokens").alias("overall_avg"))
+    return (
+        per_source.crossJoin(F.broadcast(overall))
+        .filter(F.col("src_avg_tokens") >= F.col("overall_avg"))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("src_avg_tokens", 4).alias("avg_tokens"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE base AS (
+    SELECT DISTINCT o_custkey AS src, 10000000 + l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bi AS (
+    SELECT src, dst FROM base UNION SELECT dst, src FROM base
+), srcs AS (
+    SELECT DISTINCT 10000000 + s_suppkey AS node
+    FROM supplier WHERE s_nationkey = 0
+), walk(node, dist) AS (
+    SELECT node, 0 FROM srcs
+    UNION
+    SELECT b.dst, w.dist + 1
+    FROM walk w JOIN bi b ON b.src = w.node
+    WHERE w.dist < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@query("bfs_hops_trade", _BFS_ORACLE)
+def q_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the bipartite trade graph: hop distance
+    from nation-0's suppliers to every customer/supplier reachable in
+    <=3 hops (supply-chain blast radius). Frontier iteration with
+    per-round localCheckpoint (graph.bfs_distances) vs DuckDB's
+    recursive CTE with min-dist fold."""
+    from big_data_analysis_spark.operators.graph import bfs_distances
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "supplier"])
+    fwd = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    srcs = (
+        t["supplier"]
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.lit(10000000) + F.col("s_suppkey")).alias("node"))
+    )
+    return bfs_distances(bi, srcs, max_hops=3)
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE m AS (
+    SELECT o_orderpriority AS pri,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+), s AS (
+    SELECT pri, month, y,
+           CAST(row_number() OVER (PARTITION BY pri ORDER BY month) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+    FROM m
+), second AS (
+    SELECT pri, y AS y2 FROM s WHERE rn = 2
+), rec(pri, rn, level, trend) AS (
+    SELECT s.pri, s.rn, s.y,
+           CASE WHEN s.n > 1 THEN sec.y2 - s.y ELSE 0.0 END
+    FROM s LEFT JOIN second sec USING (pri) WHERE s.rn = 1
+    UNION ALL
+    SELECT s.pri, s.rn,
+           0.5 * s.y + 0.5 * (r.level + r.trend),
+           0.3 * ((0.5 * s.y + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.7 * r.trend
+    FROM rec r JOIN s ON s.pri = r.pri AND s.rn = r.rn + 1
+)
+SELECT s.pri AS o_orderpriority, s.month, CAST(s.y AS BIGINT) AS n,
+       r.level AS level, r.trend AS trend,
+       r.level + 3 * r.trend AS forecast_3
+FROM rec r JOIN s ON s.pri = r.pri AND s.rn = r.rn
+"""
+
+
+@query("holt_forecast_monthly_orders", _HOLT_ORACLE)
+def q_holt_forecast_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha=0.5, beta=0.3) of the
+    monthly order count per priority class, plus the 3-month-ahead
+    forecast from every point — the linear-trend forecaster of the
+    reference's COVID family. Unbounded recurrence -> the sanctioned
+    applyInPandas shape (one shuffle on the series key); the oracle
+    re-derives the recursion with a recursive CTE. NO rounding on
+    either side: both engines evaluate the same IEEE ops in the same
+    order on the same exact integer inputs, so the doubles are
+    bit-identical (verified term-by-term) — whereas round() itself
+    DIVERGES cross-engine at .5 boundaries (DuckDB rounds via float
+    multiply, Spark via exact-decimal HALF_UP), the same reason
+    ewma_daily_orders ships unrounded doubles."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = ts.holt_linear(
+        monthly,
+        order_by=["month"],
+        value_col="y",
+        partition_by=["o_orderpriority"],
+        alpha=0.5,
+        beta=0.3,
+        horizon=3,
+    )
+    return out.select(
+        "o_orderpriority",
+        "month",
+        F.col("y").cast("long").alias("n"),
+        "level",
+        "trend",
+        F.col("forecast_3").alias("forecast_3"),
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -4716,34 +5147,36 @@ _DRIVER_PRIORITY: list[str] = [
     "qcut_price_deciles",
     "dedup_keep_last",
     "upsert_orders",
+    # (e) round-4 wave 2 (all oracle-backed): BM25 retrieval, PSI/JSD
+    # drift, chunking, source gating, BFS, Holt forecasting, Q21 shape.
+    "bm25_search_docs",
+    "psi_drift_events",
+    "jsd_event_type_shift",
+    "sole_late_shipper",
+    "chunk_docs_overlap",
+    "source_quality_gate",
+    "bfs_hops_trade",
+    "holt_forecast_monthly_orders",
     # (d) rotating re-verification sample (ADVICE r3: keep the
     # external gate catching regressions in past-round queries, not
-    # just one-time greens) — 25 slots spanning every module family;
+    # just one-time greens) — 17 slots spanning every module family;
     # future rounds rotate a different past-round subset in.
     "trend_rules",
     "pricing_summary",
     "top_customers",
     "top3_orders_per_customer",
-    "pivot_returnflag",
-    "json_extract_agg",
-    "window_lag_features",
     "sessionize_events",
     "important_part_value",
     "supplier_count_by_part_attrs",
     "heavy_small_part_shippers",
     "video_frame_sample",
-    "dedup_exact_docs",
-    "jaccard_pairs_docs",
-    "frequent_items_trend",
     "fpgrowth_rules_pairs",
-    "lang_id_docs",
     "quality_docs",
     "llm_corpus_pipeline",
     "contamination_pairs_docs",
     "span_dedup_docs",
     "asof_purchase_view",
     "click_attribution_window",
-    "corr_matrix_lineitem",
     "streaming_tumbling_daily",
 ]
 

@@ -74,3 +74,54 @@ def test_multijoin_classics_push_filters_to_scans(spark, sf_dir):
     pushed = [f for s in scan_infos(df) for f in (s["pushed_filters"] or [])]
     for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
         assert any(col in f for f in pushed), (col, pushed)
+
+
+def test_psi_zero_for_identical_and_positive_for_shift(spark):
+    """PSI sanity: a distribution compared against itself scores ~0;
+    a mean-shifted distribution scores well past the 0.2 action
+    threshold."""
+    from big_data_analysis_spark.operators.dq import psi_numeric
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_numeric(base, base, "v").head()
+    assert abs(same["psi"]) < 1e-9
+    assert same["n_ref"] == same["n_cur"] == 2000
+
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("v")
+    )
+    drift = psi_numeric(base, shifted, "v").head()
+    assert drift["psi"] > 0.2
+
+
+def test_psi_ignores_nulls_and_handles_empty_bins(spark):
+    """NULLs are excluded from both sides; a current side entirely
+    outside the reference range lands in the edge bins and stays
+    finite (floor guards the log)."""
+    from big_data_analysis_spark.operators.dq import psi_numeric
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)] * 10, "v double"
+    )
+    cur = spark.createDataFrame([(1000.0,)] * 50 + [(None,)] * 5, "v double")
+    out = psi_numeric(ref, cur, "v").head()
+    assert out["n_ref"] == 100 and out["n_cur"] == 50
+    import math
+
+    assert math.isfinite(out["psi"]) and out["psi"] > 1.0
+
+
+def test_jsd_bounds_and_symmetry(spark):
+    """JSD(base 2) is 0 for identical mixes, 1 for disjoint ones, and
+    symmetric in its arguments."""
+    from big_data_analysis_spark.operators.dq import js_divergence
+
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 70, "c string")
+    b = spark.createDataFrame([("z",)] * 10 + [("w",)] * 40, "c string")
+    assert abs(js_divergence(a, a, "c").head()["jsd"]) < 1e-9
+    disjoint = js_divergence(a, b, "c").head()
+    assert abs(disjoint["jsd"] - 1.0) < 1e-9
+    assert disjoint["n_categories"] == 4
+    ab = js_divergence(a, b, "c").head()["jsd"]
+    ba = js_divergence(b, a, "c").head()["jsd"]
+    assert abs(ab - ba) < 1e-12

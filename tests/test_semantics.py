@@ -495,6 +495,10 @@ def test_driver_window_covers_critical_queries():
         # code changed this round -> external re-verification
         "golden_predictions", "qcut_price_deciles", "dedup_keep_last",
         "upsert_orders",
+        # round-4 wave 2 additions
+        "bm25_search_docs", "psi_drift_events", "jsd_event_type_shift",
+        "sole_late_shipper", "chunk_docs_overlap", "source_quality_gate",
+        "bfs_hops_trade", "holt_forecast_monthly_orders",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -633,3 +637,101 @@ def test_normalize_text_nfkc_control_and_idempotence(spark):
     assert got[4] == "123 fine"
     twice = {r["id"]: r["text"] for r in normalize_text(once, "text").collect()}
     assert twice == got
+
+
+def test_chunk_text_reassembles_and_overlaps(spark):
+    """Chunking invariants: stride==size chunks concatenate back to the
+    original text; stride<size chunks each start with the tail of the
+    previous one (the overlap); offsets/ordinals are exact."""
+    from big_data_analysis_spark.operators.text import chunk_text
+
+    rows = [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "xy"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    flat = chunk_text(df, "text", size=7, stride=7, keep_cols=("doc_id",))
+    got = {
+        doc: "".join(
+            r["chunk"] for r in sorted(rws, key=lambda r: r["chunk_idx"])
+        )
+        for doc, rws in _group(flat.collect(), "doc_id").items()
+    }
+    assert got == {1: rows[0][1], 2: "xy"}  # empty/null docs emit nothing
+
+    over = chunk_text(df, "text", size=10, stride=5, keep_cols=("doc_id",))
+    chunks = sorted(
+        (r["chunk_idx"], r["start"], r["chunk"])
+        for r in over.filter(F.col("doc_id") == 1).collect()
+    )
+    for (i1, s1, c1), (i2, s2, c2) in zip(chunks, chunks[1:]):
+        assert i2 == i1 + 1 and s2 == s1 + 5
+        assert c1[5:] == c2[: len(c1) - 5]  # 5-char overlap agrees
+
+
+def _group(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """BM25 sanity: a doc saturated with the query terms outranks a doc
+    with one hit; docs without any hit never appear; a corpus-ubiquitous
+    term contributes less than a rare one (idf)."""
+    from big_data_analysis_spark.operators.text import bm25_search
+
+    docs = [
+        (1, "spark spark spark join hash"),
+        (2, "spark appears once here with filler words and more filler"),
+        (3, "nothing relevant at all in this one"),
+        (4, "common common common common"),  # 'common' also in every doc below
+        (5, "common text a"), (6, "common text b"), (7, "common text c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = bm25_search(df, "doc_id", "text", ("spark", "join"), top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1 and 2 in ids
+    assert 3 not in ids and 4 not in ids
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2]
+    # rare term ('spark', df=2) beats ubiquitous term ('common', df=4)
+    rare = bm25_search(df, "doc_id", "text", ("spark",), top_k=1).head()["bm25"]
+    common = bm25_search(df, "doc_id", "text", ("common",), top_k=1).head()["bm25"]
+    assert rare > common
+
+
+def test_bfs_distances_known_graph(spark):
+    """BFS on a path-with-branch graph: exact hop counts, min-dist wins
+    on multi-path nodes, hop cap honored, unreachable nodes absent."""
+    from big_data_analysis_spark.operators.graph import bfs_distances
+
+    #  0 -> 1 -> 2 -> 3 -> 4 ;  0 -> 5 -> 3 (shortcut);  9 isolated from 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 3), (8, 9)],
+        "src int, dst int",
+    )
+    srcs = spark.createDataFrame([(0,)], "node int")
+    d = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs, 10).collect()}
+    assert d == {0: 0, 1: 1, 5: 1, 2: 2, 3: 2, 4: 3}
+    capped = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs, 1).collect()}
+    assert capped == {0: 0, 1: 1, 5: 1}
+
+
+def test_holt_linear_tracks_linear_series_exactly(spark):
+    """On y = 3 + 2t the Holt recurrence is exact: level == y,
+    trend == slope, forecast_h == y + h*slope — per series key."""
+    from big_data_analysis_spark.operators.timeseries import holt_linear
+
+    rows = [(g, t, 3.0 + 2.0 * t + g) for g in (0, 1) for t in range(12)]
+    df = spark.createDataFrame(rows, "g int, t int, y double")
+    out = holt_linear(
+        df, order_by=["t"], value_col="y", partition_by=["g"], horizon=4
+    ).collect()
+    for r in out:
+        assert r["level"] == 3.0 + 2.0 * r["t"] + r["g"]
+        assert r["trend"] == 2.0
+        assert r["forecast_4"] == r["level"] + 8.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        holt_linear(df, order_by=["t"], value_col="y", partition_by=[])
