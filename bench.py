@@ -68,6 +68,12 @@ EXTENDED_QUERIES = [
     "real_bpe_token_counts",
     "bloom_decontaminate_docs",
     "pq_ann_topk",
+    # round-4 wave 2: retrieval / graph / forecasting / streaming-drift
+    "bm25_search_docs",
+    "hybrid_search_rrf",
+    "bfs_hops_trade",
+    "holt_forecast_monthly_orders",
+    "streaming_psi_daily",
 ]
 
 

@@ -88,6 +88,36 @@ def audit_union(reports: list[DataFrame]) -> DataFrame:
     return out
 
 
+def quantile_edges(ref: DataFrame, col: str, n_bins: int = 10) -> list[float]:
+    """Interior quantile boundaries of ``ref[col]`` (n_bins-1 exact
+    percentiles) from ONE 1-row aggregate — the broadcast-boundaries
+    discipline: never a global sort/ntile. Duplicate edges (heavy
+    ties) are collapsed so every resulting bin has reference mass.
+    The fixed-size list is driver state by design (like a bloom
+    filter's bit array): it parameterizes pure comparison expressions
+    downstream."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.filter(F.col(col).isNotNull()).agg(
+        F.percentile(F.col(col), F.lit(qs)).alias("edges")
+    ).head()["edges"]
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(float(e))
+    return uniq
+
+
+def bin_by_edges(c: Column, edges: list[float]) -> Column:
+    """Right-closed bin id for ``c`` against sorted ``edges``: bin k
+    <=> edges[k-1] < x <= edges[k] (pandas.qcut convention); values
+    below/above the range fold into the end bins. Pure comparison
+    CASE — codegen, streamable, re-derivable on any engine."""
+    out = F.lit(len(edges))
+    for k in range(len(edges) - 1, -1, -1):
+        out = F.when(c <= F.lit(edges[k]), F.lit(k)).otherwise(out)
+    return out.cast("long")
+
+
 def psi_numeric(
     ref: DataFrame,
     cur: DataFrame,
@@ -113,29 +143,12 @@ def psi_numeric(
     Returns one row: (psi, n_ref, n_cur). Rows with NULL ``col`` are
     excluded from both sides.
     """
-    qs = [i / n_bins for i in range(1, n_bins)]
-    edges = ref.filter(F.col(col).isNotNull()).agg(
-        F.percentile(F.col(col), F.lit(qs)).alias("edges")
-    ).head()["edges"]
-    # Duplicate edges (heavy ties) would create empty reference bins;
-    # collapse them so every bin has reference mass.
-    uniq: list[float] = []
-    for e in edges:
-        if not uniq or e > uniq[-1]:
-            uniq.append(float(e))
-
-    def bin_expr(c: Column) -> Column:
-        # bin k  <=>  edges[k-1] < x <= edges[k]  (right-closed, like
-        # pandas.qcut); below/above the range folds into the end bins.
-        out = F.lit(len(uniq))
-        for k in range(len(uniq) - 1, -1, -1):
-            out = F.when(c <= F.lit(uniq[k]), F.lit(k)).otherwise(out)
-        return out.cast("long")
+    uniq = quantile_edges(ref, col, n_bins)
 
     def side_counts(df: DataFrame, name: str) -> DataFrame:
         return (
             df.filter(F.col(col).isNotNull())
-            .groupBy(bin_expr(F.col(col)).alias("bin"))
+            .groupBy(bin_by_edges(F.col(col), uniq).alias("bin"))
             .agg(F.count(F.lit(1)).alias(name))
         )
 

@@ -49,9 +49,14 @@ def pagerank(
     what makes 20-iteration runs viable on a real cluster. A fixed
     iteration count (not a convergence test) keeps the whole run
     deterministic and replayable."""
+    # Materialize the deduped edge list FIRST: nodes, out-degrees and
+    # the weighted join below all derive from it, and without the
+    # checkpoint each one re-executes the upstream edge construction
+    # (for a fact-table-derived graph, a full scan+join+distinct —
+    # measured 3 redundant executions before the first iteration).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

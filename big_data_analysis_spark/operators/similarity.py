@@ -466,3 +466,36 @@ def pq_topk(
         .orderBy("l2", id_col)
         .limit(n_results)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009): merge
+    any number of ranked candidate lists into one ranking by
+    score(d) = sum over lists of 1/(k + rank_d). The standard hybrid
+    lexical+semantic fusion — rank-based, so BM25 and cosine scores
+    never need calibrating against each other.
+
+    Each input frame carries (id_col, rank_col) with 1-based ranks and
+    is already truncated to its per-list candidate budget (the inputs
+    are top-N frames, so this operates on bounded rows regardless of
+    corpus size). Union + one tiny groupBy; final cut is
+    TakeOrderedAndProject with the id as deterministic tiebreak."""
+    contribs = None
+    for r in ranked:
+        c = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.col(rank_col)).cast("double")).alias("__c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    return (
+        contribs.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -5090,6 +5090,202 @@ def q_holt_forecast_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_HYBRID_RRF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+), hits AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+    FROM toks WHERE term IN ('hash', 'join', 'spark', 'vector') GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1
+), consts AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS avgdl
+    FROM documents
+), bm_scored AS (
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS s
+    FROM hits JOIN dfreq USING (term) CROSS JOIN consts
+    GROUP BY doc_id
+), bm_rank AS (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm_scored
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos_scored AS (
+    SELECT vec_id AS doc_id,
+           round(
+             list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q)::DOUBLE[])
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product((SELECT qv FROM q)::DOUBLE[], (SELECT qv FROM q)::DOUBLE[]))),
+             6) AS s
+    FROM embeddings
+), cos_rank AS (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM cos_scored
+), contrib AS (
+    SELECT doc_id, CAST(1.0 AS DOUBLE) / CAST(60 + r AS DOUBLE) AS c
+    FROM bm_rank WHERE r <= 50
+    UNION ALL
+    SELECT doc_id, CAST(1.0 AS DOUBLE) / CAST(60 + r AS DOUBLE) AS c
+    FROM cos_rank WHERE r <= 50
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score
+FROM contrib GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 15
+"""
+
+
+@query("hybrid_search_rrf", _HYBRID_RRF_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and exact-cosine semantic
+    top-50 (query = vec_id 0's embedding, doc_id == vec_id in the
+    synthetic corpus) fused with Reciprocal Rank Fusion
+    (similarity.rrf_fuse). Both candidate lists are bounded BEFORE
+    ranking windows run — TakeOrderedAndProject cuts to 50, then the
+    row_number window only ever sees 50 rows — so the fusion cost is
+    independent of corpus size. Scores are rounded to 6dp before
+    ranking on both engines so rank ties break identically."""
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    w50 = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+
+    bm = tx.bm25_search(
+        t["documents"], "doc_id", "text", ("hash", "join", "spark", "vector"),
+        top_k=50,
+    ).withColumnRenamed("bm25", "s")
+    bm_rank = bm.withColumn("rank", F.row_number().over(w50))
+
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                similarity.cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in qvec]),
+                ),
+                6,
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(50)
+    )
+    cos_rank = cos.withColumn("rank", F.row_number().over(w50))
+
+    return similarity.rrf_fuse([bm_rank, cos_rank], "doc_id", top_k=15)
+
+
+_STREAMING_PSI_ORACLE = """
+WITH ref AS (
+    SELECT value FROM events
+    WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), e AS (
+    SELECT quantile_cont(value, 0.1) AS q1, quantile_cont(value, 0.2) AS q2,
+           quantile_cont(value, 0.3) AS q3, quantile_cont(value, 0.4) AS q4,
+           quantile_cont(value, 0.5) AS q5, quantile_cont(value, 0.6) AS q6,
+           quantile_cont(value, 0.7) AS q7, quantile_cont(value, 0.8) AS q8,
+           quantile_cont(value, 0.9) AS q9
+    FROM ref
+), rb AS (
+    SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2 WHEN value <= q4 THEN 3
+                WHEN value <= q5 THEN 4 WHEN value <= q6 THEN 5
+                WHEN value <= q7 THEN 6 WHEN value <= q8 THEN 7
+                WHEN value <= q9 THEN 8 ELSE 9 END AS bin, count(*) AS n_ref
+    FROM ref CROSS JOIN e GROUP BY 1
+), rt AS (SELECT sum(n_ref) AS t_ref FROM rb),
+rp AS (SELECT bin, n_ref * 1.0 / t_ref AS p_ref FROM rb CROSS JOIN rt),
+cur AS (
+    SELECT date_trunc('day', ts) AS d, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), cb AS (
+    SELECT d, CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                   WHEN value <= q3 THEN 2 WHEN value <= q4 THEN 3
+                   WHEN value <= q5 THEN 4 WHEN value <= q6 THEN 5
+                   WHEN value <= q7 THEN 6 WHEN value <= q8 THEN 7
+                   WHEN value <= q9 THEN 8 ELSE 9 END AS bin, count(*) AS n
+    FROM cur CROSS JOIN e GROUP BY 1, 2
+), dt AS (SELECT d, sum(n) AS t_cur FROM cb GROUP BY 1),
+grid AS (SELECT d, t_cur, bin, p_ref FROM dt CROSS JOIN rp),
+j AS (
+    SELECT g.d, g.t_cur, g.p_ref, coalesce(cb.n, 0) AS n_cur
+    FROM grid g LEFT JOIN cb ON cb.d = g.d AND cb.bin = g.bin
+)
+SELECT CAST(d AS DATE) AS day,
+       round(sum(
+           (greatest(n_cur * 1.0 / t_cur, 1e-06) - greatest(p_ref, 1e-06))
+           * ln(greatest(n_cur * 1.0 / t_cur, 1e-06) / greatest(p_ref, 1e-06))
+       ), 6) AS psi,
+       CAST(max(t_cur) AS BIGINT) AS n_events
+FROM j GROUP BY d
+"""
+
+
+@query("streaming_psi_daily", _STREAMING_PSI_ORACLE)
+def q_streaming_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS drift monitoring (§2.11 x dq): daily PSI of the live
+    event-value stream against the frozen first-half-of-month
+    reference distribution. The stream side is a tumbling windowed
+    histogram over dq.bin_by_edges — per-trigger state is windows x 10
+    bins, constants, so the monitor runs forever on any volume; the
+    reference bin proportions are a broadcast 10-row frame computed
+    once in batch. Executed via availableNow into the parity harness
+    and hash-matched against the full batch re-derivation."""
+    from big_data_analysis_spark.operators import dq
+    from big_data_analysis_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        tumbling_binned_counts,
+    )
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ref = ev.filter((F.col("ts") < cut) & F.col("value").isNotNull())
+    edges = dq.quantile_edges(ref, "value", 10)
+    rb = ref.groupBy(dq.bin_by_edges(F.col("value"), edges).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    rtot = rb.agg(F.sum("n_ref").alias("t_ref"))
+    rprop = rb.crossJoin(F.broadcast(rtot)).select(
+        "bin", (F.col("n_ref") / F.col("t_ref")).alias("p_ref")
+    )
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        (F.col("ts") >= cut) & F.col("value").isNotNull()
+    )
+    # localCheckpoint: day_tot below re-joins counts against an
+    # aggregate of itself — checkpointing the (days x bins)-row result
+    # breaks the shared lineage that would otherwise make the self-join
+    # ambiguous, and pins the streaming output before reuse.
+    counts = run_available_now(
+        tumbling_binned_counts(stream, dq.bin_by_edges(F.col("value"), edges))
+    ).localCheckpoint()
+    day_tot = counts.groupBy("window_start").agg(F.sum("n").alias("t_cur"))
+    grid = day_tot.crossJoin(F.broadcast(rprop))
+    j = grid.join(counts, ["window_start", "bin"], "left").select(
+        "window_start",
+        "t_cur",
+        "p_ref",
+        F.coalesce("n", F.lit(0)).alias("n_cur"),
+    )
+    floor = 1e-06
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(floor))
+    p_ref = F.greatest(F.col("p_ref"), F.lit(floor))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        j.groupBy(F.col("window_start").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            F.max("t_cur").cast("long").alias("n_events"),
+        )
+    )
+
+
 # =========================================================================
 # Driver verification window.
 #
@@ -5157,9 +5353,11 @@ _DRIVER_PRIORITY: list[str] = [
     "source_quality_gate",
     "bfs_hops_trade",
     "holt_forecast_monthly_orders",
+    "hybrid_search_rrf",
+    "streaming_psi_daily",
     # (d) rotating re-verification sample (ADVICE r3: keep the
     # external gate catching regressions in past-round queries, not
-    # just one-time greens) — 17 slots spanning every module family;
+    # just one-time greens) — 15 slots spanning every module family;
     # future rounds rotate a different past-round subset in.
     "trend_rules",
     "pricing_summary",
@@ -5173,8 +5371,6 @@ _DRIVER_PRIORITY: list[str] = [
     "fpgrowth_rules_pairs",
     "quality_docs",
     "llm_corpus_pipeline",
-    "contamination_pairs_docs",
-    "span_dedup_docs",
     "asof_purchase_view",
     "click_attribution_window",
     "streaming_tumbling_daily",

@@ -9,6 +9,7 @@ from big_data_analysis_spark.streaming.streams import (  # noqa: F401
     session_event_counts,
     sliding_event_counts,
     streaming_dedup,
+    tumbling_binned_counts,
     tumbling_distinct_users,
     tumbling_event_counts,
     write_stream_upsert,

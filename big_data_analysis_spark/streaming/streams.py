@@ -442,3 +442,29 @@ def tumbling_distinct_users(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.col("win.start").alias("window_start"), "n_users")
     )
+
+
+def tumbling_binned_counts(
+    events: DataFrame,
+    bin_expr,
+    duration: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Tumbling windowed histogram: per (window, bin) row counts, where
+    ``bin_expr`` is any deterministic Column (e.g. dq.bin_by_edges
+    against broadcast reference quantiles). The building block of a
+    CONTINUOUS drift monitor: state per trigger is bounded by
+    windows x bins — constants — regardless of stream volume, and the
+    watermark evicts closed windows. Works identically on a batch
+    frame (parity harness)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), duration).alias("win"),
+            bin_expr.alias(bin_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), bin_col, "n")
+    )

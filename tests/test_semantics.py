@@ -499,6 +499,7 @@ def test_driver_window_covers_critical_queries():
         "bm25_search_docs", "psi_drift_events", "jsd_event_type_shift",
         "sole_late_shipper", "chunk_docs_overlap", "source_quality_gate",
         "bfs_hops_trade", "holt_forecast_monthly_orders",
+        "hybrid_search_rrf", "streaming_psi_daily",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"

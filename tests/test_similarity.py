@@ -215,3 +215,22 @@ def test_numpymlp_save_normalizes_npz_suffix(tmp_path):
     assert p.endswith(".npz") and os.path.exists(p)
     assert m.save(str(tmp_path / "ckpt2.npz")) == str(tmp_path / "ckpt2.npz")
     NumpyMLP.load(p)  # roundtrips
+
+
+def test_rrf_fuse_known_ranks(spark):
+    """RRF on hand-checkable lists: doc 1 ranked 1st+2nd beats doc 2
+    ranked 2nd+1st only via id tiebreak (scores equal), and a doc in
+    one list still fuses (single contribution)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (1, 2)], "doc_id int, rank int")
+    out = rrf_fuse([a, b], "doc_id", top_k=3).collect()
+    scores = {r["doc_id"]: r["rrf_score"] for r in out}
+    both = round(1 / 61 + 1 / 62, 6)
+    assert scores[1] == both and scores[2] == both
+    assert scores[3] == round(1 / 63, 6)
+    # equal fused scores -> ascending id order decides
+    assert [r["doc_id"] for r in out] == [1, 2, 3]

@@ -502,3 +502,37 @@ def test_streaming_anomalies_match_batch_expanding_window(spark, sf_dir):
             assert g["is_anomaly"] == (abs(expect_z) > 3.0)
             checked += 1
     assert checked > 500  # the parity actually exercised history
+
+
+def test_tumbling_binned_counts_stream_batch_parity(spark, sf_dir):
+    """The drift monitor's histogram primitive: the streaming
+    availableNow run must produce exactly the batch groupBy's
+    (window, bin) counts."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators import dq
+    from big_data_analysis_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        tumbling_binned_counts,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    edges = dq.quantile_edges(ev, "value", 5)
+    bin_expr = dq.bin_by_edges(F.col("value"), edges)
+
+    batch = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in tumbling_binned_counts(
+            ev.filter(F.col("value").isNotNull()), bin_expr
+        ).collect()
+    }
+    stream = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    streamed = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in run_available_now(
+            tumbling_binned_counts(stream, bin_expr)
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
