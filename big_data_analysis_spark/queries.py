@@ -4848,9 +4848,9 @@ def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     the available columns: in multi-supplier orders, count per supplier
     the orders where it was the ONLY late shipper (late = shipped >60
     days after order date). Q21's EXISTS / NOT EXISTS self-joins are
-    re-expressed as ONE groupBy(order, supp) + ONE groupBy(order) —
-    two keyed shuffles on l_orderkey instead of three lineitem
-    self-join passes; top-20 is TakeOrderedAndProject."""
+    re-expressed as ONE groupBy(order, supp) + an unordered window on
+    l_orderkey — a single lineitem pass (plan-asserted) instead of
+    three self-join passes; top-20 is TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
     lines = (
         t["lineitem"]
@@ -4866,11 +4866,15 @@ def q_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("was_late")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late_supp")
-    )
+    # Per-order stats as an unordered window over per_supp rather than
+    # a groupBy + self-join back: ONE lineitem pass in the plan by
+    # construction (the join formulation leaves two scans of the fact
+    # subtree for the optimizer to maybe reuse); the window partitions
+    # on l_orderkey, whose group size is bounded by suppliers-per-order.
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("was_late").over(w))
         .filter(
             (F.col("was_late") == 1)
             & (F.col("n_supp") >= 2)

@@ -397,3 +397,68 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir):
     )
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_chunk_text_has_no_exchange(spark, sf_dir):
+    """Chunking is row-local: sequence+posexplode+substring must plan
+    without ANY shuffle — the property that makes it free at 100 TB."""
+    from big_data_analysis_spark.operators.text import chunk_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    plan = formatted_plan(chunk_text(d, "text", size=120, stride=90, keep_cols=("doc_id",)))
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
+    """The BM25 explode must be cut to the query-term set BEFORE the
+    (doc, term) aggregation shuffle: the Filter on term sits below the
+    first Exchange, so the shuffle carries query-term hits only, never
+    the full posting list."""
+    df = QUERIES["bm25_search_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    first_exchange = plan.index("Exchange")
+    gen = plan.index("Generate")          # the explode
+    terms_filter = plan.rindex("Filter")  # deepest filter (above the explode)
+    assert gen > first_exchange and terms_filter > first_exchange, plan
+    # final cut is TakeOrderedAndProject, not a global window/sort-all
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sole_late_shipper_shape(spark, sf_dir):
+    """Q21 shape: top-20 must be TakeOrderedAndProject (never a global
+    window), and the was_late/n_late_supp reduction must be two keyed
+    hash aggregates on l_orderkey — visible as partial_max/partial
+    count+sum pairs — not lineitem self-joins."""
+    df = QUERIES["sole_late_shipper"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # one lineitem scan: the EXISTS/NOT-EXISTS formulation would scan
+    # the fact three times
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_psi_has_no_single_partition_exchange(spark, sf_dir):
+    """PSI is two scans + broadcast-edge binning: no stage may funnel
+    the table through one partition (the quantile_bins lesson)."""
+    df = QUERIES["psi_drift_events"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # The only SinglePartition stages allowed are the final 1-row PSI
+    # fold and the bin-table join feeding it — both carry <= ~10 rows.
+    # The per-side bin COUNTING must be a keyed hash-partitioned
+    # aggregate (map-side combined), never a global funnel: assert the
+    # plan hash-partitions on the bin id.
+    assert "hashpartitioning" in plan, plan
+    scans = scan_infos(df)
+    assert scans and all(
+        set(s["read_schema"]) <= {"ts", "value"} for s in scans
+    ), scans
+
+
+def test_holt_single_shuffle_on_series_key(spark, sf_dir):
+    """holt_linear plans exactly one repartition on the series keys
+    feeding FlatMapGroupsInPandas (plus the upstream aggregate's own
+    exchange) — the recursion never funnels global."""
+    df = QUERIES["holt_forecast_monthly_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
