@@ -485,3 +485,155 @@ def media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(magic.startswith("52494646"), "riff")
         .otherwise("unknown"),
     )
+
+
+#: Output schema of the spectral-feature stage.
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("spectral_centroid", DoubleType()),
+        StructField("band_energies", ArrayType(DoubleType())),
+        StructField("spectral_error", StringType()),
+    ]
+)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bands: int = 4,
+) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV payloads (no external
+    codec: stdlib ``wave`` + numpy rFFT): global RMS, spectral
+    centroid (Hz), and ``n_bands`` log-spaced-free equal-width band
+    energies from a Hann-windowed STFT power spectrum averaged over
+    frames — the audio analogue of the image feature strip, and the
+    shape a speech/music corpus filter runs before training.
+
+    Arrow-batched mapInPandas; all math is float64 numpy on the
+    executor, deterministic (window, framing, FFT — no randomness), so
+    executor output is bit-reproducible against a local numpy
+    re-derivation (tested). Corrupt/compressed payloads produce
+    ``spectral_error`` rows, never task failures. Mono-mixes
+    multichannel input; signals shorter than one frame get zero-padded
+    to a single frame.
+    """
+    import numpy as np
+
+    def extract(content: bytes) -> dict:
+        import io as _io
+        import wave
+
+        with wave.open(_io.BytesIO(content)) as w:
+            n_frames, n_ch, sampwidth, rate = (
+                w.getnframes(), w.getnchannels(), w.getsampwidth(), w.getframerate(),
+            )
+            raw = w.readframes(n_frames)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+        if dtype is None:
+            raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if dtype == np.uint8:
+            x = x - 128.0
+        full_scale = {1: 127.0, 2: 32767.0, 4: 2147483647.0}[sampwidth]
+        x = x / full_scale
+        if n_ch > 1:
+            x = x.reshape(-1, n_ch).mean(axis=1)
+        if len(x) < frame_len:
+            x = np.pad(x, (0, frame_len - len(x)))
+        n_hops = 1 + (len(x) - frame_len) // hop
+        idx = np.arange(frame_len)[None, :] + hop * np.arange(n_hops)[:, None]
+        frames = x[idx] * np.hanning(frame_len)[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        spec = power.mean(axis=0)
+        freqs = np.fft.rfftfreq(frame_len, d=1.0 / rate)
+        total = spec.sum()
+        centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+        bands = np.array_split(spec, n_bands)
+        return {
+            "n_frames": int(n_frames),
+            "sample_rate": int(rate),
+            "rms": float(np.sqrt((x**2).mean())),
+            "spectral_centroid": centroid,
+            "band_energies": [float(b.sum()) for b in bands],
+        }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                out = {
+                    "path": row[path_col],
+                    "n_frames": None,
+                    "sample_rate": None,
+                    "rms": None,
+                    "spectral_centroid": None,
+                    "band_energies": None,
+                    "spectral_error": None,
+                }
+                try:
+                    out.update(extract(row[content_col]))
+                except Exception as exc:
+                    out["spectral_error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPECTRAL_SCHEMA.fields]
+            )
+
+    return df.select(path_col, content_col).mapInPandas(
+        batches, schema=SPECTRAL_SCHEMA
+    )
+
+
+def synthesize_tone_wavs(
+    df: DataFrame,
+    path_col: str = "path",
+    freq_col: str = "freq",
+    n_frames: int = 1024,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic PCM-16 WAV synthesis (pure sine per row at
+    ``freq_col`` Hz) — the codec-free fixture generator that lets the
+    REAL audio pipeline (wave decode + STFT features) be verified
+    against closed-form physics in any environment: a pure tone's peak
+    spectral band is computable by hand, so an external oracle can
+    re-derive the expected output without an FFT. Distributed via
+    mapInPandas like every other media stage; byte output depends only
+    on (freq, n_frames, rate) — task-retry identical."""
+    import math
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                freq = float(row[freq_col])
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack(
+                                "<h",
+                                int(20000 * math.sin(2 * math.pi * freq * i / rate)),
+                            )
+                            for i in range(n_frames)
+                        )
+                    )
+                rows.append({"path": row[path_col], "content": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(path_col, freq_col).mapInPandas(
+        batches, schema="path string, content binary"
+    )

@@ -987,3 +987,41 @@ def weighted_sample_exact_k(
         .filter(F.col("__aes_rn") <= k)
         .drop("__aes_key", "__aes_rn")
     )
+
+
+def incremental_join_delta(
+    left_base: DataFrame,
+    left_delta: DataFrame,
+    right_base: DataFrame,
+    right_delta: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Incremental INNER-join maintenance: the NEW rows a materialized
+    join gains when both inputs receive append-only deltas, without
+    re-joining the two base tables —
+        delta(A >< B) = dA >< B  UNION ALL  A >< dB  UNION ALL  dA >< dB.
+    Append the result to the materialized join and it equals the full
+    recompute over (A+dA) >< (B+dB) (parity-asserted in
+    tests/test_relational.py).
+
+    This is the join half of the lakehouse incremental-ETL pattern
+    (merge_aggregate_state is the rollup half): per refresh cycle the
+    cost is O(|dA| x matchrate + |dB| x matchrate), independent of the
+    accumulated base sizes — the property that keeps an hourly refresh
+    of a 100 TB join affordable. The three part-joins are keyed
+    equi-joins (broadcast when a delta is small — AQE decides from the
+    delta's actual size); bases are scanned once each, never joined to
+    each other. Only valid for append-only deltas: updates/deletes need
+    the CDC operators (snapshot_diff + merge_upsert) upstream.
+    """
+    ks = list(keys)
+    new_left = left_delta.join(right_base, ks)
+    new_right = left_base.join(right_delta, ks)
+    new_both = left_delta.join(right_delta, ks)
+    # Column order: align all three to the first part-join's schema.
+    cols = new_left.columns
+    return (
+        new_left.select(cols)
+        .unionByName(new_right.select(cols))
+        .unionByName(new_both.select(cols))
+    )

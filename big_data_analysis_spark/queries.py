@@ -5290,6 +5290,130 @@ def q_streaming_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEASONAL_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), w AS (
+    SELECT day, y,
+           CASE WHEN count(y) OVER win = 7 THEN avg(y) OVER win END AS trend,
+           (row_number() OVER (ORDER BY day) - 1) % 7 AS phase
+    FROM daily
+    WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), pm AS (
+    SELECT phase, avg(y - trend) AS pmean FROM w GROUP BY phase
+), cm AS (SELECT avg(pmean) AS cmean FROM pm),
+r AS (
+    SELECT w.day, round(w.y, 4) AS y,
+           round(w.y - w.trend - (pm.pmean - cm.cmean), 4) AS residual
+    FROM w JOIN pm USING (phase) CROSS JOIN cm
+    WHERE w.trend IS NOT NULL
+), med AS (SELECT quantile_cont(residual, 0.5) AS med FROM r),
+mad AS (
+    SELECT quantile_cont(abs(residual - med), 0.5) AS mad
+    FROM r CROSS JOIN med
+)
+SELECT day, y, residual,
+       round((residual - med) / (1.4826 * mad), 4) AS robust_z
+FROM r CROSS JOIN med CROSS JOIN mad
+WHERE mad > 0 AND abs((residual - med) / (1.4826 * mad)) > 1.5
+"""
+
+
+@query("seasonal_residual_anomalies", _SEASONAL_ANOMALY_ORACLE)
+def q_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION anomaly detector: weekly-seasonal
+    decomposition of the daily event count, then robust MAD outliers
+    on the residual (k=1.5 — the month of synthetic data is well
+    behaved, so the gate is set where it actually fires) — 'unusual
+    for a Tuesday', not merely 'unusual'.
+    (A raw-value detector can't see a weekend-level count landing on a
+    weekday; detrend+deseasonalize first and it's a 3-sigma event.)
+    Residuals are rounded to 4dp BEFORE the median/MAD aggregates so
+    both engines feed the percentile selections bit-identical inputs
+    (phase-mean summation order is engine-dependent at the last ulp).
+    Scale shape: decomposition windows + two 1-row broadcast
+    aggregates; nothing re-touches the raw events after the daily
+    rollup."""
+    from big_data_analysis_spark.operators.timeseries import seasonal_decompose
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    r = (
+        seasonal_decompose(daily, "day", "y", period=7)
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "day",
+            F.round("y", 4).alias("y"),
+            F.round("residual", 4).alias("residual"),
+        )
+    )
+    med = r.agg(F.expr("percentile(residual, 0.5)").alias("med"))
+    with_med = r.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(residual - med), 0.5)").alias("mad")
+    )
+    z = (F.col("residual") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .filter((F.col("mad") > 0) & (F.abs(z) > 1.5))
+        .select("day", "y", "residual", F.round(z, 4).alias("robust_z"))
+    )
+
+
+_SPECTRAL_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS path,
+       CAST(1024 AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN 500 + (user_id % 8) * 400 < 1031.25 THEN 0
+                 WHEN 500 + (user_id % 8) * 400 < 2031.25 THEN 1
+                 WHEN 500 + (user_id % 8) * 400 < 3031.25 THEN 2
+                 ELSE 3 END AS BIGINT) AS peak_band
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 31 = 0)
+"""
+
+
+@query("audio_spectral_peak_bands", _SPECTRAL_ORACLE)
+def q_audio_spectral_peak_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio STFT pipeline oracle-verified through closed-form
+    physics: per selected user a pure sine WAV is synthesized at
+    500 + (user_id % 8) * 400 Hz (tones sit mid-band, clear of the
+    4-band split edges at 1031.25 / 2031.25 / 3031.25 Hz for rate
+    8000, frame 256), run through the genuine wave-decode + Hann-STFT
+    feature extractor, and the argmax energy band must equal the band
+    DuckDB computes from the frequency alone — no FFT on the oracle
+    side, just where a pure tone's energy MUST land. Exercises
+    synthesis, decode, framing, windowing, FFT and banding end-to-end
+    on the executors."""
+    from big_data_analysis_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthesize_tone_wavs,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    tones = (
+        ev.filter(F.col("user_id") % 31 == 0)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").cast("string").alias("path"),
+            (500 + (F.col("user_id") % 8) * 400).cast("double").alias("freq"),
+        )
+    )
+    wavs = synthesize_tone_wavs(tones)
+    feats = audio_spectral_features(wavs)
+    return feats.select(
+        "path",
+        "n_frames",
+        "sample_rate",
+        (
+            F.expr("array_position(band_energies, array_max(band_energies))") - 1
+        ).cast("long").alias("peak_band"),
+    )
+
+
 # =========================================================================
 # Driver verification window.
 #
@@ -5359,9 +5483,11 @@ _DRIVER_PRIORITY: list[str] = [
     "holt_forecast_monthly_orders",
     "hybrid_search_rrf",
     "streaming_psi_daily",
+    "seasonal_residual_anomalies",
+    "audio_spectral_peak_bands",
     # (d) rotating re-verification sample (ADVICE r3: keep the
     # external gate catching regressions in past-round queries, not
-    # just one-time greens) — 15 slots spanning every module family;
+    # just one-time greens) — 13 slots spanning every module family;
     # future rounds rotate a different past-round subset in.
     "trend_rules",
     "pricing_summary",
@@ -5375,8 +5501,6 @@ _DRIVER_PRIORITY: list[str] = [
     "fpgrowth_rules_pairs",
     "quality_docs",
     "llm_corpus_pipeline",
-    "asof_purchase_view",
-    "click_attribution_window",
     "streaming_tumbling_daily",
 ]
 

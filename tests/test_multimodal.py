@@ -279,3 +279,47 @@ def test_sample_frames_policies_and_determinism(spark):
         sample_frames(df)
     with pytest.raises(ValueError, match="exactly one"):
         sample_frames(df, every_k=2, n_samples=3)
+
+
+def test_audio_spectral_features_match_local_numpy(spark):
+    """The STFT feature extractor is deterministic float64 numpy: the
+    executor's output must equal a local re-derivation exactly, the
+    centroid must sit near the sine's frequency, and corrupt payloads
+    yield error rows, not failures."""
+    import numpy as np
+
+    from big_data_analysis_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    wav = _make_wav(n_frames=2048, freq=1500.0, rate=8000)
+    rows = [("a.wav", wav), ("bad.wav", b"not a wav")]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in audio_spectral_features(df).collect()}
+
+    good = out["a.wav"]
+    assert good["spectral_error"] is None
+    assert good["n_frames"] == 2048 and good["sample_rate"] == 8000
+    # centroid within half a bin of the tone (leakage spreads a little)
+    assert abs(good["spectral_centroid"] - 1500.0) < 40.0
+    # tone at 1500 Hz on 4 bands over 0-4000 Hz -> energy in band 1
+    # (~1030-2015 Hz; 1500 sits mid-band, clear of the split edges)
+    be = good["band_energies"]
+    assert len(be) == 4 and be[1] == max(be) and be[1] > 50 * (be[0] + be[2] + be[3])
+
+    # exact parity with a local recomputation of the same math
+    x = np.frombuffer(
+        __import__("wave").open(__import__("io").BytesIO(wav)).readframes(2048),
+        dtype=np.int16,
+    ).astype(np.float64) / 32767.0
+    frames = (
+        x[np.arange(256)[None, :] + 128 * np.arange(1 + (2048 - 256) // 128)[:, None]]
+        * np.hanning(256)[None, :]
+    )
+    spec = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    freqs = np.fft.rfftfreq(256, d=1.0 / 8000)
+    assert good["rms"] == float(np.sqrt((x**2).mean()))
+    assert good["spectral_centroid"] == float((freqs * spec).sum() / spec.sum())
+
+    bad = out["bad.wav"]
+    assert bad["spectral_error"] is not None and bad["rms"] is None

@@ -651,3 +651,35 @@ def test_merge_distinct_state_fold_order_and_accuracy(spark):
         gu, gs = e_inc[day]
         assert abs(gu - u) <= max(3, 0.05 * u), (day, gu, u)
         assert abs(gs - s) <= max(3, 0.05 * s), (day, gs, s)
+
+
+def test_incremental_join_delta_matches_full_recompute(spark, sf_dir):
+    """IVM parity: materialized join + delta(join) == full recompute
+    over the grown inputs, on a real orders/lineitem split (base =
+    orderkey < 10000, deltas = the rest)."""
+    from big_data_analysis_spark.operators.relational import incremental_join_delta
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_quantity"
+    )
+    # modulo split so deltas are non-empty at every SF, and the
+    # left/right splits overlap partially: dA><B, A><dB and dA><dB all
+    # contribute rows
+    o_base, o_delta = o.filter("k % 4 != 0"), o.filter("k % 4 = 0")
+    l_base, l_delta = li.filter("k % 2 != 0"), li.filter("k % 2 = 0")
+
+    materialized = o_base.join(l_base, "k")
+    delta = incremental_join_delta(o_base, o_delta, l_base, l_delta, ["k"])
+    incremental = materialized.unionByName(delta.select(materialized.columns))
+    full = o.join(li, "k")
+
+    def counted(df):
+        return {
+            tuple(r): r["cnt"]
+            for r in df.groupBy(df.columns).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    assert counted(incremental) == counted(full)
+    assert delta.count() > 0  # the split actually exercised all 3 parts

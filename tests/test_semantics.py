@@ -500,6 +500,7 @@ def test_driver_window_covers_critical_queries():
         "sole_late_shipper", "chunk_docs_overlap", "source_quality_gate",
         "bfs_hops_trade", "holt_forecast_monthly_orders",
         "hybrid_search_rrf", "streaming_psi_daily",
+        "seasonal_residual_anomalies", "audio_spectral_peak_bands",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
