@@ -284,3 +284,96 @@ def test_quantile_bins_exact_ntile_property(spark, values, n_bins):
         ).collect()
     }
     assert got == want
+
+
+def test_chunk_text_partitions_any_text(spark):
+    """Chunking invariants on randomized texts batched into one frame:
+    with stride==size the chunks partition the text exactly; with
+    overlap every chunk starts at stride*i and is <= size chars; no
+    text content is lost or invented."""
+    import random
+
+    from big_data_analysis_spark.operators.text import chunk_text
+
+    rng = random.Random(7)
+    alphabet = "abc xyz.\n"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 400))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    texts = dict(rows)
+
+    for size, stride in ((50, 50), (64, 40), (7, 3)):
+        got = chunk_text(df, "text", size=size, stride=stride, keep_cols=("doc_id",))
+        by_doc: dict[int, list] = {}
+        for r in got.collect():
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(texts)
+        for doc, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            t = texts[doc]
+            for i, r in enumerate(chunks):
+                assert r["chunk_idx"] == i and r["start"] == i * stride
+                assert r["chunk"] == t[r["start"] : r["start"] + size]
+            # coverage: last chunk reaches the end of the text
+            last = chunks[-1]
+            assert last["start"] + len(last["chunk"]) == len(t)
+
+
+def test_holt_linear_matches_pure_python(spark):
+    """Holt recurrence parity on random series: the distributed
+    applyInPandas output must equal a plain-Python reference loop
+    bit-for-bit (the property the recursive-CTE oracle relies on)."""
+    import random
+
+    from big_data_analysis_spark.operators.timeseries import holt_linear
+
+    rng = random.Random(13)
+    rows = []
+    series: dict[int, list[float]] = {}
+    for g in range(8):
+        n = rng.randint(1, 40)
+        ys = [round(rng.uniform(-100, 100), 3) for _ in range(n)]
+        series[g] = ys
+        rows += [(g, t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g int, t int, y double")
+    out = holt_linear(df, order_by=["t"], value_col="y", partition_by=["g"],
+                      alpha=0.37, beta=0.21)
+    got = {(r["g"], r["t"]): (r["level"], r["trend"]) for r in out.collect()}
+
+    a, b = 0.37, 0.21
+    for g, ys in series.items():
+        lv = tr = None
+        for t, y in enumerate(ys):
+            if t == 0:
+                lv = float(y)
+                tr = float(ys[1]) - float(ys[0]) if len(ys) > 1 else 0.0
+            else:
+                nl = a * float(y) + (1.0 - a) * (lv + tr)
+                tr = b * (nl - lv) + (1.0 - b) * tr
+                lv = nl
+            assert got[(g, t)] == (lv, tr), (g, t)
+
+
+def test_rrf_fuse_permutation_invariant(spark):
+    """RRF's fused scores depend only on each doc's per-list ranks —
+    shuffling row order / repartitioning the inputs changes nothing."""
+    import random
+
+    from big_data_analysis_spark.operators.similarity import rrf_fuse
+
+    rng = random.Random(99)
+    lists = []
+    for _ in range(3):
+        ids = rng.sample(range(100), 30)
+        lists.append([(d, i + 1) for i, d in enumerate(ids)])
+    dfs = [spark.createDataFrame(l, "doc_id int, rank int") for l in lists]
+    base = rrf_fuse(dfs, "doc_id", top_k=20).collect()
+    shuffled = [
+        spark.createDataFrame(sorted(l, key=lambda x: rng.random()),
+                              "doc_id int, rank int").repartition(7)
+        for l in lists
+    ]
+    again = rrf_fuse(shuffled, "doc_id", top_k=20).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in again]
