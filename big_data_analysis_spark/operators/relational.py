@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1025,3 +1026,69 @@ def incremental_join_delta(
         .unionByName(new_right.select(cols))
         .unionByName(new_both.select(cols))
     )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Join with a Bloom runtime filter: build a fixed-size bloom of the
+    SMALL side's join keys (distributed bit_or build, bounded driver
+    state), broadcast it, and drop big-side rows map-side BEFORE the
+    join shuffle. The classic 100 TB selective-join move for the regime
+    where the small side is too big to broadcast exactly but its key
+    set fits a few-hundred-KiB filter: the fact table's shuffle volume
+    drops to (matching rows + false positives) instead of everything.
+
+    Join semantics are exactly ``big.join(small, on, how)``: false
+    positives survive the pre-filter but are eliminated by the real
+    join (parity-asserted in tests); false negatives cannot occur.
+    Only ``inner`` and ``left_semi`` are accepted — for outer/anti
+    joins the pre-filter would DELETE legitimate non-matching rows.
+    Composite keys hash as a unit-separated concat, matching build and
+    probe sides bit-for-bit (same xxhash64 family, JVM-side).
+    """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} would drop non-matching "
+            "big-side rows at the pre-filter; only inner/left_semi are sound"
+        )
+    import numpy as np
+
+    from big_data_analysis_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_build,
+    )
+
+    def key_expr() -> Column:
+        return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+
+    words = bloom_build(
+        small.select(key_expr().alias("__k")), "__k", num_bits, num_hashes
+    )
+    bc = big.sparkSession.sparkContext.broadcast(words)
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos_lists: pd.Series) -> pd.Series:
+        w = bc.value
+
+        def chk(flat):
+            p = np.asarray(flat, dtype=np.int64)
+            ww = w[p >> 6]
+            m = np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
+            return bool(((ww & m) != 0).all())
+
+        return pos_lists.map(chk)
+
+    # Same Catalyst caveat as the decontamination probe: a deterministic
+    # UDF under a filter gets cloned below upstream Exchanges; marking
+    # nondeterministic only disables that rewrite.
+    might_contain = might_contain.asNondeterministic()
+    pre = big.filter(
+        might_contain(_bloom_positions(key_expr(), num_bits, num_hashes))
+    )
+    return pre.join(small, list(on), how)

@@ -5414,6 +5414,38 @@ def q_audio_spectral_peak_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       round(c_acctbal, 2) AS c_acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey % 25 = 0
+"""
+
+
+@query("bloom_join_orders", _BLOOM_JOIN_ORACLE)
+def q_bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-runtime-filtered join, result-verified: orders joined to a
+    selective (~4%) customer slice through relational.bloom_filtered_join
+    — the big side is pre-filtered map-side by a broadcast bloom of the
+    small side's keys before the join shuffle, and the result must be
+    EXACTLY the plain join (false positives die in the real join, false
+    negatives are impossible). The oracle is the plain SQL join: the
+    bloom is pure physical optimization, invisible in the answer."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    small = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 25 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
+    )
+    out = rel.bloom_filtered_join(t["orders"], small, ["o_custkey"])
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
 # =========================================================================
 # Driver verification window.
 #
@@ -5485,9 +5517,10 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_psi_daily",
     "seasonal_residual_anomalies",
     "audio_spectral_peak_bands",
+    "bloom_join_orders",
     # (d) rotating re-verification sample (ADVICE r3: keep the
     # external gate catching regressions in past-round queries, not
-    # just one-time greens) — 13 slots spanning every module family;
+    # just one-time greens) — 12 slots spanning every module family;
     # future rounds rotate a different past-round subset in.
     "trend_rules",
     "pricing_summary",
@@ -5498,7 +5531,6 @@ _DRIVER_PRIORITY: list[str] = [
     "supplier_count_by_part_attrs",
     "heavy_small_part_shippers",
     "video_frame_sample",
-    "fpgrowth_rules_pairs",
     "quality_docs",
     "llm_corpus_pipeline",
     "streaming_tumbling_daily",

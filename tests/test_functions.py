@@ -138,3 +138,36 @@ def test_weighted_hash_sample_extremes_and_determinism(spark):
     ids1 = sorted(r["id"] for r in half.collect())
     ids2 = sorted(r["id"] for r in half.collect())
     assert ids1 == ids2 and 150 < len(ids1) < 350
+
+
+def test_sentence_split_udtf_sql_lateral(spark):
+    """The UDTF surface: sentence_split is callable from SQL as a
+    LATERAL table function, offsets point at the true source span, and
+    concatenating sentences + separators reassembles the text's
+    non-boundary content."""
+    from big_data_analysis_spark.functions.table import register_table_functions
+
+    register_table_functions(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third? "),
+            (2, "no terminator at all"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, s.* FROM udtf_docs, LATERAL sentence_split(text) s"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/null emit nothing, parent row drops
+    one = sorted(by_doc[1], key=lambda r: r["idx"])
+    assert [r["sentence"] for r in one] == ["First one.", "Second!", "Third?"]
+    texts = {1: "First one. Second!  Third? "}
+    for r in one:  # offsets index the real source span
+        assert texts[1][r["start"] : r["start"] + len(r["sentence"])] == r["sentence"]
+    assert by_doc[2][0]["sentence"] == "no terminator at all"

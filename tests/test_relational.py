@@ -683,3 +683,33 @@ def test_incremental_join_delta_matches_full_recompute(spark, sf_dir):
 
     assert counted(incremental) == counted(full)
     assert delta.count() > 0  # the split actually exercised all 3 parts
+
+
+def test_bloom_filtered_join_parity_and_prefilter(spark, sf_dir):
+    """The bloom runtime filter must not change join results (false
+    positives die in the real join, false negatives are impossible)
+    and must actually shrink the big side before the shuffle on a
+    selective key set."""
+    import pytest as _pytest
+
+    from big_data_analysis_spark.operators.relational import bloom_filtered_join
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    # selective small side: ~4% of customers
+    small = t["customer"].filter(F.col("c_custkey") % 25 == 0).select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    big = t["orders"]
+
+    plain = big.join(small, ["o_custkey"])
+    bloomed = bloom_filtered_join(big, small, ["o_custkey"])
+    assert sorted(map(tuple, bloomed.collect())) == sorted(map(tuple, plain.collect()))
+
+    # the pre-filter keeps ~the key set's selectivity of the big side
+    n_big = big.count()
+    semi = bloom_filtered_join(big, small, ["o_custkey"], how="left_semi")
+    n_match = semi.count()
+    assert 0 < n_match < n_big * 0.2
+
+    with _pytest.raises(ValueError, match="bloom_filtered_join"):
+        bloom_filtered_join(big, small, ["o_custkey"], how="left")
