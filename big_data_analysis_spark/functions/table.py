@@ -22,7 +22,10 @@ class SentenceSplit:
     the UDTF machinery; NULL/empty text emits no rows (lateral join
     semantics drop the parent row, matching posexplode)."""
 
-    _BOUNDARY = re.compile(r"(?<=[.!?])[.!?]*\s+")
+    # boundary = whitespace PRECEDED by terminal punctuation; the full
+    # punctuation run ("?!", "...") stays inside its sentence so spans
+    # losslessly cover the non-whitespace content
+    _BOUNDARY = re.compile(r"(?<=[.!?])\s+")
 
     def eval(self, text: str | None):  # noqa: D102 — UDTF contract
         if not text:

@@ -675,6 +675,20 @@ def _bloom_positions(key_col, num_bits: int, num_hashes: int):
     )
 
 
+def bloom_contains(words, pos_matrix):
+    """Vectorized bloom membership test: ``pos_matrix`` is an (n, k)
+    int64 matrix of bit positions (k = num_hashes); returns bool[n],
+    true where ALL k bits are set in the ``words`` uint64 array. The
+    single bit-test shared by every probe path (gram hit counting,
+    join pre-filtering) so the bit arithmetic cannot drift between
+    them."""
+    import numpy as np
+
+    w = words[pos_matrix >> 6]
+    m = np.uint64(1) << (pos_matrix.astype(np.uint64) & np.uint64(63))
+    return ((w & m) != 0).all(axis=1)
+
+
 def bloom_build(
     df: DataFrame, key_col: str, num_bits: int = 1 << 22, num_hashes: int = 5
 ):
@@ -741,9 +755,7 @@ def bloom_gram_hits(
             if flat is None or len(flat) == 0:
                 return 0
             p = np.asarray(flat, dtype=np.int64).reshape(-1, k)
-            w = words[p >> 6]
-            m = np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
-            return int(((w & m) != 0).all(axis=1).sum())
+            return int(bloom_contains(words, p).sum())
 
         return pos_lists.map(count)
 

@@ -100,6 +100,11 @@ def quantile_edges(ref: DataFrame, col: str, n_bins: int = 10) -> list[float]:
     edges = ref.filter(F.col(col).isNotNull()).agg(
         F.percentile(F.col(col), F.lit(qs)).alias("edges")
     ).head()["edges"]
+    if edges is None:
+        raise ValueError(
+            f"quantile_edges: reference column {col!r} has no non-NULL rows "
+            "— cannot derive bin boundaries from an empty reference window"
+        )
     uniq: list[float] = []
     for e in edges:
         if not uniq or e > uniq[-1]:

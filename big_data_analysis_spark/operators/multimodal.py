@@ -541,8 +541,10 @@ def audio_spectral_features(
         x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if dtype == np.uint8:
             x = x - 128.0
-        full_scale = {1: 127.0, 2: 32767.0, 4: 2147483647.0}[sampwidth]
-        x = x / full_scale
+        # full scale = 2^(bits-1), the SAME normalization as the
+        # module's decode_media WAV path — the two decoders must agree
+        # so rms is comparable across stages (and stays within [-1, 1))
+        x = x / float(2 ** (8 * sampwidth - 1))
         if n_ch > 1:
             x = x.reshape(-1, n_ch).mean(axis=1)
         if len(x) < frame_len:

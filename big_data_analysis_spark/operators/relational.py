@@ -1044,6 +1044,11 @@ def bloom_filtered_join(
     set fits a few-hundred-KiB filter: the fact table's shuffle volume
     drops to (matching rows + false positives) instead of everything.
 
+    The broadcast bloom lives for the Spark application's lifetime
+    (it cannot be destroyed before the lazy plan executes); a
+    long-lived driver looping refresh cycles should reuse one filter
+    per small-side snapshot rather than rebuilding per query.
+
     Join semantics are exactly ``big.join(small, on, how)``: false
     positives survive the pre-filter but are eliminated by the real
     join (parity-asserted in tests); false negatives cannot occur.
@@ -1062,6 +1067,7 @@ def bloom_filtered_join(
     from big_data_analysis_spark.operators.dedup import (
         _bloom_positions,
         bloom_build,
+        bloom_contains,
     )
 
     def key_expr() -> Column:
@@ -1077,10 +1083,8 @@ def bloom_filtered_join(
         w = bc.value
 
         def chk(flat):
-            p = np.asarray(flat, dtype=np.int64)
-            ww = w[p >> 6]
-            m = np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
-            return bool(((ww & m) != 0).all())
+            p = np.asarray(flat, dtype=np.int64).reshape(1, -1)
+            return bool(bloom_contains(w, p)[0])
 
         return pos_lists.map(chk)
 

@@ -486,6 +486,8 @@ def rrf_fuse(
     are top-N frames, so this operates on bounded rows regardless of
     corpus size). Union + one tiny groupBy; final cut is
     TakeOrderedAndProject with the id as deterministic tiebreak."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked candidate list")
     contribs = None
     for r in ranked:
         c = r.select(

@@ -415,18 +415,24 @@ def bm25_search(
     primitive a corpus-curation pipeline uses for targeted slicing
     (and the lexical half of hybrid lexical+ANN retrieval).
 
-    Scale shape: the corpus is scanned ONCE. Tokenization is a codegen
-    regexp (lower + [a-z0-9]+); per-doc length comes from the same
-    expression; the token explode is immediately filtered to the
-    (broadcast-tiny) query-term set BEFORE the (doc, term) groupBy, so
-    the shuffle carries only query-term hits, not the whole posting
-    list. Document frequency per term and the corpus constants (N,
-    avgdl) are bounded aggregates joined back by broadcast. Final
+    Scale shape: the corpus is scanned and tokenized ONCE (dl, the
+    term explode, and — via a map-side-combined per-doc reduction —
+    the corpus constants N/avgdl all derive from one projection); the
+    token explode is immediately filtered to the (broadcast-tiny)
+    query-term set BEFORE the (doc, term) groupBy, so that shuffle
+    carries only query-term hits, not the whole posting list.
+    Document frequency per term and the corpus constants are bounded
+    aggregates joined back by broadcast. Final
     top-k is a TakeOrderedAndProject (orderBy+limit), never a global
     window. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's
     non-negative variant); ties break on ascending doc id.
     """
     terms = sorted({t.lower() for t in query_terms})
+    # ONE tokenization of the corpus: dl and the explode both come from
+    # the same __toks array in a single projection; explode_outer keeps
+    # zero-token documents (as a NULL-term row) so the corpus constants
+    # (N, avgdl) below can be derived from THIS frame instead of a
+    # second full scan that would re-tokenize every document.
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z0-9]+)")).alias(
@@ -435,7 +441,7 @@ def bm25_search(
     ).select(
         "__id",
         F.size("__toks").cast("double").alias("dl"),
-        F.explode("__toks").alias("term"),
+        F.explode_outer("__toks").alias("term"),
     )
     hits = (
         toks.filter(F.col("term").isin(list(terms)))
@@ -443,13 +449,13 @@ def bm25_search(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    consts = df.select(
+    # Map-side-combined (doc -> dl) reduction, then the 1-row constants;
+    # doc-length doubles are exact integers, so the average is
+    # order-independent and engine-bit-identical.
+    doc_lens = toks.groupBy("__id").agg(F.first("dl").alias("dl"))
+    consts = doc_lens.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(
-            F.size(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z0-9]+)"))
-            )
-        ).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     scored = (
         hits.join(F.broadcast(dfreq), "term")
@@ -508,6 +514,12 @@ def chunk_text(
         stride = size
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) would silently drop the text "
+            "between chunks; only partition (stride == size) and overlap "
+            "(stride < size) layouts are defined"
+        )
     starts = F.sequence(
         F.lit(0), F.length(F.col(text_col)) - F.lit(1), F.lit(stride)
     )

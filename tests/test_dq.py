@@ -111,6 +111,19 @@ def test_psi_ignores_nulls_and_handles_empty_bins(spark):
     assert math.isfinite(out["psi"]) and out["psi"] > 1.0
 
 
+def test_quantile_edges_empty_reference_fails_loudly(spark):
+    """A drift monitor pointed at an empty/all-NULL reference window
+    must say so, not die with an opaque TypeError mid-plan."""
+    import pytest
+
+    from big_data_analysis_spark.operators.dq import psi_numeric
+
+    empty_ref = spark.createDataFrame([(None,)] * 5, "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="no non-NULL rows"):
+        psi_numeric(empty_ref, cur, "v")
+
+
 def test_jsd_bounds_and_symmetry(spark):
     """JSD(base 2) is 0 for identical mixes, 1 for disjoint ones, and
     symmetric in its arguments."""

@@ -171,3 +171,11 @@ def test_sentence_split_udtf_sql_lateral(spark):
     for r in one:  # offsets index the real source span
         assert texts[1][r["start"] : r["start"] + len(r["sentence"])] == r["sentence"]
     assert by_doc[2][0]["sentence"] == "no terminator at all"
+    # punctuation RUNS stay inside their sentence — no content loss
+    multi = spark.sql(
+        "SELECT s.* FROM (SELECT 'Really?! Yes... Done.' AS t) x, "
+        "LATERAL sentence_split(t) s"
+    ).collect()
+    assert [r["sentence"] for r in sorted(multi, key=lambda r: r["idx"])] == [
+        "Really?!", "Yes...", "Done.",
+    ]

@@ -311,7 +311,7 @@ def test_audio_spectral_features_match_local_numpy(spark):
     x = np.frombuffer(
         __import__("wave").open(__import__("io").BytesIO(wav)).readframes(2048),
         dtype=np.int16,
-    ).astype(np.float64) / 32767.0
+    ).astype(np.float64) / 32768.0
     frames = (
         x[np.arange(256)[None, :] + 128 * np.arange(1 + (2048 - 256) // 128)[:, None]]
         * np.hanning(256)[None, :]

@@ -660,6 +660,9 @@ def test_chunk_text_reassembles_and_overlaps(spark):
     }
     assert got == {1: rows[0][1], 2: "xy"}  # empty/null docs emit nothing
 
+    with pytest.raises(ValueError, match="stride"):
+        chunk_text(df, "text", size=10, stride=20)  # gaps would drop text
+
     over = chunk_text(df, "text", size=10, stride=5, keep_cols=("doc_id",))
     chunks = sorted(
         (r["chunk_idx"], r["start"], r["chunk"])

@@ -234,3 +234,7 @@ def test_rrf_fuse_known_ranks(spark):
     assert scores[3] == round(1 / 63, 6)
     # equal fused scores -> ascending id order decides
     assert [r["doc_id"] for r in out] == [1, 2, 3]
+    import pytest
+
+    with pytest.raises(ValueError, match="rrf_fuse"):
+        rrf_fuse([], "doc_id")
