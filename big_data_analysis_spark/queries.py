@@ -5446,6 +5446,28 @@ def q_bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("als_recommend_brands")
+def q_als_recommend_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS recommendations over the star schema
+    (rows-only: factorization values are solver/partitioning-dependent
+    — SURVEY §5's model-output carve-out; block-structure
+    generalization is pinned in tests/test_ml.py). Customer x brand
+    purchase counts -> block-partitioned ALS -> top-3 brands per
+    customer in relational long form. Each ALS iteration is two keyed
+    shuffles (users, then items) — the distributed factorization
+    shape."""
+    from big_data_analysis_spark.ml.recommend import (
+        implicit_purchase_matrix,
+        recommend_top_k,
+        train_als,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "part"])
+    ratings = implicit_purchase_matrix(t["orders"], t["lineitem"], t["part"])
+    model = train_als(ratings, rank=8, max_iter=5)
+    return recommend_top_k(model, k=3)
+
+
 # =========================================================================
 # Driver verification window.
 #

@@ -441,3 +441,51 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = [r["prediction"] for r in model.transform(df).select("prediction").collect()]
     b = [r["prediction"] for r in reloaded.transform(df).select("prediction").collect()]
     assert a == b
+
+
+def test_als_recommender_learns_block_structure(spark):
+    """ALS sanity on a planted block structure: users 0-19 buy items
+    0-4, users 20-39 buy items 5-9 (with a few observed cells left
+    out). The learned model must (a) produce top-k recs in relational
+    long form, and (b) rank in-block unseen items above out-of-block
+    items for a clear majority of users — the factorization actually
+    generalized instead of memorizing."""
+    from big_data_analysis_spark.ml.recommend import recommend_top_k, train_als
+
+    rows = []
+    for u in range(40):
+        block = range(5) if u < 20 else range(5, 10)
+        for i in block:
+            if (u + i) % 5 == 0:  # hold out ~20% of in-block cells
+                continue
+            rows.append((u, i, 3.0))
+    ratings = spark.createDataFrame(rows, "user int, item int, strength float")
+    model = train_als(ratings, rank=4, max_iter=10, seed=7)
+    recs = recommend_top_k(model, k=10)
+    assert recs.columns == ["user", "item", "score", "rank"]
+
+    by_user = {}
+    for r in recs.collect():
+        by_user.setdefault(r["user"], []).append((r["rank"], r["item"]))
+    good = 0
+    for u, items in by_user.items():
+        block = set(range(5)) if u < 20 else set(range(5, 10))
+        top5 = {i for _, i in sorted(items)[:5]}
+        good += len(top5 & block) >= 4
+    assert good >= 0.8 * len(by_user), f"only {good}/{len(by_user)} users block-consistent"
+
+
+def test_implicit_purchase_matrix_shape(spark, sf_dir):
+    """The star-schema -> implicit matrix derivation: integer ids, one
+    row per (customer, brand), strength = line count."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.ml.recommend import implicit_purchase_matrix
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "part"])
+    m = implicit_purchase_matrix(t["orders"], t["lineitem"], t["part"])
+    assert [f.name for f in m.schema.fields] == ["user", "item", "strength"]
+    assert m.groupBy("user", "item").count().filter("count > 1").isEmpty()
+    row = m.agg(F.sum("strength").alias("s"), F.max("item").alias("mx")).head()
+    n_lines = t["lineitem"].count()
+    assert row["s"] == float(n_lines)  # every line lands in exactly one cell
+    assert row["mx"] <= 24  # 25 dense-encoded brands
