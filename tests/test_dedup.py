@@ -407,3 +407,29 @@ def test_label_propagation_separates_bridged_cliques(spark):
     comm2 = {out[i + 10] for i in range(5)}
     assert len(comm1) == 1 and len(comm2) == 1
     assert comm1 != comm2
+
+
+def test_pagerank_partial_indegree_join_path(spark):
+    """A node with out-edges but NO in-edges (legal — only dangling
+    OUT-degree is rejected) disables the full-indegree fast path; the
+    nodes-left-join fallback must keep that node at base rank and
+    still match the dense numpy recurrence."""
+    import numpy as np
+
+    from big_data_analysis_spark.operators.graph import pagerank
+
+    directed = [(0, 1), (1, 2), (2, 0), (3, 0)]  # node 3: no in-edge
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+
+    n, d, iters = 4, 0.85, 10
+    adj = np.zeros((n, n))
+    for a, b in directed:
+        adj[a, b] = 1.0
+    m = adj / adj.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (m.T @ r)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(got[3] - (1 - d) / n) < 1e-12  # pure base rank
