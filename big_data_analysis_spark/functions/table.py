@@ -12,14 +12,15 @@ import re
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="idx int, start int, sentence string")
+@udtf(returnType="idx int, start int, sentence string", useArrow=True)
 class SentenceSplit:
     """Sentence segmentation with source offsets: splits on
     [.!?]+-plus-whitespace boundaries, emitting (ordinal, 0-based char
     offset, sentence) per row — offsets make every sentence traceable
     back to its document span (the chunk_text contract, at sentence
-    granularity). Deterministic, stateless per row, Arrow-batched by
-    the UDTF machinery; NULL/empty text emits no rows (lateral join
+    granularity). Deterministic, stateless per row; Arrow-batched
+    explicitly (useArrow=True — Spark 4 defaults Python UDTFs to pickle
+    rows unless asked); NULL/empty text emits no rows (lateral join
     semantics drop the parent row, matching posexplode)."""
 
     # boundary = whitespace PRECEDED by terminal punctuation; the full

@@ -30,6 +30,20 @@ def implicit_purchase_matrix(
         "p_brand",
         (F.dense_rank().over(Window.orderBy("p_brand")) - 1).alias("brand_id"),
     )
+    # Spark's ALS is hard-limited to 32-bit ids. Casting blindly would
+    # either raise mid-job (ANSI mode, which this engine runs) or
+    # silently wrap and merge distinct customers — so the range is
+    # validated up front with one cheap aggregate and a CLEAR error
+    # directing very-large deployments to add an id-compaction step
+    # (a stable surrogate-key dimension), which is a modeling decision
+    # this derivation should not make implicitly.
+    mx = orders.agg(F.max("o_custkey")).head()[0]
+    if mx is not None and mx > 2**31 - 1:
+        raise ValueError(
+            f"implicit_purchase_matrix: max o_custkey {mx} exceeds the "
+            "32-bit id range Spark ALS requires; compact customer ids "
+            "through a surrogate-key dimension first"
+        )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))

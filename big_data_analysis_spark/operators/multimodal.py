@@ -547,6 +547,10 @@ def audio_spectral_features(
         x = x / float(2 ** (8 * sampwidth - 1))
         if n_ch > 1:
             x = x.reshape(-1, n_ch).mean(axis=1)
+        # rms on the UNPADDED signal: decode_media's segment RMS is
+        # unpadded too, and zero-padding must not deflate sub-frame
+        # clips; padding below exists only so the STFT has one frame
+        rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
         if len(x) < frame_len:
             x = np.pad(x, (0, frame_len - len(x)))
         n_hops = 1 + (len(x) - frame_len) // hop
@@ -561,7 +565,7 @@ def audio_spectral_features(
         return {
             "n_frames": int(n_frames),
             "sample_rate": int(rate),
-            "rms": float(np.sqrt((x**2).mean())),
+            "rms": rms,
             "spectral_centroid": centroid,
             "band_energies": [float(b.sum()) for b in bands],
         }

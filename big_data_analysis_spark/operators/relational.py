@@ -1080,13 +1080,14 @@ def bloom_filtered_join(
 
     @F.pandas_udf("boolean")
     def might_contain(pos_lists: pd.Series) -> pd.Series:
-        w = bc.value
-
-        def chk(flat):
-            p = np.asarray(flat, dtype=np.int64).reshape(1, -1)
-            return bool(bloom_contains(w, p)[0])
-
-        return pos_lists.map(chk)
+        # Every row has exactly num_hashes positions, so the whole
+        # Arrow batch vectorizes into ONE (n, k) bit-test — this UDF
+        # runs per big-side row on the map-side hot path; a per-row
+        # Python call would dominate the bit test itself.
+        if len(pos_lists) == 0:
+            return pd.Series([], dtype=bool)
+        p = np.asarray(pos_lists.tolist(), dtype=np.int64)
+        return pd.Series(bloom_contains(bc.value, p))
 
     # Same Catalyst caveat as the decontamination probe: a deterministic
     # UDF under a filter gets cloned below upstream Exchanges; marking

@@ -415,24 +415,27 @@ def bm25_search(
     primitive a corpus-curation pipeline uses for targeted slicing
     (and the lexical half of hybrid lexical+ANN retrieval).
 
-    Scale shape: the corpus is scanned and tokenized ONCE (dl, the
-    term explode, and — via a map-side-combined per-doc reduction —
-    the corpus constants N/avgdl all derive from one projection); the
-    token explode is immediately filtered to the (broadcast-tiny)
-    query-term set BEFORE the (doc, term) groupBy, so that shuffle
-    carries only query-term hits, not the whole posting list.
-    Document frequency per term and the corpus constants are bounded
-    aggregates joined back by broadcast. Final
+    Scale shape: two corpus passes — the hits pass (tokenize +
+    explode, immediately filtered to the broadcast-tiny query-term set
+    BEFORE the (doc, term) groupBy, so that shuffle carries only
+    query-term hits, never the whole posting list) and a cheap
+    constants pass (tokenize + size() into a 1-row aggregate, no
+    explode/shuffle). Document frequency per term and the corpus
+    constants are bounded aggregates joined back by broadcast. Final
     top-k is a TakeOrderedAndProject (orderBy+limit), never a global
     window. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's
     non-negative variant); ties break on ascending doc id.
     """
     terms = sorted({t.lower() for t in query_terms})
-    # ONE tokenization of the corpus: dl and the explode both come from
-    # the same __toks array in a single projection; explode_outer keeps
-    # zero-token documents (as a NULL-term row) so the corpus constants
-    # (N, avgdl) below can be derived from THIS frame instead of a
-    # second full scan that would re-tokenize every document.
+    # Two passes over the corpus, by design: the HITS pass tokenizes
+    # and explodes (dl and the explode come from the same __toks array
+    # in one projection), while the CONSTANTS pass (N, avgdl) is
+    # tokenize + size() + a 1-row aggregate — no explode, no shuffle,
+    # so its cost is the scan plus the regex. Truly single-pass would
+    # require materializing the exploded token table (corpus-sized
+    # cache), a worse trade than one extra cheap scan. avgdl is an
+    # average of exact-integer doubles — order-independent, so it is
+    # engine-bit-identical for the oracle.
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z0-9]+)")).alias(
@@ -441,7 +444,7 @@ def bm25_search(
     ).select(
         "__id",
         F.size("__toks").cast("double").alias("dl"),
-        F.explode_outer("__toks").alias("term"),
+        F.explode("__toks").alias("term"),
     )
     hits = (
         toks.filter(F.col("term").isin(list(terms)))
@@ -449,13 +452,13 @@ def bm25_search(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    # Map-side-combined (doc -> dl) reduction, then the 1-row constants;
-    # doc-length doubles are exact integers, so the average is
-    # order-independent and engine-bit-identical.
-    doc_lens = toks.groupBy("__id").agg(F.first("dl").alias("dl"))
-    consts = doc_lens.agg(
+    consts = df.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.avg(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z0-9]+)"))
+            )
+        ).alias("avgdl"),
     )
     scored = (
         hits.join(F.broadcast(dfreq), "term")

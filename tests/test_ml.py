@@ -489,3 +489,15 @@ def test_implicit_purchase_matrix_shape(spark, sf_dir):
     n_lines = t["lineitem"].count()
     assert row["s"] == float(n_lines)  # every line lands in exactly one cell
     assert row["mx"] <= 24  # 25 dense-encoded brands
+
+
+def test_als_query_end_to_end(spark):
+    """The registered als_recommend_brands query runs end-to-end at the
+    smallest SF (it sits outside the round-4 driver window, so this is
+    its wiring check): 3 recs per customer, items in brand-id range."""
+    from big_data_analysis_spark.queries import QUERIES
+
+    out = QUERIES["als_recommend_brands"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0 and len(rows) % 3 == 0
+    assert all(1 <= r["rank"] <= 3 and 0 <= r["item"] <= 24 for r in rows)
