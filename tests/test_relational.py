@@ -713,3 +713,16 @@ def test_bloom_filtered_join_parity_and_prefilter(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="bloom_filtered_join"):
         bloom_filtered_join(big, small, ["o_custkey"], how="left")
+
+
+def test_with_provenance_names_source_file_and_rows(spark, sf_dir):
+    """Provenance columns come from the scan's constant-folded file
+    metadata: path points at the actual parquet, row_index is a dense
+    per-file counter, and nothing touches a UDF."""
+    from big_data_analysis_spark.io import read_parquet, with_provenance
+
+    df = with_provenance(read_parquet(spark, f"{sf_dir}/nation.parquet"))
+    rows = df.collect()
+    assert all(r["_src_file"].endswith("nation.parquet") for r in rows)
+    assert all(r["_src_file_size"] > 0 for r in rows)
+    assert sorted(r["_src_row_index"] for r in rows) == list(range(len(rows)))
