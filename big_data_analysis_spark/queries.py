@@ -5468,6 +5468,84 @@ def q_als_recommend_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recommend_top_k(model, k=3)
 
 
+_MIN_COST_SUPPLIER_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY 1, 2
+), scoped AS (
+    SELECT ps.partkey, ps.suppkey, ps.cost
+    FROM ps
+    JOIN part     ON p_partkey = ps.partkey
+    JOIN supplier ON s_suppkey = ps.suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size <= 10 AND p_type = 'STANDARD' AND n_regionkey = 1
+), best AS (
+    SELECT partkey, min(cost) AS min_cost FROM scoped GROUP BY partkey
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       CAST(sc.partkey AS BIGINT) AS p_partkey, p_name,
+       round(sc.cost, 6) AS cost
+FROM scoped sc
+JOIN best b ON b.partkey = sc.partkey AND sc.cost = b.min_cost
+JOIN part     ON p_partkey = sc.partkey
+JOIN supplier ON s_suppkey = sc.suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("min_cost_supplier", _MIN_COST_SUPPLIER_ORACLE)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part within a region) on
+    the derived part-supplier fact — the correlated-MIN-subquery
+    hallmark. Cost = MIN unit price per (part, supplier): a SELECTION,
+    not a summation, so the doubles the equality join compares are
+    bit-identical on any engine (an avg here would tie-break on
+    summation-order ulps). The correlated subquery compiles to one
+    groupBy(part) min + an equality join back — two keyed shuffles on
+    partkey, dims broadcast, top-100 TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    ps = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    parts = t["part"].filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_regionkey") == 1)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    scoped = (
+        ps.join(F.broadcast(parts), ps["partkey"] == parts["p_partkey"])
+        .join(F.broadcast(supp), ps["suppkey"] == supp["s_suppkey"])
+        .select("partkey", "suppkey", "cost", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    best = scoped.groupBy(F.col("partkey").alias("bk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        scoped.join(
+            best,
+            (scoped["partkey"] == best["bk"]) & (scoped["cost"] == best["min_cost"]),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("partkey").cast("long").alias("p_partkey"),
+            "p_name",
+            F.round("cost", 6).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
 # =========================================================================
 # Driver verification window.
 #
