@@ -5618,9 +5618,10 @@ _DRIVER_PRIORITY: list[str] = [
     "seasonal_residual_anomalies",
     "audio_spectral_peak_bands",
     "bloom_join_orders",
+    "min_cost_supplier",
     # (d) rotating re-verification sample (ADVICE r3: keep the
     # external gate catching regressions in past-round queries, not
-    # just one-time greens) — 12 slots spanning every module family;
+    # just one-time greens) — 11 slots spanning every module family;
     # future rounds rotate a different past-round subset in.
     "trend_rules",
     "pricing_summary",
@@ -5631,7 +5632,6 @@ _DRIVER_PRIORITY: list[str] = [
     "supplier_count_by_part_attrs",
     "heavy_small_part_shippers",
     "video_frame_sample",
-    "quality_docs",
     "llm_corpus_pipeline",
     "streaming_tumbling_daily",
 ]

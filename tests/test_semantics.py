@@ -501,7 +501,7 @@ def test_driver_window_covers_critical_queries():
         "bfs_hops_trade", "holt_forecast_monthly_orders",
         "hybrid_search_rrf", "streaming_psi_daily",
         "seasonal_residual_anomalies", "audio_spectral_peak_bands",
-        "bloom_join_orders",
+        "bloom_join_orders", "min_cost_supplier",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
