@@ -462,3 +462,15 @@ def test_holt_single_shuffle_on_series_key(spark, sf_dir):
     plan = formatted_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_min_cost_supplier_shape(spark, sf_dir):
+    """Q2 shape: dims broadcast (part/supplier/nation), the correlated
+    MIN compiles to an aggregate + equality join (no window), top-100
+    is TakeOrderedAndProject, and the fact is scanned for the
+    part-supplier reduction only."""
+    df = QUERIES["min_cost_supplier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert broadcast_join_count(df) >= 2, plan
+    assert "Window" not in plan, plan
