@@ -14,6 +14,8 @@ array functions) — no Python in the hot path, fully distributed.
 
 from __future__ import annotations
 
+import itertools
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -385,28 +387,98 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return per_doc.select("id", packed.alias("simhash"))
 
 
+def _simhash_block_widths(n_blocks: int, bits: int = 64) -> list[int]:
+    """Split ``bits`` into ``n_blocks`` near-equal contiguous widths."""
+    base, extra = divmod(bits, n_blocks)
+    return [base + (1 if i < extra else 0) for i in range(n_blocks)]
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidate generation: split the 64-bit hash into 4 16-bit blocks; by
-    pigeonhole any pair within hamming 3 shares at least one exact
-    block -> groupBy join per block (scales; no all-pairs)."""
-    # Fingerprints feed both sides of the block self-join — persist the
+    Candidate generation (Manku et al., WWW'07 "Detecting Near-Duplicates
+    for Web Crawling"): split the 64-bit hash into ``max_hamming + 3``
+    contiguous blocks; by pigeonhole, any pair within hamming distance
+    ``max_hamming`` agrees exactly on at least 3 whole blocks, so a pair
+    is guaranteed to collide in at least one of the C(n_blocks, 3)
+    3-block-combination tables. Each table key concatenates 3 block
+    values (packed into one long; join key also carries the combo index).
+
+    Bucket-cardinality math — why 3-block keys and not single blocks: a
+    single 16-bit block has only 2^16 distinct bucket values, so at
+    N ≈ 10^8 docs the expected bucket holds N/65536 ≈ 1.5k docs and the
+    block self-join emits ~4·N²/2^16 candidate pairs — quadratic growth
+    no cluster absorbs. A 3-block key carries ≥ 32 key bits (e.g.
+    max_hamming=3 → 6 blocks of 10-11 bits → 31-33-bit keys; 20 tables),
+    putting expected bucket size at N/2^32 — sub-1 even at 10^9 docs, so
+    candidate volume stays ~linear in N (uniform-hash model). The cost is
+    C(n,3)-way fan-out of the 16-byte fingerprint rows instead of n-way —
+    a constant factor on a tiny relation, traded for de-quadratified
+    buckets. MinHash LSH (the primary near-dup tier) never had this
+    ceiling; this closes it on the secondary tier.
+    """
+    # Fingerprints feed both sides of the combo self-join — persist the
     # (id, simhash) reduction (16 bytes/doc) so the token explode +
     # 64-vote aggregate runs once, not twice.
     hashed = simhash(df, text_col, id_col).persist()
-    block_arr = F.array(
-        *[F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)]
+    cands = simhash_candidate_pairs(hashed, max_hamming)
+    if max_hamming <= 0:
+        return cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
-    blocks = hashed.select(
-        "id", "simhash", F.posexplode(block_arr).alias("block_idx", "block_val")
+
+
+def simhash_candidate_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate (id_a, id_b, h_a, h_b) pairs from a (id, simhash)
+    relation via the Manku 3-of-n block tables described in
+    :func:`simhash_near_pairs`. Exposed separately so the candidate
+    volume (the scale-critical quantity) is directly measurable."""
+    if max_hamming <= 0:
+        a, b = hashed.alias("a"), hashed.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.simhash") == F.col("b.simhash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"),
+                F.col("b.simhash").alias("h_b"),
+            )
+        )
+    n_blocks = max_hamming + 3
+    widths = _simhash_block_widths(n_blocks)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(i: int) -> Column:
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit(mask))
+
+    combos = list(itertools.combinations(range(n_blocks), 3))
+    keys = []
+    for (i, j, k) in combos:
+        # Pack 3 block values into one long: widths sum to <= 3*ceil(64/4)
+        # = 48 bits for every supported max_hamming >= 1.
+        key = (
+            F.shiftleft(block(i), widths[j] + widths[k])
+            .bitwiseOR(F.shiftleft(block(j), widths[k]))
+            .bitwiseOR(block(k))
+        )
+        keys.append(key)
+    tables = hashed.select(
+        "id", "simhash", F.posexplode(F.array(*keys)).alias("combo_idx", "combo_key")
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    a, b = tables.alias("a"), tables.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
+            (F.col("a.combo_idx") == F.col("b.combo_idx"))
+            & (F.col("a.combo_key") == F.col("b.combo_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -417,11 +489,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
         )
         .distinct()
     )
-    return (
-        cands.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cands
 
 
 # ---------------------------------------------------------------------------

@@ -115,12 +115,15 @@ def quantile_edges(ref: DataFrame, col: str, n_bins: int = 10) -> list[float]:
 def bin_by_edges(c: Column, edges: list[float]) -> Column:
     """Right-closed bin id for ``c`` against sorted ``edges``: bin k
     <=> edges[k-1] < x <= edges[k] (pandas.qcut convention); values
-    below/above the range fold into the end bins. Pure comparison
-    CASE — codegen, streamable, re-derivable on any engine."""
+    below/above the range fold into the end bins; NULL input yields a
+    NULL bin (it must not silently land in the top bin — every when()
+    condition is NULL for a NULL input, so without the explicit guard
+    the final otherwise() would fire). Pure comparison CASE — codegen,
+    streamable, re-derivable on any engine."""
     out = F.lit(len(edges))
     for k in range(len(edges) - 1, -1, -1):
         out = F.when(c <= F.lit(edges[k]), F.lit(k)).otherwise(out)
-    return out.cast("long")
+    return F.when(c.isNull(), F.lit(None)).otherwise(out).cast("long")
 
 
 def psi_numeric(

@@ -1028,6 +1028,22 @@ def incremental_join_delta(
     )
 
 
+def build_join_bloom(
+    small: DataFrame,
+    on: Sequence[str],
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+):
+    """Build (once) the bloom word array for ``bloom_filtered_join``'s
+    ``prebuilt_words`` — same key derivation as the join's probe side,
+    so a long-lived driver builds per small-side snapshot, then reuses
+    across refresh cycles without accumulating broadcasts."""
+    from big_data_analysis_spark.operators.dedup import bloom_build
+
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    return bloom_build(small.select(key.alias("__k")), "__k", num_bits, num_hashes)
+
+
 def bloom_filtered_join(
     big: DataFrame,
     small: DataFrame,
@@ -1035,6 +1051,7 @@ def bloom_filtered_join(
     how: str = "inner",
     num_bits: int = 1 << 22,
     num_hashes: int = 5,
+    prebuilt_words: "object | None" = None,
 ) -> DataFrame:
     """Join with a Bloom runtime filter: build a fixed-size bloom of the
     SMALL side's join keys (distributed bit_or build, bounded driver
@@ -1045,9 +1062,13 @@ def bloom_filtered_join(
     drops to (matching rows + false positives) instead of everything.
 
     The broadcast bloom lives for the Spark application's lifetime
-    (it cannot be destroyed before the lazy plan executes); a
-    long-lived driver looping refresh cycles should reuse one filter
-    per small-side snapshot rather than rebuilding per query.
+    (it cannot be destroyed before the lazy plan executes). A
+    long-lived driver looping refresh cycles must reuse one filter per
+    small-side snapshot rather than rebuilding (and re-broadcasting)
+    per query — pass ``prebuilt_words`` (the array returned by
+    ``dedup.bloom_build`` over the same key expression, built with the
+    SAME num_bits/num_hashes) to skip the eager build; the API exists
+    precisely so repeated calls don't accumulate broadcasts.
 
     Join semantics are exactly ``big.join(small, on, how)``: false
     positives survive the pre-filter but are eliminated by the real
@@ -1073,9 +1094,12 @@ def bloom_filtered_join(
     def key_expr() -> Column:
         return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
 
-    words = bloom_build(
-        small.select(key_expr().alias("__k")), "__k", num_bits, num_hashes
-    )
+    if prebuilt_words is None:
+        words = bloom_build(
+            small.select(key_expr().alias("__k")), "__k", num_bits, num_hashes
+        )
+    else:
+        words = prebuilt_words
     bc = big.sparkSession.sparkContext.broadcast(words)
 
     @F.pandas_udf("boolean")

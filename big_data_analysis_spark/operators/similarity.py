@@ -468,6 +468,135 @@ def pq_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF+PQ: the combined billion-vector serving shape (Jégou et al. 2011,
+# §IV "IVFADC"). IVF's coarse quantizer prunes the search to nprobe
+# cells (partition pruning when the encoded table is written
+# partitionBy('cell')); PQ codes the RESIDUAL x - centroid(cell) so the
+# codebooks spend their bits on within-cell variation; ADC scores the
+# probed cells with per-cell lookup tables; an exact rerank over the
+# bounded shortlist restores recall. Scanned rows ∝ nprobe * cell size,
+# never the corpus; per-query driver math is nprobe * m * k floats.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build the IVFADC index: k-means coarse cells (reusing ivf_build),
+    residuals vs the assigned centroid computed JVM-side (broadcast
+    centroid table + zip_with subtract — no Python on the corpus path),
+    PQ codebooks trained on a bounded residual sample, and the corpus
+    encoded to (id, cell, pq_code). At 100 TB the encoded table is
+    written ``partitionBy('cell')`` so a probe reads nprobe/n_cells of
+    an already-32x-compressed index; full vectors stay in cold storage
+    for the rerank join only.
+
+    Returns (encoded, centroids, codebooks): encoded is a DataFrame of
+    (id_col, cell, pq_code); centroids is the n_cells x dim python
+    list; codebooks the (m, k, d/m) numpy array from pq_train.
+    """
+    assigned, centroids = ivf_build(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "__centroid"]
+    )
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("__centroid"),
+        lambda a, b: a - b,
+    )
+    with_res = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn("__residual", residual)
+    )
+    books = pq_train(with_res, emb_col="__residual", m=m, k=k, seed=seed)
+    encoded = pq_encode(with_res, books, emb_col="__residual").select(
+        id_col, "cell", "pq_code"
+    )
+    return encoded, centroids, books
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    query_vec,
+    rerank_with: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overfetch: int = 10,
+) -> DataFrame:
+    """IVFADC probe: rank cells by centroid L2 driver-side (tiny), build
+    one ADC table per probed cell from the query's PER-CELL residual
+    q - centroid_c (residual coding means the table differs per cell),
+    broadcast the nprobe tables, score only the probed cells' codes as
+    vectorized lookup sums, shortlist ``overfetch * k`` rows by approx
+    L2 (TakeOrderedAndProject — the only shuffle is the k-row fold),
+    then broadcast-join the shortlist back to full vectors for an exact
+    L2 rerank. Every per-query cost is bounded by nprobe * cell size
+    and the shortlist, never the corpus."""
+    import numpy as np
+
+    m, kk, d_sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(1), kind="stable")
+    probe = [int(c) for c in order[:nprobe]]
+    tables = {}
+    for c in probe:
+        r = q - cents[c]
+        t = np.empty((m, kk))
+        for j in range(m):
+            t[j] = ((codebooks[j] - r[j * d_sub : (j + 1) * d_sub]) ** 2).sum(-1)
+        tables[c] = t
+    spark = encoded.sparkSession
+    bc = spark.sparkContext.broadcast(tables)
+
+    @F.pandas_udf("double")
+    def adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        tabs = bc.value
+        cell_arr = cells.to_numpy()
+        code_arr = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.empty(len(cell_arr))
+        for c in np.unique(cell_arr):
+            mask = cell_arr == c
+            t = tabs[int(c)]
+            out[mask] = t[np.arange(t.shape[0]), code_arr[mask]].sum(1)
+        return pd.Series(out)
+
+    shortlist = (
+        encoded.filter(F.col("cell").isin(probe))
+        .select(id_col, adc(F.col("cell"), F.col("pq_code")).alias("approx_l2"))
+        .orderBy("approx_l2", id_col)
+        .limit(k * overfetch)
+    )
+    q_lit = F.array(*[F.lit(float(v)) for v in q])
+    exact = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), q_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        rerank_with.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(id_col, F.round(F.sqrt(exact), 6).alias("l2"))
+        .orderBy("l2", id_col)
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str,

@@ -685,6 +685,16 @@ def holt_linear(
     """
     if not partition_by:
         raise ValueError("holt_linear requires partition_by series keys")
+    added = [level_col, trend_col] + ([f"forecast_{int(horizon)}"] if horizon > 0 else [])
+    collisions = [c for c in added if c in df.columns]
+    if collisions:
+        # Without this guard a pre-existing 'level'/'trend' column
+        # produces a duplicate-field output schema that fails opaquely
+        # inside applyInPandas.
+        raise ValueError(
+            f"holt_linear output column(s) {collisions} already exist in the "
+            "input; pass different level_col/trend_col names"
+        )
     import pandas as pd
 
     keep = [c for c in df.columns]

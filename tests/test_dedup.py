@@ -55,6 +55,45 @@ def test_simhash_identical_and_perturbed(spark):
     assert hamming(sh[1], sh[4]) > 16
 
 
+def test_simhash_near_pairs_matches_bruteforce(spark, docs):
+    """The Manku 3-of-n block tables are a pigeonhole guarantee, not a
+    heuristic: every pair within max_hamming must survive candidate
+    generation. Compare against brute-force all-pairs hamming on a
+    300-doc slice."""
+    sample = docs.limit(300)
+    sh = {r["id"]: r["simhash"] for r in dd.simhash(sample, "text", "doc_id").collect()}
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                truth.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_near_pairs(sample, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert got == truth
+
+
+def test_simhash_candidates_near_linear_on_block_collision(spark):
+    """The r4 scale-killer regression guard: a corpus engineered so every
+    fingerprint shares one 16-bit region (the old scheme's block 0 —
+    which made candidate volume quadratic: N^2/2 pairs all colliding in
+    one bucket) must stay near-linear under the 3-of-n combo tables,
+    because a candidate now needs 3 whole blocks (>=31 key bits) equal,
+    not one 16-bit block."""
+    import random
+
+    rng = random.Random(7)
+    n = 2000
+    rows = [(i, (rng.getrandbits(46) << 16) | 0xBEEF) for i in range(n)]
+    hashed = spark.createDataFrame(rows, "id long, simhash long")
+    cand_count = dd.simhash_candidate_pairs(hashed, max_hamming=3).count()
+    # Old single-block scheme: n*(n-1)/2 = ~2M candidates. New scheme:
+    # random pairs need 3 full-block agreement — expected count is tiny.
+    assert cand_count <= 5 * n, f"candidate volume {cand_count} is not near-linear"
+
+
 def test_connected_components_chain_and_triangle(spark):
     """A 4-node chain, a triangle, and an isolated pair resolve to 3
     components labeled by their minimum id."""

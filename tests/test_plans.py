@@ -446,8 +446,11 @@ def test_psi_has_no_single_partition_exchange(spark, sf_dir):
     # fold and the bin-table join feeding it — both carry <= ~10 rows.
     # The per-side bin COUNTING must be a keyed hash-partitioned
     # aggregate (map-side combined), never a global funnel: assert the
-    # plan hash-partitions on the bin id.
+    # plan hash-partitions on the bin id AND bound the SinglePartition
+    # exchanges to the tiny tail stages (a regression to a global-funnel
+    # bin count would add more).
     assert "hashpartitioning" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
     scans = scan_infos(df)
     assert scans and all(
         set(s["read_schema"]) <= {"ts", "value"} for s in scans

@@ -714,6 +714,17 @@ def test_bloom_filtered_join_parity_and_prefilter(spark, sf_dir):
     with _pytest.raises(ValueError, match="bloom_filtered_join"):
         bloom_filtered_join(big, small, ["o_custkey"], how="left")
 
+    # long-lived-driver path: a prebuilt filter (built once per
+    # small-side snapshot via build_join_bloom) gives identical results
+    # without re-running the build aggregate per call
+    from big_data_analysis_spark.operators.relational import build_join_bloom
+
+    words = build_join_bloom(small, ["o_custkey"])
+    reused = bloom_filtered_join(
+        big, small, ["o_custkey"], prebuilt_words=words
+    )
+    assert reused.count() == plain.count()
+
 
 def test_with_provenance_names_source_file_and_rows(spark, sf_dir):
     """Provenance columns come from the scan's constant-folded file

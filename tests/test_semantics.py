@@ -741,3 +741,21 @@ def test_holt_linear_tracks_linear_series_exactly(spark):
 
     with pytest.raises(ValueError):
         holt_linear(df, order_by=["t"], value_col="y", partition_by=[])
+    # output-name collisions must fail loudly, not produce a
+    # duplicate-field schema that dies opaquely inside applyInPandas
+    with pytest.raises(ValueError, match="already exist"):
+        holt_linear(
+            df.withColumn("level", F.lit(1.0)),
+            order_by=["t"], value_col="y", partition_by=["g"],
+        )
+
+
+def test_bin_by_edges_null_propagates(spark):
+    """NULL input -> NULL bin (never silently the top bin)."""
+    from big_data_analysis_spark.operators.dq import bin_by_edges
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.5,), (None,), (99.0,)], "v double"
+    )
+    rows = df.select(bin_by_edges(F.col("v"), [1.0, 2.0]).alias("bin")).collect()
+    assert [r["bin"] for r in rows] == [0, 1, None, 2]
