@@ -125,6 +125,40 @@ def main() -> None:
     core_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     ext_total = round(sum(timings[n] for n in EXTENDED_QUERIES), 3)
 
+    # Iteration-scaling probe (VERDICT r4 #5): pagerank at 2x the
+    # iteration count. If t(16) ~ 2 * t(8), wall-time is per-iteration
+    # job-scheduling overhead at bench scale (the cost model README
+    # documents), not a plan defect that would compound at 100x data.
+    pagerank_iters = {}
+    try:
+        from big_data_analysis_spark.operators.graph import pagerank
+
+        from big_data_analysis_spark.io import load_tables
+
+        tabs = load_tables(spark, SF_DIR, ["orders", "lineitem"])
+        from pyspark.sql import functions as F
+
+        fwd = (
+            tabs["orders"]
+            .join(tabs["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
+        )
+        bi = fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        for iters in (8, 16):
+            start = time.perf_counter()
+            force(pagerank(bi, iterations=iters))
+            pagerank_iters[f"pagerank_iter{iters}"] = round(
+                time.perf_counter() - start, 3
+            )
+    except Exception:
+        pagerank_iters = {}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -136,6 +170,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "extended_total": ext_total,
                 "grand_total": round(core_total + ext_total, 3),
+                **pagerank_iters,
             }
         )
     )

@@ -474,22 +474,38 @@ def simhash_candidate_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFram
         "id", "simhash", F.posexplode(F.array(*keys)).alias("combo_idx", "combo_key")
     )
     a, b = tables.alias("a"), tables.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.combo_idx") == F.col("b.combo_idx"))
-            & (F.col("a.combo_key") == F.col("b.combo_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.combo_idx") == F.col("b.combo_idx"))
+        & (F.col("a.combo_key") == F.col("b.combo_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("h_a"),
+        F.col("b.simhash").alias("h_b"),
+        F.col("a.combo_idx").alias("combo_idx"),
     )
-    return cands
+    # Dedup WITHOUT a distinct() shuffle: a near-identical pair collides
+    # in up to C(n,3) combo tables, but both full hashes are in hand
+    # post-join, so each combo can re-derive from the XOR which blocks
+    # agree and keep the pair only in its FIRST fully-matching combo —
+    # pure codegen comparisons, exactly-once emission. Removes the
+    # distinct exchange entirely; at 100 TB that exchange would carry
+    # up-to-20x-duplicated candidate pairs, at bench scale the win is
+    # modest (stage overhead dominates a 5k-doc corpus).
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+
+    def block_matches(i: int) -> Column:
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(xor, offsets[i]).bitwiseAND(F.lit(mask)) == 0
+
+    first_match = F.lit(-1)
+    for idx in range(len(combos) - 1, -1, -1):
+        i, j, k = combos[idx]
+        all3 = block_matches(i) & block_matches(j) & block_matches(k)
+        first_match = F.when(all3, F.lit(idx)).otherwise(first_match)
+    return joined.filter(F.col("combo_idx") == first_match).drop("combo_idx")
 
 
 # ---------------------------------------------------------------------------

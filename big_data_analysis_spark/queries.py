@@ -2771,16 +2771,79 @@ def q_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_profile_events")
+_SKETCH_PROFILE_ORACLE = """
+SELECT 'approx_distinct_user_id' AS stat,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS exact_value,
+       true AS within_bounds
+FROM events
+UNION ALL
+SELECT 'approx_distinct_event_type',
+       CAST(count(DISTINCT event_type) AS DOUBLE), true FROM events
+UNION ALL
+SELECT 'approx_p50_value',
+       round(quantile_cont(value, 0.5), 6), true FROM events
+UNION ALL
+SELECT 'approx_p95_value',
+       round(quantile_cont(value, 0.95), 6), true FROM events
+"""
+
+
+@query("sketch_profile_events", _SKETCH_PROFILE_ORACLE)
 def q_sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass sketch profile of events: HLL++ distinct user/event_type
-    counts + approx percentiles of value. Approximate by design (no SQL
-    oracle; DuckDB's sketches differ) — error bounds vs exact answers
-    are pinned by test_relational.py::test_approx_profile_error_bounds."""
+    counts + approx percentiles of value. The sketches themselves are
+    engine-internal (DuckDB's differ bit-for-bit), so the driver
+    contract is an ERROR-BOUND CERTIFICATE (the golden_predictions
+    move): per statistic, the exact answer (SQL-derivable, hash-
+    compared) plus a boolean asserting the sketch landed within bounds
+    — HLL++ within 5% relative of exact distinct, approx_percentile
+    within the exact [q-0.05, q+0.05] rank band. The exact side exists
+    only to certify at test scale; the production op is approx_profile
+    alone (fixed-size mergeable state — the 100 TB path). Raw sketch
+    error bounds also pinned by
+    test_relational.py::test_approx_profile_error_bounds."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    return rel.approx_profile(
-        ev, ["user_id", "event_type"], "value", quantiles=(0.5, 0.95)
+    one = ev.agg(
+        F.approx_count_distinct("user_id").cast("double").alias("ad_user"),
+        F.approx_count_distinct("event_type").cast("double").alias("ad_type"),
+        F.expr("approx_percentile(value, 0.5, 10000)").cast("double").alias("ap50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").cast("double").alias("ap95"),
+        F.count_distinct("user_id").cast("double").alias("ed_user"),
+        F.count_distinct("event_type").cast("double").alias("ed_type"),
+        F.expr("percentile(value, 0.45)").alias("e45"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.55)").alias("e55"),
+        F.expr("percentile(value, 0.90)").alias("e90"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+        F.expr("percentile(value, 1.0)").alias("e100"),
     )
+    rel5 = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= 0.05  # noqa: E731
+    band = lambda a, lo, hi: F.col(a).between(F.col(lo), F.col(hi))  # noqa: E731
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("approx_distinct_user_id").alias("stat"),
+                F.col("ed_user").alias("exact_value"),
+                rel5("ad_user", "ed_user").alias("within_bounds"),
+            ),
+            F.struct(
+                F.lit("approx_distinct_event_type").alias("stat"),
+                F.col("ed_type").alias("exact_value"),
+                rel5("ad_type", "ed_type").alias("within_bounds"),
+            ),
+            F.struct(
+                F.lit("approx_p50_value").alias("stat"),
+                F.round("e50", 6).alias("exact_value"),
+                band("ap50", "e45", "e55").alias("within_bounds"),
+            ),
+            F.struct(
+                F.lit("approx_p95_value").alias("stat"),
+                F.round("e95", 6).alias("exact_value"),
+                band("ap95", "e90", "e100").alias("within_bounds"),
+            ),
+        )
+    ).alias("r")
+    return one.select(row).select("r.stat", "r.exact_value", "r.within_bounds")
 
 
 # =========================================================================
@@ -3735,21 +3798,68 @@ def q_lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_ann_topk")
+def _ann_contract(top: DataFrame, k: int) -> DataFrame:
+    """Reduce an ANN top-k result (vec_id, l2|approx_l2) to the 1-row
+    shape contract the DuckDB oracle can verify despite the codebooks
+    being engine-internal: exactly k rows, all distinct, the query
+    vector found first at distance ~0, distances non-negative."""
+    dist = "l2" if "l2" in top.columns else "approx_l2"
+    return top.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.max((F.col("vec_id") == 0).cast("int")).alias("contains_query"),
+        F.round(F.min(dist), 6).alias("min_l2"),
+        F.sum((F.col(dist) < 0).cast("int")).cast("int").alias("n_negative"),
+    )
+
+
+_ANN_CONTRACT_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_ids,
+       1 AS contains_query, 0.0 AS min_l2, 0 AS n_negative
+"""
+
+
+@query("pq_ann_topk", _ANN_CONTRACT_ORACLE)
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with exact rerank (rows-only: the
-    k-means codebooks and ADC tables aren't SQL-expressible; recall
-    floors pinned in tests/test_similarity.py). 32x-compressed codes,
-    broadcast distance tables, shortlist rerank against full vectors."""
+    """Product-quantization ANN with exact rerank. The k-means
+    codebooks and ADC tables are engine-internal, so the driver
+    contract is the 1-row ANN shape certificate (_ann_contract):
+    exactly k distinct neighbors, the query vector is its own nearest
+    at distance 0, no negative distances. Recall floors stay pinned in
+    tests/test_similarity.py. 32x-compressed codes, broadcast distance
+    tables, shortlist rerank against full vectors."""
     from big_data_analysis_spark.operators import similarity as sim
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     books = sim.pq_train(emb, m=8, k=64, seed=42)
     enc = sim.pq_encode(emb, books).select("vec_id", "pq_code")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return sim.pq_topk(
+    top = sim.pq_topk(
         enc, list(qvec), books, n_results=10, rerank_with=emb, overfetch=10
     )
+    return _ann_contract(top, 10)
+
+
+@query("ivfpq_ann_topk", _ANN_CONTRACT_ORACLE)
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined IVFADC serving pipeline (Jégou et al. 2011 §IV):
+    coarse k-means cells prune the scan to nprobe cells, per-cell
+    RESIDUAL ADC tables score the probed codes, an exact rerank over
+    the bounded shortlist returns top-10. Per-query work ∝ nprobe x
+    cell size + shortlist — never the corpus. Same 1-row ANN shape
+    certificate as pq_ann_topk (the query vector's own cell is by
+    definition the first probed, so it must surface at distance 0);
+    recall >= 0.9 on clustered data pinned by
+    tests/test_similarity.py::test_ivfpq_recall_and_bounded_scan."""
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    encoded, centroids, books = sim.ivfpq_build(emb, n_cells=8, m=8, k=32)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = sim.ivfpq_topk(
+        encoded, centroids, books, qvec, rerank_with=emb, k=10, nprobe=4
+    )
+    return _ann_contract(top, 10)
 
 
 @query("real_bpe_token_counts")
@@ -3911,27 +4021,67 @@ def q_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.auc(o, "y", "score")
 
 
-@query("bloom_decontaminate_docs")
+_BLOOM_DECON_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+    FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+), bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+   ex AS (
+    SELECT doc_id, count(*) AS exact_shared
+    FROM grams JOIN bench USING (gram)
+    GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_contaminated,
+       CAST(0 AS BIGINT) AS n_false_negative,
+       true AS flagged_covers_exact
+FROM ex
+"""
+
+
+@query("bloom_decontaminate_docs", _BLOOM_DECON_ORACLE)
 def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter decontamination scan (rows-only: the filter's bit
-    arithmetic is xxhash64-based, not SQL-expressible in DuckDB; no-
-    false-negative and FP-bound properties are pinned in
-    tests/test_dedup.py). Every 50th doc plays the benchmark; the scan
-    reports per-doc bloom hit counts — fully map-side on the corpus.
-    spread() matters here: the small-file scan arrives as ONE
-    partition, and without it the whole CPU-heavy gram+probe pipeline
-    runs single-threaded (measured 8.5s -> sub-second at sf0.1)."""
+    """Bloom-filter decontamination scan. The filter's xxhash64 bit
+    arithmetic is engine-internal, but its defining guarantee IS
+    SQL-checkable (VERDICT r4 #4): the 1-row contract carries the exact
+    contamination count (re-derived by the oracle from the 5-gram
+    index), a false-negative count that must be 0 (every doc's
+    truly-shared grams all hit the bloom, so bloom_hits >= exact_shared
+    per doc), and a flag that the bloom-flagged doc set covers the
+    exactly-contaminated set. Every 50th doc plays the benchmark; the
+    probe itself is fully map-side on the corpus (broadcast bitmap,
+    zero corpus shuffle — the 100 TB shape). FP-rate bounds stay
+    pinned in tests/test_dedup.py. spread() matters here: the
+    small-file scan arrives as ONE partition, and without it the whole
+    CPU-heavy gram+probe pipeline runs single-threaded (measured
+    8.5s -> sub-second at sf0.1)."""
     from big_data_analysis_spark.operators import dedup as dd
 
     docs = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    grams = dd.gram_index(docs, "text", "doc_id", 5).persist()
     bench_grams = (
-        dd.gram_index(docs.filter(F.col("doc_id") % 50 == 0), "text", "doc_id", 5)
-        .select("gram")
-        .distinct()
+        grams.filter(F.col("id") % 50 == 0).select("gram").distinct()
     )
     bloom = dd.bloom_build(bench_grams, "gram", num_bits=1 << 20, num_hashes=5)
-    out = dd.bloom_gram_hits(docs, "text", "doc_id", bloom, n=5)
-    return out.filter(F.col("bloom_hits") > 0).orderBy("doc_id")
+    hits = dd.bloom_gram_hits(docs, "text", "doc_id", bloom, n=5)
+    exact = (
+        grams.join(bench_grams, "gram")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("exact_shared"))
+    )
+    joined = exact.join(hits, "doc_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact_contaminated"),
+        F.sum(
+            (F.coalesce("bloom_hits", F.lit(0)) < F.col("exact_shared")).cast("long")
+        ).alias("n_false_negative"),
+        (
+            F.count(F.lit(1))
+            == F.sum((F.coalesce("bloom_hits", F.lit(0)) > 0).cast("long"))
+        ).alias("flagged_covers_exact"),
+    )
 
 
 _YOY_ORACLE = """
@@ -5468,6 +5618,52 @@ def q_als_recommend_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recommend_top_k(model, k=3)
 
 
+_SKEW_SALTED_ORACLE = """
+WITH sk AS (
+    SELECT CASE WHEN o_orderkey % 4 != 0
+                THEN (SELECT min(c_custkey) FROM customer)
+                ELSE o_custkey END AS cust,
+           o_totalprice
+    FROM orders
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM sk JOIN customer ON cust = c_custkey
+GROUP BY 1
+"""
+
+
+@query("skew_salted_revenue", _SKEW_SALTED_ORACLE)
+def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join stress (VERDICT r4 #6): 75% of orders are
+    remapped onto ONE hot customer key (the deterministic Zipf-extreme
+    — one key owning most of the fact), then joined to the customer
+    dim THROUGH salted_join, which spreads the hot key across 8 salt
+    buckets so no single task owns 75% of the shuffle. Salting is
+    answer-invariant — the oracle is the plain SQL join/aggregate —
+    so a full hash-match proves the skew machinery changes the
+    execution distribution and nothing else. The salted-vs-unsalted
+    partition-distribution win is asserted in
+    tests/test_relational.py::test_salted_join_spreads_hot_key."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    hot = t["customer"].agg(F.min("c_custkey")).head()[0]
+    skewed = t["orders"].select(
+        F.when(F.col("o_orderkey") % 4 != 0, F.lit(hot))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust"),
+        "o_totalprice",
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("cust"), "c_mktsegment"
+    )
+    joined = rel.salted_join(skewed, dim, ["cust"], salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 _MIN_COST_SUPPLIER_ORACLE = """
 WITH ps AS (
     SELECT l_partkey AS partkey, l_suppkey AS suppkey,
@@ -5568,72 +5764,73 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-4 window ---
-    # (a) the 11 queries never checked by any round's driver window
-    # (VERDICT r3 "Next round" #1): 6 oracle-backed + 5 rows-only.
-    "discounted_revenue_brands",
-    "sales_opportunity",
-    "auc_orders",
-    "yoy_revenue_growth",
-    "new_vs_returning_users",
-    "seasonal_decompose_daily_events",
-    "real_bpe_token_counts",
+    # --- round-5 window ---
+    # (a) the ONE registry query without a driver row in any round
+    # (VERDICT r4 "Next round" #1): added post-freeze in r4.
+    "als_recommend_brands",
+    # (b) round-5 additions: the combined IVFADC ANN pipeline and the
+    # skewed-key salted-join stress (both oracle-backed).
+    "ivfpq_ann_topk",
+    "skew_salted_revenue",
+    # (c) queries whose code or oracle changed this round — re-verify
+    # externally even though past rounds ran them: three rows-only
+    # queries graduated to contract oracles (VERDICT r4 #4), SimHash
+    # candidate blocking was rewritten (Manku 3-of-n tables),
+    # bloom_filtered_join gained the prebuilt-filter API,
+    # bin_by_edges now propagates NULL (PSI paths), holt_linear
+    # gained the collision guard.
     "pq_ann_topk",
     "bloom_decontaminate_docs",
-    "ward_linkage_docs",
     "sketch_profile_events",
-    # (b) round-4 additions (all oracle-backed): remaining TPC-H
-    # shapes + windowed corr + robust scaling.
-    "forecast_revenue_delta",
-    "volume_shipping_pairs",
-    "market_share_region",
-    "product_profit_nation_year",
-    "customer_order_distribution",
-    "top_supplier_quarter",
-    "late_order_priority",
-    "shipping_lateness_buckets",
-    "rolling_corr_nation_monthly",
-    "robust_scale_prices",
-    # (c) queries whose code changed this round — re-verify externally
-    # even though past rounds passed them: golden_predictions gained a
-    # shape-contract oracle; quantile_bins was rewritten (qcut);
-    # dedup_keep_last gained the hash tiebreak (upsert_orders builds
-    # on it).
-    "golden_predictions",
-    "qcut_price_deciles",
-    "dedup_keep_last",
-    "upsert_orders",
-    # (e) round-4 wave 2 (all oracle-backed): BM25 retrieval, PSI/JSD
-    # drift, chunking, source gating, BFS, Holt forecasting, Q21 shape.
-    "bm25_search_docs",
-    "psi_drift_events",
-    "jsd_event_type_shift",
-    "sole_late_shipper",
-    "chunk_docs_overlap",
-    "source_quality_gate",
-    "bfs_hops_trade",
-    "holt_forecast_monthly_orders",
-    "hybrid_search_rrf",
-    "streaming_psi_daily",
-    "seasonal_residual_anomalies",
-    "audio_spectral_peak_bands",
+    "simhash_pairs",
     "bloom_join_orders",
-    "min_cost_supplier",
-    # (d) rotating re-verification sample (ADVICE r3: keep the
-    # external gate catching regressions in past-round queries, not
-    # just one-time greens) — 11 slots spanning every module family;
-    # future rounds rotate a different past-round subset in.
-    "trend_rules",
-    "pricing_summary",
-    "top_customers",
-    "top3_orders_per_customer",
-    "sessionize_events",
-    "important_part_value",
-    "supplier_count_by_part_attrs",
-    "heavy_small_part_shippers",
-    "video_frame_sample",
-    "llm_corpus_pipeline",
-    "streaming_tumbling_daily",
+    "psi_drift_events",
+    "streaming_psi_daily",
+    "holt_forecast_monthly_orders",
+    # (d) rotating re-verification sample (ADVICE r3 standing policy:
+    # the external gate keeps re-checking past greens, not one-time
+    # passes) — 39 slots, disjoint from r4's sample, spanning every
+    # module family: joins/CDC, windows, sampling, outliers, eval
+    # metrics, text quality, streaming, the custom DataSource.
+    "asof_purchase_view",
+    "click_attribution_window",
+    "fuzzy_name_pairs",
+    "pack_sequences_docs",
+    "ewma_daily_orders",
+    "scd2_user_event_history",
+    "snapshot_diff_orders",
+    "synthdocs_scan",
+    "variant_props_stats",
+    "dq_audit",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
+    "promo_revenue_monthly",
+    "small_qty_order_revenue",
+    "volume_customers",
+    "rank_orders_by_nation",
+    "distribution_ranks_orders",
+    "rolling_median_revenue",
+    "gap_fill_daily_revenue",
+    "funnel_events",
+    "markov_event_transitions",
+    "cohort_retention_orders",
+    "zscore_outlier_events",
+    "mad_outlier_events",
+    "winsorize_prices",
+    "histogram_retailprice",
+    "iqr_filter_price",
+    "corr_matrix_lineitem",
+    "melt_part_metrics",
+    "calibration_orders",
+    "gains_orders",
+    "chi2_orders",
+    "entropy_gain_events",
+    "lm_perplexity_docs",
+    "tfidf_top_terms_docs",
+    "pii_redaction_docs",
+    "repetition_docs",
+    "quality_docs",
 ]
 
 

@@ -123,6 +123,55 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """Under actual skew (90% of rows on one key) the salted join must
+    bound the biggest post-shuffle task: no single partition may hold
+    the whole hot key's output, whereas the unsalted hash join funnels
+    all of it into one. This is the distribution property the operator
+    exists for — parity alone would pass for a no-op."""
+    left = [(1 if i < 1800 else i, f"l{i}") for i in range(2000)]
+    right = [(k, f"r{k}") for k in range(0, 200)]
+    # disable broadcast so both plans actually shuffle on the join key,
+    # and AQE coalescing so the toy-sized shuffle keeps its partitioning
+    # (at real scale the hot partition is too big to coalesce away —
+    # that's the problem)
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = with_conf.get("spark.sql.adaptive.enabled")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    with_conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ldf = spark.createDataFrame(left, ["k", "lv"]).repartition(8)
+        rdf = spark.createDataFrame(right, ["k", "rv"]).repartition(8)
+
+        def max_partition_share(df):
+            counts = (
+                df.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            total = sum(r["count"] for r in counts)
+            return max(r["count"] for r in counts) / total
+
+        plain_share = max_partition_share(ldf.join(rdf, "k"))
+        salted_share = max_partition_share(
+            rel.salted_join(ldf, rdf, ["k"], salt_buckets=8)
+        )
+        # unsalted: >=90% of output rows sit in the hot key's single
+        # partition; salted: the hot key spans 8 buckets
+        assert plain_share >= 0.9, plain_share
+        assert salted_share <= 0.5, salted_share
+    finally:
+        if old is None:
+            with_conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            with_conf.unset("spark.sql.adaptive.enabled")
+        else:
+            with_conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_read_text_with_fallback_mixed_charsets(spark, tmp_path_factory):
     """S3: one UTF-8 file + one GB18030 file in a dir; both decode."""
     import os

@@ -478,30 +478,17 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # VERDICT r3 #1: the 11 queries no driver window ever checked
-        "discounted_revenue_brands", "sales_opportunity", "auc_orders",
-        "yoy_revenue_growth", "new_vs_returning_users",
-        "seasonal_decompose_daily_events", "real_bpe_token_counts",
-        "pq_ann_topk", "bloom_decontaminate_docs", "ward_linkage_docs",
-        "sketch_profile_events",
-        # round-4 additions must be checked the round they land
-        "important_part_value", "supplier_count_by_part_attrs",
-        "heavy_small_part_shippers", "video_frame_sample",
-        "forecast_revenue_delta", "volume_shipping_pairs",
-        "market_share_region", "product_profit_nation_year",
-        "customer_order_distribution", "top_supplier_quarter",
-        "late_order_priority", "shipping_lateness_buckets",
-        "rolling_corr_nation_monthly", "robust_scale_prices",
-        # code changed this round -> external re-verification
-        "golden_predictions", "qcut_price_deciles", "dedup_keep_last",
-        "upsert_orders",
-        # round-4 wave 2 additions
-        "bm25_search_docs", "psi_drift_events", "jsd_event_type_shift",
-        "sole_late_shipper", "chunk_docs_overlap", "source_quality_gate",
-        "bfs_hops_trade", "holt_forecast_monthly_orders",
-        "hybrid_search_rrf", "streaming_psi_daily",
-        "seasonal_residual_anomalies", "audio_spectral_peak_bands",
-        "bloom_join_orders", "min_cost_supplier",
+        # VERDICT r4 #1: the one query with no driver row in any round
+        "als_recommend_brands",
+        # round-5 additions must be checked the round they land
+        "ivfpq_ann_topk", "skew_salted_revenue",
+        # code or oracle changed this round -> external re-verification:
+        # contract-oracle graduations, SimHash blocking rewrite,
+        # bloom prebuilt-filter API, bin_by_edges NULL propagation,
+        # holt_linear collision guard
+        "pq_ann_topk", "bloom_decontaminate_docs", "sketch_profile_events",
+        "simhash_pairs", "bloom_join_orders", "psi_drift_events",
+        "streaming_psi_daily", "holt_forecast_monthly_orders",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -557,6 +544,22 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "calibration_orders", "gains_orders", "chi2_orders",
     "entropy_gain_events", "lm_perplexity_docs", "promo_revenue_monthly",
     "volume_customers", "small_qty_order_revenue",
+    # round-4 window (CORRECTNESS_r04.json: 45/45 full hash-match)
+    "discounted_revenue_brands", "sales_opportunity", "auc_orders",
+    "yoy_revenue_growth", "new_vs_returning_users",
+    "seasonal_decompose_daily_events", "forecast_revenue_delta",
+    "volume_shipping_pairs", "market_share_region",
+    "product_profit_nation_year", "customer_order_distribution",
+    "top_supplier_quarter", "late_order_priority",
+    "shipping_lateness_buckets", "rolling_corr_nation_monthly",
+    "robust_scale_prices", "golden_predictions", "qcut_price_deciles",
+    "bm25_search_docs", "psi_drift_events", "jsd_event_type_shift",
+    "sole_late_shipper", "chunk_docs_overlap", "source_quality_gate",
+    "bfs_hops_trade", "holt_forecast_monthly_orders", "hybrid_search_rrf",
+    "streaming_psi_daily", "seasonal_residual_anomalies",
+    "audio_spectral_peak_bands", "bloom_join_orders", "min_cost_supplier",
+    "important_part_value", "supplier_count_by_part_attrs",
+    "heavy_small_part_shippers", "video_frame_sample",
 }
 
 
@@ -748,6 +751,35 @@ def test_holt_linear_tracks_linear_series_exactly(spark):
             df.withColumn("level", F.lit(1.0)),
             order_by=["t"], value_col="y", partition_by=["g"],
         )
+
+
+def test_scale_md_lists_every_partition_by_operator():
+    """SCALE.md is the 100 TB configuration index (VERDICT r4 #8):
+    every PUBLIC operator that accepts partition_by — the lever that
+    keeps a window/recurrence off the Exchange SinglePartition path —
+    must be named there, so a reviewer scaling 100x finds the knob
+    without reading every docstring."""
+    import ast
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "SCALE.md")) as fh:
+        scale_md = fh.read()
+    missing = []
+    pkg = os.path.join(root, "big_data_analysis_spark")
+    for dirpath, _, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
+                    args = [a.arg for a in node.args.args + node.args.kwonlyargs]
+                    if "partition_by" in args and node.name not in scale_md:
+                        missing.append(f"{f}:{node.lineno} {node.name}")
+    assert not missing, f"partition_by operators absent from SCALE.md: {missing}"
 
 
 def test_bin_by_edges_null_propagates(spark):
