@@ -74,6 +74,11 @@ EXTENDED_QUERIES = [
     "bfs_hops_trade",
     "holt_forecast_monthly_orders",
     "streaming_psi_daily",
+    # round-5: combined IVFADC, skew-salted join, dedup actions
+    "ivfpq_ann_topk",
+    "skew_salted_revenue",
+    "dedup_keep_best_docs",
+    "semantic_dedup_pairs_docs",
 ]
 
 

@@ -359,6 +359,46 @@ def connected_components(
     return labels
 
 
+def keep_best_in_group(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """The dedup ACTION a corpus pipeline actually takes: resolve
+    near-dup pairs into duplicate groups (connected components) and keep
+    exactly ONE representative per group — the highest-``score_col`` doc
+    (C4/CCNet keep-longest policy when the score is a length; any
+    quality score works), deterministic ``id_col`` tiebreak. Documents
+    in no pair form their own singleton group and survive. Output: the
+    kept rows plus ``component`` (the group's min id) and
+    ``group_size``.
+
+    Scale shape: components converge in O(diameter) rounds (shallow for
+    near-dup clusters); the representative selection is one ranking
+    window partitioned by component — hash-partitioned on the group
+    key, never global."""
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    labeled = (
+        df.join(comps, df[id_col] == comps["id"], "left")
+        .drop("id")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to
     each bit position; the sign of each bit-sum forms the fingerprint.

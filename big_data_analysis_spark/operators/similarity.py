@@ -597,6 +597,43 @@ def ivfpq_topk(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): k-means cluster the embeddings, then score exact
+    cosine ONLY within each cluster — semantically-duplicate documents
+    land in the same cell, so candidate volume is Σ|cell|²/2 instead of
+    corpus²/2 (balanced cells: corpus²/2k). The 100 TB shape for
+    embedding-level dedup: the all-pairs exact op
+    (queries.embedding_near_dup_pairs) is the verification slice this
+    tier's recall is measured against; cross-cell duplicates are missed
+    by design (raise n_cells for tighter cells, or overlap via
+    multi-probe assignment). Emitted pairs carry the EXACT cosine —
+    precision is 1 by construction, the subset invariant the contract
+    oracle pins."""
+    assigned, _ = ivf_build(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str,

@@ -1182,6 +1182,64 @@ def q_dedup_groups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
 
 
+_KEEP_BEST_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS sh
+    FROM documents WHERE doc_id < 500
+), ex AS (
+    SELECT doc_id, len(sh) AS sz, unnest(sh) AS tok FROM toks
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+           count(*) AS common
+    FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    WHERE common * 1.0 / (size_a + size_b - common) >= 0.9
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+    SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+), labeled AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE d.doc_id < 500
+), ranked AS (
+    SELECT doc_id, component, n_chars,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY component) AS gs
+    FROM labeled
+)
+SELECT doc_id, component, n_chars, CAST(gs AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best_docs", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION, oracle-verified end-to-end: exact Jaccard pairs
+    (threshold 0.9, doc_id < 500) -> connected components -> keep the
+    LONGEST doc per duplicate group (n_chars, doc_id tiebreak), with
+    singletons surviving as their own group. The oracle re-derives the
+    whole pipeline — recursive-CTE closure + ranked selection — so the
+    kept-representative policy itself is hash-matched, not just the
+    group structure (dedup_groups_docs pins that)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sub = spread(d.filter(F.col("doc_id") < 500))
+    pairs = dd.ngram_jaccard_pairs(sub, "text", "doc_id", n=1, threshold=0.9)
+    kept = dd.keep_best_in_group(
+        sub.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+    )
+    return kept.select("doc_id", "component", "n_chars", "group_size")
+
+
 @query(
     "bpe_token_counts",
     """
@@ -1244,6 +1302,61 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.2)
         .select("id_a", "id_b", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH sub AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < 200
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       true AS found_le_exact,
+       true AS recall_floor_quarter
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+"""
+
+
+@query("semantic_dedup_pairs_docs", _SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-bounded near-dup tier (similarity.
+    semantic_dedup_pairs): candidates scored only within k-means cells
+    — Σ|cell|²/2 work instead of corpus²/2. The cells are
+    engine-internal, so the driver contract certifies what IS external:
+    the exact pair count (SQL-derivable ground truth), the subset
+    invariant (every found pair is a true ≥-threshold pair — the tier
+    has precision 1 by construction), and a recall floor of 1/4 at
+    n_cells=4 on this corpus (measured ~0.5; near-uniform synthetic
+    embeddings are the WORST case for cluster-bounded recall — on
+    clustered data the unit test pins recall 1.0)."""
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = spread(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    sub = emb.filter(F.col("vec_id") < 200)
+    found = sim.semantic_dedup_pairs(sub, threshold=0.2, n_cells=4)
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim.cosine(F.col("va"), F.col("vb")) >= 0.2)
+        .select("id_a", "id_b")
+    )
+    stats = found.select("id_a", "id_b").join(
+        exact.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+    )
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        F.broadcast(stats)
+    ).select(
+        "n_exact_pairs",
+        (F.col("n_found") == F.col("n_true")).alias("found_le_exact"),
+        (F.col("n_found") * 4 >= F.col("n_exact_pairs")).alias(
+            "recall_floor_quarter"
+        ),
     )
 
 
@@ -5768,10 +5881,13 @@ _DRIVER_PRIORITY: list[str] = [
     # (a) the ONE registry query without a driver row in any round
     # (VERDICT r4 "Next round" #1): added post-freeze in r4.
     "als_recommend_brands",
-    # (b) round-5 additions: the combined IVFADC ANN pipeline and the
-    # skewed-key salted-join stress (both oracle-backed).
+    # (b) round-5 additions: the combined IVFADC ANN pipeline, the
+    # skewed-key salted-join stress, and the keep-best dedup action
+    # (all oracle-backed).
     "ivfpq_ann_topk",
     "skew_salted_revenue",
+    "dedup_keep_best_docs",
+    "semantic_dedup_pairs_docs",
     # (c) queries whose code or oracle changed this round — re-verify
     # externally even though past rounds ran them: three rows-only
     # queries graduated to contract oracles (VERDICT r4 #4), SimHash
@@ -5829,8 +5945,6 @@ _DRIVER_PRIORITY: list[str] = [
     "lm_perplexity_docs",
     "tfidf_top_terms_docs",
     "pii_redaction_docs",
-    "repetition_docs",
-    "quality_docs",
 ]
 
 

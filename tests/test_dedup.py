@@ -107,6 +107,22 @@ def test_connected_components_chain_and_triangle(spark):
     }
 
 
+def test_keep_best_in_group_policy_and_singletons(spark):
+    """The dedup action: chain {1,2,3} keeps the highest score (3);
+    pair {10,11} tie on score keeps the lower id (10); singleton 20
+    survives as its own group of 1."""
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.5), (10, 7.0), (11, 7.0), (20, 1.0)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    kept = {
+        r["doc_id"]: (r["component"], r["group_size"])
+        for r in dd.keep_best_in_group(docs, pairs, "doc_id", "score").collect()
+    }
+    assert kept == {3: (1, 3), 10: (10, 2), 20: (20, 1)}
+
+
 def test_exact_dedup_fingerprint_normalization(spark):
     """Whitespace/case variants collapse to one fingerprint."""
     from big_data_analysis_spark.operators.text import fingerprint

@@ -467,6 +467,24 @@ def test_holt_single_shuffle_on_series_key(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_keep_best_dedup_no_global_window(spark, sf_dir):
+    """The keep-best selection must rank inside component partitions —
+    a global (unpartitioned) window would plan Exchange SinglePartition
+    and serialize the whole corpus through one task."""
+    df = QUERIES["dedup_keep_best_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_skew_salted_revenue_salts_the_shuffle(spark, sf_dir):
+    """The salted join must shuffle on (key, salt) — visible as the
+    __salt column inside hashpartitioning — so the engineered hot key
+    cannot own a single shuffle partition."""
+    df = QUERIES["skew_salted_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "__salt" in plan, plan
+
+
 def test_min_cost_supplier_shape(spark, sf_dir):
     """Q2 shape: dims broadcast (part/supplier/nation), the correlated
     MIN compiles to an aggregate + equality join (no window), top-100

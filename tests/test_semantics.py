@@ -481,7 +481,8 @@ def test_driver_window_covers_critical_queries():
         # VERDICT r4 #1: the one query with no driver row in any round
         "als_recommend_brands",
         # round-5 additions must be checked the round they land
-        "ivfpq_ann_topk", "skew_salted_revenue",
+        "ivfpq_ann_topk", "skew_salted_revenue", "dedup_keep_best_docs",
+        "semantic_dedup_pairs_docs",
         # code or oracle changed this round -> external re-verification:
         # contract-oracle graduations, SimHash blocking rewrite,
         # bloom prebuilt-filter API, bin_by_edges NULL propagation,

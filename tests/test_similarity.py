@@ -256,6 +256,42 @@ def test_ivfpq_recall_and_bounded_scan(spark):
     assert set(got_all) == set(true_top)
 
 
+def test_semantic_dedup_full_recall_on_clustered_corpus(spark):
+    """SemDeDup's contract: when semantic duplicates actually cluster
+    (the regime the method targets), cell-bounded search finds EVERY
+    high-cosine pair — recall 1.0 with n_cells == #blobs — and emits
+    nothing below threshold (precision 1 by construction)."""
+    import numpy as np
+
+    from big_data_analysis_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    # 4 far-apart blob directions; members are tiny perturbations ->
+    # within-blob cosine ~1, cross-blob cosine ~0
+    dirs = rng.normal(size=(4, 32))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts, ids = [], []
+    for b in range(4):
+        for j in range(10):
+            v = dirs[b] * 10 + rng.normal(size=32) * 0.05
+            pts.append(v)
+            ids.append(b * 100 + j)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, pts)],
+        "vec_id long, embedding array<double>",
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(emb, threshold=0.9, n_cells=4).collect()
+    }
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] // 100 == ids[j] // 100:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert found == truth, (len(found), len(truth))
+
+
 def test_numpymlp_save_normalizes_npz_suffix(tmp_path):
     """ADVICE r3: np.savez appends '.npz' to suffix-less paths, which
     desyncs the file on disk from the path later handed to addFile().
