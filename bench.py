@@ -161,7 +161,8 @@ def main() -> None:
             pagerank_iters[f"pagerank_iter{iters}"] = round(
                 time.perf_counter() - start, 3
             )
-    except Exception:
+    except Exception as exc:  # never break the bench line, but say why
+        print(f"pagerank iteration probe failed: {exc!r}", file=sys.stderr)
         pagerank_iters = {}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -380,10 +380,20 @@ def keep_best_in_group(
     near-dup clusters); the representative selection is one ranking
     window partitioned by component — hash-partitioned on the group
     key, never global."""
+    collisions = [c for c in ("component", "group_size") if c in df.columns]
+    if collisions:
+        raise ValueError(
+            f"keep_best_in_group output column(s) {collisions} already "
+            "exist in the input; rename them first"
+        )
     comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    # Rename the component table's id before joining: drop("id") after a
+    # join would remove BOTH columns when the caller's id_col is itself
+    # named "id" (this module's own convention elsewhere).
+    comps = comps.withColumnRenamed("id", "__cc_id")
     labeled = (
-        df.join(comps, df[id_col] == comps["id"], "left")
-        .drop("id")
+        df.join(comps, df[id_col] == comps["__cc_id"], "left")
+        .drop("__cc_id")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
     )
     w = Window.partitionBy("component").orderBy(

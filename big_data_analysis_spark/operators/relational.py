@@ -1100,6 +1100,10 @@ def bloom_filtered_join(
         )
     else:
         words = prebuilt_words
+        # Derive the bit-space from the array itself (the bloom_gram_hits
+        # discipline) — probing with a mismatched num_bits would test the
+        # wrong bits and silently DELETE matching rows at the pre-filter.
+        num_bits = len(words) * 64
     bc = big.sparkSession.sparkContext.broadcast(words)
 
     @F.pandas_udf("boolean")

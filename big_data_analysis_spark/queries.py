@@ -1347,7 +1347,9 @@ def q_semantic_dedup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
     ).agg(
         F.count(F.lit(1)).alias("n_found"),
-        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+        # coalesce AFTER the sum too: an empty found set sums to NULL
+        # and (0 == NULL) would emit NULL instead of true
+        F.coalesce(F.sum(F.coalesce("__t", F.lit(0))), F.lit(0)).alias("n_true"),
     )
     return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
         F.broadcast(stats)
@@ -2916,11 +2918,14 @@ def q_sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bounds also pinned by
     test_relational.py::test_approx_profile_error_bounds."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    one = ev.agg(
-        F.approx_count_distinct("user_id").cast("double").alias("ad_user"),
-        F.approx_count_distinct("event_type").cast("double").alias("ad_type"),
-        F.expr("approx_percentile(value, 0.5, 10000)").cast("double").alias("ap50"),
-        F.expr("approx_percentile(value, 0.95, 10000)").cast("double").alias("ap95"),
+    # The certificate must certify the PRODUCTION operator: run
+    # approx_profile itself (long-form (stat, value)) and join the
+    # exact answers onto its output — a regression inside
+    # approx_profile now fails the external gate.
+    prof = rel.approx_profile(
+        ev, ["user_id", "event_type"], "value", quantiles=(0.5, 0.95)
+    ).filter(F.col("stat") != "n_rows")
+    exact = ev.agg(
         F.count_distinct("user_id").cast("double").alias("ed_user"),
         F.count_distinct("event_type").cast("double").alias("ed_type"),
         F.expr("percentile(value, 0.45)").alias("e45"),
@@ -2930,33 +2935,28 @@ def q_sketch_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("e95"),
         F.expr("percentile(value, 1.0)").alias("e100"),
     )
-    rel5 = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= 0.05  # noqa: E731
-    band = lambda a, lo, hi: F.col(a).between(F.col(lo), F.col(hi))  # noqa: E731
-    row = F.explode(
-        F.array(
-            F.struct(
-                F.lit("approx_distinct_user_id").alias("stat"),
-                F.col("ed_user").alias("exact_value"),
-                rel5("ad_user", "ed_user").alias("within_bounds"),
-            ),
-            F.struct(
-                F.lit("approx_distinct_event_type").alias("stat"),
-                F.col("ed_type").alias("exact_value"),
-                rel5("ad_type", "ed_type").alias("within_bounds"),
-            ),
-            F.struct(
-                F.lit("approx_p50_value").alias("stat"),
-                F.round("e50", 6).alias("exact_value"),
-                band("ap50", "e45", "e55").alias("within_bounds"),
-            ),
-            F.struct(
-                F.lit("approx_p95_value").alias("stat"),
-                F.round("e95", 6).alias("exact_value"),
-                band("ap95", "e90", "e100").alias("within_bounds"),
-            ),
-        )
-    ).alias("r")
-    return one.select(row).select("r.stat", "r.exact_value", "r.within_bounds")
+    j = prof.crossJoin(F.broadcast(exact))
+    s = F.col("stat")
+    v = F.col("value")
+    rel5 = lambda e: (F.abs(v - F.col(e)) / F.col(e)) <= 0.05  # noqa: E731
+    band = lambda lo, hi: v.between(F.col(lo), F.col(hi))  # noqa: E731
+    exact_value = (
+        F.when(s == "approx_distinct_user_id", F.col("ed_user"))
+        .when(s == "approx_distinct_event_type", F.col("ed_type"))
+        .when(s == "approx_p50_value", F.round("e50", 6))
+        .when(s == "approx_p95_value", F.round("e95", 6))
+    )
+    within = (
+        F.when(s == "approx_distinct_user_id", rel5("ed_user"))
+        .when(s == "approx_distinct_event_type", rel5("ed_type"))
+        .when(s == "approx_p50_value", band("e45", "e55"))
+        .when(s == "approx_p95_value", band("e90", "e100"))
+    )
+    return j.select(
+        "stat",
+        exact_value.alias("exact_value"),
+        within.alias("within_bounds"),
+    )
 
 
 # =========================================================================
@@ -3911,11 +3911,12 @@ def q_lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_contract(top: DataFrame, k: int) -> DataFrame:
+def _ann_contract(top: DataFrame) -> DataFrame:
     """Reduce an ANN top-k result (vec_id, l2|approx_l2) to the 1-row
     shape contract the DuckDB oracle can verify despite the codebooks
-    being engine-internal: exactly k rows, all distinct, the query
-    vector found first at distance ~0, distances non-negative."""
+    being engine-internal: exactly k rows (pinned by the oracle's
+    literal n_rows), all distinct, the query vector found at distance
+    ~0, distances non-negative."""
     dist = "l2" if "l2" in top.columns else "approx_l2"
     return top.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -3950,7 +3951,7 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sim.pq_topk(
         enc, list(qvec), books, n_results=10, rerank_with=emb, overfetch=10
     )
-    return _ann_contract(top, 10)
+    return _ann_contract(top)
 
 
 @query("ivfpq_ann_topk", _ANN_CONTRACT_ORACLE)
@@ -3972,7 +3973,7 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sim.ivfpq_topk(
         encoded, centroids, books, qvec, rerank_with=emb, k=10, nprobe=4
     )
-    return _ann_contract(top, 10)
+    return _ann_contract(top)
 
 
 @query("real_bpe_token_counts")
@@ -5905,7 +5906,7 @@ _DRIVER_PRIORITY: list[str] = [
     "holt_forecast_monthly_orders",
     # (d) rotating re-verification sample (ADVICE r3 standing policy:
     # the external gate keeps re-checking past greens, not one-time
-    # passes) — 39 slots, disjoint from r4's sample, spanning every
+    # passes) — 37 slots, disjoint from r4's sample, spanning every
     # module family: joins/CDC, windows, sampling, outliers, eval
     # metrics, text quality, streaming, the custom DataSource.
     "asof_purchase_view",

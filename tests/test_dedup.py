@@ -122,6 +122,21 @@ def test_keep_best_in_group_policy_and_singletons(spark):
     }
     assert kept == {3: (1, 3), 10: (10, 2), 20: (20, 1)}
 
+    # id_col="id" is this module's own convention elsewhere — the join
+    # with the component table must not collide with it
+    renamed = docs.withColumnRenamed("doc_id", "id")
+    kept2 = {
+        r["id"] for r in dd.keep_best_in_group(renamed, pairs, "id", "score").collect()
+    }
+    assert kept2 == {3, 10, 20}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="component"):
+        dd.keep_best_in_group(
+            docs.withColumn("component", F.lit(1)), pairs, "doc_id", "score"
+        )
+
 
 def test_exact_dedup_fingerprint_normalization(spark):
     """Whitespace/case variants collapse to one fingerprint."""
