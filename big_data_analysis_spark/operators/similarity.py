@@ -221,6 +221,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Train an IVF index: k-means cell centroids (pyspark.ml KMeans)
     and the corpus with an assigned ``cell`` column.
@@ -237,7 +238,14 @@ def ivf_build(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="cell")
+    # max_iter is a cost lever, not a quality one, for coarse cells:
+    # the quantizer only has to put neighbors in the same cell, so a
+    # loosely-converged clustering probes identically in practice —
+    # each Lloyd round is a full pass over the corpus.
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="cell",
+    )
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(id_col, vec_col, "cell")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
@@ -488,6 +496,7 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ):
     """Build the IVFADC index: k-means coarse cells (reusing ivf_build),
     residuals vs the assigned centroid computed JVM-side (broadcast
@@ -503,7 +512,8 @@ def ivfpq_build(
     list; codebooks the (m, k, d/m) numpy array from pq_train.
     """
     assigned, centroids = ivf_build(
-        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=max_iter,
     )
     spark = embeddings.sparkSession
     cent_df = spark.createDataFrame(
@@ -604,6 +614,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
     2303.09540): k-means cluster the embeddings, then score exact
@@ -618,7 +629,8 @@ def semantic_dedup_pairs(
     precision is 1 by construction, the subset invariant the contract
     oracle pins."""
     assigned, _ = ivf_build(
-        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        seed=seed, max_iter=max_iter,
     )
     a = assigned.select(
         "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")

@@ -1335,7 +1335,7 @@ def q_semantic_dedup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     sub = emb.filter(F.col("vec_id") < 200)
-    found = sim.semantic_dedup_pairs(sub, threshold=0.2, n_cells=4)
+    found = sim.semantic_dedup_pairs(sub, threshold=0.2, n_cells=4, max_iter=8)
     a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     exact = (
@@ -3968,7 +3968,9 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_analysis_spark.operators import similarity as sim
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    encoded, centroids, books = sim.ivfpq_build(emb, n_cells=8, m=8, k=32)
+    encoded, centroids, books = sim.ivfpq_build(
+        emb, n_cells=8, m=8, k=32, max_iter=8
+    )
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     top = sim.ivfpq_topk(
         encoded, centroids, books, qvec, rerank_with=emb, k=10, nprobe=4

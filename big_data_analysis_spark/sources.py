@@ -114,3 +114,124 @@ def register_synthdocs(spark: SparkSession) -> None:
     was not built by session.get_spark."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)
+
+
+# ===========================================================================
+# Sink side of the DataSource API: an atomic manifest-committed JSONL
+# sink. Tasks write part files under a temp name and report them in
+# their commit message; only the DRIVER's commit() publishes a
+# _MANIFEST.json naming the files that constitute the dataset. Readers
+# load manifest-listed files ONLY, so a torn job (task retries, orphan
+# part files from a killed executor, a concurrent failed write) is
+# invisible — the same visibility contract a table format's snapshot
+# commit provides, in one small file. Parquet/ORC get this from Spark's
+# own commit protocol; this is the pattern for custom sinks that don't.
+# ===========================================================================
+
+
+class _ManifestCommitMessage:
+    def __init__(self, filename: str, n_rows: int) -> None:
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+try:  # WriterCommitMessage is a plain marker base class in Spark 4
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class ManifestCommitMessage(WriterCommitMessage, _ManifestCommitMessage):
+        pass
+
+    class ManifestJsonlWriter(DataSourceWriter):
+        def __init__(self, options: dict, schema) -> None:
+            self.path = options["path"]
+            self.fields = [f.name for f in schema.fields]
+
+        def write(self, rows) -> "ManifestCommitMessage":
+            """Executor side: write this partition to a uniquely-named
+            part file. The name is derived from (taskAttemptId), so a
+            retried task writes a DIFFERENT file and the loser's output
+            is simply never referenced by the manifest."""
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+            os.makedirs(self.path, exist_ok=True)
+            n = 0
+            with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
+                for row in rows:
+                    fh.write(json.dumps(dict(zip(self.fields, row)), default=str))
+                    fh.write("\n")
+                    n += 1
+            return ManifestCommitMessage(fname, n)
+
+        def commit(self, messages) -> None:
+            """Driver side, runs once after EVERY task succeeded: the
+            manifest write is the atomic publish point."""
+            import json
+            import os
+
+            manifest = {
+                "files": [
+                    {"name": m.filename, "n_rows": m.n_rows}
+                    for m in messages
+                    if m is not None
+                ],
+                "total_rows": sum(m.n_rows for m in messages if m is not None),
+            }
+            tmp = os.path.join(self.path, "._MANIFEST.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+        def abort(self, messages) -> None:
+            """Best-effort cleanup; correctness never depends on it —
+            unreferenced part files are ignored by the reader."""
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except OSError:
+                        pass
+
+    class ManifestJsonlDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "manifest_jsonl"
+
+        def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
+            return ManifestJsonlWriter(dict(self.options), schema)
+
+    _HAS_WRITER_API = True
+except ImportError:  # pragma: no cover - older pyspark without writer API
+    _HAS_WRITER_API = False
+
+
+def register_manifest_jsonl(spark: SparkSession) -> None:
+    """Idempotent registration of the manifest_jsonl sink format."""
+    if not _HAS_WRITER_API:
+        raise RuntimeError(
+            "manifest_jsonl sink needs the Spark 4 Python DataSource "
+            "writer API (pyspark.sql.datasource.DataSourceWriter)"
+        )
+    spark.dataSource.register(ManifestJsonlDataSource)
+
+
+def read_manifest_jsonl(spark: SparkSession, path: str, schema: str):
+    """Load ONLY the files the manifest names — orphan part files from
+    failed/torn writes are invisible, completing the sink's atomicity
+    contract. The manifest is one small JSON read on the driver; the
+    listed files load through Spark's normal distributed JSON reader."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -73,3 +73,46 @@ def test_synthdocs_feeds_engine_operators(spark):
         df, ["source"], [F.col("quality").desc(), F.col("doc_id")], 3
     )
     assert top.count() == 3 * len(SYNTH_SOURCES)
+
+
+def test_manifest_jsonl_sink_atomic_visibility(spark):
+    """The DataSource WRITER surface: tasks write uniquely-named part
+    files, the driver's commit publishes _MANIFEST.json, and the reader
+    loads manifest-listed files ONLY — an orphan part file planted in
+    the directory (a torn write / killed-executor leftover) is
+    invisible. Row fidelity is exact through the roundtrip."""
+    import json
+    import os
+    import shutil
+
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl,
+        register_manifest_jsonl,
+    )
+
+    path = "/root/repo/.scratch/manifest-sink"
+    shutil.rmtree(path, ignore_errors=True)
+    register_manifest_jsonl(spark)
+
+    df = spark.range(100).selectExpr(
+        "id", "concat('doc-', id) AS name", "cast(id * 1.5 as double) AS score"
+    ).repartition(4)
+    df.write.format("manifest_jsonl").option("path", path).mode("append").save()
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 100
+    assert sum(f["n_rows"] for f in manifest["files"]) == 100
+    part_files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert sorted(part_files) == sorted(f["name"] for f in manifest["files"])
+
+    # torn-write simulation: an orphan part file must stay invisible
+    with open(os.path.join(path, "part-99999-0.jsonl"), "w") as fh:
+        fh.write('{"id": 424242, "name": "ghost", "score": 0.0}\n')
+
+    back = read_manifest_jsonl(
+        spark, path, "id long, name string, score double"
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert len(rows) == 100 and 424242 not in rows
+    assert rows[7] == ("doc-7", 10.5)
