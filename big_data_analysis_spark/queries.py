@@ -2135,14 +2135,70 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["minhash_pairs"] = q_minhash_pairs
 QUERIES["simhash_pairs"] = q_simhash_pairs
-QUERIES["lsh_ann_topk"] = q_lsh_ann_topk
+
+
+def _ann_cosine_contract(top: DataFrame) -> DataFrame:
+    """1-row shape contract for a cosine-ranked ANN top-k (the bucketed
+    tiers' buckets/cells are engine-internal; what IS external: exactly
+    k distinct neighbors, the query vector found in its own bucket at
+    similarity 1, every similarity inside [-1, 1])."""
+    return top.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.max((F.col("vec_id") == 0).cast("int")).alias("contains_query"),
+        F.round(F.max("cosine_sim"), 6).alias("max_sim"),
+        F.coalesce(
+            F.sum((F.abs(F.col("cosine_sim")) > 1.000001).cast("int")), F.lit(0)
+        ).cast("int").alias("n_out_of_range"),
+    )
+
+
+_ANN_COSINE_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_ids,
+       1 AS contains_query, 1.0 AS max_sim, 0 AS n_out_of_range
+"""
+
+
+@query("lsh_ann_topk", _ANN_COSINE_ORACLE)
+def q_lsh_ann_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN through the cosine shape certificate (r5
+    graduation); recall vs brute force stays in tests/test_similarity."""
+    return _ann_cosine_contract(q_lsh_ann_topk(spark, sf_dir))
+
+
+@query("ivf_ann_topk", _ANN_COSINE_ORACLE)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF tier (approximate; recall vs brute force asserted in
-    tests/test_similarity.py): k-means cells + nprobe-bounded probe."""
+    """IVF tier (k-means cells + nprobe-bounded probe) through the
+    cosine shape certificate (r5 graduation): the query's own cell is
+    the first probed, so the self-hit at similarity 1.0 is guaranteed;
+    recall vs brute force stays in tests/test_similarity.py."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     assigned, centroids = similarity.ivf_build(emb, n_cells=8)
-    return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+    top = similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+    return _ann_cosine_contract(top)
+
+
+_KMEANS_SIZES_ORACLE = """
+SELECT CAST(4 AS BIGINT) AS n_clusters,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total_rows,
+       true AS all_nonempty
+"""
+
+
+@query("kmeans_embeddings", _KMEANS_SIZES_ORACLE)
+def q_kmeans_embeddings_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19 KMeans through a partition certificate (r5 graduation):
+    cluster ids/sizes are solver-dependent, but the clustering must be
+    a PARTITION of the corpus — exactly k clusters, sizes summing to
+    the (SQL-derivable) corpus count, none empty. Silhouette floor
+    stays in tests/test_ml.py."""
+    sizes = q_kmeans_embeddings(spark, sf_dir)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").cast("long").alias("total_rows"),
+        (F.min("n") > 0).alias("all_nonempty"),
+    )
 
 
 def q_ward_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,9 +2218,7 @@ def q_ward_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ward_linkage_docs"] = q_ward_linkage_docs
-QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["multimodal_decode"] = q_multimodal_decode
-QUERIES["ivf_ann_topk"] = q_ivf_ann_topk
 
 
 # =========================================================================
@@ -3978,22 +4032,61 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(top)
 
 
-@query("real_bpe_token_counts")
+_REAL_BPE_ORACLE = """
+WITH pre AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS pt
+    FROM documents WHERE doc_id < 20
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(pt)) AS BIGINT) AS total_pretokens,
+       true AS all_ge_pretokens,
+       true AS all_le_chars
+FROM pre
+"""
+
+
+@query("real_bpe_token_counts", _REAL_BPE_ORACLE)
 def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts from an ACTUALLY TRAINED BPE tokenizer (Sennrich et
     al. 2016), closing the gap the regex 'BPE-ish' counter
     (q_bpe_token_counts) left: merges are learned from the corpus'
     distributed word counts, then applied per DISTINCT word via an
     Arrow pandas UDF and broadcast back — BPE cost scales with
-    vocabulary, not corpus. Not SQL-expressible (iterative merge loop)
-    → rows-only driver check; the algorithm itself is parity-tested
-    against hand-traced merges in tests/test_tokenize.py."""
+    vocabulary, not corpus. The merge loop isn't SQL-expressible, but
+    segmentation's defining bounds ARE (r5 graduation): every doc's
+    BPE token count lies in [pre-token count, pre-token character
+    count] (each pre-token maps to >= 1 and <= len tokens), with the
+    pre-token totals SQL-derivable exactly. Merge semantics stay
+    parity-tested against hand-traced Sennrich corpora in
+    tests/test_tokenize.py."""
     from big_data_analysis_spark.operators import tokenize as tkz
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     merges = tkz.train_bpe(d, "text", num_merges=100, vocab_limit=10_000)
-    counts = tkz.bpe_token_counts(d, "text", "doc_id", merges)
-    return counts.filter(F.col("doc_id") < 20).orderBy("doc_id")
+    counts = tkz.bpe_token_counts(d, "text", "doc_id", merges).filter(
+        F.col("doc_id") < 20
+    )
+    pre = d.filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        F.size(tkz.pretokens("text")).alias("n_pre"),
+        F.aggregate(
+            F.transform(tkz.pretokens("text"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_pre_chars"),
+    )
+    j = counts.join(pre, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pre").cast("long").alias("total_pretokens"),
+        F.coalesce(
+            F.min((F.col("n_tokens") >= F.col("n_pre"))), F.lit(True)
+        ).alias("all_ge_pretokens"),
+        F.coalesce(
+            F.min((F.col("n_tokens") <= F.col("n_pre_chars"))), F.lit(True)
+        ).alias("all_le_chars"),
+    )
 
 
 # =========================================================================
@@ -5901,6 +5994,10 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_ann_topk",
     "bloom_decontaminate_docs",
     "sketch_profile_events",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "kmeans_embeddings",
+    "real_bpe_token_counts",
     "simhash_pairs",
     "bloom_join_orders",
     "psi_drift_events",
@@ -5908,7 +6005,7 @@ _DRIVER_PRIORITY: list[str] = [
     "holt_forecast_monthly_orders",
     # (d) rotating re-verification sample (ADVICE r3 standing policy:
     # the external gate keeps re-checking past greens, not one-time
-    # passes) — 37 slots, disjoint from r4's sample, spanning every
+    # passes) — 33 slots, disjoint from r4's sample, spanning every
     # module family: joins/CDC, windows, sampling, outliers, eval
     # metrics, text quality, streaming, the custom DataSource.
     "asof_purchase_view",
@@ -5943,10 +6040,6 @@ _DRIVER_PRIORITY: list[str] = [
     "melt_part_metrics",
     "calibration_orders",
     "gains_orders",
-    "chi2_orders",
-    "entropy_gain_events",
-    "lm_perplexity_docs",
-    "tfidf_top_terms_docs",
     "pii_redaction_docs",
 ]
 

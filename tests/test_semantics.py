@@ -488,6 +488,8 @@ def test_driver_window_covers_critical_queries():
         # bloom prebuilt-filter API, bin_by_edges NULL propagation,
         # holt_linear collision guard
         "pq_ann_topk", "bloom_decontaminate_docs", "sketch_profile_events",
+        "lsh_ann_topk", "ivf_ann_topk", "kmeans_embeddings",
+        "real_bpe_token_counts",
         "simhash_pairs", "bloom_join_orders", "psi_drift_events",
         "streaming_psi_daily", "holt_forecast_monthly_orders",
     }
