@@ -10,6 +10,7 @@ pandas idiom would not survive 100 TB.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1028,20 +1029,32 @@ def incremental_join_delta(
     )
 
 
+class JoinBloom(NamedTuple):
+    """A prebuilt join filter: the word array TOGETHER with the
+    num_hashes it was built with. Probe parameters are derived from
+    this object, never re-specified — a mismatched num_bits or
+    num_hashes at probe time would test the wrong bits and silently
+    DELETE matching rows."""
+
+    words: "object"
+    num_hashes: int
+
+
 def build_join_bloom(
     small: DataFrame,
     on: Sequence[str],
     num_bits: int = 1 << 22,
     num_hashes: int = 5,
-):
-    """Build (once) the bloom word array for ``bloom_filtered_join``'s
-    ``prebuilt_words`` — same key derivation as the join's probe side,
+) -> JoinBloom:
+    """Build (once) the bloom filter for ``bloom_filtered_join``'s
+    ``prebuilt`` — same key derivation as the join's probe side,
     so a long-lived driver builds per small-side snapshot, then reuses
     across refresh cycles without accumulating broadcasts."""
     from big_data_analysis_spark.operators.dedup import bloom_build
 
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
-    return bloom_build(small.select(key.alias("__k")), "__k", num_bits, num_hashes)
+    words = bloom_build(small.select(key.alias("__k")), "__k", num_bits, num_hashes)
+    return JoinBloom(words, num_hashes)
 
 
 def bloom_filtered_join(
@@ -1051,7 +1064,7 @@ def bloom_filtered_join(
     how: str = "inner",
     num_bits: int = 1 << 22,
     num_hashes: int = 5,
-    prebuilt_words: "object | None" = None,
+    prebuilt: "JoinBloom | None" = None,
 ) -> DataFrame:
     """Join with a Bloom runtime filter: build a fixed-size bloom of the
     SMALL side's join keys (distributed bit_or build, bounded driver
@@ -1065,10 +1078,12 @@ def bloom_filtered_join(
     (it cannot be destroyed before the lazy plan executes). A
     long-lived driver looping refresh cycles must reuse one filter per
     small-side snapshot rather than rebuilding (and re-broadcasting)
-    per query — pass ``prebuilt_words`` (the array returned by
-    ``dedup.bloom_build`` over the same key expression, built with the
-    SAME num_bits/num_hashes) to skip the eager build; the API exists
-    precisely so repeated calls don't accumulate broadcasts.
+    per query — pass ``prebuilt`` (the JoinBloom from
+    ``build_join_bloom``) to skip the eager build; the API exists
+    precisely so repeated calls don't accumulate broadcasts. BOTH
+    probe parameters (num_bits, num_hashes) are derived from the
+    JoinBloom itself, never from this call's arguments — re-specifying
+    them could drift from the build and silently delete matching rows.
 
     Join semantics are exactly ``big.join(small, on, how)``: false
     positives survive the pre-filter but are eliminated by the real
@@ -1094,15 +1109,22 @@ def bloom_filtered_join(
     def key_expr() -> Column:
         return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
 
-    if prebuilt_words is None:
+    if prebuilt is None:
         words = bloom_build(
             small.select(key_expr().alias("__k")), "__k", num_bits, num_hashes
         )
     else:
-        words = prebuilt_words
-        # Derive the bit-space from the array itself (the bloom_gram_hits
-        # discipline) — probing with a mismatched num_bits would test the
-        # wrong bits and silently DELETE matching rows at the pre-filter.
+        if not isinstance(prebuilt, JoinBloom):
+            raise TypeError(
+                "bloom_filtered_join: prebuilt must be the JoinBloom from "
+                "build_join_bloom — a raw word array cannot carry the "
+                "num_hashes it was built with, and a probe/build mismatch "
+                "silently deletes matching rows"
+            )
+        words = prebuilt.words
+        num_hashes = prebuilt.num_hashes
+        # Bit-space derived from the array itself (the bloom_gram_hits
+        # discipline) — a mismatched num_bits would test the wrong bits.
         num_bits = len(words) * 64
     bc = big.sparkSession.sparkContext.broadcast(words)
 

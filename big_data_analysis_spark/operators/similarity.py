@@ -261,19 +261,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe: rank cells by centroid cosine to the query (driver-side
-    — centroids are tiny), scan only the ``nprobe`` nearest cells, exact
-    cosine within them. Recall grows with nprobe; nprobe == n_cells is
-    exact search."""
-    import math
+    """IVF probe: rank cells by centroid distance to the query
+    (driver-side — centroids are tiny), scan only the ``nprobe``
+    nearest cells, exact cosine within them. Cell ranking uses squared
+    L2 — the SAME metric the k-means quantizer assigned cells with —
+    so a query vector's own cell is always the first probed (assignment
+    = argmin L2 to centroids = probe rank 1); ranking by a different
+    metric (cosine) could skip the assigned cell on unnormalized data
+    and lose the guaranteed self-hit. Recall grows with nprobe;
+    nprobe == n_cells is exact search."""
 
-    def cos(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
+    def l2sq(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    ranked = sorted(range(len(centroids)), key=lambda c: -cos(centroids[c], query_vec))
+    ranked = sorted(
+        range(len(centroids)), key=lambda c: l2sq(centroids[c], query_vec)
+    )
     probe = ranked[:nprobe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (

@@ -2181,8 +2181,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_SIZES_ORACLE = """
 SELECT CAST(4 AS BIGINT) AS n_clusters,
-       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total_rows,
-       true AS all_nonempty
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total_rows
 """
 
 
@@ -2190,14 +2189,15 @@ SELECT CAST(4 AS BIGINT) AS n_clusters,
 def q_kmeans_embeddings_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M19 KMeans through a partition certificate (r5 graduation):
     cluster ids/sizes are solver-dependent, but the clustering must be
-    a PARTITION of the corpus — exactly k clusters, sizes summing to
-    the (SQL-derivable) corpus count, none empty. Silhouette floor
-    stays in tests/test_ml.py."""
+    a PARTITION of the corpus — exactly k non-empty clusters (a
+    groupBy count only emits non-empty groups, so n_clusters == k
+    already implies none is empty; a separate min(n) > 0 flag would
+    be vacuously true) with sizes summing to the SQL-derivable corpus
+    count. Silhouette floor stays in tests/test_ml.py."""
     sizes = q_kmeans_embeddings(spark, sf_dir)
     return sizes.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("n").cast("long").alias("total_rows"),
-        (F.min("n") > 0).alias("all_nonempty"),
     )
 
 
@@ -4041,7 +4041,7 @@ WITH pre AS (
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(pt)) AS BIGINT) AS total_pretokens,
        true AS all_ge_pretokens,
-       true AS all_le_chars
+       true AS all_le_chars_plus_eow
 FROM pre
 """
 
@@ -4055,11 +4055,14 @@ def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pandas UDF and broadcast back — BPE cost scales with
     vocabulary, not corpus. The merge loop isn't SQL-expressible, but
     segmentation's defining bounds ARE (r5 graduation): every doc's
-    BPE token count lies in [pre-token count, pre-token character
-    count] (each pre-token maps to >= 1 and <= len tokens), with the
-    pre-token totals SQL-derivable exactly. Merge semantics stay
-    parity-tested against hand-traced Sennrich corpora in
-    tests/test_tokenize.py."""
+    BPE token count lies in [pre-token count, pre-token chars +
+    pre-token count] — each pre-token maps to >= 1 token and at most
+    len(word) characters PLUS the end-of-word sentinel, which survives
+    as its own token whenever no merge absorbed it (a 1-char rare word
+    segments to ['x', '</w>'] = 2 tokens, so plain <= len(word) would
+    be unsound). Pre-token totals are SQL-derivable exactly. Merge
+    semantics stay parity-tested against hand-traced Sennrich corpora
+    in tests/test_tokenize.py."""
     from big_data_analysis_spark.operators import tokenize as tkz
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -4084,8 +4087,9 @@ def q_real_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min((F.col("n_tokens") >= F.col("n_pre"))), F.lit(True)
         ).alias("all_ge_pretokens"),
         F.coalesce(
-            F.min((F.col("n_tokens") <= F.col("n_pre_chars"))), F.lit(True)
-        ).alias("all_le_chars"),
+            F.min((F.col("n_tokens") <= F.col("n_pre_chars") + F.col("n_pre"))),
+            F.lit(True),
+        ).alias("all_le_chars_plus_eow"),
     )
 
 

@@ -142,9 +142,10 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
         pass
 
     class ManifestJsonlWriter(DataSourceWriter):
-        def __init__(self, options: dict, schema) -> None:
+        def __init__(self, options: dict, schema, overwrite: bool) -> None:
             self.path = options["path"]
             self.fields = [f.name for f in schema.fields]
+            self.overwrite = overwrite
 
         def write(self, rows) -> "ManifestCommitMessage":
             """Executor side: write this partition to a uniquely-named
@@ -169,22 +170,31 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
 
         def commit(self, messages) -> None:
             """Driver side, runs once after EVERY task succeeded: the
-            manifest write is the atomic publish point."""
+            manifest write is the atomic publish point. The save mode
+            is honored here — append MERGES the existing manifest's
+            file list (prior committed data stays visible), overwrite
+            publishes only this job's files (the old files become
+            invisible orphans the instant the manifest swaps)."""
             import json
             import os
 
+            files = [
+                {"name": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ]
+            mpath = os.path.join(self.path, "_MANIFEST.json")
+            if not self.overwrite and os.path.exists(mpath):
+                with open(mpath, encoding="utf-8") as fh:
+                    files = json.load(fh)["files"] + files
             manifest = {
-                "files": [
-                    {"name": m.filename, "n_rows": m.n_rows}
-                    for m in messages
-                    if m is not None
-                ],
-                "total_rows": sum(m.n_rows for m in messages if m is not None),
+                "files": files,
+                "total_rows": sum(f["n_rows"] for f in files),
             }
             tmp = os.path.join(self.path, "._MANIFEST.json.tmp")
             with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump(manifest, fh)
-            os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+            os.replace(tmp, mpath)
 
         def abort(self, messages) -> None:
             """Best-effort cleanup; correctness never depends on it —
@@ -204,7 +214,7 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             return "manifest_jsonl"
 
         def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
-            return ManifestJsonlWriter(dict(self.options), schema)
+            return ManifestJsonlWriter(dict(self.options), schema, overwrite)
 
     _HAS_WRITER_API = True
 except ImportError:  # pragma: no cover - older pyspark without writer API

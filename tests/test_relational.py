@@ -768,11 +768,13 @@ def test_bloom_filtered_join_parity_and_prefilter(spark, sf_dir):
     # without re-running the build aggregate per call
     from big_data_analysis_spark.operators.relational import build_join_bloom
 
-    words = build_join_bloom(small, ["o_custkey"])
-    reused = bloom_filtered_join(
-        big, small, ["o_custkey"], prebuilt_words=words
-    )
+    bloom = build_join_bloom(small, ["o_custkey"], num_hashes=7)
+    # num_hashes/num_bits come from the JoinBloom, NOT this call's
+    # defaults (5 / 1<<22) — a drift here would silently delete rows
+    reused = bloom_filtered_join(big, small, ["o_custkey"], prebuilt=bloom)
     assert reused.count() == plain.count()
+    with _pytest.raises(TypeError, match="JoinBloom"):
+        bloom_filtered_join(big, small, ["o_custkey"], prebuilt=bloom.words)
 
 
 def test_with_provenance_names_source_file_and_rows(spark, sf_dir):

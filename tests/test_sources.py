@@ -116,3 +116,24 @@ def test_manifest_jsonl_sink_atomic_visibility(spark):
     rows = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
     assert len(rows) == 100 and 424242 not in rows
     assert rows[7] == ("doc-7", 10.5)
+
+    # append MERGES the manifest: a second batch extends, not replaces
+    df2 = spark.range(100, 150).selectExpr(
+        "id", "concat('doc-', id) AS name", "cast(id * 1.5 as double) AS score"
+    ).repartition(2)
+    df2.write.format("manifest_jsonl").option("path", path).mode("append").save()
+    appended = read_manifest_jsonl(
+        spark, path, "id long, name string, score double"
+    )
+    assert appended.count() == 150
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        assert json.load(fh)["total_rows"] == 150
+
+    # overwrite publishes ONLY the new job's files
+    df2.write.format("manifest_jsonl").option("path", path).mode(
+        "overwrite"
+    ).save()
+    replaced = read_manifest_jsonl(
+        spark, path, "id long, name string, score double"
+    )
+    assert replaced.count() == 50
