@@ -188,22 +188,41 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     num_planes: int = 6,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's hyperplane bucket.
+    """ANN top-k: score only vectors in the query's hyperplane
+    bucket(s).
 
-    Recall < 1 by design; raise with multiprobe (flip one bit) or fewer
-    planes. At scale, bucket the corpus ONCE (write bucket as a partition
-    column) and each query touches ~1/2^planes of the data.
+    ``multiprobe`` (Lv et al., VLDB'07): also probe every bucket within
+    hamming distance ``multiprobe`` of the query's — a vector whose
+    true bucket differs by one marginal hyperplane sign (the dominant
+    LSH miss mode) is recovered at multiprobe=1 WITHOUT rebucketing or
+    extra tables. Probed-bucket count is sum C(planes, i) for i<=m
+    (driver-side tiny list); scanned fraction ≈ that over 2^planes.
+    At scale, bucket the corpus ONCE (write bucket as a partition
+    column) and each probe is partition pruning.
     """
+    import itertools as _it
+
     dim = len(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     bucketed = embeddings.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), dim, num_planes, seed))
-    # Query bucket computed the same way, as a scalar row.
+    # Query bucket computed the same way, as a scalar row; expand to
+    # the hamming-ball bucket set driver-side (tiny) for multiprobe.
     qb = bucketed.sparkSession.range(1).select(
         hyperplane_bucket(q, dim, num_planes, seed).alias("__qbucket")
     )
+    if multiprobe > 0:
+        masks = [0]
+        for m in range(1, multiprobe + 1):
+            for bits in _it.combinations(range(num_planes), m):
+                masks.append(sum(1 << b for b in bits))
+        probe_set = F.array(*[F.col("__qbucket").bitwiseXOR(F.lit(mk)) for mk in masks])
+        cond = F.array_contains(probe_set, F.col("__bucket"))
+    else:
+        cond = F.col("__bucket") == F.col("__qbucket")
     return (
-        bucketed.join(F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"))
+        bucketed.join(F.broadcast(qb), cond)
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

@@ -256,6 +256,35 @@ def test_ivfpq_recall_and_bounded_scan(spark):
     assert set(got_all) == set(true_top)
 
 
+def test_lsh_multiprobe_recovers_boundary_misses(emb, qvec):
+    """Multiprobe LSH (hamming-ball bucket expansion): probing the
+    hamming-1 neighborhood must recover at least the single-bucket
+    candidates plus every true neighbor whose bucket differs by one
+    marginal hyperplane sign — recall vs brute force is monotone in
+    the probe radius, and the probed set stays a tiny fraction of the
+    bucket space (1+planes of 2^planes buckets at radius 1)."""
+    truth = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+
+    def recall(multiprobe):
+        got = {
+            r["vec_id"]
+            for r in sim.lsh_bucketed_topk(
+                emb, qvec, k=10, num_planes=6, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2, (r0, r1, r2)
+    assert r2 > r0, "probing the hamming ball must add candidates here"
+    # self-hit always survives (the query's own bucket is probed)
+    got1 = {
+        r["vec_id"]
+        for r in sim.lsh_bucketed_topk(emb, qvec, k=10, num_planes=6, multiprobe=1).collect()
+    }
+    assert 0 in got1
+
+
 def test_semantic_dedup_full_recall_on_clustered_corpus(spark):
     """SemDeDup's contract: when semantic duplicates actually cluster
     (the regime the method targets), cell-bounded search finds EVERY
