@@ -295,7 +295,11 @@ def minhash_dedup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate GROUPS: connected components
     by iterative min-label propagation (the standard large-graph CC
@@ -306,7 +310,46 @@ def connected_components(
     are shallow, so a handful). Returns (id, component) where component
     is the smallest id in the group — pick it as the canonical document
     and drop the rest. Every round is one shuffle on id; no driver-side
-    graph state."""
+    graph state.
+
+    ``local_threshold`` > 0 enables the small-graph tier (the same
+    hybrid discipline as DBSCAN/Ward's exact small-data paths): when a
+    cheap bounded probe shows at most that many edges, collect them and
+    run exact union-find with min-label canonicalization on the driver
+    — identical output, none of the per-round job overhead that
+    dominates a shallow small graph (each distributed round is a
+    join + aggregate + checkpoint + convergence action). The
+    distributed path stays the default and the only path above the
+    threshold."""
+    if local_threshold > 0:
+        # One bounded evaluation doubles as probe AND data fetch: pull
+        # at most threshold+1 edges; the extra row (if present) proves
+        # the graph is too big and routes to the distributed path.
+        rows = pairs.select(a_col, b_col).limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in rows:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            comp: dict = {}
+            for node in parent:
+                root = find(node)
+                comp[root] = min(comp.get(root, node), node)
+            out = [(node, comp[find(node)]) for node in parent]
+            return pairs.sparkSession.createDataFrame(
+                out, ["id", "component"]
+            )
     # The symmetric union references `pairs` twice; persist so an
     # expensive upstream pair generator (e.g. a similarity join) runs
     # once, not per branch.
@@ -366,6 +409,7 @@ def keep_best_in_group(
     score_col: str,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    local_threshold: int = 0,
 ) -> DataFrame:
     """The dedup ACTION a corpus pipeline actually takes: resolve
     near-dup pairs into duplicate groups (connected components) and keep
@@ -386,7 +430,9 @@ def keep_best_in_group(
             f"keep_best_in_group output column(s) {collisions} already "
             "exist in the input; rename them first"
         )
-    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    comps = connected_components(
+        pairs, a_col=a_col, b_col=b_col, local_threshold=local_threshold
+    )
     # Rename the component table's id before joining: drop("id") after a
     # join would remove BOTH columns when the caller's id_col is itself
     # named "id" (this module's own convention elsewhere).

@@ -1234,8 +1234,12 @@ def q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     sub = spread(d.filter(F.col("doc_id") < 500))
     pairs = dd.ngram_jaccard_pairs(sub, "text", "doc_id", n=1, threshold=0.9)
+    # local_threshold: the 500-doc slice's pair set is tiny, so the
+    # exact union-find small-graph tier skips ~4 distributed label
+    # rounds of pure job overhead; output is identical (oracle-pinned).
     kept = dd.keep_best_in_group(
-        sub.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+        sub.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars",
+        local_threshold=100_000,
     )
     return kept.select("doc_id", "component", "n_chars", "group_size")
 

@@ -107,6 +107,34 @@ def test_connected_components_chain_and_triangle(spark):
     }
 
 
+def test_connected_components_local_tier_parity(spark):
+    """The small-graph union-find tier must produce exactly the
+    distributed min-label result (same components, same canonical
+    labels), and the threshold gate must route big-enough inputs to
+    the distributed path (local_threshold below the edge count)."""
+    import random
+
+    rng = random.Random(5)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]  # 20 disjoint pairs
+    edges += [(100 + rng.randrange(20), 100 + rng.randrange(20)) for _ in range(30)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    dist = {
+        r["id"]: r["component"] for r in dd.connected_components(df).collect()
+    }
+    local = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(df, local_threshold=1000).collect()
+    }
+    assert local == dist
+    # below-threshold gate: threshold smaller than the edge count must
+    # take the distributed path (same answer either way — probe only)
+    gated = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(df, local_threshold=10).collect()
+    }
+    assert gated == dist
+
+
 def test_keep_best_in_group_policy_and_singletons(spark):
     """The dedup action: chain {1,2,3} keeps the highest score (3);
     pair {10,11} tie on score keeps the lower id (10); singleton 20
