@@ -322,12 +322,19 @@ def connected_components(
     distributed path stays the default and the only path above the
     threshold."""
     if local_threshold > 0:
+        # Persist FIRST: if the probe proves the graph too big, the
+        # distributed rounds below reuse the materialization instead of
+        # recomputing an expensive upstream pair generator from scratch.
+        pairs = pairs.persist()
         # One bounded evaluation doubles as probe AND data fetch: pull
         # at most threshold+1 edges; the extra row (if present) proves
         # the graph is too big and routes to the distributed path.
         rows = pairs.select(a_col, b_col).limit(local_threshold + 1).collect()
         if len(rows) <= local_threshold:
+            from pyspark.sql.types import StructField, StructType
+
             parent: dict = {}
+            has_null = False
 
             def find(x):
                 while parent[x] != x:
@@ -337,6 +344,17 @@ def connected_components(
 
             for r in rows:
                 a, b = r[0], r[1]
+                if a is None or b is None:
+                    # Distributed parity: a null join key never matches,
+                    # so a null endpoint propagates no label — the
+                    # non-null end stays its own node and the null node
+                    # surfaces once as (null, null), exactly what the
+                    # edges.distinct() + label join produce.
+                    has_null = True
+                    for x in (a, b):
+                        if x is not None:
+                            parent.setdefault(x, x)
+                    continue
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -347,9 +365,19 @@ def connected_components(
                 root = find(node)
                 comp[root] = min(comp.get(root, node), node)
             out = [(node, comp[find(node)]) for node in parent]
-            return pairs.sparkSession.createDataFrame(
-                out, ["id", "component"]
+            if has_null:
+                out.append((None, None))
+            # Explicit schema: createDataFrame cannot infer from an
+            # empty (or all-null) row list, and the id type must match
+            # the distributed path's (the input's own a_col type).
+            id_type = pairs.schema[a_col].dataType
+            schema = StructType(
+                [
+                    StructField("id", id_type, True),
+                    StructField("component", id_type, True),
+                ]
             )
+            return pairs.sparkSession.createDataFrame(out, schema)
     # The symmetric union references `pairs` twice; persist so an
     # expensive upstream pair generator (e.g. a similarity join) runs
     # once, not per branch.

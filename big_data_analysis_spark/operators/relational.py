@@ -1031,12 +1031,15 @@ def incremental_join_delta(
 
 class JoinBloom(NamedTuple):
     """A prebuilt join filter: the word array TOGETHER with the
-    num_hashes it was built with. Probe parameters are derived from
-    this object, never re-specified — a mismatched num_bits or
-    num_hashes at probe time would test the wrong bits and silently
-    DELETE matching rows."""
+    num_bits/num_hashes it was built with. Probe parameters come from
+    this object, never re-specified — a mismatched value at probe time
+    tests the wrong bits and silently DELETES matching rows. num_bits
+    is stored explicitly because len(words)*64 rounds UP to the word
+    boundary and would disagree with a build whose num_bits was not a
+    multiple of 64 (positions are taken mod num_bits)."""
 
     words: "object"
+    num_bits: int
     num_hashes: int
 
 
@@ -1054,7 +1057,7 @@ def build_join_bloom(
 
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
     words = bloom_build(small.select(key.alias("__k")), "__k", num_bits, num_hashes)
-    return JoinBloom(words, num_hashes)
+    return JoinBloom(words, num_bits, num_hashes)
 
 
 def bloom_filtered_join(
@@ -1123,9 +1126,7 @@ def bloom_filtered_join(
             )
         words = prebuilt.words
         num_hashes = prebuilt.num_hashes
-        # Bit-space derived from the array itself (the bloom_gram_hits
-        # discipline) — a mismatched num_bits would test the wrong bits.
-        num_bits = len(words) * 64
+        num_bits = prebuilt.num_bits
     bc = big.sparkSession.sparkContext.broadcast(words)
 
     @F.pandas_udf("boolean")

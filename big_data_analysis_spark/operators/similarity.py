@@ -207,22 +207,26 @@ def lsh_bucketed_topk(
     dim = len(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     bucketed = embeddings.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), dim, num_planes, seed))
-    # Query bucket computed the same way, as a scalar row; expand to
-    # the hamming-ball bucket set driver-side (tiny) for multiprobe.
+    # Query bucket computed the same way; the hamming ball is EXPLODED
+    # into one row per probed bucket so the probe is a plain equi-join
+    # (BroadcastHashJoin + a prunable IN-set on the bucket column) —
+    # an array_contains condition would plan BroadcastNestedLoopJoin
+    # and defeat partition pruning on a bucket-partitioned corpus.
+    # XORing distinct masks into the same query bucket yields distinct
+    # bucket ids, so the explode introduces no duplicate matches.
+    masks = [0]
+    for m in range(1, multiprobe + 1):
+        for bits in _it.combinations(range(num_planes), m):
+            masks.append(sum(1 << b for b in bits))
     qb = bucketed.sparkSession.range(1).select(
-        hyperplane_bucket(q, dim, num_planes, seed).alias("__qbucket")
+        hyperplane_bucket(q, dim, num_planes, seed).alias("__qb0")
+    ).select(
+        F.explode(
+            F.array(*[F.col("__qb0").bitwiseXOR(F.lit(mk)) for mk in masks])
+        ).alias("__qbucket")
     )
-    if multiprobe > 0:
-        masks = [0]
-        for m in range(1, multiprobe + 1):
-            for bits in _it.combinations(range(num_planes), m):
-                masks.append(sum(1 << b for b in bits))
-        probe_set = F.array(*[F.col("__qbucket").bitwiseXOR(F.lit(mk)) for mk in masks])
-        cond = F.array_contains(probe_set, F.col("__bucket"))
-    else:
-        cond = F.col("__bucket") == F.col("__qbucket")
     return (
-        bucketed.join(F.broadcast(qb), cond)
+        bucketed.join(F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

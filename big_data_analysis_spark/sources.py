@@ -143,9 +143,19 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
 
     class ManifestJsonlWriter(DataSourceWriter):
         def __init__(self, options: dict, schema, overwrite: bool) -> None:
+            import uuid
+
             self.path = options["path"]
             self.fields = [f.name for f in schema.fields]
             self.overwrite = overwrite
+            # Per-JOB token baked into every part filename:
+            # (partitionId, taskAttemptId) alone is only unique within
+            # one SparkContext, so an append from a restarted
+            # application would reuse the same names and clobber prior
+            # committed files. The token makes filenames globally
+            # unique; within-job task retries stay unique via
+            # taskAttemptId.
+            self.job_token = uuid.uuid4().hex[:12]
 
         def write(self, rows) -> "ManifestCommitMessage":
             """Executor side: write this partition to a uniquely-named
@@ -158,7 +168,10 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
-            fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+            fname = (
+                f"part-{ctx.partitionId():05d}-{self.job_token}"
+                f"-{ctx.taskAttemptId()}.jsonl"
+            )
             os.makedirs(self.path, exist_ok=True)
             n = 0
             with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
@@ -174,7 +187,13 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             is honored here — append MERGES the existing manifest's
             file list (prior committed data stays visible), overwrite
             publishes only this job's files (the old files become
-            invisible orphans the instant the manifest swaps)."""
+            invisible orphans the instant the manifest swaps). The
+            read-merge-replace runs under an exclusive flock on a
+            sidecar lock file so two concurrent append jobs cannot
+            lose each other's files (POSIX local/NFS-with-locking
+            semantics; on a locking-free object store, serialize
+            appends externally)."""
+            import fcntl
             import json
             import os
 
@@ -184,17 +203,20 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
                 if m is not None
             ]
             mpath = os.path.join(self.path, "_MANIFEST.json")
-            if not self.overwrite and os.path.exists(mpath):
-                with open(mpath, encoding="utf-8") as fh:
-                    files = json.load(fh)["files"] + files
-            manifest = {
-                "files": files,
-                "total_rows": sum(f["n_rows"] for f in files),
-            }
-            tmp = os.path.join(self.path, "._MANIFEST.json.tmp")
-            with open(tmp, "w", encoding="utf-8") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp, mpath)
+            lock_path = os.path.join(self.path, "._MANIFEST.lock")
+            with open(lock_path, "w") as lock_fh:
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+                if not self.overwrite and os.path.exists(mpath):
+                    with open(mpath, encoding="utf-8") as fh:
+                        files = json.load(fh)["files"] + files
+                manifest = {
+                    "files": files,
+                    "total_rows": sum(f["n_rows"] for f in files),
+                }
+                tmp = os.path.join(self.path, "._MANIFEST.json.tmp")
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(manifest, fh)
+                os.replace(tmp, mpath)
 
         def abort(self, messages) -> None:
             """Best-effort cleanup; correctness never depends on it —

@@ -135,6 +135,26 @@ def test_connected_components_local_tier_parity(spark):
     assert gated == dist
 
 
+def test_connected_components_local_tier_empty_and_null_edges(spark):
+    """Local-tier edge cases must mirror the distributed path: an
+    empty pair set returns a typed empty (id, component) frame instead
+    of crashing schema inference, and a null endpoint propagates no
+    label (the non-null end stays its own node; the null node surfaces
+    once as (null, null) — exactly what null-never-matches join
+    semantics produce)."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dd.connected_components(empty, local_threshold=100)
+    assert out.columns == ["id", "component"] and out.count() == 0
+
+    with_null = spark.createDataFrame(
+        [(None, 5), (1, 2)], "id_a long, id_b long"
+    )
+    local = {
+        tuple(r) for r in dd.connected_components(with_null, local_threshold=100).collect()
+    }
+    assert local == {(5, 5), (1, 1), (2, 1), (None, None)}
+
+
 def test_keep_best_in_group_policy_and_singletons(spark):
     """The dedup action: chain {1,2,3} keeps the highest score (3);
     pair {10,11} tie on score keeps the lower id (10); singleton 20
