@@ -321,7 +321,11 @@ def connected_components(
     join + aggregate + checkpoint + convergence action). The
     distributed path stays the default and the only path above the
     threshold."""
-    if local_threshold > 0:
+    # Mixed endpoint types (e.g. int id_a vs long id_b) are routed to
+    # the distributed path, whose union coerces to the common wider
+    # type; mirroring Spark's coercion in the local tier is not worth
+    # the divergence risk.
+    if local_threshold > 0 and pairs.schema[a_col].dataType == pairs.schema[b_col].dataType:
         # Persist FIRST: if the probe proves the graph too big, the
         # distributed rounds below reuse the materialization instead of
         # recomputing an expensive upstream pair generator from scratch.
@@ -331,6 +335,10 @@ def connected_components(
         # the graph is too big and routes to the distributed path.
         rows = pairs.select(a_col, b_col).limit(local_threshold + 1).collect()
         if len(rows) <= local_threshold:
+            # The probe fully materialized what we need — release the
+            # cached partitions before returning (a long-lived driver
+            # looping refresh cycles must not accumulate them).
+            pairs.unpersist()
             from pyspark.sql.types import StructField, StructType
 
             parent: dict = {}
@@ -380,8 +388,10 @@ def connected_components(
             return pairs.sparkSession.createDataFrame(out, schema)
     # The symmetric union references `pairs` twice; persist so an
     # expensive upstream pair generator (e.g. a similarity join) runs
-    # once, not per branch.
-    pairs = pairs.persist()
+    # once, not per branch. (Already persisted when the local-tier
+    # probe routed here — don't re-persist.)
+    if not pairs.is_cached:
+        pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -934,8 +944,21 @@ def bloom_build(
     to justify shuffling 100 TB of corpus — a fixed-size bloom of it
     broadcasts to every executor and the corpus is filtered map-side
     with zero shuffle, at a quantified false-positive cost
-    ((1-e^{-kn/m})^k; defaults give <1% at 500k keys)."""
+    ((1-e^{-kn/m})^k; defaults give <1% at 500k keys).
+
+    ``num_bits`` must be a multiple of 64: every probe path
+    (bloom_gram_hits, bloom_filtered_join) re-derives the bit space as
+    len(words)*64, which rounds UP to the word boundary — a
+    non-aligned build would set bits mod num_bits while probes test
+    mod the rounded size, producing FALSE NEGATIVES. Enforced here at
+    the single build point rather than re-checked at every probe."""
     import numpy as np
+
+    if num_bits % 64:
+        raise ValueError(
+            f"bloom_build: num_bits={num_bits} must be a multiple of 64 "
+            "(probe paths derive the bit space as len(words)*64)"
+        )
 
     pos = df.select(F.explode(_bloom_positions(F.col(key_col), num_bits, num_hashes)).alias("p"))
     words = (

@@ -191,11 +191,16 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             read-merge-replace runs under an exclusive flock on a
             sidecar lock file so two concurrent append jobs cannot
             lose each other's files (POSIX local/NFS-with-locking
-            semantics; on a locking-free object store, serialize
-            appends externally)."""
-            import fcntl
+            semantics; where flock is unavailable — Windows, some
+            object stores — the commit proceeds lock-free and
+            concurrent appends must be serialized externally)."""
             import json
             import os
+
+            try:
+                import fcntl
+            except ImportError:  # pragma: no cover - non-POSIX driver
+                fcntl = None
 
             files = [
                 {"name": m.filename, "n_rows": m.n_rows}
@@ -205,7 +210,8 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             mpath = os.path.join(self.path, "_MANIFEST.json")
             lock_path = os.path.join(self.path, "._MANIFEST.lock")
             with open(lock_path, "w") as lock_fh:
-                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+                if fcntl is not None:
+                    fcntl.flock(lock_fh, fcntl.LOCK_EX)
                 if not self.overwrite and os.path.exists(mpath):
                     with open(mpath, encoding="utf-8") as fh:
                         files = json.load(fh)["files"] + files
