@@ -653,7 +653,16 @@ def semantic_dedup_pairs(
     by design (raise n_cells for tighter cells, or overlap via
     multi-probe assignment). Emitted pairs carry the EXACT cosine —
     precision is 1 by construction, the subset invariant the contract
-    oracle pins."""
+    oracle pins.
+
+    Skew hazard: per-cell work is |cell|²/2, so ONE degenerate cell
+    holding a large corpus fraction re-creates the quadratic blowup
+    the clustering exists to avoid. At scale, size n_cells ∝
+    corpus/target_cell (SemDeDup's own regime is ~10k cells for 100M+
+    docs, cells of thousands), and check the assignment with a
+    skew_report-style cell-size profile before the self-join — a
+    max cell share over a few percent means n_cells is too small for
+    the data's cluster structure."""
     assigned, _ = ivf_build(
         emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         seed=seed, max_iter=max_iter,
