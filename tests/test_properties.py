@@ -377,3 +377,36 @@ def test_rrf_fuse_permutation_invariant(spark):
     ]
     again = rrf_fuse(shuffled, "doc_id", top_k=20).collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in again]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    h=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+def test_simhash_combo_tables_never_miss_within_hamming_3(h, flips):
+    """The Manku pigeonhole guarantee as pure math (the Spark parity
+    test covers the plumbing; this covers the block geometry for every
+    hash and flip pattern): any pair within hamming distance 3 must
+    share at least one full 3-block combination, i.e. collide in at
+    least one of the C(6,3) candidate tables that
+    dedup.simhash_candidate_pairs joins on."""
+    import itertools
+
+    from big_data_analysis_spark.operators.dedup import _simhash_block_widths
+
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    widths = _simhash_block_widths(6)
+    offsets = [sum(widths[:i]) for i in range(6)]
+
+    def block(x, i):
+        return (x >> offsets[i]) & ((1 << widths[i]) - 1)
+
+    matching = [i for i in range(6) if block(h, i) == block(h2, i)]
+    collides = any(
+        all(i in matching for i in combo)
+        for combo in itertools.combinations(range(6), 3)
+    )
+    assert collides, (hex(h), sorted(flips), matching)
