@@ -467,6 +467,22 @@ def test_holt_single_shuffle_on_series_key(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_lsh_multiprobe_plans_hash_join(spark, sf_dir):
+    """The multiprobe hamming ball must reach the corpus as an
+    equi-join on the bucket id (BroadcastHashJoin over the exploded
+    probe set) — an array_contains condition would plan
+    BroadcastNestedLoopJoin and defeat bucket partition pruning."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = [float(v) for v in emb.filter("vec_id = 0").head()["embedding"]]
+    df = lsh_bucketed_topk(emb, qvec, k=10, num_planes=6, multiprobe=2)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_keep_best_dedup_no_global_window(spark, sf_dir):
     """The keep-best selection must rank inside component partitions —
     a global (unpartitioned) window would plan Exchange SinglePartition
