@@ -467,6 +467,43 @@ def test_holt_single_shuffle_on_series_key(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_ivfpq_encoded_store_partition_pruning(spark):
+    """SCALE.md's IVF claim made observable: persist the encoded table
+    partitionBy('cell') and a probe filtered to nprobe cells reads ONLY
+    those cells' files (partition pruning at the source listing — the
+    100 TB index never scans unprobed cells)."""
+    import numpy as np
+
+    from big_data_analysis_spark.io import load_tables, write_parquet
+    from big_data_analysis_spark.operators.similarity import ivfpq_build
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    encoded, centroids, books = ivfpq_build(emb, n_cells=4, m=8, k=16, max_iter=5)
+    path = "/root/repo/.scratch/ivfpq-store"
+    write_parquet(encoded, path, partition_by=["cell"])
+
+    stored = spark.read.parquet(path)
+    probe = [int(c) for c in np.argsort(
+        ((np.asarray(centroids) - np.asarray(centroids[0])) ** 2).sum(1)
+    )[:2]]
+    probed = stored.filter(F.col("cell").isin(probe))
+    # inputFiles() reflects the pre-filter file index, so pruning must
+    # be read off the scan node: the cell predicate compiles to a
+    # PartitionFilter (source-listing pruning), NOT a data filter.
+    plan = formatted_plan(probed)
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+    assert "PushedFilters" not in pf.group(1)
+    # the pruned scan really skips the other cells' rows
+    probed_rows = probed.count()
+    all_rows = stored.count()
+    per_cell = {r["cell"]: r["n"] for r in stored.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert probed_rows == sum(per_cell[c] for c in probe)
+    assert probed_rows < all_rows
+
+
 def test_lsh_multiprobe_plans_hash_join(spark, sf_dir):
     """The multiprobe hamming ball must reach the corpus as an
     equi-join on the bucket id (BroadcastHashJoin over the exploded
