@@ -591,7 +591,13 @@ def simhash_candidate_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFram
     """Candidate (id_a, id_b, h_a, h_b) pairs from a (id, simhash)
     relation via the Manku 3-of-n block tables described in
     :func:`simhash_near_pairs`. Exposed separately so the candidate
-    volume (the scale-critical quantity) is directly measurable."""
+    volume (the scale-critical quantity) is directly measurable.
+
+    Precondition: ONE row per id (what :func:`simhash`'s groupBy
+    emits). Exactly-once pair emission relies on it — a duplicated id
+    row would emit its pairs once per duplicate; dropDuplicates("id")
+    first if the input can't guarantee uniqueness (not done here: it
+    would bill every caller a shuffle the normal path never needs)."""
     if max_hamming <= 0:
         a, b = hashed.alias("a"), hashed.alias("b")
         return (

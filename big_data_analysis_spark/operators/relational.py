@@ -1043,6 +1043,13 @@ class JoinBloom(NamedTuple):
     num_hashes: int
 
 
+def _join_key_expr(on: Sequence[str]) -> Column:
+    """THE join-key derivation shared by bloom build and probe — the
+    two sides must stay byte-identical or probes test the wrong bits
+    and silently delete matching rows; keep it in one place."""
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+
+
 def build_join_bloom(
     small: DataFrame,
     on: Sequence[str],
@@ -1055,7 +1062,7 @@ def build_join_bloom(
     across refresh cycles without accumulating broadcasts."""
     from big_data_analysis_spark.operators.dedup import bloom_build
 
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    key = _join_key_expr(on)
     words = bloom_build(small.select(key.alias("__k")), "__k", num_bits, num_hashes)
     return JoinBloom(words, num_bits, num_hashes)
 
@@ -1110,7 +1117,7 @@ def bloom_filtered_join(
     )
 
     def key_expr() -> Column:
-        return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+        return _join_key_expr(on)
 
     if prebuilt is None:
         words = bloom_build(

@@ -603,6 +603,8 @@ def ivfpq_topk(
     def adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(cells) == 0:  # np.stack rejects an empty batch
+            return pd.Series([], dtype=float)
         tabs = bc.value
         cell_arr = cells.to_numpy()
         code_arr = np.stack(codes.to_numpy()).astype(np.int64)

@@ -1342,10 +1342,14 @@ def q_semantic_dedup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = sim.semantic_dedup_pairs(sub, threshold=0.2, n_cells=4, max_iter=8)
     a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # persist: the O(n^2) exact join (the contract's dominant stage)
+    # feeds BOTH the subset-check join and the final count — without it
+    # Spark re-executes the whole self-join for each reference.
     exact = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(sim.cosine(F.col("va"), F.col("vb")) >= 0.2)
         .select("id_a", "id_b")
+        .persist()
     )
     stats = found.select("id_a", "id_b").join(
         exact.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"

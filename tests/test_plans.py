@@ -495,7 +495,10 @@ def test_ivfpq_encoded_store_partition_pruning(spark):
 
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cell" in pf.group(1), plan
-    assert "PushedFilters" not in pf.group(1)
+    # ...and the cell predicate must NOT fall back to a post-scan data
+    # filter (which would read every cell's files)
+    pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "cell" not in pushed.group(1), plan
     # the pruned scan really skips the other cells' rows
     probed_rows = probed.count()
     all_rows = stored.count()
