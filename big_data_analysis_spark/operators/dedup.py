@@ -325,11 +325,13 @@ def connected_components(
     # the distributed path, whose union coerces to the common wider
     # type; mirroring Spark's coercion in the local tier is not worth
     # the divergence risk.
+    we_persisted = False
     if local_threshold > 0 and pairs.schema[a_col].dataType == pairs.schema[b_col].dataType:
         # Persist FIRST: if the probe proves the graph too big, the
         # distributed rounds below reuse the materialization instead of
         # recomputing an expensive upstream pair generator from scratch.
         pairs = pairs.persist()
+        we_persisted = True
         # One bounded evaluation doubles as probe AND data fetch: pull
         # at most threshold+1 edges; the extra row (if present) proves
         # the graph is too big and routes to the distributed path.
@@ -392,6 +394,7 @@ def connected_components(
     # probe routed here — don't re-persist.)
     if not pairs.is_cached:
         pairs = pairs.persist()
+        we_persisted = True
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -437,6 +440,13 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    # Release OUR persist of pairs (ADVICE r5: the local-tier probe
+    # persisted it even when routing here, and a long-lived driver
+    # looping refresh cycles must not accumulate cached partitions).
+    # Safe: labels is localCheckpoint'd, so its lineage no longer
+    # reaches pairs. A caller-cached input is left alone.
+    if we_persisted:
+        pairs.unpersist()
     return labels
 
 
@@ -462,11 +472,16 @@ def keep_best_in_group(
     near-dup clusters); the representative selection is one ranking
     window partitioned by component — hash-partitioned on the group
     key, never global."""
-    collisions = [c for c in ("component", "group_size") if c in df.columns]
+    # Guard the internal temp names too (ADVICE r5): an input column
+    # named __rn or __cc_id would be silently overwritten and dropped
+    # from the output — fail loudly like the output names do.
+    collisions = [
+        c for c in ("component", "group_size", "__rn", "__cc_id") if c in df.columns
+    ]
     if collisions:
         raise ValueError(
-            f"keep_best_in_group output column(s) {collisions} already "
-            "exist in the input; rename them first"
+            f"keep_best_in_group output/internal column(s) {collisions} "
+            "already exist in the input; rename them first"
         )
     comps = connected_components(
         pairs, a_col=a_col, b_col=b_col, local_threshold=local_threshold

@@ -1036,11 +1036,19 @@ class JoinBloom(NamedTuple):
     tests the wrong bits and silently DELETES matching rows. num_bits
     is stored explicitly because len(words)*64 rounds UP to the word
     boundary and would disagree with a build whose num_bits was not a
-    multiple of 64 (positions are taken mod num_bits)."""
+    multiple of 64 (positions are taken mod num_bits).
+
+    ``bc`` is the Broadcast handle of ``words``, created ONCE by
+    build_join_bloom and reused by every bloom_filtered_join call that
+    receives this object — prebuilt reuse saves both the build job AND
+    broadcast accumulation on a long-lived driver. None only for a
+    hand-constructed JoinBloom, in which case each join call broadcasts
+    its own copy."""
 
     words: "object"
     num_bits: int
     num_hashes: int
+    bc: "object" = None
 
 
 def _join_key_expr(on: Sequence[str]) -> Column:
@@ -1064,7 +1072,8 @@ def build_join_bloom(
 
     key = _join_key_expr(on)
     words = bloom_build(small.select(key.alias("__k")), "__k", num_bits, num_hashes)
-    return JoinBloom(words, num_bits, num_hashes)
+    bc = small.sparkSession.sparkContext.broadcast(words)
+    return JoinBloom(words, num_bits, num_hashes, bc)
 
 
 def bloom_filtered_join(
@@ -1123,6 +1132,7 @@ def bloom_filtered_join(
         words = bloom_build(
             small.select(key_expr().alias("__k")), "__k", num_bits, num_hashes
         )
+        bc = big.sparkSession.sparkContext.broadcast(words)
     else:
         if not isinstance(prebuilt, JoinBloom):
             raise TypeError(
@@ -1131,10 +1141,17 @@ def bloom_filtered_join(
                 "num_hashes it was built with, and a probe/build mismatch "
                 "silently deletes matching rows"
             )
-        words = prebuilt.words
         num_hashes = prebuilt.num_hashes
         num_bits = prebuilt.num_bits
-    bc = big.sparkSession.sparkContext.broadcast(words)
+        # Reuse the JoinBloom's own Broadcast (created once at build):
+        # repeated joins against the same prebuilt filter accumulate
+        # ZERO new broadcast state (ADVICE r5). A hand-constructed
+        # JoinBloom without a handle falls back to broadcasting here.
+        bc = (
+            prebuilt.bc
+            if prebuilt.bc is not None
+            else big.sparkSession.sparkContext.broadcast(prebuilt.words)
+        )
 
     @F.pandas_udf("boolean")
     def might_contain(pos_lists: pd.Series) -> pd.Series:

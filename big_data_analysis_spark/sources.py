@@ -202,6 +202,12 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             except ImportError:  # pragma: no cover - non-POSIX driver
                 fcntl = None
 
+            # The directory is normally created executor-side in write(),
+            # but a job that schedules ZERO write tasks (empty
+            # 0-partition input) reaches commit() with no directory —
+            # it must still publish an (empty) manifest, not crash
+            # opening the lock file (ADVICE r5).
+            os.makedirs(self.path, exist_ok=True)
             files = [
                 {"name": m.filename, "n_rows": m.n_rows}
                 for m in messages

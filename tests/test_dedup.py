@@ -551,3 +551,40 @@ def test_pagerank_partial_indegree_join_path(spark):
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
     assert abs(got[3] - (1 - d) / n) < 1e-12  # pure base rank
+
+
+def test_connected_components_releases_its_own_persist(spark):
+    """ADVICE r5: when the local-tier probe routes to the distributed
+    path, the pairs persist the probe created is released before
+    return; a caller-cached input is left alone."""
+    from big_data_analysis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a int, id_b int"
+    )
+    out = connected_components(pairs, local_threshold=2)  # probe: 3 > 2
+    assert out.count() == 7
+    assert not pairs.is_cached, "distributed route leaked the probe's persist"
+
+    caller_cached = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int").persist()
+    caller_cached.count()
+    try:
+        connected_components(caller_cached, local_threshold=0).count()
+        assert caller_cached.is_cached, "caller-owned cache was unpersisted"
+    finally:
+        caller_cached.unpersist()
+
+
+def test_keep_best_guards_internal_temp_columns(spark):
+    """ADVICE r5: input columns named __rn / __cc_id would be silently
+    clobbered by the ranking internals — they must fail loudly exactly
+    like the output names component/group_size do."""
+    import pytest
+
+    from big_data_analysis_spark.operators.dedup import keep_best_in_group
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    for bad in ("__rn", "__cc_id", "component", "group_size"):
+        df = spark.createDataFrame([(1, 5.0, 0.0)], f"doc_id int, score double, {bad} double")
+        with pytest.raises(ValueError, match=bad):
+            keep_best_in_group(df, pairs, "doc_id", "score")

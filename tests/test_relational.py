@@ -788,3 +788,40 @@ def test_with_provenance_names_source_file_and_rows(spark, sf_dir):
     assert all(r["_src_file"].endswith("nation.parquet") for r in rows)
     assert all(r["_src_file_size"] > 0 for r in rows)
     assert sorted(r["_src_row_index"] for r in rows) == list(range(len(rows)))
+
+
+def test_bloom_prebuilt_reuses_single_broadcast(spark, sf_dir):
+    """ADVICE r5: build_join_bloom broadcasts the word array ONCE and
+    stores the handle in the JoinBloom; every bloom_filtered_join call
+    that receives the prebuilt filter creates ZERO new broadcasts — a
+    long-lived driver looping refresh cycles accumulates no broadcast
+    state beyond the one the build created."""
+    from pyspark import SparkContext
+
+    from big_data_analysis_spark.operators import relational as rel
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    small = t["customer"].filter(F.col("c_custkey") % 25 == 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    bloom = rel.build_join_bloom(small, ["o_custkey"])
+    assert bloom.bc is not None
+    assert (bloom.bc.value == bloom.words).all()  # .value deserializes a copy
+
+    created = []
+    orig = SparkContext.broadcast
+
+    def spy(self, value):
+        created.append(value)
+        return orig(self, value)
+
+    SparkContext.broadcast = spy
+    try:
+        for _ in range(3):
+            n = rel.bloom_filtered_join(
+                t["orders"], small, ["o_custkey"], how="left_semi", prebuilt=bloom
+            ).count()
+            assert n > 0
+    finally:
+        SparkContext.broadcast = orig
+    assert created == [], f"prebuilt join still broadcast {len(created)} object(s)"

@@ -137,3 +137,33 @@ def test_manifest_jsonl_sink_atomic_visibility(spark):
         spark, path, "id long, name string, score double"
     )
     assert replaced.count() == 50
+
+
+def test_manifest_sink_zero_task_job_publishes_empty_manifest(spark):
+    """ADVICE r5: a job that schedules ZERO write tasks reaches commit()
+    with no output directory (the directory is normally created
+    executor-side in write()) — commit must still publish an (empty)
+    manifest instead of crashing on the missing lock file. Spark's
+    scheduler happens to coalesce even a 0-partition plan to one write
+    task today, so the zero-task contract is pinned at the writer
+    level: commit() with no prior write() call and no directory."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from big_data_analysis_spark.sources import (
+        ManifestJsonlWriter,
+        read_manifest_jsonl,
+    )
+
+    path = "/root/repo/.scratch/manifest-empty"
+    shutil.rmtree(path, ignore_errors=True)
+    schema = StructType([StructField("v", StringType())])
+    writer = ManifestJsonlWriter({"path": path}, schema, overwrite=True)
+    writer.commit([])  # no write task ever ran; directory doesn't exist
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert manifest == {"files": [], "total_rows": 0}
+    assert read_manifest_jsonl(spark, path, "v string").count() == 0
