@@ -1936,17 +1936,170 @@ def q_ols_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+_MINHASH_CONTRACT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE doc_id < 500
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                         i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM toks
+), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+           count(*) AS c
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       true AS precision_floor_half,
+       true AS recall_floor_half
+FROM common WHERE c * 1.0 / (sa + sb - c) >= 0.7
+"""
+
+
+@query("minhash_pairs", _MINHASH_CONTRACT_ORACLE)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (approximate — not SQL-oracle-able;
-    recall vs exact Jaccard asserted in tests/test_dedup.py)."""
+    """MinHash LSH near-dup tier, GRADUATED to a contract oracle
+    (VERDICT r5 #2, the semantic_dedup_pairs_docs template): the
+    operator runs on the FULL corpus (signatures -> banded LSH
+    candidates -> signature-agreement verify at est_jaccard >= 0.7),
+    then the certificate pins it against SQL-exact ground truth on the
+    bounded doc_id < 500 slice (the whole table at the oracle's sf).
+    Restriction is sound because pair emission depends only on the two
+    documents' own signatures — a pair found in the full run is found
+    in the slice run and vice versa. Certificate: the exact 3-token-
+    shingle Jaccard >= 0.7 pair count (hash-compared vs DuckDB's
+    identical shingle construction), a precision floor (every emitted
+    slice pair has EXACT Jaccard >= 0.5 — est >= 0.7 at 64 hashes is
+    ~3 sigma above 0.5), and a recall floor (the found true pairs
+    cover >= half the exact >= 0.7 set; measured 1.0 — banding with 16
+    bands of 4 rows catches a J=0.7 pair with p ~ 0.99)."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    return dd.minhash_dedup_pairs(d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7)
+    found = dd.minhash_dedup_pairs(
+        d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7
+    )
+    slice_ = d.filter(F.col("doc_id") < 500)
+    # exact >= 0.5 pairs: feeds BOTH the precision check (found pairs
+    # must appear here) and, refiltered at 0.7, the ground-truth count
+    exact05 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=3, threshold=0.5
+    ).persist()
+    f = found.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
+        "id_a", "id_b"
+    )
+    true07 = exact05.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    prec = f.join(
+        exact05.select("id_a", "id_b", F.lit(1).alias("__ge_half")),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.coalesce(F.sum("__ge_half"), F.lit(0)).alias("n_found_ge_half"),
+    )
+    rec = f.join(
+        true07.withColumn("__true", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(F.coalesce(F.sum("__true"), F.lit(0)).alias("n_found_true"))
+    return (
+        true07.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(F.broadcast(prec))
+        .crossJoin(F.broadcast(rec))
+        .select(
+            "n_exact_pairs",
+            (F.col("n_found") == F.col("n_found_ge_half")).alias(
+                "precision_floor_half"
+            ),
+            (F.col("n_found_true") * 2 >= F.col("n_exact_pairs")).alias(
+                "recall_floor_half"
+            ),
+        )
+    )
 
 
+_SIMHASH_CONTRACT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+    FROM documents WHERE doc_id < 500
+), ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM toks),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+           count(*) AS c
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_j95_pairs,
+       true AS found_subset_j50,
+       true AS blocking_complete
+FROM common WHERE c * 1.0 / (sa + sb - c) >= 0.95
+"""
+
+
+@query("simhash_pairs", _SIMHASH_CONTRACT_ORACLE)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 on 64-bit fingerprints)."""
+    """SimHash near-dup tier (hamming <= 3 via Manku 3-of-n block
+    tables), GRADUATED to a contract oracle (VERDICT r5 #2): the
+    operator runs on the FULL corpus; the certificate pins it on the
+    bounded doc_id < 500 slice (whole table at the oracle's sf).
+    Certificate: (a) an SQL-exact anchor — the token-Jaccard >= 0.95
+    pair count, hash-compared against DuckDB's identical tokenization;
+    (b) found_subset_j50 — every emitted slice pair has EXACT
+    token-Jaccard >= 0.5 (hamming <= 3 of 64 ~ cosine 0.99+, far
+    inside J=0.5; a fingerprint-collision false positive would break
+    it); (c) blocking_complete — the Manku block-combination candidate
+    generator finds EXACTLY the pairs a brute-force all-pairs hamming
+    join finds (the pigeonhole completeness guarantee, checked by
+    count equality + subset on the slice). Fingerprints are
+    xxhash64-internal, so hamming itself is certified by (c), not
+    SQL."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    return dd.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+    found = dd.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+    slice_ = d.filter(F.col("doc_id") < 500)
+    f = found.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
+        "id_a", "id_b"
+    )
+    # exact token-Jaccard over the slice: >= 0.5 for the subset check,
+    # refiltered at 0.95 for the SQL-anchored count
+    exact05 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=1, threshold=0.5
+    ).persist()
+    # brute-force hamming ground truth on the slice (125k pair
+    # comparisons of two longs — trivial; the operator under test used
+    # the block tables, THIS path is the independent all-pairs check)
+    hashed = dd.simhash(slice_, "text", "doc_id")
+    ha = hashed.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    hb = hashed.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = (
+        ha.join(hb, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    subset = f.join(
+        exact05.select("id_a", "id_b", F.lit(1).alias("__j50")),
+        ["id_a", "id_b"],
+        "left",
+    ).join(
+        brute.withColumn("__brute", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.coalesce(F.sum("__j50"), F.lit(0)).alias("n_found_j50"),
+        F.coalesce(F.sum("__brute"), F.lit(0)).alias("n_found_in_brute"),
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    return (
+        exact05.filter(F.col("jaccard") >= 0.95)
+        .agg(F.count(F.lit(1)).alias("n_true_j95_pairs"))
+        .crossJoin(F.broadcast(subset))
+        .crossJoin(F.broadcast(n_brute))
+        .select(
+            "n_true_j95_pairs",
+            (F.col("n_found") == F.col("n_found_j50")).alias("found_subset_j50"),
+            (
+                (F.col("n_found") == F.col("n_found_in_brute"))
+                & (F.col("n_found") == F.col("n_brute"))
+            ).alias("blocking_complete"),
+        )
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2141,8 +2294,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["minhash_pairs"] = q_minhash_pairs
-QUERIES["simhash_pairs"] = q_simhash_pairs
+# (minhash_pairs / simhash_pairs graduated to contract oracles in r6 —
+# registered via @query above.)
 
 
 def _ann_cosine_contract(top: DataFrame) -> DataFrame:
@@ -4040,6 +4193,117 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(top)
 
 
+@query("ivfpq_persisted_ann_topk", _ANN_CONTRACT_ORACLE)
+def q_ivfpq_persisted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFPQ index LIFECYCLE (VERDICT r5 "What's missing" #2):
+    build -> ivfpq_save (encoded table partitionBy('cell') + npz
+    centroids/codebooks + atomically-renamed _INDEX.json commit
+    manifest) -> ivfpq_load from disk -> probe the LOADED index. The
+    probe touches no in-memory build artifact — a fresh session serving
+    queries needs only the path. Same 1-row ANN shape certificate as
+    ivfpq_ann_topk; loaded-equals-in-memory top-k parity is pinned in
+    tests/test_similarity.py::test_ivfpq_save_load_probe_matches_in_memory,
+    and the store's cell-level partition pruning in tests/test_plans.py."""
+    import os
+
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    encoded, centroids, books = sim.ivfpq_build(
+        emb, n_cells=8, m=8, k=32, max_iter=8
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/ivfpq-index-{sf_tag}"
+    sim.ivfpq_save(encoded, centroids, books, path)
+    del encoded, centroids, books  # the probe below must come off disk
+    enc2, cents2, books2 = sim.ivfpq_load(spark, path)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = sim.ivfpq_topk(
+        enc2, cents2, books2, qvec, rerank_with=emb, k=10, nprobe=4
+    )
+    return _ann_contract(top)
+
+
+_FILTERED_ANN_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+f AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 1
+)
+SELECT CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_ids,
+       true AS all_match_predicate,
+       round(min(sqrt(list_dot_product(v, v) - 2 * list_dot_product(v, qv)
+                      + list_dot_product(qv, qv))), 6) AS exact_min_l2,
+       true AS top1_hits_exact_min
+FROM f, q
+"""
+
+
+@query("filtered_ann_topk", _FILTERED_ANN_ORACLE)
+def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (VERDICT r5 #8) — the RAG serving shape: top-10
+    nearest AMONG rows matching a metadata predicate (lang = 'de',
+    derived deterministically from vec_id so DuckDB reproduces the
+    population; the query vector's own row is 'en', i.e. excluded).
+    The predicate is carried INTO the encoded store via keep_cols and
+    applied before ADC scoring (ivfpq_topk_filtered), with shortlist
+    refill across further cells when probed cells are mostly filtered.
+    Certificate: exactly k distinct rows, every result in the
+    predicate population, the EXACT min L2 over the filtered slice as
+    an SQL-anchored value (brute-force computed on both engines with
+    the same dot-product algebra), and the ANN top-1 hitting that
+    exact minimum (nprobe=6 of 8 + exact rerank)."""
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    langs = ["en", "de", "fr", "es", "ja"]
+    with_lang = emb.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(v) for v in langs]), (F.col("vec_id") % 5 + 1).cast("int")
+        ),
+    )
+    encoded, centroids, books = sim.ivfpq_build(
+        with_lang, n_cells=8, m=8, k=32, max_iter=8, keep_cols=["lang"]
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = sim.ivfpq_topk_filtered(
+        encoded, centroids, books, qvec, rerank_with=with_lang,
+        predicate=F.col("lang") == "de", k=10, nprobe=6,
+    )
+    # exact brute-force min L2 on the filtered slice, SAME algebra as
+    # the oracle: dot(v,v) - 2*dot(v,q) + dot(q,q), summed in the same
+    # sequential dimension order
+    q_lit = F.array(*[F.lit(float(v)) for v in qvec])
+    v = F.col("embedding").cast("array<double>")
+    exact_min = (
+        emb.filter(F.col("vec_id") % 5 == 1)
+        .select(
+            F.sqrt(
+                similarity.dot(v, v) - 2 * similarity.dot(v, q_lit)
+                + similarity.dot(q_lit, q_lit)
+            ).alias("__l2")
+        )
+        .agg(F.round(F.min("__l2"), 6).alias("exact_min_l2"))
+    )
+    stats = top.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.min((F.col("vec_id") % 5 == 1).cast("int")).cast("boolean").alias(
+            "all_match_predicate"
+        ),
+        F.min("l2").alias("__ann_min"),
+    )
+    return stats.crossJoin(F.broadcast(exact_min)).select(
+        "n_rows",
+        "n_ids",
+        "all_match_predicate",
+        "exact_min_l2",
+        (F.abs(F.col("__ann_min") - F.col("exact_min_l2")) < 2e-6).alias(
+            "top1_hits_exact_min"
+        ),
+    )
+
+
 _REAL_BPE_ORACLE = """
 WITH pre AS (
     SELECT doc_id,
@@ -5817,16 +6081,39 @@ def q_bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("als_recommend_brands")
+_ALS_CONTRACT_ORACLE = """
+WITH u AS (
+    SELECT DISTINCT o_custkey FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) * 3 AS BIGINT) AS n_rows,
+       true AS ranks_complete,
+       true AS scores_ranked,
+       true AS items_in_catalog
+FROM u
+"""
+
+
+@query("als_recommend_brands", _ALS_CONTRACT_ORACLE)
 def q_als_recommend_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Implicit-feedback ALS recommendations over the star schema
-    (rows-only: factorization values are solver/partitioning-dependent
-    — SURVEY §5's model-output carve-out; block-structure
-    generalization is pinned in tests/test_ml.py). Customer x brand
-    purchase counts -> block-partitioned ALS -> top-3 brands per
-    customer in relational long form. Each ALS iteration is two keyed
-    shuffles (users, then items) — the distributed factorization
-    shape."""
+    """Implicit-feedback ALS recommendations over the star schema,
+    GRADUATED to a shape-contract oracle (VERDICT r5 #3): the factor
+    values are solver/partitioning-dependent (SURVEY §5's model-output
+    carve-out), but the recommendation RELATION's shape is fully
+    SQL-checkable. Customer x brand purchase counts ->
+    block-partitioned ALS -> top-3 brands per customer, reduced to a
+    1-row certificate: the user count and row count are data-derived
+    exactly (every customer with >= 1 branded order line gets
+    recommendations — hash-compared vs the DuckDB distinct count);
+    per-user ranks are exactly {1,2,3} (ranks_complete); scores are
+    non-increasing in rank within every user (scores_ranked); every
+    recommended item id maps into the brand catalog built from
+    part.p_brand (items_in_catalog). Block-structure generalization
+    and per-row output stay pinned in tests/test_ml.py. Each ALS
+    iteration is two keyed shuffles (users, then items) — the
+    distributed factorization shape."""
     from big_data_analysis_spark.ml.recommend import (
         implicit_purchase_matrix,
         recommend_top_k,
@@ -5836,7 +6123,44 @@ def q_als_recommend_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "lineitem", "part"])
     ratings = implicit_purchase_matrix(t["orders"], t["lineitem"], t["part"])
     model = train_als(ratings, rank=8, max_iter=5)
-    return recommend_top_k(model, k=3)
+    recs = recommend_top_k(model, k=3)
+    n_brands = t["part"].select(F.count_distinct("p_brand")).head()[0]
+    w = Window.partitionBy("user").orderBy("rank")
+    per_user = (
+        recs.withColumn("__prev_score", F.lag("score").over(w))
+        .groupBy("user")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("rank").alias("__rmin"),
+            F.max("rank").alias("__rmax"),
+            F.count_distinct("rank").alias("__rdist"),
+            F.min(
+                (
+                    F.col("__prev_score").isNull()
+                    | (F.col("__prev_score") >= F.col("score") - F.lit(1e-6))
+                ).cast("int")
+            ).alias("__ordered"),
+            F.min(
+                ((F.col("item") >= 0) & (F.col("item") < F.lit(n_brands))).cast(
+                    "int"
+                )
+            ).alias("__in_cat"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.min(
+            (
+                (F.col("__n") == 3)
+                & (F.col("__rmin") == 1)
+                & (F.col("__rmax") == 3)
+                & (F.col("__rdist") == 3)
+            ).cast("int")
+        ).cast("boolean").alias("ranks_complete"),
+        F.min("__ordered").cast("boolean").alias("scores_ranked"),
+        F.min("__in_cat").cast("boolean").alias("items_in_catalog"),
+    )
 
 
 _SKEW_SALTED_ORACLE = """
@@ -5985,74 +6309,77 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-5 window ---
-    # (a) the ONE registry query without a driver row in any round
-    # (VERDICT r4 "Next round" #1): added post-freeze in r4.
-    "als_recommend_brands",
-    # (b) round-5 additions: the combined IVFADC ANN pipeline, the
-    # skewed-key salted-join stress, and the keep-best dedup action
-    # (all oracle-backed).
-    "ivfpq_ann_topk",
-    "skew_salted_revenue",
-    "dedup_keep_best_docs",
-    "semantic_dedup_pairs_docs",
-    # (c) queries whose code or oracle changed this round — re-verify
-    # externally even though past rounds ran them: three rows-only
-    # queries graduated to contract oracles (VERDICT r4 #4), SimHash
-    # candidate blocking was rewritten (Manku 3-of-n tables),
-    # bloom_filtered_join gained the prebuilt-filter API,
-    # bin_by_edges now propagates NULL (PSI paths), holt_linear
-    # gained the collision guard.
-    "pq_ann_topk",
-    "bloom_decontaminate_docs",
-    "sketch_profile_events",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "kmeans_embeddings",
-    "real_bpe_token_counts",
+    # --- round-6 window ---
+    # (a) round-6 additions and graduations — checked the round they
+    # land: the persisted-index lifecycle probe and the filtered ANN
+    # query are NEW; minhash_pairs / simhash_pairs / als_recommend_
+    # brands graduated from rows-only to contract oracles (VERDICT r5
+    # #2/#3) and must earn their first oracle-backed row.
+    "ivfpq_persisted_ann_topk",
+    "filtered_ann_topk",
+    "minhash_pairs",
     "simhash_pairs",
+    "als_recommend_brands",
+    # (b) queries whose code changed this round — re-verify externally:
+    # pq/ivfpq probes now eagerly materialize the shortlist and destroy
+    # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
+    # semantic_dedup_pairs gained the enforced cell-size cap;
+    # bloom_filtered_join reuses the JoinBloom's broadcast;
+    # connected_components releases its probe's persist (feeds
+    # dedup_groups_docs / embedding_dedup_groups / dedup_keep_best_docs);
+    # keep_best_in_group gained the temp-name collision guard.
+    "ivfpq_ann_topk",
+    "pq_ann_topk",
+    "ivf_ann_topk",
+    "semantic_dedup_pairs_docs",
     "bloom_join_orders",
-    "psi_drift_events",
-    "streaming_psi_daily",
-    "holt_forecast_monthly_orders",
-    # (d) rotating re-verification sample (ADVICE r3 standing policy:
-    # the external gate keeps re-checking past greens, not one-time
-    # passes) — 33 slots, disjoint from r4's sample, spanning every
-    # module family: joins/CDC, windows, sampling, outliers, eval
-    # metrics, text quality, streaming, the custom DataSource.
-    "asof_purchase_view",
-    "click_attribution_window",
-    "fuzzy_name_pairs",
-    "pack_sequences_docs",
-    "ewma_daily_orders",
-    "scd2_user_event_history",
-    "snapshot_diff_orders",
-    "synthdocs_scan",
-    "variant_props_stats",
-    "dq_audit",
-    "shipping_priority",
-    "local_supplier_volume",
-    "returned_items",
-    "promo_revenue_monthly",
-    "small_qty_order_revenue",
-    "volume_customers",
-    "rank_orders_by_nation",
-    "distribution_ranks_orders",
-    "rolling_median_revenue",
-    "gap_fill_daily_revenue",
-    "funnel_events",
-    "markov_event_transitions",
-    "cohort_retention_orders",
-    "zscore_outlier_events",
-    "mad_outlier_events",
-    "winsorize_prices",
-    "histogram_retailprice",
-    "iqr_filter_price",
-    "corr_matrix_lineitem",
-    "melt_part_metrics",
-    "calibration_orders",
-    "gains_orders",
-    "pii_redaction_docs",
+    "dedup_groups_docs",
+    "embedding_dedup_groups",
+    "dedup_keep_best_docs",
+    # (c) rotating re-verification sample (ADVICE r3 standing policy) —
+    # 37 slots, provably disjoint from BOTH the r4 and r5 windows
+    # (checked against CORRECTNESS_r04/r05.json key sets), spanning
+    # every module family: nulls/pivot/rollup/describe, date+JSON
+    # functions, set ops, windows, streaming (3 shapes), text quality
+    # and LLM-pipeline ops, dedup/decontamination, ANN/centroids,
+    # mining, eval metrics.
+    "null_handling",
+    "pivot_returnflag",
+    "rollup_qty",
+    "describe_lineitem",
+    "value_counts_events",
+    "json_extract_agg",
+    "string_funcs_part",
+    "set_ops_customers",
+    "window_lag_features",
+    "tumbling_daily_events",
+    "word_freq_docs",
+    "token_stats_docs",
+    "dedup_exact_docs",
+    "jaccard_pairs_docs",
+    "cosine_topk",
+    "frequent_items_trend",
+    "fpgrowth_rules_pairs",
+    "suppliers_with_shipments",
+    "cube_orders",
+    "order_date_arithmetic",
+    "corr_lineitem",
+    "lang_id_docs",
+    "quality_docs",
+    "contamination_pairs_docs",
+    "bpe_token_counts",
+    "embedding_near_dup_pairs",
+    "sliding_window_events",
+    "session_window_events",
+    "tfidf_top_terms_docs",
+    "lm_perplexity_docs",
+    "chi2_orders",
+    "entropy_gain_events",
+    "centroid_assignment_embeddings",
+    "span_dedup_docs",
+    "hash_sample_docs",
+    "streaming_attribution_join",
+    "stateful_running_totals",
 ]
 
 

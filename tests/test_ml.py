@@ -492,12 +492,28 @@ def test_implicit_purchase_matrix_shape(spark, sf_dir):
 
 
 def test_als_query_end_to_end(spark):
-    """The registered als_recommend_brands query runs end-to-end at the
-    smallest SF (it sits outside the round-4 driver window, so this is
-    its wiring check): 3 recs per customer, items in brand-id range."""
+    """als_recommend_brands is a 1-row shape-contract certificate since
+    its r6 graduation (VERDICT r5 #3). This test pins BOTH layers: the
+    underlying recommendation relation (3 recs per customer, items in
+    brand-id range) and the certificate's own booleans, so a
+    certificate regression can't hide an operator regression or vice
+    versa."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.ml.recommend import (
+        implicit_purchase_matrix,
+        recommend_top_k,
+        train_als,
+    )
     from big_data_analysis_spark.queries import QUERIES
 
-    out = QUERIES["als_recommend_brands"](spark, "/root/testdata/sf0.001")
-    rows = out.collect()
-    assert len(rows) > 0 and len(rows) % 3 == 0
-    assert all(1 <= r["rank"] <= 3 and 0 <= r["item"] <= 24 for r in rows)
+    t = load_tables(spark, "/root/testdata/sf0.001", ["orders", "lineitem", "part"])
+    ratings = implicit_purchase_matrix(t["orders"], t["lineitem"], t["part"])
+    recs = recommend_top_k(train_als(ratings, rank=8, max_iter=5), k=3).collect()
+    assert len(recs) > 0 and len(recs) % 3 == 0
+    assert all(1 <= r["rank"] <= 3 and 0 <= r["item"] <= 24 for r in recs)
+
+    cert = QUERIES["als_recommend_brands"](spark, "/root/testdata/sf0.001").collect()
+    assert len(cert) == 1
+    row = cert[0]
+    assert row["n_rows"] == row["n_users"] * 3 == len(recs)
+    assert row["ranks_complete"] and row["scores_ranked"] and row["items_in_catalog"]

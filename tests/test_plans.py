@@ -551,3 +551,38 @@ def test_min_cost_supplier_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert broadcast_join_count(df) >= 2, plan
     assert "Window" not in plan, plan
+
+
+def test_filtered_ann_predicate_pushes_into_probed_cell_scan(spark):
+    """VERDICT r5 #8's plan contract: on a partitionBy('cell') encoded
+    store carrying metadata (keep_cols), a filtered probe's cell set
+    prunes at the source listing (PartitionFilters) AND the metadata
+    predicate reaches the parquet reader (PushedFilters) — the rows of
+    unprobed cells are never listed, and non-matching rows of probed
+    cells die in the scan, all BEFORE ADC scoring."""
+    import re as _re
+
+    from big_data_analysis_spark.io import write_parquet
+    from big_data_analysis_spark.operators.similarity import ivfpq_build
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 7), float(i % 5), 1.0, 0.0], "en" if i % 3 == 0 else "de")
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>, lang string",
+    )
+    encoded, centroids, books = ivfpq_build(
+        emb, n_cells=4, m=2, k=8, max_iter=4, keep_cols=["lang"]
+    )
+    path = "/root/repo/.scratch/ivfpq-filtered-store"
+    write_parquet(encoded, path, partition_by=["cell"])
+
+    stored = spark.read.parquet(path)
+    probed = stored.filter(F.col("cell").isin([0, 1])).filter(F.col("lang") == "en")
+    plan = formatted_plan(probed)
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+    pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "lang" in pushed.group(1), plan
+    assert "cell" not in (pushed.group(1) if pushed else ""), plan

@@ -478,20 +478,20 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # VERDICT r4 #1: the one query with no driver row in any round
-        "als_recommend_brands",
-        # round-5 additions must be checked the round they land
-        "ivfpq_ann_topk", "skew_salted_revenue", "dedup_keep_best_docs",
-        "semantic_dedup_pairs_docs",
-        # code or oracle changed this round -> external re-verification:
-        # contract-oracle graduations, SimHash blocking rewrite,
-        # bloom prebuilt-filter API, bin_by_edges NULL propagation,
-        # holt_linear collision guard
-        "pq_ann_topk", "bloom_decontaminate_docs", "sketch_profile_events",
-        "lsh_ann_topk", "ivf_ann_topk", "kmeans_embeddings",
-        "real_bpe_token_counts",
-        "simhash_pairs", "bloom_join_orders", "psi_drift_events",
-        "streaming_psi_daily", "holt_forecast_monthly_orders",
+        # round-6 additions and rows-only -> contract-oracle
+        # graduations (VERDICT r5 #2/#3/#5/#8) must be checked the
+        # round they land
+        "ivfpq_persisted_ann_topk", "filtered_ann_topk",
+        "minhash_pairs", "simhash_pairs", "als_recommend_brands",
+        # code changed this round -> external re-verification: eager
+        # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
+        # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
+        # broadcast reuse, connected_components persist release,
+        # keep_best temp-name guard
+        "ivfpq_ann_topk", "pq_ann_topk", "ivf_ann_topk",
+        "semantic_dedup_pairs_docs", "bloom_join_orders",
+        "dedup_groups_docs", "embedding_dedup_groups",
+        "dedup_keep_best_docs",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -563,6 +563,11 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "audio_spectral_peak_bands", "bloom_join_orders", "min_cost_supplier",
     "important_part_value", "supplier_count_by_part_attrs",
     "heavy_small_part_shippers", "video_frame_sample",
+    # round-5 window (CORRECTNESS_r05.json: 48/48 full hash-match)
+    "ivfpq_ann_topk", "skew_salted_revenue", "dedup_keep_best_docs",
+    "semantic_dedup_pairs_docs", "pq_ann_topk", "bloom_decontaminate_docs",
+    "sketch_profile_events", "lsh_ann_topk", "ivf_ann_topk",
+    "kmeans_embeddings", "real_bpe_token_counts",
 }
 
 
