@@ -330,8 +330,11 @@ def connected_components(
         # Persist FIRST: if the probe proves the graph too big, the
         # distributed rounds below reuse the materialization instead of
         # recomputing an expensive upstream pair generator from scratch.
-        pairs = pairs.persist()
-        we_persisted = True
+        # (Unless the CALLER already cached it — then both the cache
+        # entry and the unpersist responsibility stay theirs.)
+        if not pairs.is_cached:
+            pairs = pairs.persist()
+            we_persisted = True
         # One bounded evaluation doubles as probe AND data fetch: pull
         # at most threshold+1 edges; the extra row (if present) proves
         # the graph is too big and routes to the distributed path.
@@ -339,8 +342,10 @@ def connected_components(
         if len(rows) <= local_threshold:
             # The probe fully materialized what we need — release the
             # cached partitions before returning (a long-lived driver
-            # looping refresh cycles must not accumulate them).
-            pairs.unpersist()
+            # looping refresh cycles must not accumulate them). A
+            # caller-owned cache is left alone.
+            if we_persisted:
+                pairs.unpersist()
             from pyspark.sql.types import StructField, StructType
 
             parent: dict = {}

@@ -500,9 +500,12 @@ def pq_topk(
     # broadcast be destroy()ed immediately instead of leaking one
     # broadcast per call on a serving driver (the bloom_filtered_join
     # lesson, ADVICE r4) — the returned plan rebuilds from the collected
-    # ids and never references the broadcast again.
-    rows = shortlist_plan.collect()
-    bc.destroy()
+    # ids and never references the broadcast again. finally: the error
+    # path of a serving loop must not leak either.
+    try:
+        rows = shortlist_plan.collect()
+    finally:
+        bc.destroy()
     shortlist = spark.createDataFrame(rows, shortlist_plan.schema)
     if rerank_with is None:
         return shortlist
@@ -683,13 +686,18 @@ def _score_probed_cells(
     scan = encoded.filter(F.col("cell").isin([int(c) for c in tables]))
     if predicate is not None:
         scan = scan.filter(predicate)
-    rows = (
-        scan.select(id_col, adc(F.col("cell"), F.col("pq_code")).alias("approx_l2"))
-        .orderBy("approx_l2", id_col)
-        .limit(limit_n)
-        .collect()
-    )
-    bc.destroy()
+    try:
+        rows = (
+            scan.select(id_col, adc(F.col("cell"), F.col("pq_code")).alias("approx_l2"))
+            .orderBy("approx_l2", id_col)
+            .limit(limit_n)
+            .collect()
+        )
+    finally:
+        # destroy on the error path too — a serving loop that keeps
+        # hitting a bad predicate/missing column must not accumulate
+        # one leaked broadcast per failed call
+        bc.destroy()
     return rows
 
 
@@ -781,6 +789,7 @@ def ivfpq_save(
     centroids: list[list[float]],
     codebooks,
     path: str,
+    id_col: str = "vec_id",
 ) -> None:
     """Persist an IVFADC index so a fresh session probes WITHOUT
     retraining (VERDICT r5 "What's missing" #2 — an index you can't
@@ -797,7 +806,10 @@ def ivfpq_save(
                         atomic rename — the commit point: a torn save
                         (killed mid-write) leaves no manifest and the
                         loader refuses it, same visibility contract as
-                        the manifest JSONL sink.
+                        the manifest JSONL sink. On RE-save over an
+                        existing index the old manifest is removed
+                        FIRST, so a kill mid-rewrite also leaves no
+                        manifest (never a stale one over new files).
     """
     import json
     import os
@@ -806,7 +818,20 @@ def ivfpq_save(
 
     from big_data_analysis_spark.io import write_parquet
 
+    if id_col not in encoded.columns:
+        raise ValueError(
+            f"ivfpq_save: id_col {id_col!r} not in encoded columns "
+            f"{encoded.columns}"
+        )
     os.makedirs(path, exist_ok=True)
+    # Re-save crash safety: INVALIDATE the old manifest before touching
+    # the artifacts it describes. A kill between the encoded/ rewrite
+    # and the new manifest's rename then leaves NO manifest — the
+    # loader refuses the torn state instead of serving a half-rewritten
+    # store under the stale manifest.
+    mpath = os.path.join(path, "_INDEX.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
     write_parquet(encoded, os.path.join(path, "encoded"), partition_by=["cell"])
     np.savez(
         os.path.join(path, "codebooks.npz"),
@@ -821,14 +846,14 @@ def ivfpq_save(
         "m": int(m),
         "k": int(kk),
         "metadata_cols": [
-            c for c in encoded.columns if c not in ("cell", "pq_code")
-        ][1:],
-        "id_col": encoded.columns[0],
+            c for c in encoded.columns if c not in (id_col, "cell", "pq_code")
+        ],
+        "id_col": id_col,
     }
     tmp = os.path.join(path, "._INDEX.json.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, "_INDEX.json"))
+    os.replace(tmp, mpath)
 
 
 def ivfpq_load(spark, path: str):
@@ -950,7 +975,14 @@ def _enforce_cell_cap(
     pairwise work is irreducible for this operator)."""
     if max_cell_rows < 2:
         raise ValueError("semantic_dedup_pairs: max_cell_rows must be >= 2")
-    assigned = assigned.withColumn("cell", F.col("cell").cast("string"))
+    # Materialize the incoming assignment ONCE: round 0 references it
+    # from the size profile, the non-oversized filter, and every
+    # oversized cell's sub-k-means — without this, each reference
+    # re-runs the coarse KMeans transform (and the upstream scan) over
+    # the full corpus.
+    assigned = assigned.withColumn(
+        "cell", F.col("cell").cast("string")
+    ).localCheckpoint()
     for _round in range(max_split_rounds):
         sizes = (
             assigned.groupBy("cell")

@@ -2001,7 +2001,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = f.join(
         true07.withColumn("__true", F.lit(1)), ["id_a", "id_b"], "left"
     ).agg(F.coalesce(F.sum("__true"), F.lit(0)).alias("n_found_true"))
-    return (
+    cert = (
         true07.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
         .crossJoin(F.broadcast(prec))
         .crossJoin(F.broadcast(rec))
@@ -2015,6 +2015,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Eager 1-row pull so exact05's cache is released before returning
+    # — a looping driver must not accumulate cached slice-join
+    # partitions per call (the connected_components lesson).
+    rows = cert.collect()
+    exact05.unpersist()
+    return spark.createDataFrame(rows, cert.schema)
 
 
 _SIMHASH_CONTRACT_ORACLE = """
@@ -2086,7 +2092,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("__brute"), F.lit(0)).alias("n_found_in_brute"),
     )
     n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
-    return (
+    cert = (
         exact05.filter(F.col("jaccard") >= 0.95)
         .agg(F.count(F.lit(1)).alias("n_true_j95_pairs"))
         .crossJoin(F.broadcast(subset))
@@ -2100,6 +2106,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blocking_complete"),
         )
     )
+    # Eager 1-row pull so exact05's cache is released before returning
+    # (see q_minhash_pairs).
+    rows = cert.collect()
+    exact05.unpersist()
+    return spark.createDataFrame(rows, cert.schema)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6293,14 +6304,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The external driver's correctness gate compares exactly the FIRST 50
 # registry entries (insertion order) against their DuckDB oracles each
 # round; entries past position 50 only get the local pytest oracle-parity
-# suite. Rounds 1-3 hard-verified 100 distinct queries (green in
-# CORRECTNESS_r01/r02/r03.json). Round 4 closes the book: the last 11
-# never-driver-checked queries + this round's 10 additions + the 4
-# queries whose code changed this round enter the window, and the
-# remaining 25 slots hold a rotating re-verification sample of
-# past-round queries so the external gate keeps catching regressions
-# (ADVICE r3) instead of being a one-time check per query. Queries past
-# the horizon stay covered by tests/test_oracle_parity.py.
+# suite. Standing composition (every round, per ADVICE r3): (a) this
+# round's NEW queries and graduations, (b) every query whose code or
+# oracle changed this round, (c) all remaining slots = a rotating
+# re-verification sample of past greens, provably disjoint from the
+# prior rounds' samples (checked against the CORRECTNESS_r*.json key
+# sets) so the gate keeps catching regressions instead of being a
+# one-time check per query. Queries past the horizon stay covered by
+# tests/test_oracle_parity.py.
 #
 # Keep _apply_driver_order() as the LAST statement in this module; new
 # queries must be registered above it and added to _DRIVER_PRIORITY to

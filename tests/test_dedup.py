@@ -566,13 +566,21 @@ def test_connected_components_releases_its_own_persist(spark):
     assert out.count() == 7
     assert not pairs.is_cached, "distributed route leaked the probe's persist"
 
-    caller_cached = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int").persist()
-    caller_cached.count()
-    try:
-        connected_components(caller_cached, local_threshold=0).count()
-        assert caller_cached.is_cached, "caller-owned cache was unpersisted"
-    finally:
-        caller_cached.unpersist()
+    # caller-owned caches survive EVERY route: the plain distributed
+    # path, the local-tier probe that routes distributed, and the
+    # local-tier path itself
+    for thr in (0, 2, 10):
+        caller_cached = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a int, id_b int"
+        ).persist()
+        caller_cached.count()
+        try:
+            connected_components(caller_cached, local_threshold=thr).count()
+            assert caller_cached.is_cached, (
+                f"caller-owned cache was unpersisted (local_threshold={thr})"
+            )
+        finally:
+            caller_cached.unpersist()
 
 
 def test_keep_best_guards_internal_temp_columns(spark):

@@ -551,12 +551,18 @@ def test_ivfpq_save_load_probe_matches_in_memory(spark):
     assert disk == mem
 
     # torn save: a manifest-less directory is not an index
-    shutil.rmtree(path + "/_INDEX.json", ignore_errors=True)
     import os
 
     os.remove(os.path.join(path, "_INDEX.json"))
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
         ivfpq_load(spark, path)
+
+    # re-save over the (now manifest-less) path re-commits; a re-save
+    # must also be loadable — and mid-rewrite there is never a stale
+    # manifest over new files (invalidate-first discipline)
+    ivfpq_save(encoded, centroids, books, path)
+    enc3, cents3, _ = ivfpq_load(spark, path)
+    assert cents3 == centroids and enc3.count() == encoded.count()
 
 
 def test_filtered_ann_predicate_and_refill(spark):
