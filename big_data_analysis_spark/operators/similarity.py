@@ -789,7 +789,7 @@ def ivfpq_save(
     centroids: list[list[float]],
     codebooks,
     path: str,
-    id_col: str = "vec_id",
+    id_col: str | None = None,
 ) -> None:
     """Persist an IVFADC index so a fresh session probes WITHOUT
     retraining (VERDICT r5 "What's missing" #2 — an index you can't
@@ -797,50 +797,61 @@ def ivfpq_save(
     inference.py's np.savez model artifact and the manifest sink's
     commit ordering). Layout under ``path``:
 
-    - ``encoded/``      the (id, cell, pq_code, *metadata) table,
-                        written partitionBy('cell') so a probe's cell
-                        set prunes at the source listing (plan-asserted
-                        in tests/test_plans.py)
-    - ``codebooks.npz`` centroids + PQ codebooks (tiny driver state)
-    - ``_INDEX.json``   manifest with shape params, written LAST via
-                        atomic rename — the commit point: a torn save
-                        (killed mid-write) leaves no manifest and the
-                        loader refuses it, same visibility contract as
-                        the manifest JSONL sink. On RE-save over an
-                        existing index the old manifest is removed
-                        FIRST, so a kill mid-rewrite also leaves no
-                        manifest (never a stale one over new files).
-    """
+    - ``encoded-<ver>/``      the (id, cell, pq_code, *metadata) table,
+                              written partitionBy('cell') so a probe's
+                              cell set prunes at the source listing
+                              (plan-asserted in tests/test_plans.py)
+    - ``codebooks-<ver>.npz`` centroids + PQ codebooks (tiny driver
+                              state)
+    - ``_INDEX.json``         manifest naming the current version's
+                              artifacts, written LAST via atomic rename
+                              — the commit point. Every save writes a
+                              FRESH version token, so a torn first save
+                              leaves no manifest (the loader refuses
+                              it) and a torn RE-save leaves the old
+                              manifest pointing at the old, untouched
+                              artifacts — the previously committed
+                              index stays fully servable throughout.
+                              Superseded versions are cleaned up
+                              best-effort after the new manifest lands
+                              (single-writer discipline; a reader
+                              racing a re-save should retry its load).
+
+    ``id_col``: recorded in the manifest for the serving session;
+    defaults to the encoded frame's first column (ivfpq_build's
+    layout)."""
     import json
     import os
+    import shutil
+    import uuid
 
     import numpy as np
 
     from big_data_analysis_spark.io import write_parquet
 
-    if id_col not in encoded.columns:
+    if id_col is None:
+        id_col = encoded.columns[0]
+    elif id_col not in encoded.columns:
         raise ValueError(
             f"ivfpq_save: id_col {id_col!r} not in encoded columns "
             f"{encoded.columns}"
         )
     os.makedirs(path, exist_ok=True)
-    # Re-save crash safety: INVALIDATE the old manifest before touching
-    # the artifacts it describes. A kill between the encoded/ rewrite
-    # and the new manifest's rename then leaves NO manifest — the
-    # loader refuses the torn state instead of serving a half-rewritten
-    # store under the stale manifest.
-    mpath = os.path.join(path, "_INDEX.json")
-    if os.path.exists(mpath):
-        os.remove(mpath)
-    write_parquet(encoded, os.path.join(path, "encoded"), partition_by=["cell"])
+    ver = uuid.uuid4().hex[:12]
+    encoded_dir = f"encoded-{ver}"
+    codebooks_file = f"codebooks-{ver}.npz"
+    write_parquet(encoded, os.path.join(path, encoded_dir), partition_by=["cell"])
     np.savez(
-        os.path.join(path, "codebooks.npz"),
+        os.path.join(path, codebooks_file),
         centroids=np.asarray(centroids, dtype=np.float64),
         codebooks=np.asarray(codebooks, dtype=np.float64),
     )
     m, kk, d_sub = np.asarray(codebooks).shape
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
+        "version": ver,
+        "encoded_dir": encoded_dir,
+        "codebooks_file": codebooks_file,
         "n_cells": len(centroids),
         "dim": len(centroids[0]) if centroids else 0,
         "m": int(m),
@@ -850,10 +861,28 @@ def ivfpq_save(
         ],
         "id_col": id_col,
     }
+    mpath = os.path.join(path, "_INDEX.json")
     tmp = os.path.join(path, "._INDEX.json.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, mpath)
+    os.replace(tmp, mpath)  # commit point
+    # Best-effort cleanup of superseded versions AFTER the commit —
+    # correctness never depends on it (unreferenced artifacts are
+    # invisible to the loader, exactly like the manifest sink's
+    # orphans).
+    for entry in os.listdir(path):
+        stale_dir = (
+            entry.startswith("encoded-") and entry != encoded_dir
+        )
+        stale_npz = (
+            entry.startswith("codebooks-") and entry != codebooks_file
+        )
+        if stale_dir or stale_npz:
+            target = os.path.join(path, entry)
+            try:
+                shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+            except OSError:
+                pass
 
 
 def ivfpq_load(spark, path: str):
@@ -875,7 +904,12 @@ def ivfpq_load(spark, path: str):
         )
     with open(mpath, encoding="utf-8") as fh:
         manifest = json.load(fh)
-    arrs = np.load(os.path.join(path, "codebooks.npz"))
+    # format_version 1 used unversioned artifact names; 2+ records them
+    # in the manifest (versioned re-save keeps the old index servable
+    # until the new one commits).
+    arrs = np.load(
+        os.path.join(path, manifest.get("codebooks_file", "codebooks.npz"))
+    )
     centroids = [[float(x) for x in c] for c in arrs["centroids"]]
     codebooks = arrs["codebooks"]
     if len(centroids) != manifest["n_cells"] or codebooks.shape[:2] != (
@@ -885,7 +919,9 @@ def ivfpq_load(spark, path: str):
         raise ValueError(
             f"ivfpq_load: artifact shapes disagree with manifest {manifest}"
         )
-    encoded = spark.read.parquet(os.path.join(path, "encoded"))
+    encoded = spark.read.parquet(
+        os.path.join(path, manifest.get("encoded_dir", "encoded"))
+    )
     return encoded, centroids, codebooks
 
 
@@ -1013,8 +1049,13 @@ def _enforce_cell_cap(
         # localCheckpoint: each round's assignment feeds the next
         # round's profile AND per-cell k-means fits; without truncation
         # the lineage would re-run every prior round's k-means per
-        # reference and plan depth compounds per round.
+        # reference and plan depth compounds per round. The superseded
+        # round's blocks are released immediately (the
+        # connected_components label-rebind pattern) — otherwise up to
+        # max_split_rounds full-corpus copies coexist in block storage.
+        prev = assigned
         assigned = out.localCheckpoint()
+        prev.unpersist()
     still = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -1981,19 +1981,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7
     )
     slice_ = d.filter(F.col("doc_id") < 500)
-    # exact >= 0.6 pairs: feeds BOTH the precision check (every found
-    # pair measured at exact J >= 0.7, so 0.6 keeps a full 0.1 margin
-    # while the PPJoin prefix stays ~30% shorter than a 0.5-threshold
-    # index would be) and, refiltered at 0.7, the ground-truth count
-    exact06 = dd.ngram_jaccard_pairs(
-        slice_, "text", "doc_id", n=3, threshold=0.6
+    # exact >= 0.5 pairs: feeds BOTH the precision check (found pairs
+    # must appear here — est >= 0.7 from 64 hashes sits ~3 sigma above
+    # an exact J of 0.5, so the floor is statistically safe, not just
+    # measured-on-this-corpus safe; measured margin is larger: every
+    # found pair has exact J >= 0.7) and, refiltered at 0.7, the
+    # ground-truth count
+    exact05 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=3, threshold=0.5
     ).persist()
     f = found.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
         "id_a", "id_b"
     )
-    true07 = exact06.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    true07 = exact05.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
     prec = f.join(
-        exact06.select("id_a", "id_b", F.lit(1).alias("__ge_floor")),
+        exact05.select("id_a", "id_b", F.lit(1).alias("__ge_floor")),
         ["id_a", "id_b"],
         "left",
     ).agg(
@@ -2021,7 +2023,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — a looping driver must not accumulate cached slice-join
     # partitions per call (the connected_components lesson).
     rows = cert.collect()
-    exact06.unpersist()
+    exact05.unpersist()
     return spark.createDataFrame(rows, cert.schema)
 
 
@@ -2052,8 +2054,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Certificate: (a) an SQL-exact anchor — the token-Jaccard >= 0.95
     pair count, hash-compared against DuckDB's identical tokenization;
     (b) found_subset_j50 — every emitted slice pair has EXACT
-    token-Jaccard >= 0.7 (hamming <= 3 of 64 ~ cosine 0.99+, far
-    inside J=0.7, measured all >= 0.8; a fingerprint-collision false
+    token-Jaccard >= 0.5 (hamming <= 3 of 64 ~ cosine 0.99+, far
+    inside J=0.5, measured all >= 0.8; a fingerprint-collision false
     positive would break it); (c) blocking_complete — the Manku block-combination candidate
     generator finds EXACTLY the pairs a brute-force all-pairs hamming
     join finds (the pigeonhole completeness guarantee, checked by
@@ -2066,13 +2068,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = found.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
         "id_a", "id_b"
     )
-    # exact token-Jaccard over the slice: >= 0.7 for the subset check
-    # (every found pair measured at J >= 0.8 — hamming <= 3 of 64 is a
-    # far stricter relation — so 0.7 keeps a full 0.1 margin while the
-    # PPJoin prefix is ~40% shorter than a 0.5-threshold index),
+    # exact token-Jaccard over the slice: >= 0.5 for the subset check
+    # (hamming <= 3 of 64 is a FAR stricter relation than J = 0.5 —
+    # every found pair measures J >= 0.8 — so the floor carries real
+    # statistical slack, not just a this-corpus measurement),
     # refiltered at 0.95 for the SQL-anchored count
-    exact07 = dd.ngram_jaccard_pairs(
-        slice_, "text", "doc_id", n=1, threshold=0.7
+    exact05 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=1, threshold=0.5
     ).persist()
     # brute-force hamming ground truth on the slice (125k pair
     # comparisons of two longs — trivial; the operator under test used
@@ -2086,7 +2088,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     subset = f.join(
-        exact07.select("id_a", "id_b", F.lit(1).alias("__j_floor")),
+        exact05.select("id_a", "id_b", F.lit(1).alias("__j_floor")),
         ["id_a", "id_b"],
         "left",
     ).join(
@@ -2098,7 +2100,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
     cert = (
-        exact07.filter(F.col("jaccard") >= 0.95)
+        exact05.filter(F.col("jaccard") >= 0.95)
         .agg(F.count(F.lit(1)).alias("n_true_j95_pairs"))
         .crossJoin(F.broadcast(subset))
         .crossJoin(F.broadcast(n_brute))
@@ -2111,10 +2113,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blocking_complete"),
         )
     )
-    # Eager 1-row pull so exact07's cache is released before returning
+    # Eager 1-row pull so exact05's cache is released before returning
     # (see q_minhash_pairs).
     rows = cert.collect()
-    exact07.unpersist()
+    exact05.unpersist()
     return spark.createDataFrame(rows, cert.schema)
 
 
