@@ -848,9 +848,9 @@ def ivfpq_save(
     )
     m, kk, d_sub = np.asarray(codebooks).shape
     manifest = {
-        "format_version": 2,
+        "format_version": 3,
         "version": ver,
-        "encoded_dir": encoded_dir,
+        "encoded_dirs": [encoded_dir],
         "codebooks_file": codebooks_file,
         "n_cells": len(centroids),
         "dim": len(centroids[0]) if centroids else 0,
@@ -861,23 +861,29 @@ def ivfpq_save(
         ],
         "id_col": id_col,
     }
+    _commit_index_manifest(path, manifest)
+
+
+def _commit_index_manifest(path: str, manifest: dict) -> None:
+    """Atomically publish the manifest, then best-effort-clean every
+    versioned artifact it does NOT reference — correctness never
+    depends on the cleanup (unreferenced artifacts are invisible to
+    the loader, exactly like the manifest sink's orphans)."""
+    import json
+    import os
+    import shutil
+
     mpath = os.path.join(path, "_INDEX.json")
     tmp = os.path.join(path, "._INDEX.json.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, mpath)  # commit point
-    # Best-effort cleanup of superseded versions AFTER the commit —
-    # correctness never depends on it (unreferenced artifacts are
-    # invisible to the loader, exactly like the manifest sink's
-    # orphans).
+    live = set(manifest["encoded_dirs"]) | {manifest["codebooks_file"]}
     for entry in os.listdir(path):
-        stale_dir = (
-            entry.startswith("encoded-") and entry != encoded_dir
-        )
-        stale_npz = (
-            entry.startswith("codebooks-") and entry != codebooks_file
-        )
-        if stale_dir or stale_npz:
+        if (
+            entry.startswith(("encoded-", "codebooks-"))
+            and entry not in live
+        ):
             target = os.path.join(path, entry)
             try:
                 shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
@@ -904,9 +910,9 @@ def ivfpq_load(spark, path: str):
         )
     with open(mpath, encoding="utf-8") as fh:
         manifest = json.load(fh)
-    # format_version 1 used unversioned artifact names; 2+ records them
-    # in the manifest (versioned re-save keeps the old index servable
-    # until the new one commits).
+    # format_version 1 used unversioned artifact names; 2 a single
+    # versioned encoded_dir; 3+ a LIST of encoded dirs (the base save
+    # plus any appended deltas — see ivfpq_append).
     arrs = np.load(
         os.path.join(path, manifest.get("codebooks_file", "codebooks.npz"))
     )
@@ -919,10 +925,134 @@ def ivfpq_load(spark, path: str):
         raise ValueError(
             f"ivfpq_load: artifact shapes disagree with manifest {manifest}"
         )
-    encoded = spark.read.parquet(
-        os.path.join(path, manifest.get("encoded_dir", "encoded"))
+    dirs = manifest.get(
+        "encoded_dirs", [manifest.get("encoded_dir", "encoded")]
     )
+    # One scan per base/delta dir unioned by name (Spark refuses a
+    # single multi-root read of separately-partitioned stores); a cell
+    # predicate prunes EACH branch's source listing independently, so
+    # probes stay ∝ nprobe × cell across base + deltas.
+    encoded = None
+    for d in dirs:
+        part = spark.read.parquet(os.path.join(path, d))
+        encoded = part if encoded is None else encoded.unionByName(part)
     return encoded, centroids, codebooks
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a PERSISTED IVFADC index — the
+    serving-lifecycle step a 100 TB corpus actually needs (a nightly
+    batch of new documents must not force re-training k-means + PQ over
+    the whole corpus, let alone rewriting the encoded store). The new
+    rows are assigned to the EXISTING coarse cells (broadcast centroid
+    table, JVM argmin — no k-means run), residual-encoded with the
+    EXISTING codebooks, and written as a fresh delta directory
+    (partitionBy('cell'), so cell pruning spans base + deltas); the
+    manifest then atomically repoints to base + deltas. LSM-style: a
+    torn append leaves the old manifest pointing at the old dirs — the
+    committed index stays servable throughout; quantization quality
+    degrades only as far as the data drifts from the trained centroids
+    (re-save a re-trained index when drift warrants it).
+
+    Schema contract: ``new_embeddings`` must carry the manifest's
+    id_col, ``vec_col``, and every metadata column the base save
+    recorded (the delta is unioned into the same store)."""
+    import json
+    import os
+    import uuid
+
+    import numpy as np
+
+    from big_data_analysis_spark.io import write_parquet
+
+    mpath = os.path.join(path, "_INDEX.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"ivfpq_append: no _INDEX.json under {path} — save a base "
+            "index first (ivfpq_save)"
+        )
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if "encoded_dirs" not in manifest:
+        raise ValueError(
+            "ivfpq_append: index was saved by an older ivfpq_save "
+            "(no encoded_dirs); re-save it once to upgrade the manifest"
+        )
+    id_col = manifest["id_col"]
+    missing = [
+        c
+        for c in [id_col, vec_col, *manifest["metadata_cols"]]
+        if c not in new_embeddings.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"ivfpq_append: new_embeddings is missing column(s) {missing} "
+            "recorded in the index manifest"
+        )
+    arrs = np.load(os.path.join(path, manifest["codebooks_file"]))
+    centroids = [[float(x) for x in c] for c in arrs["centroids"]]
+    codebooks = arrs["codebooks"]
+    dim = len(new_embeddings.select(vec_col).head()[0])
+    if dim != manifest["dim"]:
+        raise ValueError(
+            f"ivfpq_append: vector dim {dim} != index dim {manifest['dim']}"
+        )
+
+    # Assign to EXISTING cells: broadcast the tiny centroid table and
+    # take the per-row argmin of squared L2 via a min-of-structs — the
+    # same assignment rule k-means transform applies, no model needed.
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["__cell_cand", "__centroid"]
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    keep = [id_col, vec_col, *manifest["metadata_cols"]]
+    assigned = (
+        new_embeddings.select(*keep)
+        .join(F.broadcast(cent_df))
+        .withColumn("__d2", d2)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("__d2"), F.col("__cell_cand"))).alias("__best"),
+            *[F.first(c).alias(c) for c in keep if c != id_col],
+        )
+        .withColumn("cell", F.col("__best.__cell_cand"))
+        .drop("__best")
+    )
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("__centroid"),
+        lambda a, b: a - b,
+    )
+    with_res = (
+        assigned.join(
+            F.broadcast(cent_df.withColumnRenamed("__cell_cand", "cell")), "cell"
+        ).withColumn("__residual", residual)
+    )
+    delta = pq_encode(with_res, codebooks, emb_col="__residual").select(
+        id_col, "cell", "pq_code", *manifest["metadata_cols"]
+    )
+    ver = uuid.uuid4().hex[:12]
+    delta_dir = f"encoded-{ver}"
+    write_parquet(delta, os.path.join(path, delta_dir), partition_by=["cell"])
+    manifest = {
+        **manifest,
+        "version": ver,
+        "encoded_dirs": [*manifest["encoded_dirs"], delta_dir],
+    }
+    _commit_index_manifest(path, manifest)
 
 
 def semantic_dedup_pairs(

@@ -4242,6 +4242,48 @@ def q_ivfpq_persisted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(top)
 
 
+_IVFPQ_APPEND_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_store_rows,
+       CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_ids,
+       1 AS contains_query, 0.0 AS min_l2, 0 AS n_negative
+FROM embeddings
+"""
+
+
+@query("ivfpq_incremental_append", _IVFPQ_APPEND_ORACLE)
+def q_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index refresh (the nightly-batch serving shape): the
+    base index is built and saved from 2/3 of the corpus, the
+    remaining third is ivfpq_append-ed — assigned to the EXISTING
+    cells and codebooks, written as a delta dir, manifest repointed
+    atomically — and the probe runs against the LOADED base+delta
+    store. Certificate: the store's total row count equals the full
+    embeddings table (SQL-exact — every appended row is visible), and
+    the ANN shape fields with the query vector drawn from the
+    APPENDED slice (vec_id=0, 0 % 3 == 0): finding it at distance 0
+    proves delta rows are probe-reachable through cell pruning, not
+    just counted."""
+    import os
+
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    encoded, cents, books = sim.ivfpq_build(base, n_cells=8, m=8, k=32, max_iter=8)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/ivfpq-append-{sf_tag}"
+    sim.ivfpq_save(encoded, cents, books, path)
+    sim.ivfpq_append(spark, path, delta)
+    enc2, cents2, books2 = sim.ivfpq_load(spark, path)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = sim.ivfpq_topk(
+        enc2, cents2, books2, qvec, rerank_with=emb, k=10, nprobe=4
+    )
+    store = enc2.agg(F.count(F.lit(1)).cast("long").alias("n_store_rows"))
+    return _ann_contract(top).crossJoin(F.broadcast(store))
+
+
 _FILTERED_ANN_ORACLE = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 f AS (

@@ -632,3 +632,70 @@ def test_filtered_ann_predicate_and_refill(spark):
     ]
     assert len(got_rare) == 10
     assert set(got_rare) <= set(rare)
+
+
+def test_ivfpq_append_extends_persisted_index(spark):
+    """Incremental index append (the serving lifecycle's refresh step):
+    new vectors are assigned to the EXISTING cells and codebooks and
+    land in a delta directory; the loaded store sees base + delta, a
+    probe finds appended neighbors exactly (rerank is exact L2), and
+    schema drift against the manifest fails loudly."""
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from big_data_analysis_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    blobs = rng.normal(size=(5, 24)) * 10.0
+    pts = np.concatenate([blobs[i] + rng.normal(size=(60, 24)) for i in range(5)])
+    n = len(pts)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+
+    encoded, cents, books = ivfpq_build(base, n_cells=5, m=4, k=16, max_iter=6)
+    path = "/root/repo/.scratch/ivfpq-append"
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_save(encoded, cents, books, path)
+    ivfpq_append(spark, path, delta)
+
+    enc2, cents2, books2 = ivfpq_load(spark, path)
+    assert enc2.count() == n  # base + delta all visible
+    assert cents2 == cents
+
+    # a query sitting in the DELTA must surface itself at distance 0,
+    # and with every cell probed + exact rerank the top-k equals brute
+    # force over the FULL corpus
+    qid = 0  # 0 % 3 == 0 -> appended row
+    q = pts[qid]
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            enc2, cents2, books2, q, rerank_with=emb, k=10, nprobe=5, overfetch=30
+        ).collect()
+    ]
+    truth = sorted(range(n), key=lambda i: (((pts[i] - q) ** 2).sum(), i))[:10]
+    assert got[0] == qid
+    assert set(got) == set(truth), (got, truth)
+
+    # appending again accumulates another delta; the manifest tracks all
+    ivfpq_append(spark, path, delta.withColumn("vec_id", F.col("vec_id") + 10_000))
+    assert ivfpq_load(spark, path)[0].count() == n + delta.count()
+
+    # schema drift against the manifest fails loudly
+    with pytest.raises(ValueError, match="missing column"):
+        ivfpq_append(spark, path, delta.withColumnRenamed("embedding", "vec"))
+    # appending to a never-saved path fails loudly
+    with pytest.raises(FileNotFoundError, match="_INDEX.json"):
+        ivfpq_append(spark, "/root/repo/.scratch/no-such-index", delta)
