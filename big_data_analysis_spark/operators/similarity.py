@@ -997,7 +997,10 @@ def ivfpq_append(
     arrs = np.load(os.path.join(path, manifest["codebooks_file"]))
     centroids = [[float(x) for x in c] for c in arrs["centroids"]]
     codebooks = arrs["codebooks"]
-    dim = len(new_embeddings.select(vec_col).head()[0])
+    probe_row = new_embeddings.select(vec_col).head()
+    if probe_row is None:
+        return  # empty delta: nothing to append, manifest unchanged
+    dim = len(probe_row[0])
     if dim != manifest["dim"]:
         raise ValueError(
             f"ivfpq_append: vector dim {dim} != index dim {manifest['dim']}"

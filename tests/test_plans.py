@@ -586,3 +586,41 @@ def test_filtered_ann_predicate_pushes_into_probed_cell_scan(spark):
     pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed and "lang" in pushed.group(1), plan
     assert "cell" not in (pushed.group(1) if pushed else ""), plan
+
+
+def test_ivfpq_appended_store_prunes_every_branch(spark):
+    """The base+delta union a loaded appended index plans must prune at
+    the source listing in EVERY branch: a cell predicate shows up as a
+    PartitionFilter on each scan (base dir and delta dir alike), never
+    as a post-scan data filter — probes over a refreshed 100 TB store
+    stay ∝ nprobe × cell regardless of how many deltas accumulated."""
+    import re as _re
+    import shutil
+
+    from big_data_analysis_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, 0.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    encoded, cents, books = ivfpq_build(base, n_cells=4, m=2, k=8, max_iter=4)
+    path = "/root/repo/.scratch/ivfpq-append-plan"
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_save(encoded, cents, books, path)
+    ivfpq_append(spark, path, delta)
+
+    stored, _, _ = ivfpq_load(spark, path)
+    probed = stored.filter(F.col("cell").isin([0, 1]))
+    plan = formatted_plan(probed)
+    pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(pfs) == 2, plan  # one scan per dir: base + delta
+    assert all("cell" in pf for pf in pfs), plan
+    for pushed in _re.findall(r"PushedFilters: \[([^\]]*)\]", plan):
+        assert "cell" not in pushed, plan

@@ -693,6 +693,13 @@ def test_ivfpq_append_extends_persisted_index(spark):
     ivfpq_append(spark, path, delta.withColumn("vec_id", F.col("vec_id") + 10_000))
     assert ivfpq_load(spark, path)[0].count() == n + delta.count()
 
+    # an EMPTY delta is a no-op, not a crash or a manifest churn
+    import json
+
+    before = json.load(open(path + "/_INDEX.json"))
+    ivfpq_append(spark, path, delta.filter(F.col("vec_id") < 0))
+    assert json.load(open(path + "/_INDEX.json")) == before
+
     # schema drift against the manifest fails loudly
     with pytest.raises(ValueError, match="missing column"):
         ivfpq_append(spark, path, delta.withColumnRenamed("embedding", "vec"))
