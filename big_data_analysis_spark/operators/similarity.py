@@ -566,7 +566,23 @@ def ivfpq_build(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         seed=seed, max_iter=max_iter, keep_cols=keep_cols,
     )
-    spark = embeddings.sparkSession
+    with_res = _with_residual(assigned, centroids, vec_col)
+    books = pq_train(with_res, emb_col="__residual", m=m, k=k, seed=seed)
+    encoded = pq_encode(with_res, books, emb_col="__residual").select(
+        id_col, "cell", "pq_code", *keep_cols
+    )
+    return encoded, centroids, books
+
+
+def _with_residual(
+    assigned: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Attach ``__residual`` = vec - centroid(cell) to an assigned
+    relation: broadcast the tiny centroid table, 1:1 join on cell,
+    JVM-side zip_with subtract — no Python on the corpus path. THE
+    residual convention shared by build-time and append-time encoding
+    (a divergence here silently degrades recall on appended rows)."""
+    spark = assigned.sparkSession
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], ["cell", "__centroid"]
     )
@@ -575,15 +591,11 @@ def ivfpq_build(
         F.col("__centroid"),
         lambda a, b: a - b,
     )
-    with_res = (
+    return (
         assigned.join(F.broadcast(cent_df), "cell")
         .withColumn("__residual", residual)
+        .drop("__centroid")
     )
-    books = pq_train(with_res, emb_col="__residual", m=m, k=k, seed=seed)
-    encoded = pq_encode(with_res, books, emb_col="__residual").select(
-        id_col, "cell", "pq_code", *keep_cols
-    )
-    return encoded, centroids, books
 
 
 def ivfpq_topk(
@@ -944,24 +956,34 @@ def ivfpq_append(
     path: str,
     new_embeddings: DataFrame,
     vec_col: str = "embedding",
+    skip_existing: bool = True,
 ) -> None:
     """Incrementally add vectors to a PERSISTED IVFADC index — the
     serving-lifecycle step a 100 TB corpus actually needs (a nightly
     batch of new documents must not force re-training k-means + PQ over
     the whole corpus, let alone rewriting the encoded store). The new
-    rows are assigned to the EXISTING coarse cells (broadcast centroid
-    table, JVM argmin — no k-means run), residual-encoded with the
-    EXISTING codebooks, and written as a fresh delta directory
-    (partitionBy('cell'), so cell pruning spans base + deltas); the
-    manifest then atomically repoints to base + deltas. LSM-style: a
-    torn append leaves the old manifest pointing at the old dirs — the
-    committed index stays servable throughout; quantization quality
-    degrades only as far as the data drifts from the trained centroids
-    (re-save a re-trained index when drift warrants it).
+    rows are assigned to the EXISTING coarse cells (MAP-SIDE Arrow
+    argmin against a broadcast centroid matrix — no k-means run, no
+    join fan-out, no shuffle), residual-encoded with the EXISTING
+    codebooks (the same `_with_residual` convention build-time encoding
+    uses), and written as a fresh delta directory (partitionBy('cell'),
+    so cell pruning spans base + deltas); the manifest then atomically
+    repoints to base + deltas. LSM-style: a torn append leaves the old
+    manifest pointing at the old dirs — the committed index stays
+    servable throughout; run :func:`ivfpq_compact` when the delta list
+    grows, and re-save a re-trained index when data drift warrants it.
 
-    Schema contract: ``new_embeddings`` must carry the manifest's
-    id_col, ``vec_col``, and every metadata column the base save
-    recorded (the delta is unioned into the same store)."""
+    Batch contract, validated up front in ONE aggregate: every row's
+    vector is non-null with the index's dim (a mis-dimensioned row
+    would otherwise be silently mis-assigned); duplicate ids WITHIN the
+    batch are rejected (which row wins is not this function's call);
+    ids already IN the store are skipped exactly by default
+    (``skip_existing`` — an orchestrator retry of a committed batch
+    becomes a no-op instead of double-indexing every id; costs one
+    id-column scan of the store per append, so disable it when the
+    caller guarantees fresh ids). ``new_embeddings`` must carry the
+    manifest's id_col, ``vec_col``, and every recorded metadata
+    column."""
     import json
     import os
     import uuid
@@ -997,64 +1019,124 @@ def ivfpq_append(
     arrs = np.load(os.path.join(path, manifest["codebooks_file"]))
     centroids = [[float(x) for x in c] for c in arrs["centroids"]]
     codebooks = arrs["codebooks"]
-    probe_row = new_embeddings.select(vec_col).head()
-    if probe_row is None:
+    dim = manifest["dim"]
+    stats = new_embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+        F.coalesce(
+            F.sum(
+                (F.col(vec_col).isNull() | (F.size(vec_col) != dim)).cast("int")
+            ),
+            F.lit(0),
+        ).alias("n_bad"),
+    ).head()
+    if stats["n"] == 0:
         return  # empty delta: nothing to append, manifest unchanged
-    dim = len(probe_row[0])
-    if dim != manifest["dim"]:
+    if stats["n_bad"]:
         raise ValueError(
-            f"ivfpq_append: vector dim {dim} != index dim {manifest['dim']}"
+            f"ivfpq_append: {stats['n_bad']} row(s) have a null {vec_col} "
+            f"or dim != {dim} — a mis-dimensioned row would be silently "
+            "mis-assigned; clean the batch first"
         )
-
-    # Assign to EXISTING cells: broadcast the tiny centroid table and
-    # take the per-row argmin of squared L2 via a min-of-structs — the
-    # same assignment rule k-means transform applies, no model needed.
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], ["__cell_cand", "__centroid"]
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.col("__centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if stats["n_ids"] != stats["n"]:
+        raise ValueError(
+            f"ivfpq_append: batch has {stats['n'] - stats['n_ids']} "
+            f"duplicate {id_col} value(s); which row should win is the "
+            "caller's decision — dedup the batch first "
+            "(e.g. relational.dedup_keep_last)"
+        )
     keep = [id_col, vec_col, *manifest["metadata_cols"]]
-    assigned = (
-        new_embeddings.select(*keep)
-        .join(F.broadcast(cent_df))
-        .withColumn("__d2", d2)
-        .groupBy(id_col)
-        .agg(
-            F.min(F.struct(F.col("__d2"), F.col("__cell_cand"))).alias("__best"),
-            *[F.first(c).alias(c) for c in keep if c != id_col],
-        )
-        .withColumn("cell", F.col("__best.__cell_cand"))
-        .drop("__best")
+    batch = new_embeddings.select(*keep)
+    if skip_existing:
+        # Exact replay-safety: drop ids the store already holds (an
+        # orchestrator retrying a committed batch must not double-index
+        # every row — duplicate ids would crowd real neighbors out of
+        # top-k). Column-pruned scan of the store's id column; a bloom
+        # prefilter is NOT sound here (false positives would silently
+        # drop genuinely-new ids).
+        existing = None
+        for d in manifest["encoded_dirs"]:
+            part = spark.read.parquet(os.path.join(path, d)).select(id_col)
+            existing = part if existing is None else existing.unionByName(part)
+        batch = batch.join(existing, id_col, "left_anti")
+        if batch.select(id_col).head() is None:
+            return  # full replay: every id already indexed, no-op
+            # (also keeps an empty — hence schema-less, unreadable —
+            # delta parquet dir out of the manifest)
+
+    # MAP-SIDE cell assignment: broadcast the (n_cells, dim) centroid
+    # matrix once and argmin per Arrow batch — no per-centroid join
+    # fan-out (a cross join would blow a nightly batch up n_cells x
+    # into a shuffle) and no groupBy collapse. argmin's first-minimum
+    # tie-break matches the min-struct/KMeans-transform rule (lowest
+    # cell index).
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    bc_cents = spark.sparkContext.broadcast(cents_np)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415 - executor-side
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        c = bc_cents.value
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over cells
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ c.T) + (c * c).sum(1)[None, :]
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    assigned = batch.withColumn(
+        "cell", nearest_cell(F.col(vec_col).cast("array<double>"))
     )
-    residual = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.col("__centroid"),
-        lambda a, b: a - b,
-    )
-    with_res = (
-        assigned.join(
-            F.broadcast(cent_df.withColumnRenamed("__cell_cand", "cell")), "cell"
-        ).withColumn("__residual", residual)
-    )
+    with_res = _with_residual(assigned, centroids, vec_col)
     delta = pq_encode(with_res, codebooks, emb_col="__residual").select(
         id_col, "cell", "pq_code", *manifest["metadata_cols"]
     )
     ver = uuid.uuid4().hex[:12]
     delta_dir = f"encoded-{ver}"
-    write_parquet(delta, os.path.join(path, delta_dir), partition_by=["cell"])
+    try:
+        write_parquet(delta, os.path.join(path, delta_dir), partition_by=["cell"])
+    finally:
+        bc_cents.destroy()  # the write is the only action referencing it
     manifest = {
         **manifest,
         "version": ver,
         "encoded_dirs": [*manifest["encoded_dirs"], delta_dir],
     }
+    _commit_index_manifest(path, manifest)
+
+
+def ivfpq_compact(spark, path: str) -> None:
+    """Fold an appended index's base + delta directories back into ONE
+    partitionBy('cell') directory — the LSM compaction half: after N
+    nightly appends a probe pays N source listings and N union
+    branches; compaction restores the single-scan plan WITHOUT
+    re-training anything (codes are copied, not recomputed). Atomic
+    like save/append: the merged dir is written under a fresh version,
+    the manifest repoints in one rename, and a torn compaction leaves
+    the old manifest (and all its dirs) fully servable."""
+    import json
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+
+    mpath = os.path.join(path, "_INDEX.json")
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    dirs = manifest.get(
+        "encoded_dirs", [manifest.get("encoded_dir", "encoded")]
+    )
+    if len(dirs) <= 1 and "encoded_dirs" in manifest:
+        return  # already compact
+    merged = None
+    for d in dirs:
+        part = spark.read.parquet(os.path.join(path, d))
+        merged = part if merged is None else merged.unionByName(part)
+    ver = uuid.uuid4().hex[:12]
+    merged_dir = f"encoded-{ver}"
+    write_parquet(merged, os.path.join(path, merged_dir), partition_by=["cell"])
+    manifest = {**manifest, "version": ver, "encoded_dirs": [merged_dir]}
     _commit_index_manifest(path, manifest)
 
 

@@ -689,9 +689,49 @@ def test_ivfpq_append_extends_persisted_index(spark):
     assert got[0] == qid
     assert set(got) == set(truth), (got, truth)
 
+    # REPLAYING the same committed batch is an exact no-op (orchestrator
+    # retry safety): ids already in the store are skipped, the manifest
+    # is untouched, and no empty delta dir is published
+    import json
+
+    snap = json.load(open(path + "/_INDEX.json"))
+    ivfpq_append(spark, path, delta)
+    assert json.load(open(path + "/_INDEX.json")) == snap
+    assert ivfpq_load(spark, path)[0].count() == n
+
     # appending again accumulates another delta; the manifest tracks all
     ivfpq_append(spark, path, delta.withColumn("vec_id", F.col("vec_id") + 10_000))
     assert ivfpq_load(spark, path)[0].count() == n + delta.count()
+
+    # duplicate ids WITHIN a batch are rejected (which row wins is the
+    # caller's decision, not a silent F.first coin flip)
+    dup_batch = delta.withColumn("vec_id", F.lit(99_999))
+    with pytest.raises(ValueError, match="duplicate"):
+        ivfpq_append(spark, path, dup_batch)
+    # mis-dimensioned / null vectors are rejected up front
+    bad_dim = delta.withColumn(
+        "vec_id", F.col("vec_id") + 50_000
+    ).withColumn("embedding", F.slice("embedding", 1, 5))
+    with pytest.raises(ValueError, match="dim"):
+        ivfpq_append(spark, path, bad_dim)
+
+    # LSM compaction folds base + deltas back to ONE dir — same rows,
+    # identical probe results, no retraining
+    from big_data_analysis_spark.operators.similarity import ivfpq_compact
+
+    before_rows = ivfpq_load(spark, path)[0].count()
+    probe_before = [tuple(r) for r in ivfpq_topk(
+        ivfpq_load(spark, path)[0], cents, books, q, rerank_with=emb, k=10, nprobe=5
+    ).collect()]
+    ivfpq_compact(spark, path)
+    man = json.load(open(path + "/_INDEX.json"))
+    assert len(man["encoded_dirs"]) == 1
+    enc_c, cents_c, books_c = ivfpq_load(spark, path)
+    assert enc_c.count() == before_rows
+    probe_after = [tuple(r) for r in ivfpq_topk(
+        enc_c, cents_c, books_c, q, rerank_with=emb, k=10, nprobe=5
+    ).collect()]
+    assert probe_after == probe_before
 
     # an EMPTY delta is a no-op, not a crash or a manifest churn
     import json
