@@ -425,16 +425,30 @@ def pq_train(
 
 
 def pq_encode(
-    df: DataFrame, codebooks, emb_col: str = "embedding", out_col: str = "pq_code"
+    df: DataFrame,
+    codebooks,
+    emb_col: str = "embedding",
+    out_col: str = "pq_code",
+    codebooks_bc=None,
 ) -> DataFrame:
     """Compress each embedding to ``m`` centroid indices (array<int>,
     one byte of information each): vectorized argmin per subvector in
     an Arrow batch, codebooks broadcast. The encoded table is what a
-    100 TB deployment persists; full vectors stay in cold storage."""
+    100 TB deployment persists; full vectors stay in cold storage.
+
+    ``codebooks_bc``: a caller-owned Broadcast of ``codebooks`` — pass
+    it from a PERIODIC caller (ivfpq_append) so the handle can be
+    destroyed once the encode materializes, instead of accumulating one
+    broadcast per call on a long-lived driver; one-shot build paths can
+    let this function broadcast (the handle then lives for the app)."""
     import numpy as np
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(codebooks)
+    bc = (
+        codebooks_bc
+        if codebooks_bc is not None
+        else spark.sparkContext.broadcast(codebooks)
+    )
 
     @F.pandas_udf("array<int>")
     def enc(embs: pd.Series) -> pd.Series:
@@ -940,15 +954,23 @@ def ivfpq_load(spark, path: str):
     dirs = manifest.get(
         "encoded_dirs", [manifest.get("encoded_dir", "encoded")]
     )
-    # One scan per base/delta dir unioned by name (Spark refuses a
-    # single multi-root read of separately-partitioned stores); a cell
-    # predicate prunes EACH branch's source listing independently, so
-    # probes stay ∝ nprobe × cell across base + deltas.
+    return _read_encoded_dirs(spark, path, dirs), centroids, codebooks
+
+
+def _read_encoded_dirs(spark, path: str, dirs: list[str]) -> DataFrame:
+    """One scan per base/delta dir unioned by name (Spark refuses a
+    single multi-root read of separately-partitioned stores); a cell
+    predicate prunes EACH branch's source listing independently, so
+    probes stay ∝ nprobe × cell across base + deltas. THE store-reading
+    convention shared by load, append's skip-existing scan, and
+    compaction."""
+    import os
+
     encoded = None
     for d in dirs:
         part = spark.read.parquet(os.path.join(path, d))
         encoded = part if encoded is None else encoded.unionByName(part)
-    return encoded, centroids, codebooks
+    return encoded
 
 
 def ivfpq_append(
@@ -1025,7 +1047,15 @@ def ivfpq_append(
         F.count_distinct(F.col(id_col)).alias("n_ids"),
         F.coalesce(
             F.sum(
-                (F.col(vec_col).isNull() | (F.size(vec_col) != dim)).cast("int")
+                (
+                    F.col(vec_col).isNull()
+                    | (F.size(vec_col) != dim)
+                    # a null ELEMENT inside a right-length vector would
+                    # NaN-poison the distance row and garbage-index the
+                    # vector into cell 0 — same failure class, same
+                    # up-front rejection
+                    | F.exists(vec_col, lambda x: x.isNull())
+                ).cast("int")
             ),
             F.lit(0),
         ).alias("n_bad"),
@@ -1034,9 +1064,9 @@ def ivfpq_append(
         return  # empty delta: nothing to append, manifest unchanged
     if stats["n_bad"]:
         raise ValueError(
-            f"ivfpq_append: {stats['n_bad']} row(s) have a null {vec_col} "
-            f"or dim != {dim} — a mis-dimensioned row would be silently "
-            "mis-assigned; clean the batch first"
+            f"ivfpq_append: {stats['n_bad']} row(s) have a null {vec_col}, "
+            f"a null element, or dim != {dim} — a mis-dimensioned row "
+            "would be silently mis-assigned; clean the batch first"
         )
     if stats["n_ids"] != stats["n"]:
         raise ValueError(
@@ -1047,6 +1077,7 @@ def ivfpq_append(
         )
     keep = [id_col, vec_col, *manifest["metadata_cols"]]
     batch = new_embeddings.select(*keep)
+    we_persisted_batch = False
     if skip_existing:
         # Exact replay-safety: drop ids the store already holds (an
         # orchestrator retrying a committed batch must not double-index
@@ -1054,22 +1085,31 @@ def ivfpq_append(
         # top-k). Column-pruned scan of the store's id column; a bloom
         # prefilter is NOT sound here (false positives would silently
         # drop genuinely-new ids).
-        existing = None
-        for d in manifest["encoded_dirs"]:
-            part = spark.read.parquet(os.path.join(path, d)).select(id_col)
-            existing = part if existing is None else existing.unionByName(part)
-        batch = batch.join(existing, id_col, "left_anti")
+        existing = _read_encoded_dirs(
+            spark, path, manifest["encoded_dirs"]
+        ).select(id_col)
+        # Persist the surviving batch: the emptiness probe below and
+        # the delta write must see ONE computation of the anti-join —
+        # otherwise the store's id column is scanned twice per append,
+        # and a nondeterministic input could pass the probe yet write
+        # zero rows, publishing an empty (schema-less, unreadable)
+        # delta dir into the manifest.
+        batch = batch.join(existing, id_col, "left_anti").persist()
+        we_persisted_batch = True
         if batch.select(id_col).head() is None:
+            batch.unpersist()
             return  # full replay: every id already indexed, no-op
-            # (also keeps an empty — hence schema-less, unreadable —
-            # delta parquet dir out of the manifest)
 
     # MAP-SIDE cell assignment: broadcast the (n_cells, dim) centroid
     # matrix once and argmin per Arrow batch — no per-centroid join
     # fan-out (a cross join would blow a nightly batch up n_cells x
-    # into a shuffle) and no groupBy collapse. argmin's first-minimum
-    # tie-break matches the min-struct/KMeans-transform rule (lowest
-    # cell index).
+    # into a shuffle) and no groupBy collapse. Distances use the SAME
+    # subtract-then-square form as the KMeans assignment and the
+    # probe's driver-side cell ranking — the expanded ||x||²-2x·c+||c||²
+    # form differs in the last FP ulp and could flip a near-tie,
+    # breaking the assignment==probe-rank-1 self-hit guarantee. One
+    # pass per cell keeps peak memory at batch x dim (a full
+    # batch x cells x dim difference tensor would be GBs).
     cents_np = np.asarray(centroids, dtype=np.float64)
     bc_cents = spark.sparkContext.broadcast(cents_np)
 
@@ -1081,23 +1121,32 @@ def ivfpq_append(
             return pd.Series([], dtype="int32")
         X = np.stack(vecs.to_numpy()).astype(np.float64)
         c = bc_cents.value
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over cells
-        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ c.T) + (c * c).sum(1)[None, :]
+        d2 = np.empty((len(X), len(c)))
+        for j in range(len(c)):
+            diff = X - c[j]
+            d2[:, j] = (diff * diff).sum(1)
         return pd.Series(d2.argmin(1).astype("int32"))
 
     assigned = batch.withColumn(
         "cell", nearest_cell(F.col(vec_col).cast("array<double>"))
     )
     with_res = _with_residual(assigned, centroids, vec_col)
-    delta = pq_encode(with_res, codebooks, emb_col="__residual").select(
-        id_col, "cell", "pq_code", *manifest["metadata_cols"]
-    )
+    # Caller-owned codebooks broadcast: destroyed with the centroid
+    # matrix once the delta write materializes — a periodic append loop
+    # must not accumulate either handle.
+    bc_books = spark.sparkContext.broadcast(codebooks)
+    delta = pq_encode(
+        with_res, codebooks, emb_col="__residual", codebooks_bc=bc_books
+    ).select(id_col, "cell", "pq_code", *manifest["metadata_cols"])
     ver = uuid.uuid4().hex[:12]
     delta_dir = f"encoded-{ver}"
     try:
         write_parquet(delta, os.path.join(path, delta_dir), partition_by=["cell"])
     finally:
-        bc_cents.destroy()  # the write is the only action referencing it
+        bc_cents.destroy()  # the write is the only action referencing them
+        bc_books.destroy()
+        if we_persisted_batch:
+            batch.unpersist()
     manifest = {
         **manifest,
         "version": ver,
@@ -1124,15 +1173,19 @@ def ivfpq_compact(spark, path: str) -> None:
     mpath = os.path.join(path, "_INDEX.json")
     with open(mpath, encoding="utf-8") as fh:
         manifest = json.load(fh)
-    dirs = manifest.get(
-        "encoded_dirs", [manifest.get("encoded_dir", "encoded")]
-    )
-    if len(dirs) <= 1 and "encoded_dirs" in manifest:
+    if "encoded_dirs" not in manifest:
+        # A legacy (pre-versioning) manifest lacks codebooks_file too —
+        # proceeding would crash AFTER the commit point inside the
+        # cleanup and orphan the old unversioned dir forever. Same
+        # upgrade path ivfpq_append demands.
+        raise ValueError(
+            "ivfpq_compact: index was saved by an older ivfpq_save "
+            "(no encoded_dirs); re-save it once to upgrade the manifest"
+        )
+    dirs = manifest["encoded_dirs"]
+    if len(dirs) <= 1:
         return  # already compact
-    merged = None
-    for d in dirs:
-        part = spark.read.parquet(os.path.join(path, d))
-        merged = part if merged is None else merged.unionByName(part)
+    merged = _read_encoded_dirs(spark, path, dirs)
     ver = uuid.uuid4().hex[:12]
     merged_dir = f"encoded-{ver}"
     write_parquet(merged, os.path.join(path, merged_dir), partition_by=["cell"])

@@ -611,7 +611,9 @@ def test_ivfpq_appended_store_prunes_every_branch(spark):
     base = emb.filter(F.col("vec_id") % 3 != 0)
     delta = emb.filter(F.col("vec_id") % 3 == 0)
     encoded, cents, books = ivfpq_build(base, n_cells=4, m=2, k=8, max_iter=4)
-    path = "/root/repo/.scratch/ivfpq-append-plan"
+    import os
+
+    path = f"/root/repo/.scratch/ivfpq-append-plan-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     ivfpq_save(encoded, cents, books, path)
     ivfpq_append(spark, path, delta)

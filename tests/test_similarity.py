@@ -525,8 +525,10 @@ def test_ivfpq_save_load_probe_matches_in_memory(spark):
         [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))],
         "vec_id long, embedding array<double>",
     )
+    import os
+
     encoded, centroids, books = ivfpq_build(emb, n_cells=6, m=8, k=16, max_iter=6)
-    path = "/root/repo/.scratch/ivfpq-index"
+    path = f"/root/repo/.scratch/ivfpq-index-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     ivfpq_save(encoded, centroids, books, path)
 
@@ -551,8 +553,6 @@ def test_ivfpq_save_load_probe_matches_in_memory(spark):
     assert disk == mem
 
     # torn save: a manifest-less directory is not an index
-    import os
-
     os.remove(os.path.join(path, "_INDEX.json"))
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
         ivfpq_load(spark, path)
@@ -665,7 +665,9 @@ def test_ivfpq_append_extends_persisted_index(spark):
     delta = emb.filter(F.col("vec_id") % 3 == 0)
 
     encoded, cents, books = ivfpq_build(base, n_cells=5, m=4, k=16, max_iter=6)
-    path = "/root/repo/.scratch/ivfpq-append"
+    import os
+
+    path = f"/root/repo/.scratch/ivfpq-append-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     ivfpq_save(encoded, cents, books, path)
     ivfpq_append(spark, path, delta)
