@@ -106,6 +106,7 @@ EXTENDED_QUERIES = [
     "triangle_copurchase",
     "ivfpq_persisted_ann_topk",
     "filtered_ann_topk",
+    "ivfpq_incremental_append",
 ]
 
 
