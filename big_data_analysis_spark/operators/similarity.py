@@ -429,24 +429,26 @@ def pq_encode(
     codebooks,
     emb_col: str = "embedding",
     out_col: str = "pq_code",
-    codebooks_bc=None,
 ) -> DataFrame:
     """Compress each embedding to ``m`` centroid indices (array<int>,
     one byte of information each): vectorized argmin per subvector in
     an Arrow batch, codebooks broadcast. The encoded table is what a
     100 TB deployment persists; full vectors stay in cold storage.
 
-    ``codebooks_bc``: a caller-owned Broadcast of ``codebooks`` — pass
-    it from a PERIODIC caller (ivfpq_append) so the handle can be
-    destroyed once the encode materializes, instead of accumulating one
-    broadcast per call on a long-lived driver; one-shot build paths can
-    let this function broadcast (the handle then lives for the app)."""
+    ``codebooks`` may be the (m, k, d/m) array OR a caller-owned
+    Broadcast of it — a PERIODIC caller (ivfpq_append) passes its own
+    handle so it can be destroyed once the encode materializes instead
+    of accumulating one broadcast per call on a long-lived driver;
+    one-shot build paths pass the array and let this function broadcast
+    (that handle then lives for the app). One argument, so the array
+    and the broadcast can never silently diverge."""
     import numpy as np
+    from pyspark.broadcast import Broadcast
 
     spark = df.sparkSession
     bc = (
-        codebooks_bc
-        if codebooks_bc is not None
+        codebooks
+        if isinstance(codebooks, Broadcast)
         else spark.sparkContext.broadcast(codebooks)
     )
 
@@ -1135,9 +1137,9 @@ def ivfpq_append(
     # matrix once the delta write materializes — a periodic append loop
     # must not accumulate either handle.
     bc_books = spark.sparkContext.broadcast(codebooks)
-    delta = pq_encode(
-        with_res, codebooks, emb_col="__residual", codebooks_bc=bc_books
-    ).select(id_col, "cell", "pq_code", *manifest["metadata_cols"])
+    delta = pq_encode(with_res, bc_books, emb_col="__residual").select(
+        id_col, "cell", "pq_code", *manifest["metadata_cols"]
+    )
     ver = uuid.uuid4().hex[:12]
     delta_dir = f"encoded-{ver}"
     try:
@@ -1174,14 +1176,24 @@ def ivfpq_compact(spark, path: str) -> None:
     with open(mpath, encoding="utf-8") as fh:
         manifest = json.load(fh)
     if "encoded_dirs" not in manifest:
-        # A legacy (pre-versioning) manifest lacks codebooks_file too —
-        # proceeding would crash AFTER the commit point inside the
-        # cleanup and orphan the old unversioned dir forever. Same
-        # upgrade path ivfpq_append demands.
-        raise ValueError(
-            "ivfpq_compact: index was saved by an older ivfpq_save "
-            "(no encoded_dirs); re-save it once to upgrade the manifest"
-        )
+        if "codebooks_file" not in manifest:
+            # Format 1 (unversioned artifacts): the post-commit cleanup
+            # keys on codebooks_file, so proceeding would crash AFTER
+            # the commit point and orphan the old 'encoded' dir forever.
+            raise ValueError(
+                "ivfpq_compact: index was saved by a format-1 ivfpq_save "
+                "(no codebooks_file); re-save it once to upgrade"
+            )
+        # Format 2 (versioned single encoded_dir): already physically
+        # compact — upgrade the manifest in place to format 3 so
+        # ivfpq_append works, without copying any data.
+        manifest = {
+            **{k: v for k, v in manifest.items() if k != "encoded_dir"},
+            "format_version": 3,
+            "encoded_dirs": [manifest["encoded_dir"]],
+        }
+        _commit_index_manifest(path, manifest)
+        return
     dirs = manifest["encoded_dirs"]
     if len(dirs) <= 1:
         return  # already compact

@@ -588,7 +588,7 @@ def test_filtered_ann_predicate_pushes_into_probed_cell_scan(spark):
     assert "cell" not in (pushed.group(1) if pushed else ""), plan
 
 
-def test_ivfpq_appended_store_prunes_every_branch(spark):
+def test_ivfpq_appended_store_prunes_every_branch(spark, request):
     """The base+delta union a loaded appended index plans must prune at
     the source listing in EVERY branch: a cell predicate shows up as a
     PartitionFilter on each scan (base dir and delta dir alike), never
@@ -615,6 +615,7 @@ def test_ivfpq_appended_store_prunes_every_branch(spark):
 
     path = f"/root/repo/.scratch/ivfpq-append-plan-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
     ivfpq_save(encoded, cents, books, path)
     ivfpq_append(spark, path, delta)
 

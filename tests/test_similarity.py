@@ -501,7 +501,7 @@ def test_semantic_dedup_cell_cap_raises_on_unsplittable_cell(spark):
         ).count()
 
 
-def test_ivfpq_save_load_probe_matches_in_memory(spark):
+def test_ivfpq_save_load_probe_matches_in_memory(spark, request):
     """VERDICT r5 #5: the persisted index is a SERVING index — build,
     save, load in a fresh-session-equivalent path (no retraining), and
     the loaded probe's top-k must equal the in-memory index's top-k.
@@ -530,6 +530,7 @@ def test_ivfpq_save_load_probe_matches_in_memory(spark):
     encoded, centroids, books = ivfpq_build(emb, n_cells=6, m=8, k=16, max_iter=6)
     path = f"/root/repo/.scratch/ivfpq-index-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
     ivfpq_save(encoded, centroids, books, path)
 
     # no retraining: everything comes off disk
@@ -634,7 +635,7 @@ def test_filtered_ann_predicate_and_refill(spark):
     assert set(got_rare) <= set(rare)
 
 
-def test_ivfpq_append_extends_persisted_index(spark):
+def test_ivfpq_append_extends_persisted_index(spark, request):
     """Incremental index append (the serving lifecycle's refresh step):
     new vectors are assigned to the EXISTING cells and codebooks and
     land in a delta directory; the loaded store sees base + delta, a
@@ -669,6 +670,7 @@ def test_ivfpq_append_extends_persisted_index(spark):
 
     path = f"/root/repo/.scratch/ivfpq-append-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
     ivfpq_save(encoded, cents, books, path)
     ivfpq_append(spark, path, delta)
 
@@ -716,6 +718,17 @@ def test_ivfpq_append_extends_persisted_index(spark):
     ).withColumn("embedding", F.slice("embedding", 1, 5))
     with pytest.raises(ValueError, match="dim"):
         ivfpq_append(spark, path, bad_dim)
+    # ...and so is a right-LENGTH vector with a null ELEMENT (it would
+    # NaN-poison the distance row and garbage-index into cell 0)
+    null_elem = delta.withColumn("vec_id", F.col("vec_id") + 60_000).withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 0 THEN CAST(NULL AS DOUBLE) ELSE x END)"
+        ),
+    )
+    with pytest.raises(ValueError, match="null element"):
+        ivfpq_append(spark, path, null_elem)
 
     # LSM compaction folds base + deltas back to ONE dir — same rows,
     # identical probe results, no retraining
