@@ -139,6 +139,15 @@ def triangle_counts(
     sorting by id on a degree-regular graph, so an id-oriented SQL
     enumeration is a valid oracle: the triangle SET is
     orientation-independent."""
+    # Persist the canonical edge list: it feeds the degree count (two
+    # logical references via the union) AND the orientation join, and
+    # the oriented list below is referenced by three joins — without
+    # materialization Catalyst re-derives the upstream edge GENERATOR
+    # (for the co-purchase graph, a lineitem self-join + distinct)
+    # once per reference; measured plan: 60 parquet scans, zero
+    # ReusedExchange. Materializing the edge list once is exactly what
+    # a 100 TB deployment does (it's 2 longs per edge — tiny next to
+    # the generator's shuffle).
     und = (
         edges.select(
             F.least(src_col, dst_col).alias("u"),
@@ -146,6 +155,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -166,6 +176,7 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.a", "e.b")
+        .persist()
     )
     wedges = ranked.alias("e1").join(
         ranked.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"), "b"
