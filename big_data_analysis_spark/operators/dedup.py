@@ -1136,3 +1136,70 @@ def countmin_estimate(
         ]
     )
     return df.withColumn("est_count", est(pos))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, capacity: int = 256) -> DataFrame:
+    """Misra-Gries heavy hitters with mergeable summaries (Agarwal et
+    al., "Mergeable Summaries", PODS'12): ONE pass, bounded state, no
+    full groupBy — the top-k path for astronomically-keyed columns
+    (tokens of a 100 TB corpus) where even the map-side-combined exact
+    count shuffle is the bottleneck. Each partition folds its rows into
+    a <= ``capacity``-entry counter summary (Arrow-batched value_counts,
+    then the PODS'12 MERGE trim: subtract the (capacity+1)-th largest
+    count, keep positives); the per-partition summaries are then
+    SUM-merged by one tiny groupBy over <= capacity x partitions rows.
+
+    Guarantee (the certificate the oracle pins): for every key,
+    est <= true_count and true_count - est <= n / (capacity + 1), with
+    est = 0 for absent keys — so every key with true frequency above
+    n/(capacity+1) is present in the output. Returns (item, est); the
+    caller thresholds (est alone orders candidates; re-count the
+    shortlist exactly if exact ranks matter — it is tiny).
+
+    Scale shape: state is O(capacity) per task regardless of input
+    size; the only shuffle moves <= capacity rows per task. The
+    estimates (not the guarantee) depend on partition boundaries, so
+    ``est`` is not a cross-run-stable value — downstream comparisons
+    must use the bounds, never the raw estimate.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("heavy_hitters: capacity must be >= 1")
+    item_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [StructField("item", item_type), StructField("est", LongType())]
+    )
+
+    def summarize(batches):
+        counts: dict = {}
+
+        def trim() -> None:
+            if len(counts) <= cap:
+                return
+            vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            # (cap+1)-th largest = index len-cap-1 in ascending order.
+            kth = int(np.partition(vals, len(vals) - cap - 1)[len(vals) - cap - 1])
+            for k in list(counts):
+                c = counts[k] - kth
+                if c > 0:
+                    counts[k] = c
+                else:
+                    del counts[k]
+
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            trim()
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts.keys()), "est": list(counts.values())}
+            )
+
+    summaries = df.select(key_col).mapInPandas(summarize, out_schema)
+    return summaries.groupBy("item").agg(
+        F.sum("est").cast("long").alias("est")
+    )

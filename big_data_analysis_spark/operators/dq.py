@@ -229,3 +229,107 @@ def js_divergence(
             F.count(F.lit(1)).cast("long").alias("n_categories"),
         )
     )
+
+
+def merge_quantile_state(
+    delta: DataFrame,
+    state: DataFrame | None,
+    keys: "Sequence[str]",
+    value_col: str,
+    edges: list[float],
+    bin_col: str = "bin",
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental QUANTILE maintenance — the profiling sibling of
+    relational.merge_aggregate_state (sums/min/max) and
+    merge_distinct_state (HLL distinct): exact quantiles are not
+    mergeable, but FIXED-EDGE histogram counts are (counts add), and a
+    histogram bounds any quantile to one bin. Per key the state is the
+    long-form (keys..., bin, n) bin-count table against ``edges``
+    (right-closed bin_by_edges semantics, same contract as the PSI
+    monitor); folding a delta is bin + one keyed re-aggregate, so ANY
+    fold order yields the byte-identical state (asserted in tests) and
+    the folded state equals a full recompute EXACTLY — integers, no
+    sketch error. NULL values keep a NULL-bin row (null accounting is
+    part of profiling); quantile_from_state skips it.
+
+    Scale shape: the delta aggregates first (map-side combine on the
+    new data only), then one keyed union+re-aggregate with the state —
+    O(|delta| + |state|), independent of raw history size; state size
+    is |keys| x (len(edges)+2) rows regardless of data volume. The
+    ``edges`` must be the same list every cycle (derive once from the
+    reference window with quantile_edges); changing edges means a
+    rebuild, exactly like re-binning a PSI reference.
+    """
+    ks = list(keys)
+    binned = delta.select(
+        *ks, bin_by_edges(F.col(value_col), edges).alias(bin_col)
+    )
+    d = binned.groupBy(*ks, bin_col).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col)
+    )
+    if state is None:
+        return d
+    merged = state.select(d.columns).unionByName(d)
+    return merged.groupBy(*ks, bin_col).agg(
+        F.sum(count_col).cast("long").alias(count_col)
+    )
+
+
+def quantile_from_state(
+    state: DataFrame,
+    keys: "Sequence[str]",
+    q: float,
+    edges: list[float],
+    bin_col: str = "bin",
+    count_col: str = "n",
+    out_col: str = "q_est",
+) -> DataFrame:
+    """Read an estimated quantile off a merge_quantile_state histogram:
+    per key, walk the cumulative bin counts to the bin containing rank
+    ceil(q * n) and linearly interpolate inside its edge interval. The
+    bin identification is EXACT (counts are exact), so the estimate is
+    off by at most that bin's width — the caller chose the resolution
+    when it chose ``edges``. The two open end bins clamp to the nearest
+    edge (a quantile landing there is a sign the edges no longer cover
+    the data — widen them next rebuild).
+
+    Scale shape: runs on the state table (|keys| x bins rows), never on
+    raw data; the rank walk is a window over <= len(edges)+2 rows per
+    key. Returns (keys..., n_total, out_col).
+    """
+    from pyspark.sql import Window
+
+    ks = list(keys)
+    nb = len(edges)
+    # bin k covers (edges[k-1], edges[k]]; end bins clamp to the edge.
+    lo = F.array([F.lit(float(edges[max(k - 1, 0)])) for k in range(nb + 1)])
+    hi = F.array([F.lit(float(edges[min(k, nb - 1)])) for k in range(nb + 1)])
+    s = state.filter(F.col(bin_col).isNotNull())
+    w_cum = Window.partitionBy(*ks).orderBy(bin_col)
+    w_all = Window.partitionBy(*ks)
+    c = (
+        s.withColumn("__cum", F.sum(count_col).over(w_cum))
+        .withColumn("__tot", F.sum(count_col).over(w_all))
+        .withColumn(
+            "__rank",
+            F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("__tot"))),
+        )
+    )
+    first_hit = (
+        c.filter(F.col("__cum") >= F.col("__rank"))
+        .withColumn(
+            "__rn", F.row_number().over(Window.partitionBy(*ks).orderBy(bin_col))
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    b_lo = F.element_at(lo, F.col(bin_col).cast("int") + 1)
+    b_hi = F.element_at(hi, F.col(bin_col).cast("int") + 1)
+    frac = (F.col("__rank") - (F.col("__cum") - F.col(count_col))) / F.col(
+        count_col
+    )
+    return first_hit.select(
+        *ks,
+        F.col("__tot").alias("n_total"),
+        (b_lo + frac * (b_hi - b_lo)).alias(out_col),
+    )

@@ -6348,6 +6348,207 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Incremental quantile state (dq.merge_quantile_state): fixed-edge
+# histogram counts are the mergeable form of a quantile profile. The
+# query folds orders in THREE key-split deltas and returns the folded
+# per-priority bin-count state; the oracle recomputes the same bins in
+# one full-data GROUP BY — hash-equality proves fold == full recompute
+# EXACTLY (integers, no sketch error), the property that makes the
+# state safe to maintain incrementally forever. The estimator read
+# path (quantile_from_state) is pinned by
+# tests/test_dq.py (estimate within one bin width of the exact
+# percentile, any fold order byte-identical).
+# =========================================================================
+
+_QSTATE_EDGES = [25000.0 * k for k in range(1, 24)]
+
+_QSTATE_ORACLE = f"""
+SELECT o_orderpriority AS priority,
+       CAST(CASE {' '.join(f'WHEN o_totalprice <= {e!r} THEN {k}' for k, e in enumerate(_QSTATE_EDGES))} ELSE {len(_QSTATE_EDGES)} END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("incremental_quantile_orders", _QSTATE_ORACLE)
+def q_incremental_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram state, oracle-verified: orders fold
+    in as three disjoint deltas (o_orderkey mod 3) and the folded
+    per-priority bin-count state hash-matches a single full-data GROUP
+    BY — the incremental profile equals the batch profile exactly."""
+    from big_data_analysis_spark.operators import dq
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    state = None
+    for i in range(3):
+        delta = o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+        state = dq.merge_quantile_state(
+            delta, state, ["o_orderpriority"], "o_totalprice", _QSTATE_EDGES
+        )
+    return state.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# =========================================================================
+# Misra-Gries heavy hitters (dedup.heavy_hitters): single-pass bounded-
+# state top-k over corpus tokens — mergeable-summaries MERGE (Agarwal
+# et al., PODS'12). Estimates depend on partition boundaries, so the
+# driver contract is a BOUNDS CERTIFICATE (the golden_predictions
+# move): the exact count of guaranteed-heavy tokens (SQL-derivable,
+# hash-compared) plus booleans pinning the theorem — every token with
+# frequency > n/(capacity+1) present; for every reported token
+# est <= true and true - est <= n/(capacity+1).
+# =========================================================================
+
+_HH_CAP = 128
+
+_HH_ORACLE = f"""
+WITH toks AS (
+    SELECT t.tok
+    FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+    WHERE t.tok <> ''
+), counts AS (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+    SELECT count(*) AS n_tok FROM toks
+)
+SELECT CAST(count(*) FILTER (WHERE cnt > n_tok // {_HH_CAP + 1}) AS BIGINT)
+           AS n_heavy,
+       true AS all_heavy_present,
+       true AS bounds_hold
+FROM counts, tot
+"""
+
+
+@query("heavy_hitter_tokens", _HH_ORACLE)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state token heavy hitters, certificate-verified: the
+    Misra-Gries summary (capacity 128, per-partition Arrow fold +
+    sum-merge) runs over the full exploded token stream; the exact
+    side (test-scale only) derives every token's true count and the
+    certificate pins the PODS'12 bounds as booleans plus the exact
+    guaranteed-heavy count as the hash-compared value."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hh = dd.heavy_hitters(toks, "tok", capacity=_HH_CAP)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    joined = (
+        exact.join(hh.withColumnRenamed("item", "tok"), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    thr = F.floor(F.col("n_tok") / F.lit(_HH_CAP + 1)).cast("long")
+    heavy = F.col("cnt") > thr
+    return joined.agg(
+        F.sum(F.when(heavy, 1).otherwise(0)).cast("long").alias("n_heavy"),
+        F.bool_and(
+            F.when(heavy, F.col("est").isNotNull()).otherwise(F.lit(True))
+        ).alias("all_heavy_present"),
+        F.bool_and(
+            F.when(
+                F.col("est").isNotNull(),
+                (F.col("est") <= F.col("cnt"))
+                & ((F.col("cnt") - F.col("est")) <= thr),
+            ).otherwise(F.lit(True))
+        ).alias("bounds_hold"),
+    )
+
+
+# =========================================================================
+# End-to-end entity resolution (the record-linkage pipeline assembled
+# from verified parts): symmetric-delete edit-distance blocking ->
+# pair verify -> connected components -> keep-best canonicalization
+# (highest account balance wins, id tiebreak; singletons survive).
+# The oracle re-derives the WHOLE pipeline: brute-force levenshtein
+# pairs, recursive-CTE transitive closure, windowed representative
+# pick — full row hash-match, not a certificate.
+# =========================================================================
+
+_ER_ORACLE = """
+WITH RECURSIVE pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_nationkey = b.c_nationkey
+      AND abs(len(a.c_name) - len(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+    SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+), labeled AS (
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           coalesce(comp.component, c.c_custkey) AS component
+    FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
+), ranked AS (
+    SELECT component, c_custkey, c_name, c_acctbal,
+           row_number() OVER (
+               PARTITION BY component
+               ORDER BY c_acctbal DESC, c_custkey ASC
+           ) AS rn,
+           count(*) OVER (PARTITION BY component) AS gs
+    FROM labeled
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(gs AS BIGINT) AS group_size,
+       CAST(c_custkey AS BIGINT) AS canonical_id,
+       c_name AS canonical_name,
+       round(c_acctbal, 2) AS canonical_acctbal
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("entity_resolution_customers", _ER_ORACLE)
+def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end, oracle-verified row-for-row: a
+    match is same-nation AND name within edit distance 1 (the classic
+    two-field linkage rule — the attribute equality keeps ID-like
+    names from chaining the whole table into one giant component);
+    pairs come from symmetric-delete blocking (never a cross join),
+    then min-label connected components and ONE canonical record per
+    entity (highest c_acctbal, custkey tiebreak); customers matching
+    nobody survive as their own entity."""
+    c = load_tables(spark, sf_dir, ["customer"])["customer"].select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = c.select(F.col("c_custkey").alias("__k"), F.col("c_nationkey").alias("__nk"))
+    pairs = (
+        dd.edit_distance_pairs(c, "c_name", "c_custkey", k=1)
+        .join(
+            F.broadcast(nat).withColumnRenamed("__k", "__ka").withColumnRenamed("__nk", "__na"),
+            F.col("id_a") == F.col("__ka"),
+        )
+        .join(
+            F.broadcast(nat).withColumnRenamed("__k", "__kb").withColumnRenamed("__nk", "__nb"),
+            F.col("id_b") == F.col("__kb"),
+        )
+        .filter(F.col("__na") == F.col("__nb"))
+        .select("id_a", "id_b")
+    )
+    kept = dd.keep_best_in_group(
+        c.drop("c_nationkey"), pairs, "c_custkey", "c_acctbal"
+    )
+    return kept.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("c_custkey").cast("long").alias("canonical_id"),
+        F.col("c_name").alias("canonical_name"),
+        F.round("c_acctbal", 2).alias("canonical_acctbal"),
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -6371,8 +6572,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # --- round-6 window ---
     # (a) round-6 additions and graduations — checked the round they
-    # land: the persisted-index lifecycle probe and the filtered ANN
-    # query are NEW; minhash_pairs / simhash_pairs / als_recommend_
+    # land: the persisted-index lifecycle probe, the filtered ANN
+    # query, the incremental index append, the mergeable quantile
+    # state, the Misra-Gries certificate and the entity-resolution
+    # pipeline are NEW; minhash_pairs / simhash_pairs / als_recommend_
     # brands graduated from rows-only to contract oracles (VERDICT r5
     # #2/#3) and must earn their first oracle-backed row.
     "ivfpq_persisted_ann_topk",
@@ -6380,6 +6583,10 @@ _DRIVER_PRIORITY: list[str] = [
     "minhash_pairs",
     "simhash_pairs",
     "als_recommend_brands",
+    "ivfpq_incremental_append",
+    "incremental_quantile_orders",
+    "heavy_hitter_tokens",
+    "entity_resolution_customers",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -6397,7 +6604,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dedup_groups",
     "dedup_keep_best_docs",
     # (c) rotating re-verification sample (ADVICE r3 standing policy) —
-    # 37 slots, provably disjoint from BOTH the r4 and r5 windows
+    # 33 slots, provably disjoint from BOTH the r4 and r5 windows
     # (checked against CORRECTNESS_r04/r05.json key sets), spanning
     # every module family: nulls/pivot/rollup/describe, date+JSON
     # functions, set ops, windows, streaming (3 shapes), text quality
@@ -6410,14 +6617,12 @@ _DRIVER_PRIORITY: list[str] = [
     "value_counts_events",
     "json_extract_agg",
     "string_funcs_part",
-    "set_ops_customers",
     "window_lag_features",
     "tumbling_daily_events",
     "word_freq_docs",
     "token_stats_docs",
     "dedup_exact_docs",
     "jaccard_pairs_docs",
-    "cosine_topk",
     "frequent_items_trend",
     "fpgrowth_rules_pairs",
     "suppliers_with_shipments",
@@ -6427,13 +6632,11 @@ _DRIVER_PRIORITY: list[str] = [
     "lang_id_docs",
     "quality_docs",
     "contamination_pairs_docs",
-    "bpe_token_counts",
     "embedding_near_dup_pairs",
     "sliding_window_events",
     "session_window_events",
     "tfidf_top_terms_docs",
     "lm_perplexity_docs",
-    "chi2_orders",
     "entropy_gain_events",
     "centroid_assignment_embeddings",
     "span_dedup_docs",

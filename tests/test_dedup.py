@@ -596,3 +596,53 @@ def test_keep_best_guards_internal_temp_columns(spark):
         df = spark.createDataFrame([(1, 5.0, 0.0)], f"doc_id int, score double, {bad} double")
         with pytest.raises(ValueError, match=bad):
             keep_best_in_group(df, pairs, "doc_id", "score")
+
+
+def test_heavy_hitters_no_false_negatives_and_bounds(spark):
+    """The PODS'12 mergeable-summaries guarantee, asserted on a Zipfian
+    stream spread over many partitions: every key with true frequency
+    above n/(capacity+1) appears, and for every reported key
+    est <= true and true - est <= n/(capacity+1)."""
+    from big_data_analysis_spark.operators.dedup import heavy_hitters
+
+    rows = []
+    for rank in range(1, 60):
+        rows += [(f"k{rank}",)] * (2000 // rank)
+    df = spark.createDataFrame(rows, "item string").repartition(7)
+    cap = 8
+    n = len(rows)
+    err = n // (cap + 1)
+    est = {r["item"]: r["est"] for r in heavy_hitters(df, "item", capacity=cap).collect()}
+    from collections import Counter
+
+    true = Counter(r[0] for r in rows)
+    for k, t in true.items():
+        e = est.get(k, 0)
+        assert e <= t, (k, e, t)
+        assert t - e <= err, (k, e, t, err)
+        if t > err:
+            assert k in est, f"heavy key {k} missing (true={t}, err={err})"
+
+
+def test_heavy_hitters_exact_when_under_capacity(spark):
+    """With fewer distinct keys than the capacity no trim ever fires:
+    the summary is the exact count table."""
+    from big_data_analysis_spark.operators.dedup import heavy_hitters
+
+    rows = [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    df = spark.createDataFrame(rows, "item string").repartition(3)
+    est = {r["item"]: r["est"] for r in heavy_hitters(df, "item", capacity=16).collect()}
+    assert est == {"a": 5, "b": 3, "c": 2}
+
+
+def test_heavy_hitters_long_keys_and_nulls(spark):
+    """Integer key columns keep their type in the output; NULL keys are
+    dropped (value_counts dropna), not counted under a sentinel."""
+    from big_data_analysis_spark.operators.dedup import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,), (None,)], "item long"
+    )
+    out = heavy_hitters(df, "item", capacity=4)
+    assert dict(out.collect()) == {1: 2, 2: 1}
+    assert out.schema["item"].dataType.typeName() == "long"

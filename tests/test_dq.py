@@ -138,3 +138,57 @@ def test_jsd_bounds_and_symmetry(spark):
     ab = js_divergence(a, b, "c").head()["jsd"]
     ba = js_divergence(b, a, "c").head()["jsd"]
     assert abs(ab - ba) < 1e-12
+
+
+def test_merge_quantile_state_fold_equals_full_and_order_invariant(spark):
+    """Folding deltas in ANY order yields the byte-identical bin-count
+    state, and the folded state equals a one-shot full recompute —
+    the exactness property that makes the state safe to maintain
+    incrementally forever (no sketch drift)."""
+    import itertools
+
+    edges = [10.0, 20.0, 30.0]
+    rows = [("a", float(v)) for v in range(1, 41)] + [("b", float(v * 3)) for v in range(1, 15)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    deltas = [df.filter(F.pmod(F.xxhash64("v"), F.lit(3)) == i) for i in range(3)]
+    full = dq.merge_quantile_state(df, None, ["k"], "v", edges)
+    expect = sorted(tuple(r) for r in full.collect())
+    for perm in itertools.permutations(range(3)):
+        st = None
+        for i in perm:
+            st = dq.merge_quantile_state(deltas[i], st, ["k"], "v", edges)
+        got = sorted(tuple(r) for r in st.collect())
+        assert got == expect, f"fold order {perm} diverged"
+
+
+def test_merge_quantile_state_nulls_get_a_null_bin_row(spark):
+    """NULL values are accounted in a NULL-bin row (profiling needs the
+    null count), and the reader skips it."""
+    edges = [10.0, 20.0]
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("a", None), ("a", 15.0)], "k string, v double"
+    )
+    st = dq.merge_quantile_state(df, None, ["k"], "v", edges)
+    by_bin = {r["bin"]: r["n"] for r in st.collect()}
+    assert by_bin[None] == 2 and by_bin[0] == 1 and by_bin[1] == 1
+    est = dq.quantile_from_state(st, ["k"], 0.5, edges).head()
+    assert est["n_total"] == 2  # nulls excluded from the rank walk
+
+
+def test_quantile_from_state_within_one_bin_width(spark):
+    """The histogram estimate lands within one bin width of the exact
+    percentile, per key — the resolution contract the edges define."""
+    edges = [float(e) for e in range(10, 200, 10)]
+    rows = [("a", float(v % 173)) for v in range(1, 1001)] + [
+        ("b", float((v * 7) % 97)) for v in range(1, 501)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    st = dq.merge_quantile_state(df, None, ["k"], "v", edges)
+    for q in (0.1, 0.5, 0.9):
+        est = {r["k"]: r["q_est"] for r in dq.quantile_from_state(st, ["k"], q, edges).collect()}
+        exact = {
+            r["k"]: r["e"]
+            for r in df.groupBy("k").agg(F.expr(f"percentile(v, {q})").alias("e")).collect()
+        }
+        for k in exact:
+            assert abs(est[k] - exact[k]) <= 10.0 + 1e-9, (k, q, est[k], exact[k])
