@@ -107,6 +107,12 @@ EXTENDED_QUERIES = [
     "ivfpq_persisted_ann_topk",
     "filtered_ann_topk",
     "ivfpq_incremental_append",
+    # round-6 wave 2: bounded-state top-k, mergeable quantile fold,
+    # and the entity-resolution pipeline (exercises the alternating-
+    # star connected components at its diameter-50 worst case)
+    "heavy_hitter_tokens",
+    "incremental_quantile_orders",
+    "entity_resolution_customers",
 ]
 
 

@@ -6393,6 +6393,64 @@ def q_incremental_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_QSTATE_LO = "CASE bin WHEN 0 THEN 25000.0 " + " ".join(
+    f"WHEN {k} THEN {25000.0 * k!r}" for k in range(1, 24)
+) + " END"
+_QSTATE_HI = "CASE bin " + " ".join(
+    f"WHEN {k} THEN {25000.0 * (k + 1)!r}" for k in range(0, 23)
+) + " ELSE 575000.0 END"
+
+_QSTATE_READ_ORACLE = f"""
+WITH binned AS (
+    SELECT o_orderpriority AS priority,
+           CAST(CASE {' '.join(f'WHEN o_totalprice <= {e!r} THEN {k}' for k, e in enumerate(_QSTATE_EDGES))} ELSE {len(_QSTATE_EDGES)} END AS BIGINT) AS bin
+    FROM orders
+), counts AS (
+    SELECT priority, bin, count(*) AS n FROM binned GROUP BY 1, 2
+), cum AS (
+    SELECT priority, bin, n,
+           sum(n) OVER (PARTITION BY priority ORDER BY bin) AS c,
+           sum(n) OVER (PARTITION BY priority) AS tot
+    FROM counts
+), hit AS (
+    SELECT priority, bin, n, c, tot,
+           greatest(1, CAST(ceil(0.5 * tot) AS BIGINT)) AS rk
+    FROM cum
+), first_hit AS (
+    SELECT *, row_number() OVER (PARTITION BY priority ORDER BY bin) AS rn
+    FROM hit WHERE c >= rk
+)
+SELECT priority, CAST(tot AS BIGINT) AS n_total,
+       round(({_QSTATE_LO})
+             + CAST(rk - (c - n) AS DOUBLE) / n
+               * (({_QSTATE_HI}) - ({_QSTATE_LO})), 4) AS p50_est
+FROM first_hit WHERE rn = 1
+"""
+
+
+@query("quantile_state_read_orders", _QSTATE_READ_ORACLE)
+def q_quantile_state_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ path of the mergeable quantile state, oracle-verified to
+    the digit: the interpolated per-priority median off the histogram
+    state is fully deterministic (exact integer bin counts + fixed
+    interpolation arithmetic), so DuckDB re-derives the identical
+    estimate from the same cumulative-bin walk — no error band needed.
+    The estimate-vs-exact-percentile resolution bound is pinned in
+    tests/test_dq.py."""
+    from big_data_analysis_spark.operators import dq
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    state = dq.merge_quantile_state(
+        o, None, ["o_orderpriority"], "o_totalprice", _QSTATE_EDGES
+    )
+    est = dq.quantile_from_state(state, ["o_orderpriority"], 0.5, _QSTATE_EDGES)
+    return est.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round("q_est", 4).alias("p50_est"),
+    )
+
+
 # =========================================================================
 # Misra-Gries heavy hitters (dedup.heavy_hitters): single-pass bounded-
 # state top-k over corpus tokens — mergeable-summaries MERGE (Agarwal
@@ -6522,20 +6580,12 @@ def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     c = load_tables(spark, sf_dir, ["customer"])["customer"].select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
-    nat = c.select(F.col("c_custkey").alias("__k"), F.col("c_nationkey").alias("__nk"))
-    pairs = (
-        dd.edit_distance_pairs(c, "c_name", "c_custkey", k=1)
-        .join(
-            F.broadcast(nat).withColumnRenamed("__k", "__ka").withColumnRenamed("__nk", "__na"),
-            F.col("id_a") == F.col("__ka"),
-        )
-        .join(
-            F.broadcast(nat).withColumnRenamed("__k", "__kb").withColumnRenamed("__nk", "__nb"),
-            F.col("id_b") == F.col("__kb"),
-        )
-        .filter(F.col("__na") == F.col("__nb"))
-        .select("id_a", "id_b")
-    )
+    # block_by folds the attribute-equality rule into the variant-index
+    # join key: cross-nation candidates are never generated (~25x fewer
+    # pairs to verify than post-filtering would see).
+    pairs = dd.edit_distance_pairs(
+        c, "c_name", "c_custkey", k=1, block_by=["c_nationkey"]
+    ).select("id_a", "id_b")
     kept = dd.keep_best_in_group(
         c.drop("c_nationkey"), pairs, "c_custkey", "c_acctbal"
     )
@@ -6585,6 +6635,7 @@ _DRIVER_PRIORITY: list[str] = [
     "als_recommend_brands",
     "ivfpq_incremental_append",
     "incremental_quantile_orders",
+    "quantile_state_read_orders",
     "heavy_hitter_tokens",
     "entity_resolution_customers",
     # (b) queries whose code changed this round — re-verify externally:
@@ -6604,7 +6655,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dedup_groups",
     "dedup_keep_best_docs",
     # (c) rotating re-verification sample (ADVICE r3 standing policy) —
-    # 33 slots, provably disjoint from BOTH the r4 and r5 windows
+    # 32 slots, provably disjoint from BOTH the r4 and r5 windows
     # (checked against CORRECTNESS_r04/r05.json key sets), spanning
     # every module family: nulls/pivot/rollup/describe, date+JSON
     # functions, set ops, windows, streaming (3 shapes), text quality
@@ -6627,7 +6678,6 @@ _DRIVER_PRIORITY: list[str] = [
     "fpgrowth_rules_pairs",
     "suppliers_with_shipments",
     "cube_orders",
-    "order_date_arithmetic",
     "corr_lineitem",
     "lang_id_docs",
     "quality_docs",

@@ -646,3 +646,89 @@ def test_heavy_hitters_long_keys_and_nulls(spark):
     out = heavy_hitters(df, "item", capacity=4)
     assert dict(out.collect()) == {1: 2, 2: 1}
     assert out.schema["item"].dataType.typeName() == "long"
+
+
+def test_connected_components_deep_chain_exceeds_old_round_budget(spark):
+    """Regression for the r6 under-merge: a path graph of diameter 400
+    must collapse to ONE component through the DISTRIBUTED path.
+    One-hop min-label propagation needed O(diameter) rounds and
+    silently returned under-merged labels past max_iter; the
+    alternating large-star/small-star rewrite converges in O(log n)
+    rounds regardless of diameter."""
+    from big_data_analysis_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(400)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    comps = connected_components(df).collect()
+    assert len(comps) == 401
+    assert {r["component"] for r in comps} == {0}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Distributed star rounds against exact driver union-find on
+    random graphs — full (id, component) parity, not just counts."""
+    import collections
+    import random
+
+    from big_data_analysis_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    while len(edges) < 250:
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            edges.add((a, b))
+    edges = sorted(edges)
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups = collections.defaultdict(list)
+    for v in nodes:
+        groups[find(v)].append(v)
+    expect = sorted((v, min(groups[find(v)])) for v in nodes)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(map(tuple, connected_components(df).collect()))
+    assert got == expect
+
+
+def test_edit_distance_pairs_block_by_equals_post_filter(spark):
+    """Composite blocking (block_by) must be semantically identical to
+    post-filtering the unblocked pairs on attribute equality — it only
+    changes WHERE the pruning happens (inside the variant-index join
+    key, never generating cross-block candidates)."""
+    from big_data_analysis_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "anna", "x"), (2, "anne", "x"), (3, "anna", "y"),
+        (4, "bob", "x"), (5, "bobb", "x"), (6, "bob", None),
+        (7, "ann", "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, grp string")
+    blocked = sorted(
+        map(tuple, edit_distance_pairs(df, "name", "id", k=1, block_by=["grp"]).collect())
+    )
+    unblocked = edit_distance_pairs(df, "name", "id", k=1)
+    grp = df.select(F.col("id").alias("gid"), F.col("grp").alias("g"))
+    post = (
+        unblocked.join(grp.withColumnRenamed("gid", "ga").withColumnRenamed("g", "g_a"),
+                       F.col("id_a") == F.col("ga"))
+        .join(grp.withColumnRenamed("gid", "gb").withColumnRenamed("g", "g_b"),
+              F.col("id_b") == F.col("gb"))
+        .filter(F.col("g_a") == F.col("g_b"))
+        .select("id_a", "id_b", "dist")
+    )
+    assert blocked == sorted(map(tuple, post.collect()))
+    # sanity: the rule actually separates: (1,3) same name, different
+    # group -> absent; NULL group matches nothing
+    ids = {(a, b) for a, b, _ in blocked}
+    assert (1, 3) not in ids and (1, 2) in ids and (4, 6) not in ids

@@ -484,6 +484,7 @@ def test_driver_window_covers_critical_queries():
         "ivfpq_persisted_ann_topk", "filtered_ann_topk",
         "minhash_pairs", "simhash_pairs", "als_recommend_brands",
         "ivfpq_incremental_append", "incremental_quantile_orders",
+        "quantile_state_read_orders",
         "heavy_hitter_tokens", "entity_resolution_customers",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
