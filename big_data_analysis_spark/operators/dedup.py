@@ -422,11 +422,12 @@ def connected_components(
     # a null surfaced once as (null, null) and the non-null end stayed
     # its own node. Reproduce that exactly by keeping nulls (and
     # self-pairs) in the node set but out of the star rounds.
+    # (nodes is consumed exactly once — the final labels join — so it
+    # is NOT persisted; it re-reads the persisted `pairs`.)
     nodes = (
         pairs.select(F.col(a_col).alias("id"))
         .unionByName(pairs.select(F.col(b_col).alias("id")))
         .distinct()
-        .persist()
     )
     e = (
         pairs.filter(
@@ -445,6 +446,9 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    # Carried across rounds: |e| equals the previous round's |small|,
+    # so each round runs ONE count job, not two.
+    e_count = None
     for _ in range(max_iter):
         # Large-star: every node u links its LARGER neighbors to the
         # minimum of its closed neighborhood — long chains fold onto
@@ -481,18 +485,23 @@ def connected_components(
         # Fixed point of the composite map == the star state (the
         # potential argument in the paper): both distinct, so equal
         # size + empty anti-join means set equality.
+        small_count = small.count()
+        if e_count is None:
+            e_count = e.count()
         same = (
-            small.count() == e.count()
+            small_count == e_count
             and small.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
         )
-        e.unpersist()
+        # The superseded checkpoint's blocks are released by the
+        # ContextCleaner once the rebind drops the last reference
+        # (DataFrame.unpersist() is a no-op for localCheckpoint
+        # storage — it only consults the CacheManager).
         e = small
+        e_count = small_count
         if same:
             converged = True
             break
     if not converged:
-        e.unpersist()
-        nodes.unpersist()
         if we_persisted:
             pairs.unpersist()
         raise RuntimeError(
@@ -507,8 +516,8 @@ def connected_components(
         .select("id", F.coalesce(F.col("v"), F.col("id")).alias("component"))
         .localCheckpoint()
     )
-    e.unpersist()
-    nodes.unpersist()
+    # The final star checkpoint, like the per-round ones, is freed by
+    # the ContextCleaner when `e` goes out of scope.
     # Release OUR persist of pairs (ADVICE r5: the local-tier probe
     # persisted it even when routing here, and a long-lived driver
     # looping refresh cycles must not accumulate cached partitions).
@@ -537,10 +546,12 @@ def keep_best_in_group(
     kept rows plus ``component`` (the group's min id) and
     ``group_size``.
 
-    Scale shape: components converge in O(diameter) rounds (shallow for
-    near-dup clusters); the representative selection is one ranking
-    window partitioned by component — hash-partitioned on the group
-    key, never global."""
+    Scale shape: components converge in O(log n) alternating-star
+    rounds regardless of graph diameter (connected_components raises
+    RuntimeError past max_iter instead of returning under-merged
+    groups — that propagates to this caller); the representative
+    selection is one ranking window partitioned by component —
+    hash-partitioned on the group key, never global."""
     # Guard the internal temp names too (ADVICE r5): an input column
     # named __rn or __cc_id would be silently overwritten and dropped
     # from the output — fail loudly like the output names do.

