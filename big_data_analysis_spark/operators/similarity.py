@@ -1330,12 +1330,12 @@ def _enforce_cell_cap(
         # round's profile AND per-cell k-means fits; without truncation
         # the lineage would re-run every prior round's k-means per
         # reference and plan depth compounds per round. The superseded
-        # round's blocks are released immediately (the
-        # connected_components label-rebind pattern) — otherwise up to
-        # max_split_rounds full-corpus copies coexist in block storage.
-        prev = assigned
+        # round's blocks are released by the ContextCleaner once the
+        # rebind drops the last reference (DataFrame.unpersist() is a
+        # no-op for localCheckpoint storage — it only consults the
+        # CacheManager), so at most one superseded copy coexists
+        # transiently, not max_split_rounds of them.
         assigned = out.localCheckpoint()
-        prev.unpersist()
     still = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -6646,9 +6646,12 @@ _DRIVER_PRIORITY: list[str] = [
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
     # semantic_dedup_pairs gained the enforced cell-size cap;
     # bloom_filtered_join reuses the JoinBloom's broadcast;
-    # connected_components releases its probe's persist (feeds
-    # dedup_groups_docs / embedding_dedup_groups / dedup_keep_best_docs);
-    # keep_best_in_group gained the temp-name collision guard.
+    # connected_components was REWRITTEN to alternating large-star/
+    # small-star (Kiveris SoCC'14 — the one-hop propagation silently
+    # under-merged past-diameter graphs) and feeds dedup_groups_docs /
+    # embedding_dedup_groups / dedup_keep_best_docs and the new
+    # entity_resolution_customers; keep_best_in_group gained the
+    # temp-name collision guard.
     "ivfpq_ann_topk",
     "pq_ann_topk",
     "ivf_ann_topk",

@@ -627,3 +627,28 @@ def test_ivfpq_appended_store_prunes_every_branch(spark, request):
     assert all("cell" in pf for pf in pfs), plan
     for pushed in _re.findall(r"PushedFilters: \[([^\]]*)\]", plan):
         assert "cell" not in pushed, plan
+
+
+def test_heavy_hitter_tokens_plan_prunes_and_stays_arrow(spark, sf_dir):
+    """The heavy-hitters certificate may scan documents only for the
+    text column (everything else pruned), the operator side must be a
+    MapInPandas (Arrow batch) node — never a row UDF — and nothing may
+    plan a CartesianProduct (the 1-row total joins via broadcast)."""
+    df = QUERIES["heavy_hitter_tokens"](spark, sf_dir)
+    scans = scan_infos(df)
+    assert scans, formatted_plan(df)
+    for s in scans:
+        assert s["read_schema"] == ["text"], scans
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python would be a bug
+
+
+def test_quantile_state_read_no_single_partition_exchange(spark, sf_dir):
+    """The histogram-state read path runs keyed windows over the tiny
+    state table — an Exchange SinglePartition would mean the walk was
+    planned as one global window."""
+    df = QUERIES["quantile_state_read_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
