@@ -113,6 +113,9 @@ EXTENDED_QUERIES = [
     "heavy_hitter_tokens",
     "incremental_quantile_orders",
     "entity_resolution_customers",
+    # round-6 wave 3: iterative peel to fixpoint over the co-purchase
+    # graph — the per-round shrinking-edge-list shape's perf signal
+    "kcore_copurchase",
 ]
 
 

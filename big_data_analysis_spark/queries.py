@@ -6602,6 +6602,133 @@ def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # =========================================================================
+# K-core decomposition (graph.k_core): the maximal subgraph where every
+# node keeps >= k neighbors INSIDE the subgraph — the peel must cascade
+# (a plain degree filter is NOT a fixpoint), which is exactly what the
+# oracle pins: DuckDB unrolls the peel round-for-round and returns the
+# fixpoint membership + within-core degrees for a FULL row hash-match.
+# k=75 sits comfortably below the graph's critical unraveling threshold
+# (measured: fixpoint in 5 rounds at BOTH sf0.01 and sf0.1; k=85 is
+# near-critical and cascades for 39 rounds before total collapse), so
+# the 12 unrolled oracle rounds carry a >2x convergence margin.
+# =========================================================================
+
+_KCORE_K = 75
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    # Every CTE is MATERIALIZED: each round references the previous
+    # round's edge list twice (degree filter + restriction join), so an
+    # inlining planner would otherwise expand the chain into 3^rounds
+    # copies of the base scan.
+    parts = [
+        "WITH e AS MATERIALIZED (",
+        "    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v",
+        "    FROM lineitem a JOIN lineitem b",
+        "      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
+        "), und0 AS MATERIALIZED"
+        " (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f", a{r} AS MATERIALIZED (SELECT u AS node FROM und{r - 1}"
+            f" GROUP BY u HAVING count(*) >= {_KCORE_K})"
+        )
+        parts.append(
+            f", und{r} AS MATERIALIZED (SELECT p.u, p.v FROM und{r - 1} p"
+            f" JOIN a{r} x ON p.u = x.node JOIN a{r} y ON p.v = y.node)"
+        )
+    parts.append(
+        "SELECT CAST(u AS BIGINT) AS node,"
+        " CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM und{_KCORE_ROUNDS} GROUP BY u"
+    )
+    return "\n".join(parts)
+
+
+@query("kcore_copurchase", _kcore_oracle())
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 75-core of the part co-purchase graph (parts sharing an
+    order are adjacent), full row hash-match: the engine peels
+    degree-<k nodes to a fixpoint with per-round lineage truncation;
+    the oracle unrolls the same peel as chained CTEs (12 rounds vs the
+    measured 5-round fixpoint). Both sides emit the surviving nodes
+    with their within-core degree, so an engine that stopped one round
+    early — or filtered once without cascading — hash-mismatches."""
+    from big_data_analysis_spark.operators.graph import k_core
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    edges = a.join(
+        li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")),
+        "k",
+    ).filter(F.col("src") < F.col("dst"))
+    out = k_core(edges, k=_KCORE_K)
+    return out.select(F.col("node").cast("long").alias("node"), "core_degree")
+
+
+# =========================================================================
+# Incremental HLL distinct state (relational.merge_distinct_state):
+# exact count-distinct is the one aggregate merge_aggregate_state
+# cannot maintain (|A ∪ B| != |A| + |B|) — the sketch state is the
+# mergeable form. Estimates carry sketch error, so the driver contract
+# is a BOUNDS CERTIFICATE: the exact per-key distinct count is the
+# SQL-derivable hash-compared value; fold-order invariance (register
+# max-merge is commutative/associative, so forward and reverse folds
+# give IDENTICAL estimates) and the HLL error bound (lgk=12 standard
+# error 1.04/sqrt(2^12) ~ 1.63%; the pinned bound is ~3 sigma, never
+# tightened to this corpus's measured margin) are pinned booleans.
+# =========================================================================
+
+_IDIST_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       true AS fold_order_invariant,
+       true AS within_bound
+FROM orders GROUP BY 1
+"""
+
+
+@query("incremental_distinct_orders", _IDIST_ORACLE)
+def q_incremental_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distinct-customer state folded in as three disjoint
+    deltas (o_orderkey mod 3) — forward AND reverse order. The
+    certificate row per priority carries the exact distinct count
+    (hash-compared vs SQL), estimate equality across the two fold
+    orders, and the estimate-vs-exact error bound. The exact side is
+    certificate scaffolding (test scale); a 100 TB deployment keeps
+    only the sketch state."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    deltas = [
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i) for i in range(3)
+    ]
+    fwd = None
+    for d in deltas:
+        fwd = rel.merge_distinct_state(d, fwd, ["o_orderpriority"], ["o_custkey"])
+    rev = None
+    for d in reversed(deltas):
+        rev = rel.merge_distinct_state(d, rev, ["o_orderpriority"], ["o_custkey"])
+    ef = rel.distinct_state_estimates(fwd, ["o_custkey"]).withColumnRenamed(
+        "approx_distinct_o_custkey", "est_f"
+    )
+    er = rel.distinct_state_estimates(rev, ["o_custkey"]).withColumnRenamed(
+        "approx_distinct_o_custkey", "est_r"
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    j = exact.join(ef, "o_orderpriority").join(er, "o_orderpriority")
+    bound = F.greatest(F.lit(5.0), F.lit(0.05) * F.col("n_exact"))
+    return j.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("est_f") == F.col("est_r")).alias("fold_order_invariant"),
+        (F.abs(F.col("est_f") - F.col("n_exact")) <= bound).alias("within_bound"),
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -6641,6 +6768,8 @@ _DRIVER_PRIORITY: list[str] = [
     "quantile_state_read_orders",
     "heavy_hitter_tokens",
     "entity_resolution_customers",
+    "kcore_copurchase",
+    "incremental_distinct_orders",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -6661,19 +6790,19 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dedup_groups",
     "dedup_keep_best_docs",
     # (c) rotating re-verification sample (ADVICE r3 standing policy) —
-    # 32 slots, provably disjoint from BOTH the r4 and r5 windows
+    # 30 slots, provably disjoint from BOTH the r4 and r5 windows
     # (checked against CORRECTNESS_r04/r05.json key sets), spanning
-    # every module family: nulls/pivot/rollup/describe, date+JSON
-    # functions, set ops, windows, streaming (3 shapes), text quality
-    # and LLM-pipeline ops, dedup/decontamination, ANN/centroids,
-    # mining, eval metrics.
+    # every module family: nulls/pivot/describe, date+JSON functions,
+    # windows, streaming (3 shapes), text quality and LLM-pipeline ops,
+    # dedup/decontamination, ANN/centroids, mining, eval metrics.
+    # (rollup_qty and string_funcs_part — both r1/r2-verified, families
+    # still covered by cube_orders / json_extract_agg + the text ops —
+    # rotated out to make room for the two late-round-6 additions.)
     "null_handling",
     "pivot_returnflag",
-    "rollup_qty",
     "describe_lineitem",
     "value_counts_events",
     "json_extract_agg",
-    "string_funcs_part",
     "window_lag_features",
     "tumbling_daily_events",
     "word_freq_docs",

@@ -13,7 +13,14 @@ from big_data_analysis_spark.operators import dedup as dd
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_tables(spark, sf_dir, ["documents"])["documents"].cache()
+    # Unpersist at module teardown: the session-scoped SparkSession is
+    # shared across test files, and a lingering full-column documents
+    # cache gets substituted by the CacheManager into later tests'
+    # identical scan subtrees — test_plans' column-pruning assertions
+    # would then see the cached 5-column scan instead of a pruned one.
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].cache()
+    yield d
+    d.unpersist()
 
 
 def test_minhash_recall_vs_exact_jaccard(spark, docs):

@@ -25,7 +25,7 @@ def lineitem_labeled(spark, sf_dir):
     high accuracy floor — this tests plumbing, not model research."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     med = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m")).head()["m"]
-    return (
+    labeled = (
         li.select(
             F.col("l_orderkey"),
             F.col("l_linenumber"),
@@ -34,6 +34,8 @@ def lineitem_labeled(spark, sf_dir):
         )
         .cache()
     )
+    yield labeled
+    labeled.unpersist()
 
 
 IDS = ["l_orderkey", "l_linenumber"]
@@ -44,7 +46,9 @@ def lineitem_unique(lineitem_labeled):
     """stratified_split requires id_cols to be a unique row key; the
     synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
     dedupe for the split tests."""
-    return lineitem_labeled.dropDuplicates(IDS).cache()
+    uniq = lineitem_labeled.dropDuplicates(IDS).cache()
+    yield uniq
+    uniq.unpersist()
 
 
 def test_stratified_split_exact_per_class(lineitem_unique):

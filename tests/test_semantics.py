@@ -432,6 +432,41 @@ def test_triangle_counts_canonicalization_and_known_graph(spark):
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
+def test_k_core_cascades_past_one_round(spark):
+    """4-clique + 4-path, k=2: the clique survives (within-core degree
+    3 each); the path EMPTIES — its middle nodes have raw degree 2, so
+    a one-shot degree filter would wrongly keep them, and only the
+    cascade (ends peel -> middles drop below k) removes them. Reversed,
+    duplicated and self edges must not change the answer."""
+    from big_data_analysis_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    path = [(5, 6), (6, 7), (7, 8)]
+    noise = [(2, 1), (3, 3), (6, 5)]
+    df = spark.createDataFrame(clique + path + noise, "src int, dst int")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_empty_core_and_guards(spark):
+    """A bare path has an empty 2-core (schema intact, zero rows);
+    k < 1 rejects; a run that cannot reach fixpoint within max_iter
+    raises instead of returning a non-core."""
+    import pytest as _pt
+
+    from big_data_analysis_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 8)], "src int, dst int"
+    )
+    out = k_core(path, k=2)
+    assert out.columns == ["node", "core_degree"] and out.count() == 0
+    with _pt.raises(ValueError):
+        k_core(path, k=0)
+    with _pt.raises(RuntimeError, match="converge"):
+        k_core(path, k=2, max_iter=1)
+
+
 def test_mad_outliers_resist_masking(spark):
     """A 1000x spike is flagged by MAD but masks itself from the
     z-score rule: one spike among n rows can reach at most
@@ -486,6 +521,7 @@ def test_driver_window_covers_critical_queries():
         "ivfpq_incremental_append", "incremental_quantile_orders",
         "quantile_state_read_orders",
         "heavy_hitter_tokens", "entity_resolution_customers",
+        "kcore_copurchase", "incremental_distinct_orders",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom

@@ -18,7 +18,12 @@ from big_data_analysis_spark.operators import similarity as sim
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"].cache()
+    # Unpersist at teardown: the shared session's CacheManager would
+    # otherwise substitute this full-column cache into later files'
+    # identical scans and defeat their column-pruning plan assertions.
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].cache()
+    yield e
+    e.unpersist()
 
 
 @pytest.fixture(scope="module")
