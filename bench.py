@@ -114,8 +114,10 @@ EXTENDED_QUERIES = [
     "incremental_quantile_orders",
     "entity_resolution_customers",
     # round-6 wave 3: iterative peel to fixpoint over the co-purchase
-    # graph — the per-round shrinking-edge-list shape's perf signal
+    # graph — the per-round shrinking-edge-list shape's perf signal —
+    # and the tombstone-delete + compact serving lifecycle
     "kcore_copurchase",
+    "ivfpq_tombstone_delete",
 ]
 
 

@@ -907,9 +907,11 @@ def _commit_index_manifest(path: str, manifest: dict) -> None:
         json.dump(manifest, fh)
     os.replace(tmp, mpath)  # commit point
     live = set(manifest["encoded_dirs"]) | {manifest["codebooks_file"]}
+    if manifest.get("tombstones_file"):
+        live.add(manifest["tombstones_file"])
     for entry in os.listdir(path):
         if (
-            entry.startswith(("encoded-", "codebooks-"))
+            entry.startswith(("encoded-", "codebooks-", "tombstones-"))
             and entry not in live
         ):
             target = os.path.join(path, entry)
@@ -956,21 +958,60 @@ def ivfpq_load(spark, path: str):
     dirs = manifest.get(
         "encoded_dirs", [manifest.get("encoded_dir", "encoded")]
     )
-    return _read_encoded_dirs(spark, path, dirs), centroids, codebooks
+    encoded = _read_encoded_dirs(
+        spark,
+        path,
+        dirs,
+        tombstones=_read_tombstones(spark, path, manifest),
+        id_col=manifest.get("id_col", "vec_id"),
+    )
+    return encoded, centroids, codebooks
 
 
-def _read_encoded_dirs(spark, path: str, dirs: list[str]) -> DataFrame:
+def _read_tombstones(spark, path: str, manifest: dict) -> DataFrame | None:
+    """The committed tombstone set (``ivfpq_delete``), or None when the
+    index has no deletions. Columns: ``id`` (the deleted key) and
+    ``scope`` (how many encoded dirs existed at delete time — the
+    RocksDB-sequence-number trick that lets a later append RE-ADD the
+    id without the old tombstone hiding the new row)."""
+    import os
+
+    tf = manifest.get("tombstones_file")
+    if not tf:
+        return None
+    return spark.read.parquet(os.path.join(path, tf))
+
+
+def _read_encoded_dirs(
+    spark,
+    path: str,
+    dirs: list[str],
+    tombstones: DataFrame | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
     """One scan per base/delta dir unioned by name (Spark refuses a
     single multi-root read of separately-partitioned stores); a cell
     predicate prunes EACH branch's source listing independently, so
     probes stay ∝ nprobe × cell across base + deltas. THE store-reading
     convention shared by load, append's skip-existing scan, and
-    compaction."""
+    compaction.
+
+    Tombstone masking is PER BRANCH: a tombstone with ``scope`` = s
+    masks only dirs[0:s] — the dirs that existed when the delete
+    committed — so a row re-appended in a later delta stays visible.
+    The tombstone set is broadcast (deletes are a trickle next to the
+    store; a bulk purge should re-save instead), so masking adds no
+    shuffle to the probe path."""
     import os
 
     encoded = None
-    for d in dirs:
+    for i, d in enumerate(dirs):
         part = spark.read.parquet(os.path.join(path, d))
+        if tombstones is not None:
+            mask = tombstones.filter(F.col("scope") > i).select(
+                F.col("id").cast(part.schema[id_col].dataType).alias(id_col)
+            )
+            part = part.join(F.broadcast(mask), id_col, "left_anti")
         encoded = part if encoded is None else encoded.unionByName(part)
     return encoded
 
@@ -1086,9 +1127,16 @@ def ivfpq_append(
         # every row — duplicate ids would crowd real neighbors out of
         # top-k). Column-pruned scan of the store's id column; a bloom
         # prefilter is NOT sound here (false positives would silently
-        # drop genuinely-new ids).
+        # drop genuinely-new ids). Tombstone masking applies: a DELETED
+        # id is not "existing" — re-appending it must insert (the new
+        # delta dir sits past the tombstone's scope, so the old rows
+        # stay hidden while the new one serves).
         existing = _read_encoded_dirs(
-            spark, path, manifest["encoded_dirs"]
+            spark,
+            path,
+            manifest["encoded_dirs"],
+            tombstones=_read_tombstones(spark, path, manifest),
+            id_col=id_col,
         ).select(id_col)
         # Persist the surviving batch: the emptiness probe below and
         # the delta write must see ONE computation of the anti-join —
@@ -1157,15 +1205,99 @@ def ivfpq_append(
     _commit_index_manifest(path, manifest)
 
 
+def ivfpq_delete(spark, path: str, ids) -> None:
+    """Delete vectors from a PERSISTED IVFADC index WITHOUT rewriting
+    the encoded store — the LSM tombstone half of the serving
+    lifecycle (save/load/append/compact being the rest): a 100 TB
+    store cannot rewrite partitions because a takedown request removed
+    a handful of documents. The deleted ids land in a tiny
+    ``tombstones-<ver>.parquet`` (id, scope) file and the manifest
+    repoints atomically; ``ivfpq_load`` masks them per encoded-dir
+    branch with a BROADCAST anti-join (no extra shuffle on the probe
+    path), and ``ivfpq_compact`` purges them physically and drops the
+    tombstone file.
+
+    ``scope`` records how many encoded dirs existed when the delete
+    committed, so the tombstone masks exactly those dirs and nothing
+    newer — a later ``ivfpq_append`` may RE-ADD the id: its delta dir
+    sits past every earlier scope, the old rows stay hidden, the new
+    row serves (re-deleting consolidates to the max scope per id).
+    Tombstones are a deletion TRICKLE by design — the set is collected
+    to the driver and broadcast at load; bulk deletion of a corpus
+    slice should filter + re-save instead.
+
+    ``ids``: a Python sequence of id values, or a 1-column DataFrame.
+    Deleting an id the store does not hold is a harmless no-op row;
+    an empty id set leaves the index untouched (no version bump)."""
+    import json
+    import os
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    mpath = os.path.join(path, "_INDEX.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"ivfpq_delete: no _INDEX.json under {path} — save a base "
+            "index first (ivfpq_save)"
+        )
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if "encoded_dirs" not in manifest:
+        raise ValueError(
+            "ivfpq_delete: index was saved by an older ivfpq_save "
+            "(no encoded_dirs); re-save it once to upgrade the manifest"
+        )
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"ivfpq_delete: ids DataFrame must have exactly one "
+                f"column, got {ids.columns}"
+            )
+        id_values = [r[0] for r in ids.distinct().collect()]
+    else:
+        id_values = list(dict.fromkeys(ids))
+    id_values = [v for v in id_values if v is not None]
+    if not id_values:
+        return  # nothing to delete: manifest untouched
+    scope = len(manifest["encoded_dirs"])
+    new = pd.DataFrame({"id": id_values, "scope": scope})
+    old_tf = manifest.get("tombstones_file")
+    if old_tf:
+        old = pq_.read_table(os.path.join(path, old_tf)).to_pandas()
+        # max scope per id: a re-deleted id must mask every dir that
+        # exists NOW, superseding its earlier, narrower tombstone.
+        new = (
+            pd.concat([old, new], ignore_index=True)
+            .groupby("id", as_index=False)["scope"]
+            .max()
+        )
+    ver = uuid.uuid4().hex[:12]
+    tf = f"tombstones-{ver}.parquet"
+    pq_.write_table(
+        pa.Table.from_pandas(new, preserve_index=False),
+        os.path.join(path, tf),
+    )
+    _commit_index_manifest(
+        path, {**manifest, "version": ver, "tombstones_file": tf}
+    )
+
+
 def ivfpq_compact(spark, path: str) -> None:
     """Fold an appended index's base + delta directories back into ONE
     partitionBy('cell') directory — the LSM compaction half: after N
     nightly appends a probe pays N source listings and N union
     branches; compaction restores the single-scan plan WITHOUT
-    re-training anything (codes are copied, not recomputed). Atomic
-    like save/append: the merged dir is written under a fresh version,
-    the manifest repoints in one rename, and a torn compaction leaves
-    the old manifest (and all its dirs) fully servable."""
+    re-training anything (codes are copied, not recomputed). Tombstoned
+    rows (``ivfpq_delete``) are purged PHYSICALLY here — the merged dir
+    is written with the masking applied and the tombstone file is
+    dropped from the manifest, so the per-load anti-join disappears.
+    Atomic like save/append: the merged dir is written under a fresh
+    version, the manifest repoints in one rename, and a torn compaction
+    leaves the old manifest (and all its dirs + tombstones) fully
+    servable."""
     import json
     import os
     import uuid
@@ -1195,13 +1327,23 @@ def ivfpq_compact(spark, path: str) -> None:
         _commit_index_manifest(path, manifest)
         return
     dirs = manifest["encoded_dirs"]
-    if len(dirs) <= 1:
-        return  # already compact
-    merged = _read_encoded_dirs(spark, path, dirs)
+    if len(dirs) <= 1 and not manifest.get("tombstones_file"):
+        return  # already compact, nothing to purge
+    merged = _read_encoded_dirs(
+        spark,
+        path,
+        dirs,
+        tombstones=_read_tombstones(spark, path, manifest),
+        id_col=manifest.get("id_col", "vec_id"),
+    )
     ver = uuid.uuid4().hex[:12]
     merged_dir = f"encoded-{ver}"
     write_parquet(merged, os.path.join(path, merged_dir), partition_by=["cell"])
-    manifest = {**manifest, "version": ver, "encoded_dirs": [merged_dir]}
+    manifest = {
+        **{k: v for k, v in manifest.items() if k != "tombstones_file"},
+        "version": ver,
+        "encoded_dirs": [merged_dir],
+    }
     _commit_index_manifest(path, manifest)
 
 

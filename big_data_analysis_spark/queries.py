@@ -4284,6 +4284,78 @@ def q_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract(top).crossJoin(F.broadcast(store))
 
 
+_IVFPQ_DELETE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_store_rows,
+       CAST(10 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_ids,
+       1 AS contains_query, 0.0 AS min_l2, 0 AS n_negative,
+       true AS deleted_absent, true AS compact_purges
+FROM embeddings WHERE vec_id % 7 <> 2
+"""
+
+
+@query("ivfpq_tombstone_delete", _IVFPQ_DELETE_ORACLE)
+def q_ivfpq_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the index serving lifecycle (takedown
+    requests must not rewrite a 100 TB store): the saved index gets a
+    scoped-tombstone delete of every vec_id ≡ 2 (mod 7), the LOADED
+    store masks them with a broadcast anti-join per dir branch, and
+    compaction purges them physically. Certificate: the visible store
+    count equals the SQL-exact surviving population; the ANN shape
+    fields probe from a SURVIVING query vector (vec_id=0); no deleted
+    id is visible in the store or the top-k; and after ivfpq_compact
+    the raw single-dir row count equals the visible count with the
+    tombstone file gone (physical purge, not just masking)."""
+    import json
+    import os
+
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    encoded, cents, books = sim.ivfpq_build(emb, n_cells=8, m=8, k=32, max_iter=8)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/ivfpq-delete-{sf_tag}"
+    sim.ivfpq_save(encoded, cents, books, path)  # fresh manifest each run
+    sim.ivfpq_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 2).select("vec_id")
+    )
+    enc2, cents2, books2 = sim.ivfpq_load(spark, path)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    top = sim.ivfpq_topk(
+        enc2, cents2, books2, qvec, rerank_with=emb, k=10, nprobe=4
+    )
+    # Materialize every pre-compaction fact EAGERLY: compaction's
+    # post-commit cleanup removes the superseded dirs + tombstone file,
+    # so a frame still referencing the masked store must not execute
+    # after it (the driver collects the returned DataFrame later).
+    st = enc2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_store_rows"),
+        (F.sum((F.col("vec_id") % 7 == 2).cast("int")) == 0).alias("clean"),
+    ).head()
+    shape = _ann_contract(top).head()
+    topk_clean = top.agg(
+        F.bool_and(F.col("vec_id") % 7 != 2).alias("c")
+    ).head()["c"]
+    sim.ivfpq_compact(spark, path)
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    enc3 = sim.ivfpq_load(spark, path)[0]
+    raw = spark.read.parquet(os.path.join(path, man["encoded_dirs"][0]))
+    compact_ok = (
+        len(man["encoded_dirs"]) == 1
+        and "tombstones_file" not in man
+        and raw.count() == enc3.count() == st["n_store_rows"]
+    )
+    return spark.range(1).select(
+        F.lit(st["n_store_rows"]).cast("long").alias("n_store_rows"),
+        F.lit(shape["n_rows"]).cast("long").alias("n_rows"),
+        F.lit(shape["n_ids"]).cast("long").alias("n_ids"),
+        F.lit(shape["contains_query"]).cast("int").alias("contains_query"),
+        F.lit(float(shape["min_l2"])).alias("min_l2"),
+        F.lit(shape["n_negative"]).cast("int").alias("n_negative"),
+        F.lit(bool(st["clean"] and topk_clean)).alias("deleted_absent"),
+        F.lit(bool(compact_ok)).alias("compact_purges"),
+    )
+
+
 _FILTERED_ANN_ORACLE = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 f AS (
@@ -6770,6 +6842,7 @@ _DRIVER_PRIORITY: list[str] = [
     "entity_resolution_customers",
     "kcore_copurchase",
     "incremental_distinct_orders",
+    "ivfpq_tombstone_delete",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -6795,12 +6868,12 @@ _DRIVER_PRIORITY: list[str] = [
     # every module family: nulls/pivot/describe, date+JSON functions,
     # windows, streaming (3 shapes), text quality and LLM-pipeline ops,
     # dedup/decontamination, ANN/centroids, mining, eval metrics.
-    # (rollup_qty and string_funcs_part — both r1/r2-verified, families
-    # still covered by cube_orders / json_extract_agg + the text ops —
-    # rotated out to make room for the two late-round-6 additions.)
+    # (rollup_qty, string_funcs_part and describe_lineitem — all
+    # r1/r2-verified, families still covered by cube_orders /
+    # json_extract_agg + the text ops / corr_lineitem — rotated out to
+    # make room for the three late-round-6 additions.)
     "null_handling",
     "pivot_returnflag",
-    "describe_lineitem",
     "value_counts_events",
     "json_extract_agg",
     "window_lag_features",

@@ -522,6 +522,7 @@ def test_driver_window_covers_critical_queries():
         "quantile_state_read_orders",
         "heavy_hitter_tokens", "entity_resolution_customers",
         "kcore_copurchase", "incremental_distinct_orders",
+        "ivfpq_tombstone_delete",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom

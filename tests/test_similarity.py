@@ -640,6 +640,126 @@ def test_filtered_ann_predicate_and_refill(spark):
     assert set(got_rare) <= set(rare)
 
 
+def test_ivfpq_delete_tombstones_lifecycle(spark, request):
+    """LSM tombstone deletes on a persisted index: delete masks rows
+    at load WITHOUT rewriting the store, a deleted id can be RE-ADDED
+    by a later append (scope-bounded tombstones — the old rows stay
+    hidden, the new one serves, exactly once), re-delete consolidates,
+    and compaction purges physically and drops the tombstone file."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from big_data_analysis_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_compact,
+        ivfpq_delete,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    blobs = rng.normal(size=(5, 24)) * 10.0
+    pts = np.concatenate([blobs[i] + rng.normal(size=(40, 24)) for i in range(5)])
+    n = len(pts)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    encoded, cents, books = ivfpq_build(emb, n_cells=5, m=4, k=16, max_iter=6)
+    path = f"/root/repo/.scratch/ivfpq-delete-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+    ivfpq_save(encoded, cents, books, path)
+
+    # delete three ids: masked at load, store files untouched
+    man_before = json.load(open(path + "/_INDEX.json"))
+    ivfpq_delete(spark, path, [3, 6, 9])
+    man = json.load(open(path + "/_INDEX.json"))
+    assert man["encoded_dirs"] == man_before["encoded_dirs"]  # no rewrite
+    assert man["tombstones_file"].startswith("tombstones-")
+    enc2, cents2, books2 = ivfpq_load(spark, path)
+    assert enc2.count() == n - 3
+    assert enc2.filter(F.col("vec_id").isin(3, 6, 9)).count() == 0
+
+    # a probe AT a deleted row's position must not return it
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            enc2, cents2, books2, pts[3], rerank_with=emb, k=10, nprobe=5,
+            overfetch=30,
+        ).collect()
+    ]
+    assert 3 not in got and 6 not in got and 9 not in got
+
+    # empty delete: no version churn
+    snap = json.load(open(path + "/_INDEX.json"))
+    ivfpq_delete(spark, path, [])
+    assert json.load(open(path + "/_INDEX.json")) == snap
+
+    # append a batch holding one DELETED id (3 -> must insert: deleted
+    # ids are not "existing") and one live id (12 -> must be skipped)
+    batch = emb.filter(F.col("vec_id").isin(3, 12))
+    ivfpq_append(spark, path, batch)
+    enc3 = ivfpq_load(spark, path)[0]
+    assert enc3.count() == n - 2  # 3 came back, 6 and 9 still masked
+    assert enc3.filter(F.col("vec_id") == 3).count() == 1  # exactly once
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            enc3, cents2, books2, pts[3], rerank_with=emb, k=5, nprobe=5
+        ).collect()
+    ]
+    assert got[0] == 3  # the re-added row serves at distance 0
+
+    # re-delete consolidates to the max scope: 3 vanishes again even
+    # though its new row lives in a dir past the FIRST tombstone's scope
+    ivfpq_delete(spark, path, [3])
+    enc4 = ivfpq_load(spark, path)[0]
+    assert enc4.count() == n - 3
+    assert enc4.filter(F.col("vec_id") == 3).count() == 0
+
+    # deleting via a 1-column DataFrame works; 2 columns fail loudly
+    ivfpq_delete(spark, path, emb.filter(F.col("vec_id") == 12).select("vec_id"))
+    assert ivfpq_load(spark, path)[0].count() == n - 4
+    with pytest.raises(ValueError, match="one column"):
+        ivfpq_delete(spark, path, emb.select("vec_id", "embedding"))
+
+    # compaction purges physically: single dir, tombstone file gone,
+    # raw dir rows == visible rows, probe results unchanged
+    probe_before = [
+        tuple(r)
+        for r in ivfpq_topk(
+            ivfpq_load(spark, path)[0], cents2, books2, pts[0],
+            rerank_with=emb, k=10, nprobe=5,
+        ).collect()
+    ]
+    ivfpq_compact(spark, path)
+    man_c = json.load(open(path + "/_INDEX.json"))
+    assert len(man_c["encoded_dirs"]) == 1
+    assert "tombstones_file" not in man_c
+    assert not [f for f in os.listdir(path) if f.startswith("tombstones-")]
+    raw = spark.read.parquet(os.path.join(path, man_c["encoded_dirs"][0]))
+    enc5, cents5, books5 = ivfpq_load(spark, path)
+    assert raw.count() == enc5.count() == n - 4
+    probe_after = [
+        tuple(r)
+        for r in ivfpq_topk(
+            enc5, cents5, books5, pts[0], rerank_with=emb, k=10, nprobe=5
+        ).collect()
+    ]
+    assert probe_after == probe_before
+
+    # deleting from a never-saved path fails loudly
+    with pytest.raises(FileNotFoundError, match="_INDEX.json"):
+        ivfpq_delete(spark, "/root/repo/.scratch/no-such-index", [1])
+
+
 def test_ivfpq_append_extends_persisted_index(spark, request):
     """Incremental index append (the serving lifecycle's refresh step):
     new vectors are assigned to the EXISTING cells and codebooks and
