@@ -968,6 +968,31 @@ def ivfpq_load(spark, path: str):
     return encoded, centroids, codebooks
 
 
+def _load_index_manifest(path: str, op: str) -> dict:
+    """Read a committed index manifest for a mutating lifecycle op,
+    raising the shared error shapes: FileNotFoundError when no commit
+    ever landed (torn save / wrong path), ValueError when the manifest
+    predates the encoded_dirs list (format < 3 — one re-save upgrades
+    it). ``op`` names the caller in the error text."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_INDEX.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{op}: no _INDEX.json under {path} — save a base index "
+            "first (ivfpq_save)"
+        )
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if "encoded_dirs" not in manifest:
+        raise ValueError(
+            f"{op}: index was saved by an older ivfpq_save (no "
+            "encoded_dirs); re-save it once to upgrade the manifest"
+        )
+    return manifest
+
+
 def _read_tombstones(spark, path: str, manifest: dict) -> DataFrame | None:
     """The committed tombstone set (``ivfpq_delete``), or None when the
     index has no deletions. Columns: ``id`` (the deleted key) and
@@ -1049,7 +1074,6 @@ def ivfpq_append(
     caller guarantees fresh ids). ``new_embeddings`` must carry the
     manifest's id_col, ``vec_col``, and every recorded metadata
     column."""
-    import json
     import os
     import uuid
 
@@ -1057,19 +1081,7 @@ def ivfpq_append(
 
     from big_data_analysis_spark.io import write_parquet
 
-    mpath = os.path.join(path, "_INDEX.json")
-    if not os.path.exists(mpath):
-        raise FileNotFoundError(
-            f"ivfpq_append: no _INDEX.json under {path} — save a base "
-            "index first (ivfpq_save)"
-        )
-    with open(mpath, encoding="utf-8") as fh:
-        manifest = json.load(fh)
-    if "encoded_dirs" not in manifest:
-        raise ValueError(
-            "ivfpq_append: index was saved by an older ivfpq_save "
-            "(no encoded_dirs); re-save it once to upgrade the manifest"
-        )
+    manifest = _load_index_manifest(path, "ivfpq_append")
     id_col = manifest["id_col"]
     missing = [
         c
@@ -1229,7 +1241,6 @@ def ivfpq_delete(spark, path: str, ids) -> None:
     ``ids``: a Python sequence of id values, or a 1-column DataFrame.
     Deleting an id the store does not hold is a harmless no-op row;
     an empty id set leaves the index untouched (no version bump)."""
-    import json
     import os
     import uuid
 
@@ -1237,19 +1248,7 @@ def ivfpq_delete(spark, path: str, ids) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq_
 
-    mpath = os.path.join(path, "_INDEX.json")
-    if not os.path.exists(mpath):
-        raise FileNotFoundError(
-            f"ivfpq_delete: no _INDEX.json under {path} — save a base "
-            "index first (ivfpq_save)"
-        )
-    with open(mpath, encoding="utf-8") as fh:
-        manifest = json.load(fh)
-    if "encoded_dirs" not in manifest:
-        raise ValueError(
-            "ivfpq_delete: index was saved by an older ivfpq_save "
-            "(no encoded_dirs); re-save it once to upgrade the manifest"
-        )
+    manifest = _load_index_manifest(path, "ivfpq_delete")
     if isinstance(ids, DataFrame):
         if len(ids.columns) != 1:
             raise ValueError(
@@ -1336,6 +1335,13 @@ def ivfpq_compact(spark, path: str) -> None:
         tombstones=_read_tombstones(spark, path, manifest),
         id_col=manifest.get("id_col", "vec_id"),
     )
+    if merged.head() is None:
+        # Every surviving row is tombstoned: writing the empty merged
+        # frame would publish a schema-less (unreadable) dir and BRICK
+        # the index for every later load. Keep the masked form — the
+        # index stays servable with zero visible rows, and a future
+        # append past the tombstones' scope revives it.
+        return
     ver = uuid.uuid4().hex[:12]
     merged_dir = f"encoded-{ver}"
     write_parquet(merged, os.path.join(path, merged_dir), partition_by=["cell"])

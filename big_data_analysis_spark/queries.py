@@ -6863,7 +6863,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dedup_groups",
     "dedup_keep_best_docs",
     # (c) rotating re-verification sample (ADVICE r3 standing policy) —
-    # 30 slots, provably disjoint from BOTH the r4 and r5 windows
+    # 29 slots, provably disjoint from BOTH the r4 and r5 windows
     # (checked against CORRECTNESS_r04/r05.json key sets), spanning
     # every module family: nulls/pivot/describe, date+JSON functions,
     # windows, streaming (3 shapes), text quality and LLM-pipeline ops,

@@ -759,6 +759,22 @@ def test_ivfpq_delete_tombstones_lifecycle(spark, request):
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
         ivfpq_delete(spark, "/root/repo/.scratch/no-such-index", [1])
 
+    # deleting EVERY remaining id then compacting must not brick the
+    # index: writing the empty merged frame would publish a schema-less
+    # dir, so compact no-ops and the masked (zero-visible-row) index
+    # stays loadable — and an append past the tombstones revives it
+    remaining = [r["vec_id"] for r in enc5.select("vec_id").collect()]
+    ivfpq_delete(spark, path, remaining)
+    assert ivfpq_load(spark, path)[0].count() == 0
+    man_empty = json.load(open(path + "/_INDEX.json"))
+    ivfpq_compact(spark, path)
+    assert json.load(open(path + "/_INDEX.json")) == man_empty  # no-op
+    assert ivfpq_load(spark, path)[0].count() == 0  # still loadable
+    ivfpq_append(spark, path, emb.filter(F.col("vec_id") == 5))
+    enc6, cents6, books6 = ivfpq_load(spark, path)
+    assert enc6.count() == 1
+    assert enc6.head()["vec_id"] == 5
+
 
 def test_ivfpq_append_extends_persisted_index(spark, request):
     """Incremental index append (the serving lifecycle's refresh step):
