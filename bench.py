@@ -118,6 +118,7 @@ EXTENDED_QUERIES = [
     # and the tombstone-delete + compact serving lifecycle
     "kcore_copurchase",
     "ivfpq_tombstone_delete",
+    "training_shards_docs",
 ]
 
 

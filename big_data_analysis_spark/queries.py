@@ -6801,6 +6801,68 @@ def q_incremental_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # =========================================================================
+# Training-shard export (io.write_training_shards): the corpus's last
+# mile — one deterministic global shuffle into n single-file shard
+# dirs, shard id AND within-file row order both derived from the
+# engine-portable md5 bucket (the hash_sample convention), so DuckDB
+# re-derives every shard's population without reading the shards. The
+# within-file ORDER is externally observable through the parquet
+# _metadata.row_index column, making "the writer really laid rows down
+# in the deterministic order" a pinnable boolean, not a trust-me.
+# =========================================================================
+
+_SHARDS_N = 8
+
+_SHARDS_ORACLE = f"""
+WITH h AS (
+    SELECT ('0x' || substr(md5('shards1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+    FROM documents
+)
+SELECT CAST(hv % {_SHARDS_N} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       true AS one_file_per_shard,
+       true AS order_deterministic
+FROM h GROUP BY 1
+"""
+
+
+@query("training_shards_docs", _SHARDS_ORACLE)
+def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export, certificate-verified per
+    shard: the documents corpus is written as 8 single-file shard dirs
+    (md5-bucket assignment, within-file order (hash, doc_id)); the
+    read-back certificate hash-compares each shard's exact population
+    count against DuckDB's independent md5 re-derivation and pins two
+    booleans — exactly one file per shard (the shuffle partitioner and
+    the dir key coincide) and every row sitting at the parquet
+    row_index its deterministic rank predicts (no writer re-sort
+    scrambled the order)."""
+    import os
+
+    from big_data_analysis_spark.io import write_training_shards
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/training-shards-{sf_tag}"
+    write_training_shards(d, path, _SHARDS_N, ["doc_id"], seed="shards1")
+    back = spark.read.parquet(path).select(
+        "doc_id",
+        "shard",
+        F.col("_metadata.row_index").alias("__ri"),
+        F.col("_metadata.file_path").alias("__fp"),
+    )
+    key = F.concat_ws("\x1f", F.lit("shards1"), F.col("doc_id").cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("__fp").orderBy(h.asc(), F.col("doc_id").asc())
+    chk = back.withColumn("__rn", F.row_number().over(w) - 1)
+    return chk.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count_distinct("__fp") == 1).alias("one_file_per_shard"),
+        F.bool_and(F.col("__rn") == F.col("__ri")).alias("order_deterministic"),
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -6843,6 +6905,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kcore_copurchase",
     "incremental_distinct_orders",
     "ivfpq_tombstone_delete",
+    "training_shards_docs",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -6863,18 +6926,18 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dedup_groups",
     "dedup_keep_best_docs",
     # (c) rotating re-verification sample (ADVICE r3 standing policy) —
-    # 29 slots, provably disjoint from BOTH the r4 and r5 windows
+    # 28 slots, provably disjoint from BOTH the r4 and r5 windows
     # (checked against CORRECTNESS_r04/r05.json key sets), spanning
-    # every module family: nulls/pivot/describe, date+JSON functions,
+    # every module family: nulls/pivot, date+JSON functions,
     # windows, streaming (3 shapes), text quality and LLM-pipeline ops,
     # dedup/decontamination, ANN/centroids, mining, eval metrics.
-    # (rollup_qty, string_funcs_part and describe_lineitem — all
-    # r1/r2-verified, families still covered by cube_orders /
-    # json_extract_agg + the text ops / corr_lineitem — rotated out to
-    # make room for the three late-round-6 additions.)
+    # (rollup_qty, string_funcs_part, describe_lineitem and
+    # value_counts_events — all r1/r2-verified, families still covered
+    # by cube_orders / json_extract_agg + the text ops / corr_lineitem /
+    # frequent_items_trend — rotated out for the four late-round-6
+    # additions.)
     "null_handling",
     "pivot_returnflag",
-    "value_counts_events",
     "json_extract_agg",
     "window_lag_features",
     "tumbling_daily_events",

@@ -522,7 +522,7 @@ def test_driver_window_covers_critical_queries():
         "quantile_state_read_orders",
         "heavy_hitter_tokens", "entity_resolution_customers",
         "kcore_copurchase", "incremental_distinct_orders",
-        "ivfpq_tombstone_delete",
+        "ivfpq_tombstone_delete", "training_shards_docs",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
@@ -798,6 +798,53 @@ def test_holt_linear_tracks_linear_series_exactly(spark):
         holt_linear(
             df.withColumn("level", F.lit(1.0)),
             order_by=["t"], value_col="y", partition_by=["g"],
+        )
+
+
+def test_write_training_shards_deterministic_and_guarded(spark, request):
+    """The shard export must be a pure function of (keys, seed): the
+    same corpus written from two DIFFERENT input partitionings yields
+    byte-identical shard populations in byte-identical row order
+    (verified via parquet row_index), with exactly one file per shard.
+    Reserved-column and bad-n_shards inputs fail loudly."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pt
+
+    from big_data_analysis_spark.io import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(200)], "id long, body string"
+    )
+    paths = [
+        f"/root/repo/.scratch/shards-{os.getpid()}-a",
+        f"/root/repo/.scratch/shards-{os.getpid()}-b",
+    ]
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+        request.addfinalizer(lambda p=p: shutil.rmtree(p, ignore_errors=True))
+    write_training_shards(df.repartition(13), paths[0], 4, ["id"], seed="s")
+    write_training_shards(df.coalesce(1), paths[1], 4, ["id"], seed="s")
+
+    def layout(p):
+        assert len(glob.glob(p + "/shard=*")) == 4
+        for d in glob.glob(p + "/shard=*"):
+            assert len(glob.glob(d + "/*.parquet")) == 1
+        back = spark.read.parquet(p).select(
+            "id", "shard", F.col("_metadata.row_index").alias("ri")
+        )
+        return sorted(
+            (r["shard"], r["ri"], r["id"]) for r in back.collect()
+        )
+
+    assert layout(paths[0]) == layout(paths[1])
+    with _pt.raises(ValueError, match="n_shards"):
+        write_training_shards(df, paths[0] + "-x", 0, ["id"])
+    with _pt.raises(ValueError, match="shard"):
+        write_training_shards(
+            df.withColumn("shard", F.lit(1)), paths[0] + "-y", 2, ["id"]
         )
 
 
