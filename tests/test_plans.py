@@ -645,6 +645,35 @@ def test_heavy_hitter_tokens_plan_prunes_and_stays_arrow(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # row-at-a-time Python would be a bug
 
 
+def test_training_shard_reader_prunes_partitions(spark, sf_dir, request):
+    """A worker reading its shard slice must pay only its own shards'
+    bytes: the shard filter lands in the scan's PartitionFilters (dir
+    pruning at source listing), never as a data filter over the full
+    export."""
+    import os
+    import re as _re
+    import shutil
+
+    from big_data_analysis_spark.io import (
+        load_tables,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = f"/root/repo/.scratch/shards-plan-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+    write_training_shards(d, path, 8, ["doc_id"], seed="p")
+    df = read_training_shards(spark, path, shards=[1, 5])
+    plan = formatted_plan(df)
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("shard" in f for f in pf), plan
+    for pushed in _re.findall(r"PushedFilters: \[([^\]]*)\]", plan):
+        assert "shard" not in pushed, plan
+    assert set(r["shard"] for r in df.select("shard").distinct().collect()) == {1, 5}
+
+
 def test_quantile_state_read_no_single_partition_exchange(spark, sf_dir):
     """The histogram-state read path runs keyed windows over the tiny
     state table — an Exchange SinglePartition would mean the walk was
