@@ -354,3 +354,52 @@ def entropy_gain(df: DataFrame, label_col: str, feature_col: str) -> DataFrame:
         [(round(hl, 6), round(hc, 6), round(hl - hc, 6))],
         "h_label double, h_conditional double, info_gain double",
     )
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Pairwise Welch's unequal-variance t-test between every pair of
+    groups (the A/B-experiment readout the reference prints as eyeballed
+    per-class mean tables, 乳腺癌预测.py:105-139): one row per unordered
+    group pair with (n, mean-diff, t statistic, Welch–Satterthwaite
+    degrees of freedom, |t|>1.96 flag). The p-value lookup is a
+    driver-side scipy call if needed; the statistic is the distributed
+    part (same contract as chi2_independence).
+
+    Plan: ONE map-combinable groupBy over the raw rows (count/avg/
+    var_samp), then the pairwise part is a self-join of the tiny
+    per-group aggregate — broadcast, never touches raw rows again, so
+    group count bounds the quadratic term, not row count. Null metric
+    values are excluded per group (the SQL count/avg convention).
+    Groups with n < 2 have no sample variance and are dropped (a
+    1-observation arm has no test)."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    a = g.select(*[F.col(c).alias(f"{c}_a") for c in g.columns])
+    b = g.select(*[F.col(c).alias(f"{c}_b") for c in g.columns])
+    j = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    sea = F.col("v_a") / F.col("n_a")
+    seb = F.col("v_b") / F.col("n_b")
+    se2 = sea + seb
+    t = F.try_divide(F.col("m_a") - F.col("m_b"), F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
+        sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1),
+    )
+    return j.select(
+        F.col("grp_a").alias("group_a"),
+        F.col("grp_b").alias("group_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_05"),
+    )

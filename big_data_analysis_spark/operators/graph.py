@@ -384,3 +384,79 @@ def bfs_distances(
         visited = visited.union(nxt)
         frontier = nxt
     return visited.select(node_col, F.col("dist").cast("long").alias("dist"))
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, bounded at
+    ``max_hops`` edges: frontier Bellman-Ford (each round relaxes only
+    edges leaving nodes whose distance IMPROVED last round — the
+    distributed classic, Malewicz et al. Pregel SIGMOD'10 §5.2).
+    Returns (node, dist) = the minimum path weight over paths of <=
+    max_hops edges from any source; after enough rounds that is the
+    true shortest path. Parallel edges collapse to their min weight up
+    front. Negative weights are rejected (a negative cycle would make
+    the bounded answer meaningless).
+
+    Determinism: dist is a SUM of integer weights min-folded — exact
+    under any partitioning for integer weights, hence oracle-hashable
+    against an unrolled relaxation in SQL.
+
+    Scale shape: per round, ONE keyed join (edge list x frontier — the
+    frontier shrinks as distances settle; AQE demotes it to broadcast
+    when small), one map-combinable groupBy(min), one anti-join merge
+    into the settled map. The edge list is materialized once; dist and
+    frontier localCheckpoint per round (lineage truncation, same
+    discipline as bfs_distances). Cost per round is O(edges leaving
+    the frontier), not O(|E|)."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp: negative edge weights are not supported")
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            e.join(frontier, e["src"] == frontier[node_col])
+            .select(
+                F.col("dst").alias(node_col),
+                (F.col("dist") + F.col("w")).alias("__nd"),
+            )
+            .groupBy(node_col)
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        improved = (
+            cand.join(dist, node_col, "left")
+            .filter(F.col("dist").isNull() | (F.col("__nd") < F.col("dist")))
+            .select(node_col, F.col("__nd").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select(node_col), node_col, "left_anti")
+            .union(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist.select(node_col, F.col("dist").cast("long").alias("dist"))

@@ -733,3 +733,91 @@ def holt_linear(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(smooth, schema=out_fields)
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Single change-point location by the cumulative-sum statistic
+    (Page 1954 / the MOSUM-free classic): for a series x_1..x_n the
+    centered prefix sums S_i = sum_{j<=i} x_j - i*mean peak where the
+    mean shifts; the estimated change point is argmax_i |S_i| (the last
+    index BEFORE the new regime). Returns one row per series:
+    (keys..., n_rows, cp_order, cp_index, cusum_peak, mean_before,
+    mean_after) — the reference's eyeballed "did the series jump"
+    reading as an operator (reference 新冠疫情分析.py:52-74 builds
+    diff/pct-change features around exactly this question).
+
+    Determinism: the argmax is computed on n*S_i = n*P_i - i*T (P =
+    prefix sum, T = series total) which for INTEGER inputs is exact
+    integer arithmetic — the peak index cannot flip on float summation
+    order across engines, so the result is oracle-hashable. Ties ->
+    the earliest index. ``cusum_peak`` (=|S| at the peak) and the
+    before/after means are the only float outputs.
+
+    Scale shape: one ROWS-frame window (prefix sum + row_number) and
+    one map-combinable groupBy per series — two shuffles total, both
+    keyed on ``partition_by``. Without keys the single global series
+    funnels through one partition (same caveat as pack_offsets); at
+    100 TB always pass the series keys."""
+    parts = list(partition_by)
+    w = (
+        Window.partitionBy(*parts).orderBy(order_col)
+        if parts
+        else Window.orderBy(order_col)
+    )
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        *parts,
+        F.col(order_col).alias("__ord"),
+        x.alias("__x"),
+        F.sum(x).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__p"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    # The peak pick needs n and T (per-series constants) inside each
+    # row, so compute them as an unbounded window over the same
+    # partitioning — one extra Window exec, no extra shuffle (same
+    # partition keys as the ordered window above).
+    n_over = F.count(F.lit(1)).over(
+        Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+    )
+    t_over = F.sum("__x").over(
+        Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+    )
+    scored = base.select(
+        *parts,
+        "__ord",
+        "__p",
+        "__rn",
+        n_over.alias("__n"),
+        t_over.alias("__t"),
+        F.abs(n_over * F.col("__p") - F.col("__rn") * t_over).alias("__ns"),
+    )
+    peak = scored.groupBy(*parts).agg(
+        F.max("__n").alias("n_rows"),
+        F.max("__t").alias("__t"),
+        F.min(
+            F.struct(
+                (-F.col("__ns")).alias("neg"),
+                F.col("__rn").alias("rn"),
+                F.col("__ord").alias("ord"),
+                F.col("__p").alias("p"),
+            )
+        ).alias("__pk"),
+    )
+    rn = F.col("__pk.rn")
+    p = F.col("__pk.p")
+    return peak.select(
+        *parts,
+        F.col("n_rows").cast("long"),
+        F.col("__pk.ord").alias("cp_order"),
+        rn.cast("long").alias("cp_index"),
+        F.round((-F.col("__pk.neg")) / F.col("n_rows"), 6).alias("cusum_peak"),
+        F.round(p / rn, 6).alias("mean_before"),
+        F.round(
+            F.try_divide(F.col("__t") - p, F.col("n_rows") - rn), 6
+        ).alias("mean_after"),
+    )

@@ -6863,6 +6863,292 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Change-point detection (ts.cusum_changepoint): the CUSUM peak over
+# per-type daily event counts. The argmax runs on n*P_i - i*T integer
+# arithmetic, so the located index is engine-exact (no float-order
+# tiebreak risk); only the reported magnitudes are rounded doubles.
+# =========================================================================
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type, day, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nn,
+           sum(n) OVER (PARTITION BY event_type) AS t
+    FROM daily
+), pick AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(nn * p - rn * t) DESC, rn) AS pr
+    FROM s
+)
+SELECT event_type, CAST(nn AS BIGINT) AS n_rows, day AS cp_day,
+       CAST(rn AS BIGINT) AS cp_index,
+       round(abs(nn * p - rn * t) * 1.0 / nn, 6) AS cusum_peak,
+       round(p * 1.0 / rn, 6) AS mean_before,
+       CASE WHEN nn > rn THEN round((t - p) * 1.0 / (nn - rn), 6) END AS mean_after
+FROM pick WHERE pr = 1
+"""
+
+
+@query("cusum_changepoint_events", _CUSUM_ORACLE)
+def q_cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did each event type's daily volume shift? CUSUM single
+    change-point per series (Page 1954), the operator form of the
+    reference's eyeballed diff/pct-change regime reading
+    (新冠疫情分析.py:52-74). One keyed window + one groupBy per series;
+    the peak index is integer-exact (see ts.cusum_changepoint)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = ts.cusum_changepoint(daily, "day", "n", partition_by=["event_type"])
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("cp_order").alias("cp_day"),
+        "cp_index",
+        "cusum_peak",
+        "mean_before",
+        "mean_after",
+    )
+
+
+# =========================================================================
+# Pairwise Welch's t-test (ml.evaluation.welch_ttest): the A/B readout
+# over event-type arms. One groupBy over raw rows; the pairwise part is
+# a broadcast self-join of the tiny per-group aggregate.
+# =========================================================================
+
+_WELCH_ORACLE = """
+WITH g AS (
+    SELECT event_type AS grp, count(*) AS n, avg(value) AS m,
+           var_samp(value) AS v
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT a.grp AS group_a, b.grp AS group_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.m - b.m, 6) AS mean_diff,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1)
+                + pow(b.v / b.n, 2) / (b.n - 1)), 4) AS welch_df,
+       abs((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant_05
+FROM g a JOIN g b ON a.grp < b.grp
+"""
+
+
+@query("welch_ab_events", _WELCH_ORACLE)
+def q_welch_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did any event-type arm's mean value differ? Pairwise Welch
+    unequal-variance t-tests over the events table — the experiment
+    readout as one aggregate + a broadcast pair join
+    (ml.evaluation.welch_ttest)."""
+    from big_data_analysis_spark.ml.evaluation import welch_ttest
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return welch_ttest(ev, "event_type", "value")
+
+
+# =========================================================================
+# XML source/sink roundtrip (io.read_xml / io.write_xml — Spark 4
+# native XML): corpus -> XML feed -> back, then a per-source digest
+# whose text-hash sum catches ANY per-row corruption (escaping,
+# whitespace trimming, encoding). The oracle computes the same digest
+# straight from parquet — equality proves the XML hop is lossless.
+# =========================================================================
+
+_XML_ROUNDTRIP_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text), 1, 8))::BIGINT)
+            AS BIGINT) AS text_hash_sum
+FROM documents
+GROUP BY source
+"""
+
+
+@query("xml_roundtrip_docs", _XML_ROUNDTRIP_ORACLE)
+def q_xml_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family XML source/sink: write the corpus as an XML feed, read
+    it back (whitespace-preserving), digest per source. The md5-prefix
+    sum over (doc_id, text) is order-independent and row-sensitive, so
+    a single trimmed space or unescaped entity anywhere in the corpus
+    breaks the hash match against the parquet-side oracle."""
+    import os
+
+    from big_data_analysis_spark.io import read_xml, write_xml
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/xml-docs-{sf_tag}-{os.getpid()}"
+    write_xml(d, path, row_tag="doc", root_tag="corpus")
+    back = read_xml(
+        spark,
+        path,
+        row_tag="doc",
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("\x1f"), F.col("text"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("doc_id").cast("long").alias("n_distinct"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        F.sum(h).cast("long").alias("text_hash_sum"),
+    )
+
+
+# =========================================================================
+# Weighted shortest paths (graph.sssp): frontier Bellman-Ford over the
+# customer<->supplier trade graph, edge weight = min |ship latency| in
+# days between the pair. The oracle is the SAME algorithm unrolled —
+# 4 relaxation rounds as chained CTEs (the kcore unrolled-peel move):
+# linear size, exact integer arithmetic, no path enumeration blow-up.
+# =========================================================================
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    inf = "9223372036854775807"
+    parts = [
+        """
+WITH base AS (
+    SELECT o_custkey AS c, 10000000 + l_suppkey AS s,
+           abs(date_diff('day', o_orderdate, l_shipdate)) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+    SELECT src, dst, min(w) AS w FROM (
+        SELECT c AS src, s AS dst, w FROM base
+        UNION ALL SELECT s AS src, c AS dst, w FROM base
+    ) GROUP BY 1, 2
+), d0 AS (
+    SELECT DISTINCT 10000000 + s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+    FROM supplier WHERE s_nationkey = 0
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", c{i} AS (
+    SELECT e.dst AS node, min(d.dist + e.w) AS nd
+    FROM d{i-1} d JOIN e ON e.src = d.node GROUP BY 1
+), d{i} AS (
+    SELECT coalesce(d.node, c.node) AS node,
+           least(coalesce(d.dist, {inf}), coalesce(c.nd, {inf})) AS dist
+    FROM d{i-1} d FULL JOIN c{i} c ON d.node = c.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
+@query("sssp_trade_latency", _sssp_oracle(4))
+def q_sssp_trade_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How close (in best-case cumulative ship latency) is every trade
+    participant to nation-0's suppliers? Multi-source weighted SSSP
+    bounded at 4 hops over the bipartite trade graph — graph.sssp's
+    frontier Bellman-Ford vs the unrolled relaxation in SQL."""
+    from big_data_analysis_spark.operators.graph import sssp
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "supplier"])
+    fwd = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+            F.abs(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias("w"),
+        )
+    )
+    bi = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    srcs = (
+        t["supplier"]
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.lit(10000000) + F.col("s_suppkey")).alias("node"))
+    )
+    return sssp(bi, srcs, max_hops=4)
+
+
+# =========================================================================
+# Community detection (graph.label_propagation): deterministic
+# synchronous LPA over the part co-purchase graph. The oracle unrolls
+# the same rounds as chained MATERIALIZED CTEs (the kcore move): each
+# round is a neighbor-label count + a (cnt DESC, label) argmin — exact
+# integer/label arithmetic, engine-hashable.
+# =========================================================================
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        "WITH e AS MATERIALIZED (",
+        "    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v",
+        "    FROM lineitem a JOIN lineitem b",
+        "      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
+        "), bi AS MATERIALIZED"
+        " (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e)",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS community FROM bi)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f", n{r} AS MATERIALIZED (SELECT bi.a AS node, l.community,"
+            f" count(*) AS cnt FROM bi JOIN l{r - 1} l ON l.node = bi.b"
+            " GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", l{r} AS MATERIALIZED (SELECT node, community FROM ("
+            "SELECT node, community, row_number() OVER (PARTITION BY node"
+            f" ORDER BY cnt DESC, community) AS rn FROM n{r}) WHERE rn = 1)"
+        )
+    parts.append(
+        "SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(community AS BIGINT) AS community FROM l{_LPA_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
+@query("communities_copurchase", _lpa_oracle())
+def q_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which parts cluster into co-purchase communities? Deterministic
+    synchronous label propagation (graph.label_propagation — most
+    frequent neighbor label, ties to the smallest) for 4 rounds, full
+    (node, community) hash vs the unrolled SQL rounds."""
+    from big_data_analysis_spark.operators.graph import label_propagation
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(e, iterations=_LPA_ROUNDS)
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -6906,6 +7192,16 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_distinct_orders",
     "ivfpq_tombstone_delete",
     "training_shards_docs",
+    # late-round-6 additions (this session): CUSUM change point,
+    # pairwise Welch t-test, the XML source/sink roundtrip digest,
+    # weighted SSSP vs its unrolled relaxation, and LPA communities vs
+    # the unrolled rounds — all full-hash oracles, checked the round
+    # they land.
+    "cusum_changepoint_events",
+    "welch_ab_events",
+    "xml_roundtrip_docs",
+    "sssp_trade_latency",
+    "communities_copurchase",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -6931,30 +7227,27 @@ _DRIVER_PRIORITY: list[str] = [
     # every module family: nulls/pivot, date+JSON functions,
     # windows, streaming (3 shapes), text quality and LLM-pipeline ops,
     # dedup/decontamination, ANN/centroids, mining, eval metrics.
-    # (rollup_qty, string_funcs_part, describe_lineitem and
-    # value_counts_events — all r1/r2-verified, families still covered
-    # by cube_orders / json_extract_agg + the text ops / corr_lineitem /
-    # frequent_items_trend — rotated out for the four late-round-6
-    # additions.)
+    # (rollup_qty, string_funcs_part, describe_lineitem,
+    # value_counts_events, word_freq_docs, jaccard_pairs_docs,
+    # frequent_items_trend, cube_orders and sliding_window_events —
+    # all r1/r2-verified, families still covered by pivot_returnflag /
+    # json_extract_agg + the remaining text ops / span+contamination
+    # dedup pairs / fpgrowth_rules_pairs / session_window_events —
+    # rotated out for the nine late-round-6 additions.)
     "null_handling",
     "pivot_returnflag",
     "json_extract_agg",
     "window_lag_features",
     "tumbling_daily_events",
-    "word_freq_docs",
     "token_stats_docs",
     "dedup_exact_docs",
-    "jaccard_pairs_docs",
-    "frequent_items_trend",
     "fpgrowth_rules_pairs",
     "suppliers_with_shipments",
-    "cube_orders",
     "corr_lineitem",
     "lang_id_docs",
     "quality_docs",
     "contamination_pairs_docs",
     "embedding_near_dup_pairs",
-    "sliding_window_events",
     "session_window_events",
     "tfidf_top_terms_docs",
     "lm_perplexity_docs",

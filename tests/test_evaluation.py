@@ -163,3 +163,31 @@ def test_quantized_auc_approximates_exact(spark):
     # the sweep really is bounded
     pts = ev.roc_curve(df, "label", "score", max_points=64).count()
     assert pts <= 64
+
+
+def test_welch_ttest_matches_closed_form(spark):
+    """Hand-computed Welch t and Satterthwaite df on two known arms;
+    nulls excluded; n<2 arms dropped; pair order canonical (a < b)."""
+    import numpy as np
+
+    xa = [2.1, 2.4, 2.0, 2.6, 2.3]
+    xb = [3.0, 3.4, 2.9, 3.3]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    rows += [("a", None), ("c", 1.0)]  # null ignored; 1-obs arm dropped
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = ev.welch_ttest(df, "grp", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    ma, mb = np.mean(xa), np.mean(xb)
+    va, vb = np.var(xa, ddof=1), np.var(xb, ddof=1)
+    se2 = va / len(xa) + vb / len(xb)
+    t = (ma - mb) / np.sqrt(se2)
+    dof = se2**2 / (
+        (va / len(xa)) ** 2 / (len(xa) - 1)
+        + (vb / len(xb)) ** 2 / (len(xb) - 1)
+    )
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(r["welch_df"] - round(dof, 4)) < 1e-9
+    assert r["significant_05"] == (abs(t) > 1.96)

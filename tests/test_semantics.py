@@ -523,6 +523,10 @@ def test_driver_window_covers_critical_queries():
         "heavy_hitter_tokens", "entity_resolution_customers",
         "kcore_copurchase", "incremental_distinct_orders",
         "ivfpq_tombstone_delete", "training_shards_docs",
+        # late-round-6 additions (full-hash oracles, never driver-run)
+        "cusum_changepoint_events", "welch_ab_events",
+        "xml_roundtrip_docs", "sssp_trade_latency",
+        "communities_copurchase",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
@@ -886,3 +890,56 @@ def test_bin_by_edges_null_propagates(spark):
     )
     rows = df.select(bin_by_edges(F.col("v"), [1.0, 2.0]).alias("bin")).collect()
     assert [r["bin"] for r in rows] == [0, 1, None, 2]
+
+
+def test_cusum_changepoint_locates_mean_shift(spark):
+    """Clean level shift -> peak at the last pre-shift index; constant
+    series -> earliest-index tie; last-row peak -> null mean_after."""
+    from big_data_analysis_spark.operators.timeseries import cusum_changepoint
+
+    rows = [("a", i, 10 if i < 5 else 20) for i in range(10)]
+    rows += [("b", i, 7) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = {
+        r["k"]: r
+        for r in cusum_changepoint(df, "t", "v", partition_by=["k"]).collect()
+    }
+    a = out["a"]
+    assert a["cp_index"] == 5 and a["cp_order"] == 4
+    assert a["mean_before"] == 10.0 and a["mean_after"] == 20.0
+    # |S_5| = |50 - 5*15| = 25
+    assert a["cusum_peak"] == 25.0
+    b = out["b"]  # all nS == 0 -> tie -> earliest index
+    assert b["cp_index"] == 1 and b["cusum_peak"] == 0.0
+    assert b["mean_before"] == 7.0 and b["mean_after"] == 7.0
+
+    one = spark.createDataFrame([("c", 0, 3)], "k string, t int, v int")
+    r = cusum_changepoint(one, "t", "v", partition_by=["k"]).collect()[0]
+    assert r["n_rows"] == 1 and r["mean_after"] is None
+
+
+def test_sssp_prefers_cheap_long_path_over_short_expensive(spark):
+    """Weighted SSSP != BFS: a 3-edge cost-3 path beats the direct
+    cost-10 edge; the hop bound cuts long paths; negative weights
+    refuse; parallel edges collapse to min."""
+    import pytest
+
+    from big_data_analysis_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [
+            (0, 9, 10), (0, 9, 12),          # parallel direct edges, cost 10
+            (0, 1, 1), (1, 2, 1), (2, 9, 1), # 3-hop path, cost 3
+            (9, 5, 2),
+        ],
+        "src int, dst int, w int",
+    )
+    srcs = spark.createDataFrame([(0,)], "node int")
+    d = {r["node"]: r["dist"] for r in sssp(edges, srcs, max_hops=5).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 9: 3, 5: 5}
+    # with only 1 hop allowed the direct (min of the parallel pair) wins
+    d1 = {r["node"]: r["dist"] for r in sssp(edges, srcs, max_hops=1).collect()}
+    assert d1[9] == 10 and d1[1] == 1 and 2 not in d1
+    neg = spark.createDataFrame([(0, 1, -2)], "src int, dst int, w int")
+    with pytest.raises(ValueError, match="negative"):
+        sssp(neg, srcs, max_hops=2)

@@ -167,3 +167,32 @@ def test_manifest_sink_zero_task_job_publishes_empty_manifest(spark):
         manifest = json.load(fh)
     assert manifest == {"files": [], "total_rows": 0}
     assert read_manifest_jsonl(spark, path, "v string").count() == 0
+
+
+def test_xml_roundtrip_exact_fidelity(spark, tmp_path):
+    """write_xml -> read_xml is byte-exact for entity-laden, whitespace-
+    padded, multiline, empty, null and CJK text; the reader's default
+    whitespace trimming is opted out (preserve_whitespace=True)."""
+    from big_data_analysis_spark.io import read_xml, write_xml
+
+    rows = [
+        (1, "plain"),
+        (2, "with <tag> & ampersand \"quotes\" 'single'"),
+        (3, "  leading/trailing  "),
+        (4, "line1\nline2\ttab"),
+        (5, ""),
+        (6, None),
+        (7, "蔬菜价格 ✓"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "xmlrt")
+    write_xml(df, path, row_tag="doc", root_tag="docs")
+    back = read_xml(spark, path, row_tag="doc", schema="id long, text string")
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
+    trimmed = read_xml(
+        spark, path, row_tag="doc", schema="id long, text string",
+        preserve_whitespace=False,
+    )
+    got_t = {r["id"]: r["text"] for r in trimmed.collect()}
+    assert got_t[3] == "leading/trailing"
