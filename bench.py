@@ -119,6 +119,15 @@ EXTENDED_QUERIES = [
     "kcore_copurchase",
     "ivfpq_tombstone_delete",
     "training_shards_docs",
+    # round-6 wave 4: weighted frontier Bellman-Ford (per-round cost ∝
+    # frontier out-edges), 4-round synchronous LPA, the XML feed
+    # roundtrip (non-splittable-format write+read), and the two
+    # single-aggregate stats ops
+    "sssp_trade_latency",
+    "communities_copurchase",
+    "xml_roundtrip_docs",
+    "cusum_changepoint_events",
+    "welch_ab_events",
 ]
 
 

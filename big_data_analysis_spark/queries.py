@@ -7149,6 +7149,52 @@ def q_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Custom Python STREAMING DataSource (sources.SynthDocsStreamReader):
+# the same deterministic generator consumed as a micro-batch stream —
+# offset = row index, rows_per_batch per trigger, saturating cap. The
+# oracle is the SAME md5-replay SQL as the batch scan: the stream's
+# cumulative output must be row-identical to one batch read.
+# =========================================================================
+
+
+@query("synthdocs_stream_scan", _synthdocs_oracle())
+def q_synthdocs_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the synthdocs STREAM source (4 micro-batches of 300/300/
+    300/100 rows) through a memory sink and hand back the cumulative
+    table — hash-compared against the generator-replay oracle, proving
+    the custom stream reader's offset math loses/duplicates nothing.
+    sf_dir is unused (the connector generates from hashes)."""
+    import uuid
+
+    from big_data_analysis_spark.sources import register_synthdocs
+
+    register_synthdocs(spark)
+    name = f"synthstream_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .option("rows_per_batch", 300)
+        .load()
+    )
+    ckpt = f"/root/repo/.scratch/{name}-ckpt"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -7202,6 +7248,7 @@ _DRIVER_PRIORITY: list[str] = [
     "xml_roundtrip_docs",
     "sssp_trade_latency",
     "communities_copurchase",
+    "synthdocs_stream_scan",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -7233,12 +7280,13 @@ _DRIVER_PRIORITY: list[str] = [
     # all r1/r2-verified, families still covered by pivot_returnflag /
     # json_extract_agg + the remaining text ops / span+contamination
     # dedup pairs / fpgrowth_rules_pairs / session_window_events —
-    # rotated out for the nine late-round-6 additions.)
+    # rotated out for the ten late-round-6 additions;
+    # tumbling_daily_events likewise — its family stays via
+    # session_window_events and streaming_tumbling_daily history.)
     "null_handling",
     "pivot_returnflag",
     "json_extract_agg",
     "window_lag_features",
-    "tumbling_daily_events",
     "token_stats_docs",
     "dedup_exact_docs",
     "fpgrowth_rules_pairs",

@@ -28,6 +28,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -96,6 +97,73 @@ class SynthDocsReader(DataSourceReader):
             yield (doc_id, source, " ".join(words), quality)
 
 
+class SynthDocsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the SAME deterministic generator: the
+    offset is simply the next row index, each trigger advances it by
+    ``rows_per_batch`` until the ``rows`` cap saturates (then
+    latestOffset stops moving and processAllAvailable() returns).
+
+    Exactly-once contract: generation is a pure function of
+    (seed, doc_id), so a replayed batch — partitions(start, end) from
+    the checkpointed offset log after a crash — yields byte-identical
+    rows; with an idempotent sink the pipeline is exactly-once without
+    any source-side bookkeeping. Restart safety: the engine may replay
+    partitions(start, end) BEFORE ever calling latestOffset, so both
+    partitions() and commit() bump the internal cursor — latestOffset
+    can never regress below a checkpoint-recovered end offset.
+
+    ``partitions`` (label layout) matches the batch reader: contiguous
+    blocks of rows//partitions docs share a source label, so the
+    stream's cumulative output is row-identical to one batch scan with
+    the same options (assumes the even split the oracle assumes).
+    ``tasks_per_batch`` controls physical parallelism per micro-batch
+    independently of the label layout."""
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("rows", 1000))
+        self.rpb = int(options.get("rows_per_batch", 250))
+        self.n_labels = int(options.get("partitions", 8))
+        self.tasks = max(1, int(options.get("tasks_per_batch", 4)))
+        self.seed = options.get("seed", "synth-v1")
+        self._next = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._next = min(self._next + self.rpb, self.total)
+        return {"index": self._next}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["index"]), int(end["index"])
+        self._next = max(self._next, hi)
+        n = max(1, min(self.tasks, hi - lo))
+        step, extra = divmod(hi - lo, n)
+        parts, cur = [], lo
+        for i in range(n):
+            size = step + (1 if i < extra else 0)
+            parts.append(InputPartition((cur, cur + size)))
+            cur += size
+        return parts
+
+    def commit(self, end: dict) -> None:
+        self._next = max(self._next, int(end["index"]))
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        per_label = max(1, self.total // self.n_labels)
+        for doc_id in range(lo, hi):
+            source = SYNTH_SOURCES[(doc_id // per_label) % len(SYNTH_SOURCES)]
+            bits = _h(self.seed, doc_id)
+            n_words = 5 + bits % 20
+            words = [
+                _WORDS[_h(self.seed, doc_id, k) % len(_WORDS)]
+                for k in range(n_words)
+            ]
+            quality = (_h(self.seed, doc_id, "q") % 10**6) / 10**6
+            yield (doc_id, source, " ".join(words), quality)
+
+
 class SynthDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -106,6 +174,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(dict(self.options))
+
+    def streamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(dict(self.options))
 
 
 def register_synthdocs(spark: SparkSession) -> None:

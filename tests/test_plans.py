@@ -681,3 +681,35 @@ def test_quantile_state_read_no_single_partition_exchange(spark, sf_dir):
     df = QUERIES["quantile_state_read_orders"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cusum_windows_share_one_exchange(spark, sf_dir):
+    """cusum_changepoint's two window passes (ordered prefix sum +
+    unbounded constants) and the peak groupBy all key on the series
+    column: exactly one hashpartitioning exchange on event_type feeds
+    them, and nothing funnels through a single partition."""
+    df = QUERIES["cusum_changepoint_events"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    # exactly two keyed exchanges end-to-end: the daily pre-aggregate
+    # on (event_type, day) and the series repartition on event_type;
+    # the peak groupBy(event_type) must REUSE the window partitioning
+    # (a third exchange would mean it doesn't).
+    assert plan.count("hashpartitioning(") == 2, plan
+
+
+def test_welch_pair_join_is_broadcast_of_tiny_aggregate(spark, sf_dir):
+    """welch_ttest: raw rows are scanned once into a keyed aggregate;
+    the pairwise stage is a BroadcastNestedLoop/BroadcastHashJoin of
+    the per-group 1-row-per-arm frame — the events table must never be
+    joined against itself."""
+    df = QUERIES["welch_ab_events"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, plan
+    scans = scan_infos(df)
+    # one logical source read twice is fine only if both sides are the
+    # tiny aggregate; the raw-row scan must appear at most twice and
+    # read only the 2 needed columns
+    assert scans and all(
+        set(s["read_schema"]) <= {"event_type", "value"} for s in scans
+    ), scans

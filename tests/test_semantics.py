@@ -526,7 +526,7 @@ def test_driver_window_covers_critical_queries():
         # late-round-6 additions (full-hash oracles, never driver-run)
         "cusum_changepoint_events", "welch_ab_events",
         "xml_roundtrip_docs", "sssp_trade_latency",
-        "communities_copurchase",
+        "communities_copurchase", "synthdocs_stream_scan",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom

@@ -196,3 +196,80 @@ def test_xml_roundtrip_exact_fidelity(spark, tmp_path):
     )
     got_t = {r["id"]: r["text"] for r in trimmed.collect()}
     assert got_t[3] == "leading/trailing"
+
+
+def test_synthdocs_stream_matches_batch_and_bounds_batches(spark, tmp_path):
+    """The streaming reader's cumulative output is row-identical to one
+    batch scan with the same options; every micro-batch respects
+    rows_per_batch; the saturating offset ends the stream."""
+    import uuid
+
+    from big_data_analysis_spark.sources import register_synthdocs
+
+    register_synthdocs(spark)
+    name = f"synthstream_t_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", 1000).option("partitions", 8)
+        .option("rows_per_batch", 300).load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    out = spark.table(name)
+    batch = (
+        spark.read.format("synthdocs")
+        .option("rows", 1000).option("partitions", 8).load()
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+    sizes = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
+    assert sum(sizes) == 1000 and max(sizes) <= 300, sizes
+
+
+def test_synthdocs_stream_restart_is_exactly_once(spark, tmp_path):
+    """Kill the stream after the first micro-batch, restart from the
+    same checkpoint into the same file sink: the deterministic replay +
+    the sink's commit log must yield each row exactly once."""
+    from big_data_analysis_spark.sources import register_synthdocs
+
+    register_synthdocs(spark)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("synthdocs")
+            .option("rows", 1000).option("partitions", 8)
+            .option("rows_per_batch", 250).load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    import time
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.recentProgress, "no batch completed within 60s"
+    finally:
+        q.stop()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 1000
+    assert got.select("doc_id").distinct().count() == 1000
