@@ -7195,6 +7195,78 @@ def q_synthdocs_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Custom streaming SINK (sources.ManifestJsonlStreamWriter): stream ->
+# per-batch atomic manifests -> manifest-only read-back. The digest
+# oracle re-derives the same numbers from the generator-replay SQL, so
+# a lost batch, a double-committed replay, or a torn part file
+# anywhere in the lifecycle breaks the hash.
+# =========================================================================
+
+_STREAM_SINK_ORACLE = f"""
+WITH gen AS ({_synthdocs_oracle()})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_micro
+FROM gen GROUP BY source
+"""
+
+
+@query("stream_sink_manifest_docs", _STREAM_SINK_ORACLE)
+def q_stream_sink_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the synthdocs source through the manifest streaming sink
+    (4 micro-batches, one atomic _BATCH manifest each), read back ONLY
+    manifest-listed files, digest per source. Exactly-once end to end:
+    the digest hash-matches the pure SQL replay of the generator."""
+    import os
+    import shutil
+
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    # pid-stable scratch path (concurrent pytest runs stay separate);
+    # cleaned up front — stale batch manifests from a prior call would
+    # otherwise double-count in the read-back.
+    out = f"/root/repo/.scratch/stream-sink-{os.getpid()}"
+    ckpt = f"{out}-ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .option("rows_per_batch", 300)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("manifest_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    back = read_manifest_jsonl_stream(
+        spark, out, "doc_id bigint, source string, text string, quality double"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(F.round(F.col("quality") * 1000000).cast("long"))
+        .cast("long")
+        .alias("sum_quality_micro"),
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -7249,6 +7321,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sssp_trade_latency",
     "communities_copurchase",
     "synthdocs_stream_scan",
+    "stream_sink_manifest_docs",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -7281,8 +7354,9 @@ _DRIVER_PRIORITY: list[str] = [
     # json_extract_agg + the remaining text ops / span+contamination
     # dedup pairs / fpgrowth_rules_pairs / session_window_events —
     # rotated out for the ten late-round-6 additions;
-    # tumbling_daily_events likewise — its family stays via
-    # session_window_events and streaming_tumbling_daily history.)
+    # tumbling_daily_events and suppliers_with_shipments likewise —
+    # their families stay via session_window_events and the window's
+    # own join-heavy queries.)
     "null_handling",
     "pivot_returnflag",
     "json_extract_agg",
@@ -7290,7 +7364,6 @@ _DRIVER_PRIORITY: list[str] = [
     "token_stats_docs",
     "dedup_exact_docs",
     "fpgrowth_rules_pairs",
-    "suppliers_with_shipments",
     "corr_lineitem",
     "lang_id_docs",
     "quality_docs",

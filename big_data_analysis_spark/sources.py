@@ -207,7 +207,11 @@ class _ManifestCommitMessage:
 
 
 try:  # WriterCommitMessage is a plain marker base class in Spark 4
-    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+    from pyspark.sql.datasource import (
+        DataSourceStreamWriter,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
 
     class ManifestCommitMessage(WriterCommitMessage, _ManifestCommitMessage):
         pass
@@ -313,6 +317,97 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
                     except OSError:
                         pass
 
+    class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+        """Streaming side of the manifest sink: one atomic
+        ``_BATCH_{id}.json`` manifest per committed micro-batch, so the
+        sink is EXACTLY-ONCE under replay — on restart the engine
+        re-runs the last in-flight batch with the SAME batchId; commit
+        sees that batch's manifest already published, discards the
+        replay attempt's duplicate part files, and returns. A reader
+        (read_manifest_jsonl_stream) unions manifest-listed files only,
+        so a torn batch (crash between task writes and commit) is
+        invisible exactly like a torn batch job.
+
+        This is the general recipe for custom streaming sinks to
+        targets with no transactional append: idempotence comes from
+        the (batchId -> manifest) rename being the single publish
+        point, not from the target supporting transactions."""
+
+        def __init__(self, options: dict, schema) -> None:
+            import uuid
+
+            self.path = options["path"]
+            self.fields = [f.name for f in schema.fields]
+            self.job_token = uuid.uuid4().hex[:12]
+
+        def write(self, rows) -> "ManifestCommitMessage":
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            fname = (
+                f"part-{ctx.partitionId():05d}-{self.job_token}"
+                f"-{ctx.taskAttemptId()}.jsonl"
+            )
+            os.makedirs(self.path, exist_ok=True)
+            n = 0
+            with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
+                for row in rows:
+                    fh.write(json.dumps(dict(zip(self.fields, row)), default=str))
+                    fh.write("\n")
+                    n += 1
+            return ManifestCommitMessage(fname, n)
+
+        def _batch_manifest(self, batch_id: int) -> str:
+            import os
+
+            return os.path.join(self.path, f"_BATCH_{batch_id}.json")
+
+        def commit(self, messages, batchId: int) -> None:
+            import json
+            import os
+
+            os.makedirs(self.path, exist_ok=True)
+            files = [
+                {"name": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ]
+            mpath = self._batch_manifest(batchId)
+            if os.path.exists(mpath):
+                # Replayed batch: a prior attempt already published.
+                # This attempt's part files are duplicates of committed
+                # data — remove them so they never count twice.
+                for f in files:
+                    try:
+                        os.remove(os.path.join(self.path, f["name"]))
+                    except OSError:
+                        pass
+                return
+            tmp = mpath + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(
+                    {
+                        "batch_id": batchId,
+                        "files": files,
+                        "total_rows": sum(f["n_rows"] for f in files),
+                    },
+                    fh,
+                )
+            os.replace(tmp, mpath)
+
+        def abort(self, messages, batchId: int) -> None:
+            import os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except OSError:
+                        pass
+
     class ManifestJsonlDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -320,6 +415,9 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
 
         def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
             return ManifestJsonlWriter(dict(self.options), schema, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool) -> ManifestJsonlStreamWriter:
+            return ManifestJsonlStreamWriter(dict(self.options), schema)
 
     _HAS_WRITER_API = True
 except ImportError:  # pragma: no cover - older pyspark without writer API
@@ -347,6 +445,30 @@ def read_manifest_jsonl(spark: SparkSession, path: str, schema: str):
     with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+def read_manifest_jsonl_stream(spark: SparkSession, path: str, schema: str):
+    """Batch-read everything the STREAMING manifest sink has committed:
+    the union of all ``_BATCH_{id}.json`` manifests' files, in batch-id
+    order. Orphan part files from torn/replayed batches are invisible
+    (they appear in no manifest), completing the sink's exactly-once
+    contract on the read side."""
+    import glob
+    import json
+    import os
+
+    files: list[str] = []
+    for mpath in sorted(
+        glob.glob(os.path.join(path, "_BATCH_*.json")),
+        key=lambda p: int(os.path.basename(p)[len("_BATCH_"):-len(".json")]),
+    ):
+        with open(mpath, encoding="utf-8") as fh:
+            files.extend(
+                os.path.join(path, f["name"]) for f in json.load(fh)["files"]
+            )
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

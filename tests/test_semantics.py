@@ -527,6 +527,7 @@ def test_driver_window_covers_critical_queries():
         "cusum_changepoint_events", "welch_ab_events",
         "xml_roundtrip_docs", "sssp_trade_latency",
         "communities_copurchase", "synthdocs_stream_scan",
+        "stream_sink_manifest_docs",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom

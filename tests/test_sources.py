@@ -273,3 +273,91 @@ def test_synthdocs_stream_restart_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 1000
     assert got.select("doc_id").distinct().count() == 1000
+
+
+def test_manifest_stream_sink_exactly_once_and_orphan_invisible(spark, tmp_path):
+    """Custom streaming sink: per-batch atomic manifests; a planted
+    orphan part file (torn batch) is invisible to the reader; a
+    kill-and-restart drains to exactly-once."""
+    import glob
+    import time
+
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "doc_id bigint, source string, text string, quality double"
+
+    def start():
+        return (
+            spark.readStream.format("synthdocs")
+            .option("rows", 1000).option("partitions", 8)
+            .option("rows_per_batch", 250).load()
+            .writeStream.format("manifest_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.recentProgress, "no batch completed within 60s"
+    finally:
+        q.stop()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # plant an orphan part file: must stay invisible (no manifest names it)
+    with open(f"{out}/part-99999-deadbeef-0.jsonl", "w") as fh:
+        fh.write('{"doc_id": 424242, "source": "web", "text": "x", "quality": 0.5}\n')
+    got = read_manifest_jsonl_stream(spark, out, schema)
+    assert got.count() == 1000
+    assert got.select("doc_id").distinct().count() == 1000
+    assert got.filter("doc_id = 424242").count() == 0
+    batch = (
+        spark.read.format("synthdocs")
+        .option("rows", 1000).option("partitions", 8).load()
+    )
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    assert glob.glob(f"{out}/_BATCH_*.json")
+
+
+def test_manifest_stream_sink_duplicate_commit_discards_replay(tmp_path):
+    """Driver-level replay contract: commit() called twice with the
+    same batchId keeps the FIRST manifest and deletes the second
+    attempt's duplicate part files."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from big_data_analysis_spark.sources import (
+        ManifestCommitMessage,
+        ManifestJsonlDataSource,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    w = ManifestJsonlDataSource(options={"path": path}).streamWriter(schema, False)
+    for fname, payload in (("a.jsonl", "first"), ("b.jsonl", "replay")):
+        with open(os.path.join(path, fname), "w") as fh:
+            fh.write(json.dumps({"doc_id": 1, "text": payload}) + "\n")
+    w.commit([ManifestCommitMessage("a.jsonl", 1)], batchId=7)
+    w.commit([ManifestCommitMessage("b.jsonl", 1)], batchId=7)  # replay
+    with open(os.path.join(path, "_BATCH_7.json")) as fh:
+        manifest = json.load(fh)
+    assert [f["name"] for f in manifest["files"]] == ["a.jsonl"]
+    assert not os.path.exists(os.path.join(path, "b.jsonl"))
+    assert os.path.exists(os.path.join(path, "a.jsonl"))
