@@ -402,8 +402,10 @@ def sssp(
     Returns (node, dist) = the minimum path weight over paths of <=
     max_hops edges from any source; after enough rounds that is the
     true shortest path. Parallel edges collapse to their min weight up
-    front. Negative weights are rejected (a negative cycle would make
-    the bounded answer meaningless).
+    front. Null, NaN, negative and non-integral weights are rejected up
+    front in one aggregate pass (a silent long-cast would truncate
+    fractional weights and let fractional negatives slip past a
+    post-cast negativity check).
 
     Determinism: dist is a SUM of integer weights min-folded — exact
     under any partitioning for integer weights, hence oracle-hashable
@@ -416,6 +418,26 @@ def sssp(
     frontier localCheckpoint per round (lineage truncation, same
     discipline as bfs_distances). Cost per round is O(edges leaving
     the frontier), not O(|E|)."""
+    w = F.col(weight_col)
+    n_bad = edges.select(
+        F.sum(
+            F.when(
+                w.isNull()
+                | F.isnan(w.cast("double"))
+                | (w < 0)
+                | (w != F.floor(w)),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad")
+    ).head()["n_bad"]
+    if n_bad:
+        raise ValueError(
+            f"sssp: {n_bad} edge weight(s) are null, NaN, negative or "
+            "non-integral — weights must be non-negative integers (a "
+            "silent cast would truncate 0.5 -> 0 and let -0.9 pass the "
+            "negativity check); scale fractional weights to integer "
+            "units first"
+        )
     e = (
         edges.select(
             F.col(src_col).alias("src"),
@@ -426,8 +448,6 @@ def sssp(
         .agg(F.min("w").alias("w"))
         .localCheckpoint()
     )
-    if e.filter(F.col("w") < 0).limit(1).count() > 0:
-        raise ValueError("sssp: negative edge weights are not supported")
     dist = (
         sources.select(F.col(sources.columns[0]).alias(node_col))
         .distinct()

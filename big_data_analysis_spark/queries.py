@@ -6935,11 +6935,20 @@ WITH g AS (
 SELECT a.grp AS group_a, b.grp AS group_b,
        CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
        round(a.m - b.m, 6) AS mean_diff,
-       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
-       round(pow(a.v / a.n + b.v / b.n, 2)
-             / (pow(a.v / a.n, 2) / (a.n - 1)
-                + pow(b.v / b.n, 2) / (b.n - 1)), 4) AS welch_df,
-       abs((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant_05
+       -- zero pooled variance (two constant arms): t undefined -> NULL,
+       -- matching the Spark side's try_divide (DuckDB's IEEE division
+       -- would otherwise give +-inf here and diverge)
+       CASE WHEN a.v / a.n + b.v / b.n = 0 THEN NULL
+            ELSE round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6)
+       END AS t_stat,
+       CASE WHEN a.v / a.n + b.v / b.n = 0 THEN NULL
+            ELSE round(pow(a.v / a.n + b.v / b.n, 2)
+                       / (pow(a.v / a.n, 2) / (a.n - 1)
+                          + pow(b.v / b.n, 2) / (b.n - 1)), 4)
+       END AS welch_df,
+       CASE WHEN a.v / a.n + b.v / b.n = 0 THEN NULL
+            ELSE abs((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) > 1.96
+       END AS significant_05
 FROM g a JOIN g b ON a.grp < b.grp
 """
 
@@ -6988,8 +6997,13 @@ def q_xml_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_analysis_spark.io import read_xml, write_xml
 
+    import shutil
+
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # pid-suffixed (concurrent runs stay separate) and REMOVED after
+    # the digest materializes below — a full corpus copy per run must
+    # not accumulate in .scratch.
     path = f"/root/repo/.scratch/xml-docs-{sf_tag}-{os.getpid()}"
     write_xml(d, path, row_tag="doc", root_tag="corpus")
     back = read_xml(
@@ -7007,13 +7021,16 @@ def q_xml_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    return back.groupBy("source").agg(
+    digest = back.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count_distinct("doc_id").cast("long").alias("n_distinct"),
         F.sum(F.length("text")).cast("long").alias("sum_chars"),
         F.sum("n_chars").cast("long").alias("sum_n_chars"),
         F.sum(h).cast("long").alias("text_hash_sum"),
     )
+    rows = digest.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, digest.schema)
 
 
 # =========================================================================
@@ -7257,13 +7274,16 @@ def q_stream_sink_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_manifest_jsonl_stream(
         spark, out, "doc_id bigint, source string, text string, quality double"
     )
-    return back.groupBy("source").agg(
+    digest = back.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("sum_chars"),
         F.sum(F.round(F.col("quality") * 1000000).cast("long"))
         .cast("long")
         .alias("sum_quality_micro"),
     )
+    rows = digest.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, digest.schema)
 
 
 # =========================================================================
@@ -7353,7 +7373,9 @@ _DRIVER_PRIORITY: list[str] = [
     # all r1/r2-verified, families still covered by pivot_returnflag /
     # json_extract_agg + the remaining text ops / span+contamination
     # dedup pairs / fpgrowth_rules_pairs / session_window_events —
-    # rotated out for the ten late-round-6 additions;
+    # rotated out for the eleven late-round-6 additions (the four
+    # earlier this round plus cusum/welch/xml/sssp/communities and the
+    # two streaming-connector queries);
     # tumbling_daily_events and suppliers_with_shipments likewise —
     # their families stay via session_window_events and the window's
     # own join-heavy queries.)

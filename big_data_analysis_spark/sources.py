@@ -49,6 +49,31 @@ def _h(*parts: object) -> int:
     return int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
 
 
+def _pid_of(doc_id: int, n_rows: int, n_parts: int) -> int:
+    """Invert the batch reader's (possibly uneven) contiguous layout:
+    which partition id owns ``doc_id``. Partitions 0..extra-1 hold
+    per+1 docs, the rest hold per. Keeping ONE inverse shared by the
+    stream reader guarantees stream and batch assign identical source
+    labels for ANY (rows, partitions), not just even splits."""
+    per, extra = divmod(n_rows, n_parts)
+    cut = (per + 1) * extra
+    if doc_id < cut:
+        return doc_id // (per + 1)
+    return extra + (doc_id - cut) // per
+
+
+def _doc_row(seed: str, doc_id: int, source: str) -> tuple:
+    """The one generator: (doc_id, source, text, quality) as a pure
+    function of (seed, doc_id). Batch reader, stream reader and the
+    DuckDB replay oracle must all agree on this — which is why it
+    exists exactly once."""
+    bits = _h(seed, doc_id)
+    n_words = 5 + bits % 20
+    words = [_WORDS[_h(seed, doc_id, k) % len(_WORDS)] for k in range(n_words)]
+    quality = (_h(seed, doc_id, "q") % 10**6) / 10**6
+    return (doc_id, source, " ".join(words), quality)
+
+
 class SynthDocsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("rows", 1000))
@@ -87,14 +112,7 @@ class SynthDocsReader(DataSourceReader):
         lo = pid * per_part + min(pid, extra)
         n = per_part + (1 if pid < extra else 0)
         for doc_id in range(lo, lo + n):
-            bits = _h(self.seed, doc_id)
-            n_words = 5 + bits % 20
-            words = [
-                _WORDS[_h(self.seed, doc_id, k) % len(_WORDS)]
-                for k in range(n_words)
-            ]
-            quality = (_h(self.seed, doc_id, "q") % 10**6) / 10**6
-            yield (doc_id, source, " ".join(words), quality)
+            yield _doc_row(self.seed, doc_id, source)
 
 
 class SynthDocsStreamReader(DataSourceStreamReader):
@@ -107,17 +125,22 @@ class SynthDocsStreamReader(DataSourceStreamReader):
     (seed, doc_id), so a replayed batch — partitions(start, end) from
     the checkpointed offset log after a crash — yields byte-identical
     rows; with an idempotent sink the pipeline is exactly-once without
-    any source-side bookkeeping. Restart safety: the engine may replay
-    partitions(start, end) BEFORE ever calling latestOffset, so both
-    partitions() and commit() bump the internal cursor — latestOffset
-    can never regress below a checkpoint-recovered end offset.
+    any source-side bookkeeping. Restart safety: on restart the engine
+    re-delivers the recovered offset to the fresh reader BEFORE asking
+    for new data — commit(end) after a fully-committed shutdown,
+    partitions(start, end) for an in-flight replay (the contract
+    pyspark's own _SimpleStreamReaderWrapper relies on; pinned by
+    test_synthdocs_stream_full_commit_restart_emits_nothing). Both
+    callbacks bump the internal cursor, so latestOffset never regresses
+    below a checkpoint-recovered offset; a defensive guard additionally
+    returns zero partitions for any empty/backwards range.
 
-    ``partitions`` (label layout) matches the batch reader: contiguous
-    blocks of rows//partitions docs share a source label, so the
-    stream's cumulative output is row-identical to one batch scan with
-    the same options (assumes the even split the oracle assumes).
-    ``tasks_per_batch`` controls physical parallelism per micro-batch
-    independently of the label layout."""
+    ``partitions`` (label layout) matches the batch reader via the
+    shared _pid_of layout inverse, so the stream's cumulative output is
+    row-identical to one batch scan with the same options for ANY
+    (rows, partitions) — even uneven splits. ``tasks_per_batch``
+    controls physical parallelism per micro-batch independently of the
+    label layout."""
 
     def __init__(self, options: dict) -> None:
         self.total = int(options.get("rows", 1000))
@@ -136,7 +159,11 @@ class SynthDocsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["index"]), int(end["index"])
-        self._next = max(self._next, hi)
+        self._next = max(self._next, lo, hi)
+        if hi <= lo:
+            # Defensive: never produce rows for an empty/backwards
+            # range (the cursor is still bumped past it, above).
+            return []
         n = max(1, min(self.tasks, hi - lo))
         step, extra = divmod(hi - lo, n)
         parts, cur = [], lo
@@ -151,17 +178,10 @@ class SynthDocsStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         lo, hi = partition.value
-        per_label = max(1, self.total // self.n_labels)
         for doc_id in range(lo, hi):
-            source = SYNTH_SOURCES[(doc_id // per_label) % len(SYNTH_SOURCES)]
-            bits = _h(self.seed, doc_id)
-            n_words = 5 + bits % 20
-            words = [
-                _WORDS[_h(self.seed, doc_id, k) % len(_WORDS)]
-                for k in range(n_words)
-            ]
-            quality = (_h(self.seed, doc_id, "q") % 10**6) / 10**6
-            yield (doc_id, source, " ".join(words), quality)
+            pid = _pid_of(doc_id, self.total, self.n_labels)
+            source = SYNTH_SOURCES[pid % len(SYNTH_SOURCES)]
+            yield _doc_row(self.seed, doc_id, source)
 
 
 class SynthDocsDataSource(DataSource):
@@ -200,6 +220,32 @@ def register_synthdocs(spark: SparkSession) -> None:
 # ===========================================================================
 
 
+def _write_jsonl_part(path: str, fields: list, job_token: str, rows) -> tuple:
+    """Executor-side part write shared by the batch and streaming
+    manifest sinks: one uniquely-named jsonl file per task attempt
+    ((job_token, taskAttemptId) — globally unique across application
+    restarts), rows dumped with the declared field order. Returns
+    (filename, n_rows); the file is invisible until a driver commit
+    publishes a manifest naming it."""
+    import json
+    import os
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    fname = (
+        f"part-{ctx.partitionId():05d}-{job_token}-{ctx.taskAttemptId()}.jsonl"
+    )
+    os.makedirs(path, exist_ok=True)
+    n = 0
+    with open(os.path.join(path, fname), "w", encoding="utf-8") as fh:
+        for row in rows:
+            fh.write(json.dumps(dict(zip(fields, row)), default=str))
+            fh.write("\n")
+            n += 1
+    return fname, n
+
+
 class _ManifestCommitMessage:
     def __init__(self, filename: str, n_rows: int) -> None:
         self.filename = filename
@@ -234,27 +280,12 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
 
         def write(self, rows) -> "ManifestCommitMessage":
             """Executor side: write this partition to a uniquely-named
-            part file. The name is derived from (taskAttemptId), so a
-            retried task writes a DIFFERENT file and the loser's output
-            is simply never referenced by the manifest."""
-            import json
-            import os
-
-            from pyspark import TaskContext
-
-            ctx = TaskContext.get()
-            fname = (
-                f"part-{ctx.partitionId():05d}-{self.job_token}"
-                f"-{ctx.taskAttemptId()}.jsonl"
+            part file (shared _write_jsonl_part) — a retried task
+            writes a DIFFERENT file and the loser's output is simply
+            never referenced by the manifest."""
+            return ManifestCommitMessage(
+                *_write_jsonl_part(self.path, self.fields, self.job_token, rows)
             )
-            os.makedirs(self.path, exist_ok=True)
-            n = 0
-            with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
-                for row in rows:
-                    fh.write(json.dumps(dict(zip(self.fields, row)), default=str))
-                    fh.write("\n")
-                    n += 1
-            return ManifestCommitMessage(fname, n)
 
         def commit(self, messages) -> None:
             """Driver side, runs once after EVERY task succeeded: the
@@ -341,24 +372,9 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             self.job_token = uuid.uuid4().hex[:12]
 
         def write(self, rows) -> "ManifestCommitMessage":
-            import json
-            import os
-
-            from pyspark import TaskContext
-
-            ctx = TaskContext.get()
-            fname = (
-                f"part-{ctx.partitionId():05d}-{self.job_token}"
-                f"-{ctx.taskAttemptId()}.jsonl"
+            return ManifestCommitMessage(
+                *_write_jsonl_part(self.path, self.fields, self.job_token, rows)
             )
-            os.makedirs(self.path, exist_ok=True)
-            n = 0
-            with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
-                for row in rows:
-                    fh.write(json.dumps(dict(zip(self.fields, row)), default=str))
-                    fh.write("\n")
-                    n += 1
-            return ManifestCommitMessage(fname, n)
 
         def _batch_manifest(self, batch_id: int) -> str:
             import os

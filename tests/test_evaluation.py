@@ -191,3 +191,16 @@ def test_welch_ttest_matches_closed_form(spark):
     assert abs(r["t_stat"] - round(t, 6)) < 1e-9
     assert abs(r["welch_df"] - round(dof, 4)) < 1e-9
     assert r["significant_05"] == (abs(t) > 1.96)
+
+
+def test_welch_ttest_zero_variance_arms_yield_null(spark):
+    """Two constant arms: the t statistic is undefined (0 pooled
+    variance) — NULL, not +-inf, in t/df/significance (the oracle
+    pins the same NULLs via CASE)."""
+    rows = [("a", 2.0), ("a", 2.0), ("b", 3.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = ev.welch_ttest(df, "grp", "v").collect()[0]
+    assert r["mean_diff"] == -1.0
+    assert r["t_stat"] is None
+    assert r["welch_df"] is None
+    assert r["significant_05"] is None

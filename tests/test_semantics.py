@@ -944,3 +944,11 @@ def test_sssp_prefers_cheap_long_path_over_short_expensive(spark):
     neg = spark.createDataFrame([(0, 1, -2)], "src int, dst int, w int")
     with pytest.raises(ValueError, match="negative"):
         sssp(neg, srcs, max_hops=2)
+    # fractional and fractional-negative weights must refuse too — a
+    # silent cast would truncate 0.5 -> 0 / let -0.9 pass as 0
+    for bad_w in (0.5, -0.9, float("nan"), None):
+        bad = spark.createDataFrame(
+            [(0, 1, bad_w)], "src int, dst int, w double"
+        )
+        with pytest.raises(ValueError, match="non-integral|negative"):
+            sssp(bad, srcs, max_hops=2)

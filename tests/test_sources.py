@@ -361,3 +361,73 @@ def test_manifest_stream_sink_duplicate_commit_discards_replay(tmp_path):
     assert [f["name"] for f in manifest["files"]] == ["a.jsonl"]
     assert not os.path.exists(os.path.join(path, "b.jsonl"))
     assert os.path.exists(os.path.join(path, "a.jsonl"))
+
+
+def test_synthdocs_stream_uneven_split_label_parity(spark, tmp_path):
+    """rows % partitions != 0: the stream reader's shared layout
+    inverse must assign the SAME source labels as the batch reader's
+    uneven contiguous layout (1000/7 -> first 6 partitions hold 143,
+    the last 142)."""
+    import uuid
+
+    from big_data_analysis_spark.sources import register_synthdocs
+
+    register_synthdocs(spark)
+    name = f"uneven_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthdocs")
+        .option("rows", 1000).option("partitions", 7)
+        .option("rows_per_batch", 301).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    batch = (
+        spark.read.format("synthdocs")
+        .option("rows", 1000).option("partitions", 7).load()
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_synthdocs_stream_full_commit_restart_emits_nothing(spark, tmp_path):
+    """Restart after a FULLY-committed shutdown: the engine re-delivers
+    the recovered offset (commit callback) before asking for new data,
+    so the fresh reader's cursor jumps to the cap and zero rows are
+    re-emitted — the case where a naive cursor would regress to 0 and
+    re-emit rows 250..cap as duplicate forward batches."""
+    from big_data_analysis_spark.sources import register_synthdocs
+
+    register_synthdocs(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("synthdocs")
+            .option("rows", 1000).option("partitions", 8)
+            .option("rows_per_batch", 250).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 1000
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("doc_id").distinct().count() == 1000
