@@ -128,6 +128,12 @@ EXTENDED_QUERIES = [
     "xml_roundtrip_docs",
     "cusum_changepoint_events",
     "welch_ab_events",
+    # round-6 wave 5: exact token-budget mixing (bucketed boundary
+    # plan), diagonal-Mahalanobis embedding screen (two-pass: stats
+    # shuffle + codegen scoring), Zipf type-table fit
+    "token_budget_mixture_docs",
+    "embedding_outliers_topk",
+    "zipf_corpus_fit_docs",
 ]
 
 

@@ -991,6 +991,133 @@ def weighted_sample_exact_k(
     )
 
 
+def budget_prefix_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    group_col: str,
+    budgets: dict,
+    seed: str = "",
+    buckets: int = 1024,
+) -> DataFrame:
+    """EXACT per-group budget selection (the training-data assembly
+    contract: "hand me at most N tokens per domain, deterministically"):
+    within each group, rows are ordered by the engine-portable md5 hash
+    of ``key_cols`` (same convention as ``hash_sample``) and the maximal
+    prefix whose cumulative ``weight_col`` stays <= budgets[group] is
+    kept. Complements ``mixture_sample`` (probabilistic, expected-size)
+    and ``weighted_sample_exact_k`` (exact row count): this one enforces
+    an exact WEIGHT cap — the unit a token budget is actually written
+    in. Deterministic and engine-portable: any system that can compute
+    md5 re-derives the kept set row-for-row.
+
+    Scale shape — the naive plan (one cumulative-sum window per group)
+    sorts every group in full: a per-domain total sort of a 100 TB
+    corpus. Instead the hash's high bits range-bucket each group into
+    ``buckets`` slices whose ordering IS the hash ordering; one
+    map-combinable aggregate yields per-(group, bucket) weight totals
+    (<= groups x buckets tiny rows to the driver), a driver-side prefix
+    scan finds each group's boundary bucket, and only THAT bucket's
+    rows (~1/buckets of the group) flow through the cumulative window.
+    Fully-kept buckets pass a pure codegen filter in the scan stage.
+    Groups absent from ``budgets`` are dropped (explicit allowlist
+    semantics); NULL or negative weights raise (a negative weight makes
+    the cumulative prefix non-monotone, so "budget" stops meaning
+    anything). ``key_cols`` should uniquely identify rows: the
+    cumulative window's default RANGE frame makes exact ties share one
+    cumulative value (identically in any SQL engine, so oracle parity
+    holds either way — but the "maximal prefix" reading assumes unique
+    keys).
+    """
+    n_bits = buckets.bit_length() - 1
+    if buckets <= 0 or (1 << n_bits) != buckets or n_bits > 30:
+        raise ValueError(
+            "budget_prefix_sample: buckets must be a power of two "
+            f"<= 2^30 (the hash has 32 bits to slice), got {buckets}"
+        )
+    w = F.col(weight_col)
+    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    bucket = F.shiftright(h, 32 - n_bits)
+    hashed = df.withColumn("__bps_h", h).withColumn("__bps_b", bucket)
+    stats = (
+        hashed.groupBy(group_col, "__bps_b")
+        .agg(
+            # NaN sorts ABOVE every number in Spark comparisons, so it
+            # would pass a plain w >= 0 and poison the totals — reject
+            # it alongside NULL and negatives.
+            F.sum(
+                F.when(
+                    w.isNull() | F.isnan(w.cast("double")) | (w < 0), 1
+                ).otherwise(0)
+            ).alias("n_bad"),
+            F.sum(
+                F.when(~F.isnan(w.cast("double")) & (w >= 0), w).otherwise(0)
+            ).alias("total"),
+        )
+        .collect()
+    )
+    n_bad = sum(r["n_bad"] for r in stats)
+    if n_bad:
+        raise ValueError(
+            f"budget_prefix_sample: {n_bad} row(s) have NULL, NaN or "
+            f"negative {weight_col} — the cumulative prefix is only "
+            "meaningful for non-negative weights; filter or clamp them "
+            "first"
+        )
+    per_group: dict = {}
+    for r in stats:
+        per_group.setdefault(r[group_col], []).append((r["__bps_b"], r["total"]))
+    full_lim, boundary, offset = {}, {}, {}
+    for g, lst in per_group.items():
+        if g not in budgets:
+            continue
+        b = budgets[g]
+        running = 0
+        lim = None
+        for bkt, tot in sorted(lst):
+            if running + tot <= b:
+                running += tot
+                lim = bkt + 1
+            else:
+                boundary[g] = bkt
+                offset[g] = running
+                break
+        if lim is not None:
+            full_lim[g] = lim
+    if not full_lim and not boundary:
+        return df.limit(0)
+
+    def _lit_map(d: dict) -> Column:
+        pairs = []
+        for k, v in d.items():
+            pairs.extend([F.lit(k), F.lit(v)])
+        return F.create_map(*pairs)
+
+    g = F.col(group_col)
+    kept_full = (
+        hashed.filter(F.col("__bps_b") < _lit_map(full_lim)[g])
+        if full_lim
+        else hashed.limit(0)
+    )
+    if boundary:
+        # Only the boundary bucket per group is sorted — ~1/buckets of
+        # each group's rows; the window partitions on the group key.
+        order_cols = [F.col("__bps_h"), *[F.col(c) for c in key_cols]]
+        win = Window.partitionBy(group_col).orderBy(*order_cols)
+        cum = F.sum(w).over(win) + _lit_map(offset)[g]
+        kept_boundary = (
+            hashed.filter(F.col("__bps_b") == _lit_map(boundary)[g])
+            .withColumn("__bps_cum", cum)
+            .filter(F.col("__bps_cum") <= _lit_map(budgets)[g])
+            .drop("__bps_cum")
+        )
+        kept = kept_full.unionByName(kept_boundary)
+    else:
+        kept = kept_full
+    return kept.drop("__bps_h", "__bps_b")
+
+
 def incremental_join_delta(
     left_base: DataFrame,
     left_delta: DataFrame,

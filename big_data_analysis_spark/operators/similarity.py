@@ -155,6 +155,67 @@ def knn_blas_topk(
     )
 
 
+def embedding_outlier_scores(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    score_col: str = "score",
+    round_to: int = 4,
+) -> DataFrame:
+    """Multivariate embedding anomaly score — squared Mahalanobis
+    distance under a DIAGONAL covariance (per-dimension standardized
+    Euclidean): score = sum_d ((x_d - mu_d) / sd_d)^2. The embedding
+    curation screen the scalar outlier ops (zscore_outliers /
+    mad_outliers) can't express: a vector can be unremarkable in every
+    single coordinate yet far from the bulk jointly, and a corrupt
+    vector (wrong scale, zeroed tail) lights up immediately. Full
+    covariance is deliberately out: inverting a dense d x d at
+    d = 1024+ adds cost and numerical risk for little screening power.
+
+    Pass 1 (stats) posexplodes to (pos, value) — map-side partial
+    aggregation collapses each task to ``dim`` rows before the shuffle,
+    so the exchange moves O(tasks x dim) rows, not O(n x dim). The d
+    means/stds come back to the driver (bounded by ``dim``) and are
+    compiled into array LITERALS, so pass 2 (scoring) is a pure codegen
+    zip_with/aggregate over the scan — no join, no shuffle, no Python.
+    Zero-variance dimensions contribute 0 (they carry no anomaly
+    signal, and dividing by 0 would poison the sum). Scores are rounded
+    to ``round_to`` decimals so rank order is reproducible cross-engine
+    despite float-accumulation-order differences."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+        .collect()
+    )
+    mu: list = [0.0] * dim
+    sd: list = [0.0] * dim
+    for r in stats:
+        if r["pos"] >= dim:
+            raise ValueError(
+                f"embedding_outlier_scores: found element index {r['pos']} "
+                f">= declared dim {dim}"
+            )
+        if r["mu"] is None:
+            # every value at this position was NULL — leave (0, 0) so
+            # the dimension contributes nothing instead of crashing
+            continue
+        mu[r["pos"]] = float(r["mu"])
+        sd[r["pos"]] = float(r["sd"])
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    sd_arr = F.array(*[F.lit(s) for s in sd])
+    diff = F.zip_with(
+        F.col(vec_col), mu_arr, lambda x, m: x.cast("double") - m
+    )
+    z2 = F.zip_with(
+        diff,
+        sd_arr,
+        lambda d, s: F.when(s > 0, F.pow(d / s, F.lit(2))).otherwise(F.lit(0.0)),
+    )
+    score = F.aggregate(z2, F.lit(0.0), lambda acc, v: acc + v)
+    return df.withColumn(score_col, F.round(score, round_to))
+
+
 def hyperplane_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (0..2^num_planes-1).
 

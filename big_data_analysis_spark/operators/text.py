@@ -542,3 +542,51 @@ def chunk_text(
             ),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    split_pattern: str = " ",
+) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS of
+    ln(frequency) on ln(rank) over the type table, reported as
+    zipf_alpha = -slope (natural corpora sit near 1.0) with its R².
+    The one-row corpus health certificate data-quality reviews ask for:
+    a synthetic or template-heavy corpus shows up as alpha far from 1
+    or a poor log-log fit, before any downstream training does.
+
+    Scale shape: token explode -> one map-combinable groupBy to the
+    TYPE table (vocabulary — Heaps' law keeps it orders of magnitude
+    smaller than the corpus; ``min_count`` prunes the hapax tail
+    further). Ranking is a row_number over the type table ordered by
+    (count desc, word) — deterministic under ties and cross-engine
+    reproducible; it is the only non-map step and runs on vocabulary
+    rows, never corpus rows. The regression itself is regr_slope /
+    regr_r2 — one-pass JVM aggregates.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), split_pattern)).alias("word")
+    ).filter(F.length("word") > 0)
+    freq = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("word"))
+        ),
+    )
+    y = F.log(F.col("cnt").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.round(-F.regr_slope(y, x), 6).alias("zipf_alpha"),
+        F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+    )

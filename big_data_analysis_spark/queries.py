@@ -7287,6 +7287,140 @@ def q_stream_sink_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Exact token-budget domain mixing (relational.budget_prefix_sample): the
+# deterministic "at most N tokens per source" assembly step. Oracle is
+# the definitional per-group cumulative sum in portable-md5-hash order —
+# the bucketed boundary plan must reproduce it row-for-row.
+# =========================================================================
+
+_TOKEN_BUDGET_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5('mix-v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM documents
+), budgets AS (
+    SELECT source, CAST(floor(0.55 * sum(n_tokens)) AS BIGINT) AS budget
+    FROM toks GROUP BY source
+), c AS (
+    SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+           sum(t.n_tokens) OVER (
+               PARTITION BY t.source ORDER BY t.h, t.doc_id
+           ) AS cum
+    FROM toks t JOIN budgets b USING (source)
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
+"""
+
+
+@query("token_budget_mixture_docs", _TOKEN_BUDGET_ORACLE)
+def q_token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token budgets (55% of each source's total),
+    oracle-verified row-for-row against the definitional cumulative-sum
+    prefix in portable-hash order. The Spark side never sorts a whole
+    source: hash high bits range-bucket each source, per-bucket totals
+    find the boundary, and only the boundary bucket is windowed — the
+    plan that survives a 100 TB corpus where per-domain full sorts
+    don't. See operators.relational.budget_prefix_sample."""
+    import math
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    budgets = {r["source"]: int(math.floor(0.55 * r["t"])) for r in totals}
+    kept = rel.budget_prefix_sample(
+        toks, ["doc_id"], "n_tokens", "source", budgets, seed="mix-v1", buckets=64
+    )
+    return kept.select("doc_id", "source", "n_tokens")
+
+
+# =========================================================================
+# Multivariate embedding outliers (similarity.embedding_outlier_scores):
+# diagonal-Mahalanobis screening of the embedding table. Oracle re-derives
+# the per-dimension standardization and the top-20 ranking exactly in SQL.
+# =========================================================================
+
+_EMB_OUTLIER_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS x, i AS pos
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), stats AS (
+    SELECT pos, avg(x) AS mu, stddev_pop(x) AS sd FROM e GROUP BY pos
+), sc AS (
+    SELECT vec_id, any_value(label) AS label,
+           round(sum(CASE WHEN sd > 0 THEN pow((x - mu) / sd, 2) ELSE 0 END), 4) AS score
+    FROM e JOIN stats USING (pos) GROUP BY vec_id
+), ranked AS (
+    SELECT vec_id, label, score,
+           row_number() OVER (ORDER BY score DESC, vec_id) AS outlier_rank
+    FROM sc
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label, score,
+       CAST(outlier_rank AS INTEGER) AS outlier_rank
+FROM ranked WHERE outlier_rank <= 20
+"""
+
+
+@query("embedding_outliers_topk", _EMB_OUTLIER_ORACLE)
+def q_embedding_outliers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 multivariate embedding outliers by diagonal-Mahalanobis
+    score, oracle-verified to the row: per-dimension mean/std, the
+    standardized squared distance, and the (rounded score, vec_id)
+    ranking all re-derived in SQL. Ranking compares ROUNDED scores in
+    both engines so float-accumulation-order differences can't flip
+    adjacent ranks. Selection is orderBy+limit —
+    TakeOrderedAndProject, no global sort."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    scored = similarity.embedding_outlier_scores(e, "embedding", dim=64)
+    top = scored.orderBy(F.col("score").desc(), "vec_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    return top.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "score",
+        F.row_number().over(w).cast("int").alias("outlier_rank"),
+    )
+
+
+# =========================================================================
+# Zipf corpus fit (text.zipf_fit): one-row power-law health certificate
+# of the token distribution. Oracle recomputes the type table, the
+# deterministic rank, and the log-log regression natively.
+# =========================================================================
+
+_ZIPF_ORACLE = """
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), f AS (
+    SELECT word, count(*) AS cnt FROM w WHERE len(word) > 0 GROUP BY word
+), r AS (
+    SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+    FROM f
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(-regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_alpha,
+       round(regr_r2(ln(cnt), ln(rnk)), 6) AS zipf_r2
+FROM r
+"""
+
+
+@query("zipf_corpus_fit_docs", _ZIPF_ORACLE)
+def q_zipf_corpus_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-distribution power-law certificate: vocabulary
+    size, token count, Zipf alpha (-slope of ln freq on ln rank) and
+    the fit's R², all digit-matched against DuckDB's own regr_slope /
+    regr_r2. The rank window runs over the TYPE table (vocabulary),
+    never corpus rows — see operators.text.zipf_fit."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return tx.zipf_fit(d, "text")
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -7342,6 +7476,11 @@ _DRIVER_PRIORITY: list[str] = [
     "communities_copurchase",
     "synthdocs_stream_scan",
     "stream_sink_manifest_docs",
+    # extra-session additions: exact token-budget domain mixing,
+    # multivariate embedding outliers, Zipf corpus certificate
+    "token_budget_mixture_docs",
+    "embedding_outliers_topk",
+    "zipf_corpus_fit_docs",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -7393,11 +7532,13 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_near_dup_pairs",
     "session_window_events",
     "tfidf_top_terms_docs",
-    "lm_perplexity_docs",
-    "entropy_gain_events",
+    # (lm_perplexity_docs, entropy_gain_events and hash_sample_docs —
+    # r3-verified — rotated out for the three extra-session additions;
+    # their families stay via quality/lang_id/tfidf, the window's other
+    # eval metrics, and token_budget_mixture_docs, which exercises the
+    # same portable-md5 selection convention end-to-end.)
     "centroid_assignment_embeddings",
     "span_dedup_docs",
-    "hash_sample_docs",
     "streaming_attribution_join",
     "stateful_running_totals",
 ]

@@ -713,3 +713,25 @@ def test_welch_pair_join_is_broadcast_of_tiny_aggregate(spark, sf_dir):
     assert scans and all(
         set(s["read_schema"]) <= {"event_type", "value"} for s in scans
     ), scans
+
+
+def test_budget_prefix_sample_windows_only_boundary_bucket(spark, sf_dir):
+    """budget_prefix_sample's whole point: the fully-kept buckets pass a
+    pure codegen filter in the scan stage (no Sort, no Window), and only
+    the boundary bucket per group flows through exactly one cumulative
+    window. A second Window/Sort — or a SinglePartition funnel — means
+    the plan regressed to the per-group full sort it exists to avoid."""
+    import re
+
+    df = QUERIES["token_budget_mixture_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted plans name each node twice (tree + detail section):
+    # count tree nodes only
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the bucket filters reach the parquet scan as data filters
+    scans = scan_infos(df)
+    assert any("shiftright" in str(s.get("data_filters", "")) for s in scans) or (
+        "shiftright" in plan
+    ), plan

@@ -825,3 +825,77 @@ def test_bloom_prebuilt_reuses_single_broadcast(spark, sf_dir):
     finally:
         SparkContext.broadcast = orig
     assert created == [], f"prebuilt join still broadcast {len(created)} object(s)"
+
+
+# ---------------------------------------------------------------------------
+# budget_prefix_sample
+# ---------------------------------------------------------------------------
+
+
+def _naive_budget_prefix(spark, df, budgets, seed):
+    """Definitional implementation: full cumulative-sum window per group
+    in (portable hash, key) order — what the bucketed plan must equal."""
+    from pyspark.sql import Window
+
+    key = F.concat_ws("\x1f", F.lit(seed), F.col("doc_id").cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    pairs = []
+    for k, v in budgets.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    w = Window.partitionBy("grp").orderBy(h, "doc_id")
+    return (
+        df.withColumn("__cum", F.sum("w").over(w))
+        .filter(F.col("__cum") <= F.create_map(*pairs)[F.col("grp")])
+        .drop("__cum")
+    )
+
+
+def test_budget_prefix_sample_matches_naive_window(spark):
+    rows = [(i, f"g{i % 3}", 1 + (i * 7) % 5) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    totals = {r["grp"]: r["t"] for r in df.groupBy("grp").agg(F.sum("w").alias("t")).collect()}
+    # budgets cutting at ~30% / ~70% / over-total per group
+    budgets = {
+        "g0": int(totals["g0"] * 0.3),
+        "g1": int(totals["g1"] * 0.7),
+        "g2": totals["g2"] + 100,
+    }
+    got = rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", budgets, seed="s1", buckets=8)
+    want = _naive_budget_prefix(spark, df, budgets, "s1")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # g2's budget exceeds its total: every g2 row kept
+    assert got.filter(F.col("grp") == "g2").count() == df.filter(F.col("grp") == "g2").count()
+    # kept weight respects each budget exactly
+    for g, b in budgets.items():
+        kept_w = got.filter(F.col("grp") == g).agg(F.sum("w")).head()[0]
+        assert kept_w <= b
+
+
+def test_budget_prefix_sample_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "b", 5)], "doc_id long, grp string, w long"
+    )
+    # group missing from budgets -> dropped entirely
+    got = rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", {"a": 100}, buckets=4)
+    assert got.filter(F.col("grp") == "b").count() == 0
+    assert got.filter(F.col("grp") == "a").count() == 2
+    # zero budget -> nothing kept for that group
+    got0 = rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", {"a": 0, "b": 0}, buckets=4)
+    assert got0.count() == 0
+    # output columns unchanged
+    assert got.columns == df.columns
+
+
+def test_budget_prefix_sample_rejects_bad_weights_and_buckets(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "a", -1.0)], "doc_id long, grp string, w double")
+    with pytest.raises(ValueError, match="negative"):
+        rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", {"a": 10}, buckets=4)
+    nan = spark.createDataFrame([(1, "a", math.nan)], "doc_id long, grp string, w double")
+    with pytest.raises(ValueError, match="NaN"):
+        rel.budget_prefix_sample(nan, ["doc_id"], "w", "grp", {"a": 10}, buckets=4)
+    ok = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, grp string, w double")
+    with pytest.raises(ValueError, match="power of two"):
+        rel.budget_prefix_sample(ok, ["doc_id"], "w", "grp", {"a": 10}, buckets=3)

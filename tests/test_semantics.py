@@ -528,6 +528,9 @@ def test_driver_window_covers_critical_queries():
         "xml_roundtrip_docs", "sssp_trade_latency",
         "communities_copurchase", "synthdocs_stream_scan",
         "stream_sink_manifest_docs",
+        # extra-session additions (full-hash oracles, never driver-run)
+        "token_budget_mixture_docs", "embedding_outliers_topk",
+        "zipf_corpus_fit_docs",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
@@ -952,3 +955,37 @@ def test_sssp_prefers_cheap_long_path_over_short_expensive(spark):
         )
         with pytest.raises(ValueError, match="non-integral|negative"):
             sssp(bad, srcs, max_hops=2)
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """Exact parity with a hand-computed log-log OLS on a tiny corpus
+    with known type frequencies (ties broken by word, as the rank
+    contract specifies)."""
+    import numpy as np
+
+    docs = [
+        (1, "a a a a b b c"),
+        (2, "a a b d"),
+    ]
+    # freqs: a=6, b=3, c=1, d=1 -> ranks a:1 b:2 c:3 d:4 (tie c<d by word)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = tx.zipf_fit(df, "text").head()
+    assert r["n_types"] == 4
+    assert r["n_tokens"] == 11
+    x = np.log(np.array([1.0, 2.0, 3.0, 4.0]))
+    y = np.log(np.array([6.0, 3.0, 1.0, 1.0]))
+    slope = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    corr = np.corrcoef(x, y)[0, 1]
+    assert abs(r["zipf_alpha"] - round(-slope, 6)) < 1e-9
+    assert abs(r["zipf_r2"] - round(corr**2, 6)) < 1e-9
+
+
+def test_zipf_fit_min_count_prunes_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    r = tx.zipf_fit(df, "text", min_count=2).head()
+    # c (hapax) pruned from the TYPE table; token count follows the
+    # kept types
+    assert r["n_types"] == 2
+    assert r["n_tokens"] == 5

@@ -902,3 +902,45 @@ def test_ivfpq_append_extends_persisted_index(spark, request):
     # appending to a never-saved path fails loudly
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
         ivfpq_append(spark, "/root/repo/.scratch/no-such-index", delta)
+
+
+def test_embedding_outlier_scores_flags_planted_outlier(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    rows.append((999, [25.0] * 8))  # far from the bulk in every dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = sim.embedding_outlier_scores(df, "embedding", dim=8)
+    top = scored.orderBy(F.col("score").desc(), "vec_id").head()
+    assert top["vec_id"] == 999
+    # inlier scores stay small and finite (the planted outlier inflates
+    # every per-dim sd, deflating inlier z^2 — so only a loose sanity
+    # band is safe here), while the outlier's score dwarfs them
+    med = scored.filter(F.col("vec_id") != 999).agg(
+        F.expr("percentile(score, 0.5)")
+    ).head()[0]
+    assert 0.1 < med < 20.0
+    assert top["score"] > 10 * med
+
+
+def test_embedding_outlier_scores_zero_variance_dim_contributes_zero(spark):
+    # dim 0 constant across rows; dim 1 varies. Constant dim must add 0,
+    # not NaN/inf, so scores reduce to the 1-D z^2 of dim 1.
+    rows = [(i, [3.0, float(i)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = sim.embedding_outlier_scores(df, "embedding", dim=2, round_to=6)
+    vals = {r["vec_id"]: r["score"] for r in scored.collect()}
+    # mean of dim1 = 2, sd_pop = sqrt(2); z^2 for vec 0: (0-2)^2/2 = 2
+    assert abs(vals[0] - 2.0) < 1e-6
+    assert abs(vals[2] - 0.0) < 1e-6
+    # symmetric
+    assert abs(vals[4] - vals[0]) < 1e-6
+
+
+def test_embedding_outlier_scores_dim_mismatch_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        sim.embedding_outlier_scores(df, "embedding", dim=2)
