@@ -17,6 +17,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
+# Engine-portable row hash (shared by every deterministic sampler)
+# ---------------------------------------------------------------------------
+
+
+def portable_hash32(key_cols: Sequence[str], seed: str = "") -> Column:
+    """First 32 bits of md5(seed + 0x1f-joined keys) as a BIGINT in
+    [0, 2^32) — THE engine-portable row hash. md5 is bit-identical
+    across Spark / DuckDB / Python / Presto (unlike xxhash64 or
+    rand(seed), which are engine-private); DuckDB re-derives it as
+    ``('0x' || substr(md5(seed || chr(31) || key), 1, 8))::BIGINT``.
+    Every deterministic sampler in this package (``hash_sample``,
+    ``weighted_hash_sample``, ``budget_prefix_sample``,
+    ``io.write_training_shards``) builds on this ONE expression so the
+    portability convention can only change in one place."""
+    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
 # Projections / row transforms (P1-P12)
 # ---------------------------------------------------------------------------
 
@@ -361,8 +380,7 @@ def hash_sample(
     migration. Keys should uniquely identify rows for an exact-fraction
     interpretation (duplicated keys travel together by design — that IS
     the point of key-hash sampling)."""
-    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
-    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    bucket = portable_hash32(key_cols, seed) % buckets
     return df.filter(bucket < int(fraction * buckets))
 
 
@@ -381,8 +399,7 @@ def weighted_hash_sample(
     a COLUMN in [0,1] instead of a constant. Pure codegen filter in the
     scan stage — no shuffle, stable under repartitioning."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
-    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets
+    bucket = portable_hash32(key_cols, seed) % buckets
     return df.filter(bucket < w * buckets)
 
 
@@ -996,20 +1013,37 @@ def budget_prefix_sample(
     key_cols: Sequence[str],
     weight_col: str,
     group_col: str,
-    budgets: dict,
+    budgets: dict | None = None,
     seed: str = "",
     buckets: int = 1024,
+    budget_fracs: dict | float | None = None,
 ) -> DataFrame:
     """EXACT per-group budget selection (the training-data assembly
     contract: "hand me at most N tokens per domain, deterministically"):
     within each group, rows are ordered by the engine-portable md5 hash
     of ``key_cols`` (same convention as ``hash_sample``) and the maximal
-    prefix whose cumulative ``weight_col`` stays <= budgets[group] is
-    kept. Complements ``mixture_sample`` (probabilistic, expected-size)
-    and ``weighted_sample_exact_k`` (exact row count): this one enforces
-    an exact WEIGHT cap — the unit a token budget is actually written
-    in. Deterministic and engine-portable: any system that can compute
-    md5 re-derives the kept set row-for-row.
+    prefix whose cumulative ``weight_col`` stays <= the group's budget
+    is kept. Complements ``mixture_sample`` (probabilistic,
+    expected-size) and ``weighted_sample_exact_k`` (exact row count):
+    this one enforces an exact WEIGHT cap — the unit a token budget is
+    actually written in.
+
+    Budgets come in one of two forms (exactly one must be given):
+    ``budgets`` maps group -> absolute weight cap; ``budget_fracs``
+    maps group -> fraction of THAT group's total weight (a single float
+    applies one fraction to every group present). Fractional budgets
+    resolve to floor(frac * group_total) in exact decimal arithmetic
+    from the same stats pass the boundary search already needs — no
+    second scan of the corpus.
+
+    Determinism and engine portability: all weight arithmetic runs in
+    fixed-point DECIMAL(38,6) — weights are rounded HALF_UP to 6
+    decimals at ingestion, and decimal sums are exact, so the kept set
+    is independent of accumulation order (a double-precision cumsum is
+    NOT: the bucketed plan and the definitional row-order window would
+    disagree on knife-edge rows). Any system re-derives the kept set
+    row-for-row with: cast weights to DECIMAL(38,6), cumulative-sum in
+    portable-md5 order, keep cum <= budget.
 
     Scale shape — the naive plan (one cumulative-sum window per group)
     sorts every group in full: a per-domain total sort of a 100 TB
@@ -1020,7 +1054,7 @@ def budget_prefix_sample(
     scan finds each group's boundary bucket, and only THAT bucket's
     rows (~1/buckets of the group) flow through the cumulative window.
     Fully-kept buckets pass a pure codegen filter in the scan stage.
-    Groups absent from ``budgets`` are dropped (explicit allowlist
+    Groups absent from the budget spec are dropped (explicit allowlist
     semantics); NULL or negative weights raise (a negative weight makes
     the cumulative prefix non-monotone, so "budget" stops meaning
     anything). ``key_cols`` should uniquely identify rows: the
@@ -1029,6 +1063,13 @@ def budget_prefix_sample(
     holds either way — but the "maximal prefix" reading assumes unique
     keys).
     """
+    from decimal import ROUND_FLOOR, ROUND_HALF_UP, Decimal
+
+    if (budgets is None) == (budget_fracs is None):
+        raise ValueError(
+            "budget_prefix_sample: give exactly one of budgets (absolute "
+            "caps) or budget_fracs (fraction of each group's total)"
+        )
     n_bits = buckets.bit_length() - 1
     if buckets <= 0 or (1 << n_bits) != buckets or n_bits > 30:
         raise ValueError(
@@ -1036,8 +1077,10 @@ def budget_prefix_sample(
             f"<= 2^30 (the hash has 32 bits to slice), got {buckets}"
         )
     w = F.col(weight_col)
-    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in key_cols])
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    # Fixed-point ingestion: every sum downstream is exact (decimal),
+    # hence order-independent and identical to any other engine's.
+    w_dec = w.cast("decimal(28,6)")
+    h = portable_hash32(key_cols, seed)
     bucket = F.shiftright(h, 32 - n_bits)
     hashed = df.withColumn("__bps_h", h).withColumn("__bps_b", bucket)
     stats = (
@@ -1052,7 +1095,7 @@ def budget_prefix_sample(
                 ).otherwise(0)
             ).alias("n_bad"),
             F.sum(
-                F.when(~F.isnan(w.cast("double")) & (w >= 0), w).otherwise(0)
+                F.when(~F.isnan(w.cast("double")) & (w >= 0), w_dec)
             ).alias("total"),
         )
         .collect()
@@ -1067,31 +1110,54 @@ def budget_prefix_sample(
         )
     per_group: dict = {}
     for r in stats:
-        per_group.setdefault(r[group_col], []).append((r["__bps_b"], r["total"]))
+        tot = r["total"] if r["total"] is not None else Decimal(0)
+        per_group.setdefault(r[group_col], []).append((r["__bps_b"], Decimal(tot)))
+    # Resolve the budget per group in exact decimal (6-dp HALF_UP, the
+    # same rounding Spark's decimal cast applies to the weights).
+    q6 = Decimal("0.000001")
+    resolved: dict = {}
+    if budgets is not None:
+        for g_key, b in budgets.items():
+            resolved[g_key] = Decimal(str(b)).quantize(q6, rounding=ROUND_HALF_UP)
+    else:
+        for g_key, lst in per_group.items():
+            if isinstance(budget_fracs, dict):
+                if g_key not in budget_fracs:
+                    continue
+                frac = Decimal(str(budget_fracs[g_key]))
+            else:
+                frac = Decimal(str(budget_fracs))
+            total_g = sum((t for _, t in lst), Decimal(0))
+            resolved[g_key] = (frac * total_g).to_integral_value(rounding=ROUND_FLOOR)
     full_lim, boundary, offset = {}, {}, {}
-    for g, lst in per_group.items():
-        if g not in budgets:
+    for g_key, lst in per_group.items():
+        if g_key not in resolved:
             continue
-        b = budgets[g]
-        running = 0
+        b = resolved[g_key]
+        running = Decimal(0)
         lim = None
         for bkt, tot in sorted(lst):
             if running + tot <= b:
                 running += tot
                 lim = bkt + 1
             else:
-                boundary[g] = bkt
-                offset[g] = running
+                boundary[g_key] = bkt
+                offset[g_key] = running
                 break
         if lim is not None:
-            full_lim[g] = lim
+            full_lim[g_key] = lim
     if not full_lim and not boundary:
         return df.limit(0)
 
     def _lit_map(d: dict) -> Column:
         pairs = []
         for k, v in d.items():
-            pairs.extend([F.lit(k), F.lit(v)])
+            val = (
+                F.lit(str(v)).cast("decimal(38,6)")
+                if isinstance(v, Decimal)
+                else F.lit(v)
+            )
+            pairs.extend([F.lit(k), val])
         return F.create_map(*pairs)
 
     g = F.col(group_col)
@@ -1105,11 +1171,11 @@ def budget_prefix_sample(
         # each group's rows; the window partitions on the group key.
         order_cols = [F.col("__bps_h"), *[F.col(c) for c in key_cols]]
         win = Window.partitionBy(group_col).orderBy(*order_cols)
-        cum = F.sum(w).over(win) + _lit_map(offset)[g]
+        cum = F.sum(w_dec).over(win) + _lit_map(offset)[g]
         kept_boundary = (
             hashed.filter(F.col("__bps_b") == _lit_map(boundary)[g])
             .withColumn("__bps_cum", cum)
-            .filter(F.col("__bps_cum") <= _lit_map(budgets)[g])
+            .filter(F.col("__bps_cum") <= _lit_map(resolved)[g])
             .drop("__bps_cum")
         )
         kept = kept_full.unionByName(kept_boundary)

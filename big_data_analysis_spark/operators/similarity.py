@@ -181,7 +181,15 @@ def embedding_outlier_scores(
     Zero-variance dimensions contribute 0 (they carry no anomaly
     signal, and dividing by 0 would poison the sum). Scores are rounded
     to ``round_to`` decimals so rank order is reproducible cross-engine
-    despite float-accumulation-order differences."""
+    despite float-accumulation-order differences.
+
+    Malformed rows FAIL LOUDLY at scoring time: a NULL vector, a vector
+    whose length != ``dim``, or a vector containing NULL elements
+    raises via a per-row ``raise_error`` branch instead of silently
+    scoring NULL (zip_with null-pads short vectors and NULL poisons the
+    aggregate — the silent outcome would bury exactly the corrupt rows
+    this screen exists to surface). Filter or repair malformed vectors
+    first if they are expected."""
     stats = (
         df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
         .groupBy("pos")
@@ -213,7 +221,23 @@ def embedding_outlier_scores(
         lambda d, s: F.when(s > 0, F.pow(d / s, F.lit(2))).otherwise(F.lit(0.0)),
     )
     score = F.aggregate(z2, F.lit(0.0), lambda acc, v: acc + v)
-    return df.withColumn(score_col, F.round(score, round_to))
+    vec = F.col(vec_col)
+    well_formed = (
+        vec.isNotNull()
+        & (F.size(vec) == dim)
+        & ~F.exists(vec, lambda x: x.isNull())
+    )
+    bad_msg = F.concat(
+        F.lit(
+            f"embedding_outlier_scores: {vec_col} must be a non-null "
+            f"length-{dim} array with no NULL elements; got length "
+        ),
+        F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+    )
+    guarded = F.when(well_formed, F.round(score, round_to)).otherwise(
+        F.raise_error(bad_msg)
+    )
+    return df.withColumn(score_col, guarded)
 
 
 def hyperplane_bucket(vec_col: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:

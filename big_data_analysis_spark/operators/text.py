@@ -565,6 +565,12 @@ def zipf_fit(
     reproducible; it is the only non-map step and runs on vocabulary
     rows, never corpus rows. The regression itself is regr_slope /
     regr_r2 — one-pass JVM aggregates.
+
+    NOTE: ``split_pattern`` is a Java REGEX (it feeds ``F.split``), not
+    a literal delimiter — escape '.' or '|', and an oracle re-deriving
+    the type table must tokenize with regex semantics
+    (regexp_split_to_array) to match. The default single space is
+    literal under both readings.
     """
     words = df.select(
         F.explode(F.split(F.col(text_col), split_pattern)).alias("word")

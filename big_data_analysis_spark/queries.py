@@ -6851,8 +6851,7 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_metadata.row_index").alias("__ri"),
         F.col("_metadata.file_path").alias("__fp"),
     )
-    key = F.concat_ws("\x1f", F.lit("shards1"), F.col("doc_id").cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h = rel.portable_hash32(["doc_id"], "shards1")
     w = Window.partitionBy("__fp").orderBy(h.asc(), F.col("doc_id").asc())
     chk = back.withColumn("__rn", F.row_number().over(w) - 1)
     return chk.groupBy("shard").agg(
@@ -7321,19 +7320,19 @@ def q_token_budget_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source: hash high bits range-bucket each source, per-bucket totals
     find the boundary, and only the boundary bucket is windowed — the
     plan that survives a 100 TB corpus where per-domain full sorts
-    don't. See operators.relational.budget_prefix_sample."""
-    import math
-
+    don't. The 55%-of-total budgets resolve INSIDE the operator from
+    its own per-bucket stats pass (budget_fracs) — one scan, one
+    shuffle; deriving them with a separate groupBy would double the
+    aggregation cost. See operators.relational.budget_prefix_sample."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks = d.select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
-    budgets = {r["source"]: int(math.floor(0.55 * r["t"])) for r in totals}
     kept = rel.budget_prefix_sample(
-        toks, ["doc_id"], "n_tokens", "source", budgets, seed="mix-v1", buckets=64
+        toks, ["doc_id"], "n_tokens", "source",
+        budget_fracs=0.55, seed="mix-v1", buckets=64,
     )
     return kept.select("doc_id", "source", "n_tokens")
 

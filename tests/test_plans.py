@@ -730,8 +730,21 @@ def test_budget_prefix_sample_windows_only_boundary_bucket(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
-    # the bucket filters reach the parquet scan as data filters
-    scans = scan_infos(df)
-    assert any("shiftright" in str(s.get("data_filters", "")) for s in scans) or (
-        "shiftright" in plan
-    ), plan
+    # The bucket filter must run in the SCAN stage: in the formatted
+    # detail section, each branch's shiftright Filter node sits
+    # IMMEDIATELY above its parquet scan — no Exchange/Sort between.
+    # (A vacuous "shiftright appears somewhere" check would pass even
+    # if the filter migrated above the shuffle.)
+    blocks = re.split(r"\n\n", plan)
+    names = {}
+    for b in blocks:
+        m = re.match(r"\((\d+)\) (\w[\w ]*)", b.strip())
+        if m:
+            names[int(m.group(1))] = (m.group(2).strip(), b)
+    bucket_filters = [
+        i for i, (nm, b) in names.items() if nm == "Filter" and "shiftright" in b
+    ]
+    assert bucket_filters, plan
+    for i in bucket_filters:
+        child = names.get(i - 1, ("", ""))[0]
+        assert child.startswith("Scan parquet"), (i, child, plan)

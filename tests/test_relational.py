@@ -834,17 +834,21 @@ def test_bloom_prebuilt_reuses_single_broadcast(spark, sf_dir):
 
 def _naive_budget_prefix(spark, df, budgets, seed):
     """Definitional implementation: full cumulative-sum window per group
-    in (portable hash, key) order — what the bucketed plan must equal."""
+    in (portable hash, key) order — what the bucketed plan must equal.
+    Sums in DECIMAL(28,6), the operator's documented fixed-point
+    contract (a double cumsum is accumulation-order-dependent and would
+    disagree with ANY exact plan on knife-edge rows). Hash expression
+    re-derived independently of the package helper on purpose."""
     from pyspark.sql import Window
 
     key = F.concat_ws("\x1f", F.lit(seed), F.col("doc_id").cast("string"))
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     pairs = []
     for k, v in budgets.items():
-        pairs.extend([F.lit(k), F.lit(v)])
+        pairs.extend([F.lit(k), F.lit(str(v)).cast("decimal(38,6)")])
     w = Window.partitionBy("grp").orderBy(h, "doc_id")
     return (
-        df.withColumn("__cum", F.sum("w").over(w))
+        df.withColumn("__cum", F.sum(F.col("w").cast("decimal(28,6)")).over(w))
         .filter(F.col("__cum") <= F.create_map(*pairs)[F.col("grp")])
         .drop("__cum")
     )
@@ -885,6 +889,62 @@ def test_budget_prefix_sample_edges(spark):
     assert got0.count() == 0
     # output columns unchanged
     assert got.columns == df.columns
+
+
+def test_budget_prefix_sample_float_weights_match_naive(spark):
+    """The knife-edge case that breaks a double-precision plan: 400 rows
+    of weight 0.1, budget 10.1. Driver-summed bucket offsets accumulate
+    floats in a different order than the row-order cumsum, flipping the
+    boundary row (observed: 100 vs 101 rows kept). The DECIMAL(38,6)
+    fixed-point contract makes every summation order give the same
+    exact answer, so the bucketed plan equals the definitional window
+    row-for-row even on fractional weights."""
+    df = spark.createDataFrame(
+        [(i, "g", 0.1) for i in range(400)], "doc_id long, grp string, w double"
+    )
+    budgets = {"g": 10.1}
+    got = rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", budgets, seed="s", buckets=8)
+    want = _naive_budget_prefix(spark, df, budgets, "s")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == 101  # 101 * 0.1 = 10.1 exactly in decimal
+
+
+def test_budget_prefix_sample_budget_fracs(spark):
+    """budget_fracs resolves floor(frac * group_total) in exact decimal
+    from the operator's OWN stats pass — identical kept set to passing
+    the precomputed absolute budget, no second scan."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    rows = [(i, f"g{i % 2}", 1 + (i * 3) % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    totals = {
+        r["grp"]: r["t"]
+        for r in df.groupBy("grp").agg(F.sum("w").alias("t")).collect()
+    }
+    explicit = {
+        g: int((Decimal("0.55") * t).to_integral_value(rounding=ROUND_FLOOR))
+        for g, t in totals.items()
+    }
+    via_frac = rel.budget_prefix_sample(
+        df, ["doc_id"], "w", "grp", budget_fracs=0.55, seed="s", buckets=8
+    )
+    via_abs = rel.budget_prefix_sample(
+        df, ["doc_id"], "w", "grp", explicit, seed="s", buckets=8
+    )
+    assert via_frac.exceptAll(via_abs).count() == 0
+    assert via_abs.exceptAll(via_frac).count() == 0
+    # dict form is an allowlist, like budgets
+    only_g0 = rel.budget_prefix_sample(
+        df, ["doc_id"], "w", "grp", budget_fracs={"g0": 1.0}, seed="s", buckets=8
+    )
+    assert only_g0.filter(F.col("grp") == "g1").count() == 0
+    assert only_g0.count() == df.filter(F.col("grp") == "g0").count()
+    # exactly one budget spec required
+    with pytest.raises(ValueError, match="exactly one"):
+        rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", explicit, budget_fracs=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        rel.budget_prefix_sample(df, ["doc_id"], "w", "grp")
 
 
 def test_budget_prefix_sample_rejects_bad_weights_and_buckets(spark):

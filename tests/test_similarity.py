@@ -944,3 +944,28 @@ def test_embedding_outlier_scores_dim_mismatch_raises(spark):
     )
     with pytest.raises(ValueError, match="dim"):
         sim.embedding_outlier_scores(df, "embedding", dim=2)
+
+
+def test_embedding_outlier_scores_malformed_rows_fail_loudly(spark):
+    """Short vectors zip_with-null-pad and would silently score NULL —
+    burying exactly the corrupt rows the screen exists to catch. The
+    per-row raise_error guard makes every malformed shape (short
+    vector, NULL element, NULL vector) abort the job with a named
+    error instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    def expect_raise(rows, schema="vec_id long, embedding array<double>"):
+        df = spark.createDataFrame(rows, schema)
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+            sim.embedding_outlier_scores(df, "embedding", dim=4).collect()
+        assert "embedding_outlier_scores" in str(ei.value)
+
+    full = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [4.0, 3.0, 2.0, 1.0])]
+    expect_raise(full + [(3, [1.0, 2.0])])  # short vector
+    expect_raise(full + [(3, [1.0, None, 3.0, 4.0])])  # NULL element
+    expect_raise(full + [(3, None)])  # NULL vector
+    # clean data still scores every row
+    clean = spark.createDataFrame(full, "vec_id long, embedding array<double>")
+    out = sim.embedding_outlier_scores(clean, "embedding", dim=4).collect()
+    assert len(out) == 2 and all(r["score"] is not None for r in out)
