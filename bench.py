@@ -134,6 +134,11 @@ EXTENDED_QUERIES = [
     "token_budget_mixture_docs",
     "embedding_outliers_topk",
     "zipf_corpus_fit_docs",
+    # round-6 wave 6: DSIR importance selection (two feature-explode
+    # passes: <=n_buckets distribution fit + broadcast-scored groupBy)
+    # and the one-scan declarative constraint suite
+    "dsir_selection_docs",
+    "dq_constraints_orders",
 ]
 
 

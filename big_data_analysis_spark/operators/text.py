@@ -596,3 +596,106 @@ def zipf_fit(
         F.round(-F.regr_slope(y, x), 6).alias("zipf_alpha"),
         F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+    seed: str = "dsir1",
+    weight_col: str = "dsir_logw",
+    round_to: int = 6,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023) — the curation move for "give me more data LIKE this
+    seed set": score every candidate document by how much more likely
+    its hashed n-gram bag is under the TARGET distribution (rows where
+    ``target_pred`` holds) than under the RAW corpus distribution.
+    log-weight(doc) = sum over the doc's features of
+    ln(p_target(bucket)) - ln(p_raw(bucket)), with add-``alpha``
+    smoothing over ``n_buckets`` hashed feature buckets. Selecting the
+    top-weighted candidates importance-resamples the raw pool toward
+    the target domain.
+
+    Features are whitespace unigrams (+ adjacent bigrams when
+    ``bigrams``), hashed with the ENGINE-PORTABLE md5 bucket
+    (``relational.portable_hash32`` convention: first 8 hex chars of
+    md5(seed + 0x1f + feature) mod n_buckets) — any SQL engine
+    re-derives bucket ids, and therefore weights, bit-for-bit.
+
+    Scale shape: one explode pass builds (doc, bucket) feature rows;
+    the distribution fit is ONE map-combinable groupBy to <= n_buckets
+    rows (conditional sums count target and raw in the same pass); the
+    per-bucket log-ratio table is broadcast back and per-doc scores are
+    a second map-combinable groupBy(id). No window, no self-join, no
+    driver-side data beyond the bucket table. The feature explode runs
+    twice (fit + score) — at corpus scale a stateless re-scan beats
+    persisting an exploded token table several times the corpus size.
+
+    Returns one row per input row: (id_col, is_target, weight_col).
+    Target rows are scored too (useful as a sanity band) — callers
+    filter them out before selection. Empty/whitespace-only documents
+    score 0.0 (no features, an empty sum) rather than NULL.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"dsir_importance_weights: n_buckets must be > 0, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(
+            f"dsir_importance_weights: alpha must be > 0 (unsmoothed empty "
+            f"buckets make ln(0) weights), got {alpha}"
+        )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    feats = toks
+    if bigrams:
+        n = F.size(toks)
+        big = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(toks, big)
+    is_t = F.col(target_pred) if isinstance(target_pred, str) else target_pred
+    base = df.select(
+        F.col(id_col),
+        is_t.alias("is_target"),
+        F.explode(feats).alias("feat"),
+    )
+    from big_data_analysis_spark.operators.relational import portable_hash32
+
+    bucket = (portable_hash32(["feat"], seed) % n_buckets).alias("bucket")
+    fb = base.select(id_col, "is_target", bucket)
+    dist = fb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+        F.count(F.lit(1)).alias("r_cnt"),
+    )
+    # Totals are <= n_buckets rows reduced once more — a driver-free
+    # scalar via a cross-joined 1-row aggregate would re-shuffle; the
+    # bucket table is tiny, so collect the two totals directly.
+    tot = dist.agg(F.sum("t_cnt").alias("T"), F.sum("r_cnt").alias("R")).head()
+    t_tot = float(tot["T"] or 0) + alpha * n_buckets
+    r_tot = float(tot["R"] or 0) + alpha * n_buckets
+    ratios = dist.select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + F.lit(alpha)) / F.lit(t_tot))
+            - F.log((F.col("r_cnt") + F.lit(alpha)) / F.lit(r_tot))
+        ).alias("__lr"),
+    )
+    scored = (
+        fb.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("__lr").alias("__sum_lr"))
+    )
+    return (
+        df.select(F.col(id_col), is_t.alias("is_target"))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.round(F.coalesce(F.col("__sum_lr"), F.lit(0.0)), round_to).alias(weight_col),
+        )
+    )

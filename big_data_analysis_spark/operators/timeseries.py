@@ -821,3 +821,56 @@ def cusum_changepoint(
             F.try_divide(F.col("__t") - p, F.col("n_rows") - rn), 6
         ).alias("mean_after"),
     )
+
+
+def acf(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+    partition_by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per series: for each lag l in
+    1..max_lag, r_l = sum_{t>l}(x_t - mean)(x_{t-l} - mean) /
+    sum_t(x_t - mean)^2 — the standard (biased, variance-normalized)
+    ACF estimator every stats package reports. The seasonality
+    diagnostic that picks the ``period`` argument for
+    ``seasonal_decompose`` and validates ``add_lag_features`` choices:
+    a spike at lag 7 says weekly structure, a slow decay says trend.
+
+    One shuffle on the series keys: the per-series mean comes from an
+    unordered whole-partition window (no second scan), the lagged
+    values from one ordered window over the SAME partitioning (Spark
+    reuses the exchange; the sort is per-series), and the lag products
+    reduce in a map-combinable groupBy. Assumes one row per
+    (partition, order) tick on a REGULAR grid — run ``gap_fill`` first
+    if the series has holes (lag-k rows, not lag-k time units).
+    Returns one row per series: the keys, n_obs, and acf_1..acf_K
+    (NULL when the series is shorter than the lag or has zero
+    variance).
+    """
+    if max_lag < 1:
+        raise ValueError(f"acf: max_lag must be >= 1, got {max_lag}")
+    keys = list(partition_by)
+    w_all = Window.partitionBy(*keys)
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    mu = F.avg(x).over(w_all)
+    d = df.select(
+        *keys,
+        (x - mu).alias("__dx"),
+        *[
+            (F.lag(x, lag).over(w_ord) - mu).alias(f"__dx_l{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    denom = F.sum(F.col("__dx") * F.col("__dx"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_obs")]
+    for lag in range(1, max_lag + 1):
+        num = F.sum(F.col("__dx") * F.col(f"__dx_l{lag}"))
+        r = F.try_divide(num, denom)
+        aggs.append(
+            (F.round(r, round_to) if round_to is not None else r).alias(f"acf_{lag}")
+        )
+    return d.groupBy(*keys).agg(*aggs)

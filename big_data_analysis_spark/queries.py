@@ -7420,6 +7420,215 @@ def q_zipf_corpus_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# DSIR importance resampling (text.dsir_importance_weights): score every
+# candidate document by target-vs-raw hashed-ngram likelihood ratio and
+# select the top of the pool. Oracle re-derives features, portable-md5
+# buckets, smoothed distributions, per-doc log-weights and the ranking.
+# =========================================================================
+
+_DSIR_ORACLE = """
+WITH arr AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+    FROM documents
+), uni AS (
+    SELECT doc_id, source, toks[i] AS feat
+    FROM arr, unnest(generate_series(1, len(toks))) AS t(i)
+), big AS (
+    SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS feat
+    FROM arr, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), feats AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('dsir1' || chr(31) || feat), 1, 8))::BIGINT % 1024 AS bucket
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+), dist AS (
+    SELECT bucket,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_cnt,
+           count(*) AS r_cnt
+    FROM feats GROUP BY bucket
+), tot AS (
+    SELECT sum(t_cnt) AS t_sum, sum(r_cnt) AS r_sum FROM dist
+), ratios AS (
+    SELECT bucket,
+           ln((t_cnt + 1.0) / (t_sum + 1024.0))
+         - ln((r_cnt + 1.0) / (r_sum + 1024.0)) AS lr
+    FROM dist, tot
+), scores AS (
+    SELECT f.doc_id, round(sum(r.lr), 6) AS dsir_logw
+    FROM feats f JOIN ratios r USING (bucket)
+    GROUP BY f.doc_id
+), ranked AS (
+    SELECT d.doc_id, d.source, coalesce(s.dsir_logw, 0.0) AS dsir_logw,
+           row_number() OVER (
+               ORDER BY coalesce(s.dsir_logw, 0.0) DESC, d.doc_id
+           ) AS sel_rank
+    FROM documents d LEFT JOIN scores s USING (doc_id)
+    WHERE d.source <> 'src0'
+)
+SELECT doc_id, source, dsir_logw, CAST(sel_rank AS INTEGER) AS sel_rank
+FROM ranked WHERE sel_rank <= 40
+"""
+
+
+@query("dsir_selection_docs", _DSIR_ORACLE)
+def q_dsir_selection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS 2023): treat src0 as the
+    in-domain seed set and rank every OTHER document by its hashed
+    unigram+bigram importance log-weight ln p_target / ln p_raw
+    (add-1 smoothing over 1024 portable-md5 buckets) — "find me more
+    data like this" as one declarative DAG. The distribution fit is a
+    single map-combinable groupBy to <= 1024 rows; scoring is a
+    broadcast join + second map-combinable groupBy; selection is
+    orderBy+limit (TakeOrderedAndProject). Ranking compares ROUNDED
+    weights in both engines so float accumulation order can't flip
+    adjacent ranks."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    w = tx.dsir_importance_weights(
+        d, "doc_id", "text", F.col("source") == "src0",
+        n_buckets=1024, alpha=1.0, bigrams=True, seed="dsir1",
+    )
+    cand = (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .filter(F.col("source") != "src0")
+        .select("doc_id", "source", "dsir_logw")
+    )
+    top = cand.orderBy(F.col("dsir_logw").desc(), "doc_id").limit(40)
+    rk = Window.orderBy(F.col("dsir_logw").desc(), "doc_id")
+    return top.select(
+        "doc_id", "source", "dsir_logw",
+        F.row_number().over(rk).cast("int").alias("sel_rank"),
+    )
+
+
+# =========================================================================
+# Declarative constraint suite (dq.verify_constraints): Deequ-style data
+# unit tests with observed metrics and verdicts, one scan. Oracle
+# re-derives every metric and verdict as a UNION ALL of scalar checks.
+# =========================================================================
+
+_CONSTRAINTS_ORACLE = """
+WITH m AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS cust_nn,
+           count(DISTINCT o_orderkey) AS ok_dist,
+           min(o_totalprice) AS tp_min,
+           max(o_totalprice) AS tp_max,
+           sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS st_ok,
+           sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS pr_ok
+    FROM orders
+)
+SELECT * FROM (
+    SELECT 'completeness:o_custkey' AS name, 'completeness' AS kind,
+           'o_custkey' AS "column",
+           round(cust_nn * 1.0 / n, 6) AS observed, 1.0 AS threshold,
+           (cust_nn * 1.0 / n) >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique:o_orderkey', 'unique', 'o_orderkey',
+           round(ok_dist * 1.0 / n, 6), 1.0, (ok_dist * 1.0 / n) >= 1.0 FROM m
+    UNION ALL
+    SELECT 'min:o_totalprice', 'min', 'o_totalprice',
+           round(tp_min, 6), 0.0, tp_min >= 0.0 FROM m
+    UNION ALL
+    SELECT 'max:o_totalprice', 'max', 'o_totalprice',
+           round(tp_max, 6), 100000.0, tp_max <= 100000.0 FROM m
+    UNION ALL
+    SELECT 'in_set:o_orderstatus', 'in_set', 'o_orderstatus',
+           round(st_ok * 1.0 / n, 6), 1.0, (st_ok * 1.0 / n) >= 1.0 FROM m
+    UNION ALL
+    SELECT 'pattern:o_orderpriority', 'pattern', 'o_orderpriority',
+           round(pr_ok * 1.0 / n, 6), 1.0, (pr_ok * 1.0 / n) >= 1.0 FROM m
+    UNION ALL
+    SELECT 'row_count_min', 'row_count_min', '',
+           round(n * 1.0, 6), 100.0, n >= 100 FROM m
+)
+"""
+
+
+@query("dq_constraints_orders", _CONSTRAINTS_ORACLE)
+def q_dq_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over orders: seven
+    expectations (completeness, key uniqueness, bounds, domain set,
+    format regex, row count) verified in ONE aggregate scan, each
+    reported with its observed metric and a passed verdict — the
+    batch-admission gate a production ingest runs. The max bound is
+    deliberately set below the table's true max so the report carries
+    a real failure (the verdict path is live, not vacuously true).
+    Oracle re-derives every metric AND verdict."""
+    from big_data_analysis_spark.operators import dq
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    rep = dq.verify_constraints(o, [
+        {"kind": "completeness", "col": "o_custkey", "min_ratio": 1.0},
+        {"kind": "unique", "cols": ["o_orderkey"]},
+        {"kind": "min", "col": "o_totalprice", "bound": 0.0},
+        {"kind": "max", "col": "o_totalprice", "bound": 100000.0},
+        {"kind": "in_set", "col": "o_orderstatus", "allowed": ["O", "F", "P"],
+         "min_ratio": 1.0},
+        {"kind": "pattern", "col": "o_orderpriority", "regex": "^[1-5]-",
+         "min_ratio": 1.0},
+        {"kind": "row_count_min", "threshold": 100},
+    ])
+    return rep.select(
+        "name", "kind", "column",
+        F.round("observed", 6).alias("observed"), "threshold", "passed",
+    )
+
+
+# =========================================================================
+# Autocorrelation function (timeseries.acf): per-series seasonality /
+# persistence diagnostic. Oracle recomputes the monthly series, the
+# demeaned lag products and the normalized ratios with SQL windows.
+# =========================================================================
+
+_ACF_ORACLE = """
+WITH m AS (
+    SELECT l_returnflag, date_trunc('month', l_shipdate) AS mth,
+           sum(l_extendedprice * (1 - l_discount)) AS rev
+    FROM lineitem GROUP BY 1, 2
+), d AS (
+    SELECT l_returnflag,
+           rev - avg(rev) OVER (PARTITION BY l_returnflag) AS dx,
+           lag(rev, 1) OVER (PARTITION BY l_returnflag ORDER BY mth)
+               - avg(rev) OVER (PARTITION BY l_returnflag) AS dx1,
+           lag(rev, 2) OVER (PARTITION BY l_returnflag ORDER BY mth)
+               - avg(rev) OVER (PARTITION BY l_returnflag) AS dx2,
+           lag(rev, 3) OVER (PARTITION BY l_returnflag ORDER BY mth)
+               - avg(rev) OVER (PARTITION BY l_returnflag) AS dx3,
+           lag(rev, 6) OVER (PARTITION BY l_returnflag ORDER BY mth)
+               - avg(rev) OVER (PARTITION BY l_returnflag) AS dx6
+    FROM m
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_obs,
+       round(sum(dx * dx1) / sum(dx * dx), 6) AS acf_1,
+       round(sum(dx * dx2) / sum(dx * dx), 6) AS acf_2,
+       round(sum(dx * dx3) / sum(dx * dx), 6) AS acf_3,
+       round(sum(dx * dx6) / sum(dx * dx), 6) AS acf_6
+FROM d GROUP BY l_returnflag
+"""
+
+
+@query("acf_monthly_revenue", _ACF_ORACLE)
+def q_acf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF of monthly revenue per return flag at lags 1/2/3/6 —
+    the seasonality diagnostic that picks seasonal_decompose's period
+    and validates lag-feature choices. One shuffle on the flag key;
+    the mean is a whole-partition window over the (tiny) monthly
+    aggregate, lags an ordered window over the SAME partitioning.
+    Oracle re-derives the demeaned lag products in SQL windows."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate")).alias("mth"),
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    out = ts.acf(monthly, "mth", "rev", 6, partition_by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n_obs", "acf_1", "acf_2", "acf_3", "acf_6"
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -7476,10 +7685,15 @@ _DRIVER_PRIORITY: list[str] = [
     "synthdocs_stream_scan",
     "stream_sink_manifest_docs",
     # extra-session additions: exact token-budget domain mixing,
-    # multivariate embedding outliers, Zipf corpus certificate
+    # multivariate embedding outliers, Zipf corpus certificate, DSIR
+    # importance selection, the declarative constraint suite, and the
+    # per-series ACF diagnostic
     "token_budget_mixture_docs",
     "embedding_outliers_topk",
     "zipf_corpus_fit_docs",
+    "dsir_selection_docs",
+    "dq_constraints_orders",
+    "acf_monthly_revenue",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -7530,14 +7744,18 @@ _DRIVER_PRIORITY: list[str] = [
     "contamination_pairs_docs",
     "embedding_near_dup_pairs",
     "session_window_events",
-    "tfidf_top_terms_docs",
     # (lm_perplexity_docs, entropy_gain_events and hash_sample_docs —
     # r3-verified — rotated out for the three extra-session additions;
-    # their families stay via quality/lang_id/tfidf, the window's other
+    # their families stay via quality/lang_id, the window's other
     # eval metrics, and token_budget_mixture_docs, which exercises the
-    # same portable-md5 selection convention end-to-end.)
-    "centroid_assignment_embeddings",
-    "span_dedup_docs",
+    # same portable-md5 selection convention end-to-end.
+    # tfidf_top_terms_docs, centroid_assignment_embeddings and
+    # span_dedup_docs — r1-r3-verified — rotated out for
+    # dsir_selection_docs / dq_constraints_orders / acf_monthly_revenue;
+    # their families stay triple-covered: text via token_stats/lang_id/
+    # quality + DSIR itself, ANN/embeddings via the five ANN probes +
+    # embedding_near_dup_pairs + embedding_outliers_topk, dedup via
+    # dedup_exact/dedup_groups/contamination/minhash/simhash.)
     "streaming_attribution_join",
     "stateful_running_totals",
 ]

@@ -4,6 +4,7 @@ design depends on."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_analysis_spark.io import load_tables
@@ -212,3 +213,78 @@ def test_quantile_from_state_rank_is_float_safe(spark):
     # value is cum 20+1 -> frac 1/10 -> 21.0).
     est2 = dq.quantile_from_state(st, ["k"], 0.105, edges).head()
     assert abs(est2["q_est"] - 21.0) < 1e-9, est2["q_est"]
+
+
+# ---------------------------------------------------------------------------
+# verify_constraints — the declarative Deequ-style suite
+# ---------------------------------------------------------------------------
+
+
+def test_verify_constraints_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "O", None), (3, "X", 5.0)],
+        "k long, st string, price double",
+    )
+    rep = {
+        r["name"]: r
+        for r in dq.verify_constraints(df, [
+            {"kind": "completeness", "col": "price", "min_ratio": 0.9},
+            {"kind": "completeness", "col": "st", "min_ratio": 1.0},
+            {"kind": "unique", "cols": ["k"]},
+            {"kind": "min", "col": "price", "bound": 0.0},
+            {"kind": "max", "col": "price", "bound": 15.0},
+            {"kind": "in_set", "col": "st", "allowed": ["O", "F"], "min_ratio": 1.0},
+            {"kind": "pattern", "col": "st", "regex": "^[A-Z]$", "min_ratio": 1.0},
+            {"kind": "row_count_min", "threshold": 3},
+            {"name": "my_check", "kind": "row_count_min", "threshold": 100},
+        ]).collect()
+    }
+    assert rep["completeness:price"]["observed"] == 0.75
+    assert not rep["completeness:price"]["passed"]
+    assert rep["completeness:st"]["passed"]
+    assert rep["unique:k"]["observed"] == 0.75 and not rep["unique:k"]["passed"]
+    assert rep["min:price"]["observed"] == 5.0 and rep["min:price"]["passed"]
+    assert rep["max:price"]["observed"] == 20.0 and not rep["max:price"]["passed"]
+    assert rep["in_set:st"]["observed"] == 0.75 and not rep["in_set:st"]["passed"]
+    assert rep["pattern:st"]["passed"]
+    assert rep["row_count_min"]["observed"] == 4.0 and rep["row_count_min"]["passed"]
+    # explicit names override the default and set thresholds apart
+    assert "my_check" in rep and not rep["my_check"]["passed"]
+
+
+def test_verify_constraints_empty_table_and_validation(spark):
+    empty = spark.createDataFrame([], "k long, st string")
+    rep = {
+        r["name"]: r
+        for r in dq.verify_constraints(empty, [
+            {"kind": "completeness", "col": "st", "min_ratio": 1.0},
+            {"kind": "row_count_min", "threshold": 1},
+        ]).collect()
+    }
+    # ratio metrics are NULL on an empty table and the verdict is a
+    # definite False — never a divide-by-zero (ANSI mode is ON)
+    assert rep["completeness:st"]["observed"] is None
+    assert rep["completeness:st"]["passed"] is False
+    assert rep["row_count_min"]["observed"] == 0.0
+    assert rep["row_count_min"]["passed"] is False
+    with pytest.raises(ValueError, match="empty constraint"):
+        dq.verify_constraints(empty, [])
+    with pytest.raises(ValueError, match="unknown kind"):
+        dq.verify_constraints(empty, [{"kind": "nope"}])
+
+
+def test_verify_constraints_is_one_scan(spark):
+    """The whole suite must compile into a single aggregate over one
+    scan — one report row per constraint, computed without
+    per-constraint jobs."""
+    df = spark.createDataFrame([(1, 2.0)], "k long, x double")
+    rep = dq.verify_constraints(df, [
+        {"kind": "completeness", "col": "x", "min_ratio": 1.0},
+        {"kind": "min", "col": "x", "bound": 0.0},
+        {"kind": "max", "col": "x", "bound": 10.0},
+        {"kind": "row_count_min", "threshold": 1},
+    ])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # a single aggregate chain: no join, no union of per-check subplans
+    assert "Join" not in plan and "Union" not in plan
+    assert rep.count() == 4

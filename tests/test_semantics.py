@@ -530,7 +530,8 @@ def test_driver_window_covers_critical_queries():
         "stream_sink_manifest_docs",
         # extra-session additions (full-hash oracles, never driver-run)
         "token_budget_mixture_docs", "embedding_outliers_topk",
-        "zipf_corpus_fit_docs",
+        "zipf_corpus_fit_docs", "dsir_selection_docs",
+        "dq_constraints_orders", "acf_monthly_revenue",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
@@ -989,3 +990,134 @@ def test_zipf_fit_min_count_prunes_tail(spark):
     # kept types
     assert r["n_types"] == 2
     assert r["n_tokens"] == 5
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights
+# ---------------------------------------------------------------------------
+
+
+def _py_dsir(docs, target_ids, n_buckets, alpha, seed="dsir1"):
+    """Pure-Python re-derivation (hashlib md5) — proves the weights are
+    engine-portable, not just Spark-reproducible."""
+    import hashlib
+    from collections import Counter
+
+    def feats(text):
+        toks = [t for t in text.split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        h = hashlib.md5((seed + "\x1f" + f).encode()).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+
+    t_cnt, r_cnt = Counter(), Counter()
+    for did, text in docs:
+        for f in feats(text):
+            b = bucket(f)
+            r_cnt[b] += 1
+            if did in target_ids:
+                t_cnt[b] += 1
+    T = sum(t_cnt.values()) + alpha * n_buckets
+    R = sum(r_cnt.values()) + alpha * n_buckets
+    import math
+
+    out = {}
+    for did, text in docs:
+        s = 0.0
+        for f in feats(text):
+            b = bucket(f)
+            s += math.log((t_cnt[b] + alpha) / T) - math.log((r_cnt[b] + alpha) / R)
+        out[did] = round(s, 6)
+    return out
+
+
+def test_dsir_weights_match_pure_python(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "stocks fell sharply in late trading"),
+        (4, "cat and dog and cat"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, i == 1) for i, t in docs], "doc_id long, text string, tgt boolean"
+    )
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in tx.dsir_importance_weights(
+            df, "doc_id", "text", "tgt", n_buckets=64, alpha=1.0
+        ).collect()
+    }
+    want = _py_dsir(docs, {1}, 64, 1.0)
+    assert got == want
+    # empty document: no features, weight defined as 0.0
+    assert got[5] == 0.0
+    # shared-vocabulary candidate outranks the out-of-domain one
+    assert got[2] > got[3]
+
+
+def test_dsir_unigram_only_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "a c", False)], "doc_id long, text string, tgt boolean"
+    )
+    uni = tx.dsir_importance_weights(
+        df, "doc_id", "text", "tgt", n_buckets=16, bigrams=False
+    ).collect()
+    assert len(uni) == 2 and all(r["dsir_logw"] is not None for r in uni)
+    with pytest.raises(ValueError, match="n_buckets"):
+        tx.dsir_importance_weights(df, "doc_id", "text", "tgt", n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        tx.dsir_importance_weights(df, "doc_id", "text", "tgt", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.acf
+# ---------------------------------------------------------------------------
+
+
+def test_acf_matches_numpy_estimator(spark):
+    """r_l = sum((x_t - mean)(x_{t-l} - mean)) / sum((x_t - mean)^2),
+    re-derived with numpy on a seeded AR-ish series."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = np.cumsum(rng.normal(size=40))  # random walk: slow ACF decay
+    rows = [("s", int(t), float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    from big_data_analysis_spark.operators import timeseries as tsm
+
+    got = tsm.acf(df, "t", "x", 3, partition_by=["g"]).head()
+    mu = x.mean()
+    d = x - mu
+    denom = float((d * d).sum())
+    for lag in (1, 2, 3):
+        want = round(float((d[lag:] * d[:-lag]).sum()) / denom, 6)
+        assert abs(got[f"acf_{lag}"] - want) < 1e-9, lag
+    assert got["n_obs"] == 40
+    # random walk: strong positive persistence at lag 1
+    assert got["acf_1"] > 0.7
+
+
+def test_acf_edge_cases(spark):
+    from big_data_analysis_spark.operators import timeseries as tsm
+
+    # series shorter than the lag -> NULL at that lag, not a crash
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0)], "g string, t long, x double"
+    )
+    r = tsm.acf(df, "t", "x", 3, partition_by=["g"]).head()
+    assert r["acf_1"] is not None and r["acf_3"] is None
+    # zero-variance series -> NULL (0/0 via try_divide), never an error
+    const = spark.createDataFrame(
+        [("a", t, 5.0) for t in range(10)], "g string, t long, x double"
+    )
+    rc = tsm.acf(const, "t", "x", 2, partition_by=["g"]).head()
+    assert rc["acf_1"] is None and rc["acf_2"] is None
+    with pytest.raises(ValueError, match="max_lag"):
+        tsm.acf(df, "t", "x", 0, partition_by=["g"])
+    # multiple series stay independent: a constant series must not
+    # poison a varying one
+    both = df.unionByName(const.withColumn("g", F.lit("b")))
+    rows = {r["g"]: r for r in tsm.acf(both, "t", "x", 1, partition_by=["g"]).collect()}
+    assert rows["a"]["acf_1"] is not None and rows["b"]["acf_1"] is None
