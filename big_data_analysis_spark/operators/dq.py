@@ -439,3 +439,40 @@ def verify_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
             F.coalesce(passed, F.lit(False)).alias("passed"),
         ))
     return one.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a dataset release runs: a row is k-anonymous when at least
+    ``k`` rows share its full quasi-identifier combination, so any
+    group smaller than k re-identifies its members. Returns ONE
+    certificate row: total rows, number of distinct quasi-identifier
+    groups, the count of groups below k, the count of ROWS at risk
+    (members of those groups), the minimum group size (the dataset's
+    actual k), and a passed verdict (min group size >= k).
+
+    NULL quasi-identifier values form their own group (SQL groupBy
+    semantics) — deliberate: an all-NULL tuple is itself a linkable
+    signature, not an exemption.
+
+    Scale shape: ONE map-combinable groupBy on the quasi columns to
+    group sizes, then a second aggregate over the (much smaller) group
+    table — never a self-join, never a window over raw rows.
+    """
+    if k < 2:
+        raise ValueError(f"k_anonymity_report: k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: quasi_cols must be non-empty")
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__gsz"))
+    return sizes.agg(
+        F.sum("__gsz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("__gsz") < k, 1).otherwise(0)).cast("long").alias("groups_below_k"),
+        F.sum(F.when(F.col("__gsz") < k, F.col("__gsz")).otherwise(0)).cast("long").alias("rows_at_risk"),
+        F.min("__gsz").cast("long").alias("min_group_size"),
+        (F.min("__gsz") >= F.lit(k)).alias("passed"),
+    )

@@ -7629,6 +7629,90 @@ def q_acf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Leave-one-out target encoding (ml.features.target_encode_loo): the
+# leakage-guarded categorical encoder. Oracle re-derives the windowed
+# group sums; the numerator stays DECIMAL-exact in both engines and only
+# the final division runs in (bit-identical) double arithmetic.
+# =========================================================================
+
+_LOO_ORACLE = """
+WITH s AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+    FROM orders
+), w AS (
+    SELECT o_orderkey, o_orderpriority, tp,
+           sum(tp) OVER (PARTITION BY o_orderpriority) AS sg,
+           count(*) OVER (PARTITION BY o_orderpriority) AS ng
+    FROM s
+)
+SELECT o_orderkey, o_orderpriority,
+       round(CAST(sg - tp AS DOUBLE) / (ng - 1), 6) AS target_enc
+FROM w
+"""
+
+
+@query("loo_target_encode_orders", _LOO_ORACLE)
+def q_loo_target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — each order's feature is the mean total price of every
+    OTHER order sharing its priority ((sum_g - y) / (n_g - 1), the
+    leakage-guarded form), hash-verified per row. The target is cast
+    to DECIMAL(18,2) so the windowed group sums — and therefore the
+    numerator — are EXACT and accumulation-order-free in both engines;
+    only the final division is floating point, and double division is
+    bit-identical, so round(.., 6) can't flip on a knife edge. One
+    shuffle on the category key."""
+    from big_data_analysis_spark.ml.features import target_encode_loo
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    base = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+    )
+    enc = target_encode_loo(base, "o_orderpriority", "tp")
+    return enc.select(
+        "o_orderkey", "o_orderpriority",
+        F.round("target_enc", 6).alias("target_enc"),
+    )
+
+
+# =========================================================================
+# k-anonymity audit (dq.k_anonymity_report): the privacy gate before a
+# dataset release. Oracle re-derives group sizes and every certificate
+# field exactly.
+# =========================================================================
+
+_KANON_ORACLE = """
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS gsz
+    FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(gsz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+       CAST(sum(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(min(gsz) AS BIGINT) AS min_group_size,
+       min(gsz) >= 5 AS passed
+FROM g
+"""
+
+
+@query("k_anonymity_customers", _KANON_ORACLE)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity certificate over the (nation, market segment)
+    quasi-identifier tuple at k=5: total rows, distinct groups, groups
+    below k, rows at risk of re-identification, the dataset's actual
+    minimum group size, and the release verdict — all exact integers,
+    hash-verified. One map-combinable groupBy to group sizes + one
+    aggregate over the group table; never a self-join."""
+    from big_data_analysis_spark.operators import dq
+
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return dq.k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50
@@ -7686,14 +7770,17 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_sink_manifest_docs",
     # extra-session additions: exact token-budget domain mixing,
     # multivariate embedding outliers, Zipf corpus certificate, DSIR
-    # importance selection, the declarative constraint suite, and the
-    # per-series ACF diagnostic
+    # importance selection, the declarative constraint suite, the
+    # per-series ACF diagnostic, leakage-guarded LOO target encoding,
+    # and the k-anonymity release gate
     "token_budget_mixture_docs",
     "embedding_outliers_topk",
     "zipf_corpus_fit_docs",
     "dsir_selection_docs",
     "dq_constraints_orders",
     "acf_monthly_revenue",
+    "loo_target_encode_orders",
+    "k_anonymity_customers",
     # (b) queries whose code changed this round — re-verify externally:
     # pq/ivfpq probes now eagerly materialize the shortlist and destroy
     # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
@@ -7734,11 +7821,9 @@ _DRIVER_PRIORITY: list[str] = [
     "null_handling",
     "pivot_returnflag",
     "json_extract_agg",
-    "window_lag_features",
     "token_stats_docs",
     "dedup_exact_docs",
     "fpgrowth_rules_pairs",
-    "corr_lineitem",
     "lang_id_docs",
     "quality_docs",
     "contamination_pairs_docs",
@@ -7755,7 +7840,13 @@ _DRIVER_PRIORITY: list[str] = [
     # their families stay triple-covered: text via token_stats/lang_id/
     # quality + DSIR itself, ANN/embeddings via the five ANN probes +
     # embedding_near_dup_pairs + embedding_outliers_topk, dedup via
-    # dedup_exact/dedup_groups/contamination/minhash/simhash.)
+    # dedup_exact/dedup_groups/contamination/minhash/simhash.
+    # window_lag_features and corr_lineitem — r1/r2-verified — rotated
+    # out for loo_target_encode_orders / k_anonymity_customers; the lag
+    # window family stays via acf_monthly_revenue (lag windows ARE its
+    # core) + session/stateful streaming windows, the stats-agg family
+    # via corr_matrix_lineitem (r5 green), zipf regr_* and the
+    # constraint suite.)
     "streaming_attribution_join",
     "stateful_running_totals",
 ]

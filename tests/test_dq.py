@@ -288,3 +288,27 @@ def test_verify_constraints_is_one_scan(spark):
     # a single aggregate chain: no join, no union of per-check subplans
     assert "Join" not in plan and "Union" not in plan
     assert rep.count() == 4
+
+
+def test_k_anonymity_report_counts_and_verdict(spark):
+    # groups: (a,1)x3, (a,2)x1, (b,1)x2 -> k=3: 2 groups below, 3 rows at risk
+    rows = [("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    r = dq.k_anonymity_report(df, ["q1", "q2"], k=3).head()
+    assert r["n_rows"] == 6 and r["n_groups"] == 3
+    assert r["groups_below_k"] == 2 and r["rows_at_risk"] == 3
+    assert r["min_group_size"] == 1 and r["passed"] is False
+    ok = dq.k_anonymity_report(df, ["q1"], k=2).head()  # a:4, b:2
+    assert ok["passed"] is True and ok["min_group_size"] == 2
+
+
+def test_k_anonymity_null_tuple_is_a_group_and_validation(spark):
+    # NULL quasi-identifier values form their own (linkable) group
+    rows = [(None, 1), (None, 1), ("x", 1)]
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    r = dq.k_anonymity_report(df, ["q1", "q2"], k=2).head()
+    assert r["n_groups"] == 2 and r["groups_below_k"] == 1 and r["rows_at_risk"] == 1
+    with pytest.raises(ValueError, match="k must be"):
+        dq.k_anonymity_report(df, ["q1"], k=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        dq.k_anonymity_report(df, [], k=2)

@@ -521,3 +521,53 @@ def test_als_query_end_to_end(spark):
     row = cert[0]
     assert row["n_rows"] == row["n_users"] * 3 == len(recs)
     assert row["ranks_complete"] and row["scores_ranked"] and row["items_in_catalog"]
+
+
+# ---------------------------------------------------------------------------
+# ml.features — LOO target encoding + minmax scaling
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_loo_matches_manual(spark):
+    from big_data_analysis_spark.ml.features import target_encode_loo
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), ("b", 20.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, y double")
+    out = {(r["g"], r["y"]): r["target_enc"]
+           for r in target_encode_loo(df, "g", "y").collect()}
+    # group a: sum 9, n 3 -> LOO means (9-y)/2
+    assert out[("a", 1.0)] == 4.0 and out[("a", 3.0)] == 3.0 and out[("a", 5.0)] == 2.0
+    assert out[("b", 10.0)] == 20.0 and out[("b", 20.0)] == 10.0
+    # singleton group: no leave-one-out mean -> NULL (not a crash, ANSI on)
+    assert out[("c", 7.0)] is None
+
+
+def test_target_encode_loo_smoothing(spark):
+    from big_data_analysis_spark.ml.features import target_encode_loo
+
+    rows = [("a", 2.0), ("a", 4.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, y double")
+    out = {(r["g"], r["y"]): r["target_enc"]
+           for r in target_encode_loo(df, "g", "y", prior_weight=1.0).collect()}
+    mu = (2.0 + 4.0 + 7.0) / 3
+    # Micci-Barreca shrinkage: (sum_g - y + w*mu) / (n_g - 1 + w)
+    assert abs(out[("a", 2.0)] - (4.0 + mu) / 2) < 1e-12
+    # singleton now falls back to exactly the global mean
+    assert abs(out[("c", 7.0)] - mu) < 1e-12
+    # smoothing must not leave helper columns behind
+    cols = target_encode_loo(df, "g", "y", prior_weight=1.0).columns
+    assert cols == ["g", "y", "target_enc"]
+
+
+def test_minmax_scale_bounds_and_constant_column(spark):
+    from big_data_analysis_spark.ml.features import minmax_scale
+
+    df = spark.createDataFrame(
+        [(0.0, 5.0), (5.0, 5.0), (10.0, 5.0)], "x double, c double"
+    )
+    out = minmax_scale(df, ["x", "c"]).orderBy("x").collect()
+    assert [r["x_scaled"] for r in out] == [0.0, 0.5, 1.0]
+    # constant column has no defined scale -> NULL, never DIVIDE_BY_ZERO
+    assert all(r["c_scaled"] is None for r in out)
+    # helper stat columns dropped
+    assert set(out[0].asDict()) == {"x", "c", "x_scaled", "c_scaled"}

@@ -532,6 +532,7 @@ def test_driver_window_covers_critical_queries():
         "token_budget_mixture_docs", "embedding_outliers_topk",
         "zipf_corpus_fit_docs", "dsir_selection_docs",
         "dq_constraints_orders", "acf_monthly_revenue",
+        "loo_target_encode_orders", "k_anonymity_customers",
         # code changed this round -> external re-verification: eager
         # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
         # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
