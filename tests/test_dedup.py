@@ -739,3 +739,18 @@ def test_edit_distance_pairs_block_by_equals_post_filter(spark):
     # group -> absent; NULL group matches nothing
     ids = {(a, b) for a, b, _ in blocked}
     assert (1, 3) not in ids and (1, 2) in ids and (4, 6) not in ids
+
+
+def test_duplicate_groups_reports_seeded_dupes(spark):
+    from big_data_analysis_spark.operators.dedup import duplicate_groups
+
+    rows = [
+        (1, "Hello  World"),   # same fingerprint as 2/3 after
+        (2, "hello world"),    # whitespace+case normalization
+        (3, " hello   world "),
+        (4, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_groups(df, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["group_size"] == 3 and out[0]["member_ids"] == [1, 2, 3]

@@ -571,3 +571,18 @@ def test_minmax_scale_bounds_and_constant_column(spark):
     assert all(r["c_scaled"] is None for r in out)
     # helper stat columns dropped
     assert set(out[0].asDict()) == {"x", "c", "x_scaled", "c_scaled"}
+
+
+def test_gbt_regressor_learns_nonlinear_signal(spark):
+    from pyspark.ml.feature import VectorAssembler
+
+    from big_data_analysis_spark.ml.regression import gbt_regressor
+
+    rows = [(float(x) / 10, (float(x) / 10 - 3) ** 2) for x in range(60)]
+    df = spark.createDataFrame(rows, "x double, label double")
+    feats = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    model = gbt_regressor().fit(feats)
+    pred = model.transform(feats)
+    sse = pred.selectExpr("sum(pow(prediction - label, 2)) AS s").head()["s"]
+    var = df.selectExpr("count(*) * var_pop(label) AS s").head()["s"]
+    assert sse < 0.1 * var  # captures the quadratic a linear fit can't

@@ -959,3 +959,24 @@ def test_budget_prefix_sample_rejects_bad_weights_and_buckets(spark):
     ok = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, grp string, w double")
     with pytest.raises(ValueError, match="power of two"):
         rel.budget_prefix_sample(ok, ["doc_id"], "w", "grp", {"a": 10}, buckets=3)
+
+
+def test_drop_rows_with_null_subset_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    assert rel.drop_rows_with_null(df).count() == 1  # any-null dropped
+    kept = rel.drop_rows_with_null(df, subset=["s"]).collect()
+    assert sorted(r["k"] for r in kept) == [1, 3]  # null v survives
+
+
+def test_register_views_sql_visibility(spark, sf_dir):
+    from big_data_analysis_spark.io import register_views
+
+    dfs = register_views(spark, sf_dir, ["region", "nation"])
+    assert set(dfs) == {"region", "nation"}
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ).head()
+    assert joined["n"] == dfs["nation"].count()

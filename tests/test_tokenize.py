@@ -79,3 +79,28 @@ def test_training_is_deterministic_across_partitionings(spark):
     m1 = tk.train_bpe(df, "text", num_merges=12, vocab_limit=500)
     m2 = tk.train_bpe(df.repartition(7), "text", num_merges=12, vocab_limit=500)
     assert m1 == m2 and len(m1) == 12
+
+
+def test_bpe_segment_table_matches_local_segmentation(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.operators.tokenize import (
+        bpe_segment,
+        bpe_segment_table,
+        train_bpe,
+    )
+
+    rows = [(1, "low lower lowest"), (2, "newer low new")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, "text", num_merges=8)
+    out = bpe_segment_table(df, "text", "doc_id", merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for r in out.collect():
+        assert r["tokens"] == bpe_segment(r["w"], ranks), r
+    # one row per (doc, distinct pre-token)
+    assert out.filter(F.col("doc_id") == 1).count() == 3
+    # reassembly: tokens concatenate back to word + EOW
+    from big_data_analysis_spark.operators.tokenize import EOW
+
+    for r in out.collect():
+        assert "".join(r["tokens"]) == r["w"] + EOW
