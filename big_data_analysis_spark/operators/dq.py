@@ -358,7 +358,10 @@ def verify_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
     - ``in_set``: {col, allowed, min_ratio} — fraction of rows whose
       value is in ``allowed`` (NULLs count as misses)
     - ``pattern``: {col, regex, min_ratio} — fraction of rows non-null
-      AND fully matching the Java regex
+      AND FULLY matching the Java regex (the regex is anchored as
+      ^(?:regex)$ internally — a format gate must not admit a value
+      that merely CONTAINS a matching substring; write '[A-Z]+-.*' if
+      prefix-match is the intent)
     - ``row_count_min``: {threshold} — table row count >= threshold
 
     Every constraint may carry an explicit ``name`` (defaults to
@@ -406,8 +409,11 @@ def verify_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
             meta.append((spec.get("name", f"in_set:{col}"), kind, col,
                          float(spec["min_ratio"]), alias, "ratio_ge"))
         elif kind == "pattern":
+            # rlike is a substring SEARCH — anchor so the constraint is
+            # a full-format match, as the contract states.
+            full = f"^(?:{spec['regex']})$"
             aggs.append(F.sum(
-                F.when(F.col(col).rlike(spec["regex"]), 1).otherwise(0)
+                F.when(F.col(col).rlike(full), 1).otherwise(0)
             ).alias(alias))
             meta.append((spec.get("name", f"pattern:{col}"), kind, col,
                          float(spec["min_ratio"]), alias, "ratio_ge"))
@@ -457,7 +463,10 @@ def k_anonymity_report(
 
     NULL quasi-identifier values form their own group (SQL groupBy
     semantics) — deliberate: an all-NULL tuple is itself a linkable
-    signature, not an exemption.
+    signature, not an exemption. An EMPTY table fails the gate
+    (passed=False, counts 0, min_group_size NULL): an empty release is
+    an upstream pipeline bug, and a NULL verdict must never leak into
+    a gate that checks ``passed is False``.
 
     Scale shape: ONE map-combinable groupBy on the quasi columns to
     group sizes, then a second aggregate over the (much smaller) group
@@ -469,10 +478,14 @@ def k_anonymity_report(
         raise ValueError("k_anonymity_report: quasi_cols must be non-empty")
     sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__gsz"))
     return sizes.agg(
-        F.sum("__gsz").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("__gsz"), F.lit(0)).cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum(F.when(F.col("__gsz") < k, 1).otherwise(0)).cast("long").alias("groups_below_k"),
-        F.sum(F.when(F.col("__gsz") < k, F.col("__gsz")).otherwise(0)).cast("long").alias("rows_at_risk"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gsz") < k, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("groups_below_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gsz") < k, F.col("__gsz")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("rows_at_risk"),
         F.min("__gsz").cast("long").alias("min_group_size"),
-        (F.min("__gsz") >= F.lit(k)).alias("passed"),
+        F.coalesce(F.min("__gsz") >= F.lit(k), F.lit(False)).alias("passed"),
     )

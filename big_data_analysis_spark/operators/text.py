@@ -621,8 +621,13 @@ def dsir_importance_weights(
     top-weighted candidates importance-resamples the raw pool toward
     the target domain.
 
-    Features are whitespace unigrams (+ adjacent bigrams when
-    ``bigrams``), hashed with the ENGINE-PORTABLE md5 bucket
+    Features are SINGLE-SPACE-delimited unigrams (+ adjacent bigrams
+    when ``bigrams``) — a literal ' ' split, matching the corpus
+    convention used throughout this package, NOT general whitespace;
+    run ``normalize_text`` (or a regexp_replace of tabs/newlines to
+    spaces) first on corpora that aren't space-normalized, or the
+    features silently become multi-word garbage. Hashing uses the
+    ENGINE-PORTABLE md5 bucket
     (``relational.portable_hash32`` convention: first 8 hex chars of
     md5(seed + 0x1f + feature) mod n_buckets) — any SQL engine
     re-derives bucket ids, and therefore weights, bit-for-bit.
@@ -668,22 +673,34 @@ def dsir_importance_weights(
 
     bucket = (portable_hash32(["feat"], seed) % n_buckets).alias("bucket")
     fb = base.select(id_col, "is_target", bucket)
-    dist = fb.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
-        F.count(F.lit(1)).alias("r_cnt"),
+    # The distribution fit is collected ONCE (<= n_buckets tiny rows):
+    # totals come from the same collected list, and the ratio table is
+    # rebuilt driver-side — re-deriving it from the DataFrame's lineage
+    # would silently re-run the full feature explode a second (totals)
+    # and third (ratios) time when the result executes.
+    import math
+
+    dist_rows = (
+        fb.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+            F.count(F.lit(1)).alias("r_cnt"),
+        )
+        .collect()
     )
-    # Totals are <= n_buckets rows reduced once more — a driver-free
-    # scalar via a cross-joined 1-row aggregate would re-shuffle; the
-    # bucket table is tiny, so collect the two totals directly.
-    tot = dist.agg(F.sum("t_cnt").alias("T"), F.sum("r_cnt").alias("R")).head()
-    t_tot = float(tot["T"] or 0) + alpha * n_buckets
-    r_tot = float(tot["R"] or 0) + alpha * n_buckets
-    ratios = dist.select(
-        "bucket",
-        (
-            F.log((F.col("t_cnt") + F.lit(alpha)) / F.lit(t_tot))
-            - F.log((F.col("r_cnt") + F.lit(alpha)) / F.lit(r_tot))
-        ).alias("__lr"),
+    t_tot = float(sum(r["t_cnt"] for r in dist_rows)) + alpha * n_buckets
+    r_tot = float(sum(r["r_cnt"] for r in dist_rows)) + alpha * n_buckets
+    spark = df.sparkSession
+    ratios = spark.createDataFrame(
+        [
+            (
+                int(r["bucket"]),
+                math.log((r["t_cnt"] + alpha) / t_tot)
+                - math.log((r["r_cnt"] + alpha) / r_tot),
+            )
+            for r in dist_rows
+        ],
+        "bucket long, __lr double",
     )
     scored = (
         fb.join(F.broadcast(ratios), "bucket")

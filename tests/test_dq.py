@@ -252,6 +252,21 @@ def test_verify_constraints_verdicts(spark):
     assert "my_check" in rep and not rep["my_check"]["passed"]
 
 
+def test_verify_constraints_pattern_is_full_match(spark):
+    """A format gate must not admit a value that merely CONTAINS a
+    matching substring: 'xxABC-1234yy' is NOT a valid SKU under
+    '[A-Z]{3}-[0-9]{4}' even though rlike would find the substring."""
+    df = spark.createDataFrame(
+        [("ABC-1234",), ("xxABC-1234yy",), ("nomatch",)], "sku string"
+    )
+    r = dq.verify_constraints(df, [
+        {"kind": "pattern", "col": "sku", "regex": "[A-Z]{3}-[0-9]{4}",
+         "min_ratio": 0.5},
+    ]).head()
+    assert abs(r["observed"] - 1 / 3) < 1e-9
+    assert r["passed"] is False
+
+
 def test_verify_constraints_empty_table_and_validation(spark):
     empty = spark.createDataFrame([], "k long, st string")
     rep = {
@@ -312,3 +327,10 @@ def test_k_anonymity_null_tuple_is_a_group_and_validation(spark):
         dq.k_anonymity_report(df, ["q1"], k=1)
     with pytest.raises(ValueError, match="non-empty"):
         dq.k_anonymity_report(df, [], k=2)
+    # empty table: definite False verdict and zero counts, never NULLs
+    # leaking into a gate that checks `passed is False`
+    empty = spark.createDataFrame([], "q1 string, q2 int")
+    e = dq.k_anonymity_report(empty, ["q1", "q2"], k=2).head()
+    assert e["n_rows"] == 0 and e["n_groups"] == 0
+    assert e["groups_below_k"] == 0 and e["rows_at_risk"] == 0
+    assert e["min_group_size"] is None and e["passed"] is False
