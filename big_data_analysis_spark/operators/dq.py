@@ -15,7 +15,7 @@ whole audit stays one lazy DAG.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -489,3 +489,90 @@ def k_anonymity_report(
         F.min("__gsz").cast("long").alias("min_group_size"),
         F.coalesce(F.min("__gsz") >= F.lit(k), F.lit(False)).alias("passed"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    side_col: str | Column,
+    n_bins: int = 64,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic — the UNBINNED
+    drift test that complements the binned monitors above (PSI/JSD can
+    miss a shift that stays inside their bins; KS evaluates the CDF gap
+    at every observed value): D = max over distinct values v of
+    |CDF_a(v) - CDF_b(v)|, with ``side_col`` true for sample A. Returns
+    one certificate row: n_a, n_b, ks_stat, plus the value where the
+    max gap is attained (smallest such value under ties).
+
+    This is the exact statistic, not an approximation — ``n_bins``
+    only controls PARALLELISM, never the answer.
+
+    Scale shape (the bucketed-prefix-scan pattern, as in
+    ``budget_prefix_sample``): raw rows reduce to the DISTINCT-value
+    table in one map-combinable groupBy (per-value counts for both
+    sides in the same pass — ties must collapse BEFORE the CDF or the
+    interleaving order of equal values would change intermediate
+    gaps). Quantile edges range-slice the value table into ``n_bins``
+    independent runs; per-(bin, side) subtotals (<= n_bins tiny rows)
+    give each bin's driver-side CDF offsets, so the cumulative window
+    partitions BY BIN — no single global sort, no SinglePartition
+    funnel. The per-bin maxima reduce to the answer in one final tiny
+    aggregate. CDF values are integer-count ratios, so both engines
+    divide identical integers — the statistic is bit-identical, not
+    merely within rounding. NULL values are excluded from both sides.
+    """
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    v = F.col(value_col)
+    per_value = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__val"))
+        .agg(
+            F.sum(F.when(side, 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(side, 0).otherwise(1)).alias("__nb"),
+        )
+    )
+    per_value = per_value.persist()
+    try:
+        edges = quantile_edges(per_value, "__val", n_bins)
+        binned = per_value.withColumn("__bin", bin_by_edges(F.col("__val"), edges))
+        sub = (
+            binned.groupBy("__bin")
+            .agg(F.sum("__na").alias("a"), F.sum("__nb").alias("b"))
+            .collect()
+        )
+        tot_a = sum(r["a"] for r in sub)
+        tot_b = sum(r["b"] for r in sub)
+        if tot_a == 0 or tot_b == 0:
+            raise ValueError(
+                f"ks_statistic: both sides need rows (n_a={tot_a}, n_b={tot_b})"
+            )
+        off_a, off_b, run_a, run_b = {}, {}, 0, 0
+        for r in sorted(sub, key=lambda r: r["__bin"]):
+            off_a[r["__bin"]], off_b[r["__bin"]] = run_a, run_b
+            run_a += r["a"]
+            run_b += r["b"]
+
+        def _lit_map(d: dict) -> Column:
+            pairs = []
+            for kk, vv in d.items():
+                pairs.extend([F.lit(kk), F.lit(vv)])
+            return F.create_map(*pairs)
+
+        w = Window.partitionBy("__bin").orderBy("__val")
+        b = F.col("__bin")
+        cdf_a = (F.sum("__na").over(w) + _lit_map(off_a)[b]) / F.lit(float(tot_a))
+        cdf_b = (F.sum("__nb").over(w) + _lit_map(off_b)[b]) / F.lit(float(tot_b))
+        gaps = binned.select("__val", F.abs(cdf_a - cdf_b).alias("__gap"))
+        # Two tiny jobs over the persisted value table: the max gap,
+        # then the smallest value attaining it (deterministic under
+        # ties). Both run before unpersist, so the cached table feeds
+        # every job and nothing recomputes the raw scan.
+        d = gaps.agg(F.max("__gap")).head()[0]
+        at = gaps.filter(F.col("__gap") == F.lit(d)).agg(F.min("__val")).head()[0]
+        return df.sparkSession.createDataFrame(
+            [(int(tot_a), int(tot_b), float(d), at)],
+            f"n_a long, n_b long, ks_stat double, at_value {binned.schema['__val'].dataType.simpleString()}",
+        )
+    finally:
+        per_value.unpersist()

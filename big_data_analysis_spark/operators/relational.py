@@ -1365,3 +1365,77 @@ def bloom_filtered_join(
         might_contain(_bloom_positions(key_expr(), num_bits, num_hashes))
     )
     return pre.join(small, list(on), how)
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT weighted quantiles per group — the importance-weighted
+    percentile an upweighted/duplicated-document corpus needs where the
+    unweighted percentile misreports the distribution: quantile(q) =
+    the smallest value whose cumulative weight reaches q x total weight
+    (the weighted generalization of the lower/inverse-CDF quantile).
+
+    Engine-portable and accumulation-order-free: weights sum in
+    fixed-point DECIMAL (the ``budget_prefix_sample`` convention) and
+    the q x total threshold is a DECIMAL product, so the selected value
+    is identical in any SQL engine — and, because the output is a
+    SELECTED value (never an arithmetic combination), it is
+    bit-identical, not merely within rounding.
+
+    Semantics: NULL values are excluded (they have no place on the
+    CDF); NULL / NaN / negative weights RAISE per-row (a negative
+    weight breaks CDF monotonicity); zero-weight rows are kept but can
+    never be selected except when they tie a selected value. Ties share
+    one cumulative weight (RANGE frame = the value-level CDF), so
+    duplicated values behave as one CDF step of their combined mass.
+
+    Scale shape: ONE shuffle on the group keys; the ordered cumulative
+    window and the per-q conditional-min aggregate reuse the same
+    partitioning (no second exchange). ``partition_by=()`` computes one
+    global CDF through a single partition — at scale always pass group
+    keys, or pre-aggregate to per-value weights first (the CDF only
+    needs the value-level table).
+    """
+    if not qs:
+        raise ValueError("weighted_quantiles: qs must be non-empty")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"weighted_quantiles: q must be in (0, 1], got {q}")
+    keys = list(partition_by)
+    v = F.col(value_col)
+    w_raw = F.col(weight_col)
+    bad = w_raw.isNull() | F.isnan(w_raw.cast("double")) | (w_raw < 0)
+    w_dec = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_quantiles: NULL, NaN or negative {weight_col} — "
+                    "the weighted CDF needs non-negative weights; got "
+                ),
+                F.coalesce(w_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("decimal(28,6)"),
+    ).otherwise(w_raw.cast("decimal(28,6)"))
+    w_all = Window.partitionBy(*keys)
+    # RANGE frame (default with orderBy): equal values share the
+    # cumulative weight of their whole tie group — the value-level CDF.
+    w_ord = Window.partitionBy(*keys).orderBy(v)
+    base = (
+        df.filter(v.isNotNull())
+        .withColumn("__wq_cum", F.sum(w_dec).over(w_ord))
+        .withColumn("__wq_tot", F.sum(w_dec).over(w_all))
+    )
+    from decimal import Decimal
+
+    aggs = []
+    for q in qs:
+        thr = F.lit(str(Decimal(str(q)))).cast("decimal(12,6)") * F.col("__wq_tot")
+        name = f"wq_{str(q).replace('.', '_')}"
+        aggs.append(F.min(F.when(F.col("__wq_cum") >= thr, v)).alias(name))
+    return base.groupBy(*keys).agg(*aggs)

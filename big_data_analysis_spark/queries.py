@@ -7722,6 +7722,103 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Exact weighted quantiles (relational.weighted_quantiles): the
+# importance-weighted percentile. Oracle re-derives the value-level
+# weighted CDF with decimal window sums; outputs are SELECTED values, so
+# parity is bit-identical.
+# =========================================================================
+
+_WQ_ORACLE = """
+WITH b AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           CAST(l_quantity AS DECIMAL(28,6)) AS w
+    FROM lineitem
+), c AS (
+    SELECT l_returnflag, v,
+           sum(w) OVER (
+               PARTITION BY l_returnflag ORDER BY v
+           ) AS cum,
+           sum(w) OVER (PARTITION BY l_returnflag) AS tot
+    FROM b
+)
+SELECT l_returnflag,
+       min(CASE WHEN cum >= 0.25 * tot THEN v END) AS wq_0_25,
+       min(CASE WHEN cum >= 0.5 * tot THEN v END) AS wq_0_5,
+       min(CASE WHEN cum >= 0.9 * tot THEN v END) AS wq_0_9
+FROM c GROUP BY l_returnflag
+"""
+
+
+@query("weighted_quantiles_lineitem", _WQ_ORACLE)
+def q_weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles per return flag — where each
+    row's weight is its physical volume, the unweighted percentile
+    misreports the shipped-price distribution. Weighted CDF in exact
+    DECIMAL (sums order-free, q x total a decimal product), the
+    selected values bit-identical cross-engine because a quantile is a
+    SELECTION, never arithmetic. One shuffle on the flag; the
+    cumulative window and the per-q conditional-min aggregate share
+    that partitioning."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    base = li.select("l_returnflag", "l_extendedprice", "l_quantity")
+    return rel.weighted_quantiles(
+        base, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9],
+        partition_by=["l_returnflag"],
+    )
+
+
+# =========================================================================
+# Two-sample Kolmogorov-Smirnov (dq.ks_statistic): the unbinned drift
+# test. Oracle computes the exact CDF-gap supremum with one SQL window
+# over the distinct-value table; the statistic is a ratio of identical
+# integers, so parity is bit-identical.
+# =========================================================================
+
+_KS_ORACLE = """
+WITH e AS (
+    SELECT value AS x, (event_type = 'purchase') AS side
+    FROM events
+    WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), pv AS (
+    SELECT x,
+           sum(CASE WHEN side THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN side THEN 0 ELSE 1 END) AS nb
+    FROM e GROUP BY x
+), t AS (
+    SELECT sum(na) AS ta, sum(nb) AS tb FROM pv
+), c AS (
+    SELECT x,
+           CAST(sum(na) OVER (ORDER BY x) AS DOUBLE) / t.ta AS ca,
+           CAST(sum(nb) OVER (ORDER BY x) AS DOUBLE) / t.tb AS cb
+    FROM pv, t
+), g AS (
+    SELECT x, abs(ca - cb) AS gap FROM c
+)
+SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+       (SELECT max(gap) FROM g) AS ks_stat,
+       (SELECT min(x) FROM g WHERE gap = (SELECT max(gap) FROM g)) AS at_value
+FROM t
+"""
+
+
+@query("ks_drift_events", _KS_ORACLE)
+def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS between purchase and click event values —
+    the UNBINNED drift certificate (PSI/JSD can miss a shift that
+    stays inside their bins). Ties collapse to the distinct-value
+    table BEFORE the CDF, quantile edges range-slice that table so the
+    cumulative window partitions by bin with driver-side offsets
+    (bucketed-prefix-scan, as budget_prefix_sample) — no global sort —
+    and the statistic is a ratio of identical integers in both
+    engines: bit-identical, no rounding needed."""
+    from big_data_analysis_spark.operators import dq
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    two = ev.filter(F.col("event_type").isin("purchase", "click"))
+    return dq.ks_statistic(two, "value", F.col("event_type") == "purchase", n_bins=16)
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50

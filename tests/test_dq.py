@@ -334,3 +334,54 @@ def test_k_anonymity_null_tuple_is_a_group_and_validation(spark):
     assert e["n_rows"] == 0 and e["n_groups"] == 0
     assert e["groups_below_k"] == 0 and e["rows_at_risk"] == 0
     assert e["min_group_size"] is None and e["passed"] is False
+
+
+# ---------------------------------------------------------------------------
+# ks_statistic
+# ---------------------------------------------------------------------------
+
+
+def _manual_ks(rows):
+    import bisect
+
+    a = sorted(x for x, s in rows if s)
+    b = sorted(x for x, s in rows if not s)
+    vals = sorted(set(a + b))
+    return max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in vals
+    )
+
+
+def test_ks_statistic_matches_manual_and_bin_invariant(spark):
+    """Exactness contract: n_bins is a PARALLELISM knob, never part of
+    the answer — every bin count must give the identical statistic,
+    equal to the definitional python computation."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.gauss(0, 1), True) for _ in range(300)] + [
+        (rng.gauss(0.8, 1), False) for _ in range(250)
+    ]
+    df = spark.createDataFrame(rows, "x double, side boolean")
+    want = _manual_ks(rows)
+    got = {}
+    for nb in (2, 16, 64):
+        r = dq.ks_statistic(df, "x", "side", n_bins=nb).head()
+        got[nb] = r["ks_stat"]
+        assert r["n_a"] == 300 and r["n_b"] == 250
+    assert all(abs(v - want) < 1e-12 for v in got.values()), (got, want)
+
+
+def test_ks_statistic_identical_samples_and_ties(spark):
+    # the same discrete distribution on both sides -> D == 0 exactly
+    rows = [(v, s) for v in (1, 1, 2, 3, 3, 3) for s in (True, False)]
+    df = spark.createDataFrame(rows, "x int, side boolean")
+    r = dq.ks_statistic(df, "x", "side", n_bins=4).head()
+    assert r["ks_stat"] == 0.0
+    # one side empty -> loud error
+    import pytest as _pytest
+
+    one = spark.createDataFrame([(1.0, True)], "x double, side boolean")
+    with _pytest.raises(ValueError, match="both sides"):
+        dq.ks_statistic(one, "x", "side")

@@ -980,3 +980,64 @@ def test_register_views_sql_visibility(spark, sf_dir):
         "SELECT count(*) AS n FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
     ).head()
     assert joined["n"] == dfs["nation"].count()
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_quantiles_known_cdf(spark):
+    # values 1..4, weights 1,1,2,4 (W=8): cum = 1,2,4,8
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 2.0), (4, 4.0)], "v int, w double"
+    )
+    r = rel.weighted_quantiles(df, "v", "w", [0.25, 0.5, 0.9, 1.0]).head()
+    assert (r["wq_0_25"], r["wq_0_5"], r["wq_0_9"], r["wq_1_0"]) == (2, 3, 4, 4)
+
+
+def test_weighted_quantiles_grouped_ties_and_numpy_parity(spark):
+    import random
+
+    # ties share one CDF step (RANGE frame)
+    g = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 5, 1.0), ("a", 9, 2.0), ("b", 1, 3.0)],
+        "g string, v int, w double",
+    )
+    rows = {r["g"]: r for r in rel.weighted_quantiles(
+        g, "v", "w", [0.5], partition_by=["g"]).collect()}
+    assert rows["a"]["wq_0_5"] == 5 and rows["b"]["wq_0_5"] == 1
+    # random-data parity with the definitional python computation
+    rng = random.Random(9)
+    data = [(rng.randint(0, 50), float(rng.randint(0, 5))) for _ in range(300)]
+    df = spark.createDataFrame(data, "v int, w double")
+    got = rel.weighted_quantiles(df, "v", "w", [0.3, 0.7]).head()
+
+    def manual(q):
+        srt = sorted(data)
+        tot = sum(w for _, w in srt)
+        cum = 0.0
+        # value-level CDF: accumulate whole tie groups
+        from itertools import groupby
+
+        for v, grp in groupby(srt, key=lambda t: t[0]):
+            cum += sum(w for _, w in grp)
+            if cum >= q * tot:
+                return v
+        return srt[-1][0]
+
+    assert got["wq_0_3"] == manual(0.3) and got["wq_0_7"] == manual(0.7)
+
+
+def test_weighted_quantiles_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "v int, w double")
+    with pytest.raises(ValueError, match="non-empty"):
+        rel.weighted_quantiles(df, "v", "w", [])
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        rel.weighted_quantiles(df, "v", "w", [0.0])
+    neg = spark.createDataFrame([(1, -2.0)], "v int, w double")
+    with pytest.raises(Exception, match="negative"):
+        rel.weighted_quantiles(neg, "v", "w", [0.5]).collect()
+    # NULL values are excluded, not selected
+    withnull = spark.createDataFrame([(None, 5.0), (7, 1.0)], "v int, w double")
+    assert rel.weighted_quantiles(withnull, "v", "w", [0.5]).head()["wq_0_5"] == 7
