@@ -522,7 +522,17 @@ def ks_statistic(
     divide identical integers — the statistic is bit-identical, not
     merely within rounding. NULL values are excluded from both sides.
     """
-    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    side_raw = F.col(side_col) if isinstance(side_col, str) else side_col
+    # A NULL side is an unlabeled row: silently counting it into either
+    # sample would bias D with no warning — raise per-row instead and
+    # make the caller decide (filter or impute).
+    side = F.when(
+        side_raw.isNull(),
+        F.raise_error(
+            F.lit("ks_statistic: NULL side_col — unlabeled rows would "
+                  "silently bias a sample; filter or label them first")
+        ).cast("boolean"),
+    ).otherwise(side_raw)
     v = F.col(value_col)
     per_value = (
         df.filter(v.isNotNull())
@@ -534,6 +544,11 @@ def ks_statistic(
     )
     per_value = per_value.persist()
     try:
+        if per_value.limit(1).count() == 0:
+            raise ValueError(
+                "ks_statistic: no non-NULL values at all — both sides "
+                "need rows to compare CDFs"
+            )
         edges = quantile_edges(per_value, "__val", n_bins)
         binned = per_value.withColumn("__bin", bin_by_edges(F.col("__val"), edges))
         sub = (
@@ -552,24 +567,25 @@ def ks_statistic(
             off_a[r["__bin"]], off_b[r["__bin"]] = run_a, run_b
             run_a += r["a"]
             run_b += r["b"]
-
-        def _lit_map(d: dict) -> Column:
-            pairs = []
-            for kk, vv in d.items():
-                pairs.extend([F.lit(kk), F.lit(vv)])
-            return F.create_map(*pairs)
+        from big_data_analysis_spark.operators.relational import lit_map as _lit_map
 
         w = Window.partitionBy("__bin").orderBy("__val")
         b = F.col("__bin")
         cdf_a = (F.sum("__na").over(w) + _lit_map(off_a)[b]) / F.lit(float(tot_a))
         cdf_b = (F.sum("__nb").over(w) + _lit_map(off_b)[b]) / F.lit(float(tot_b))
-        gaps = binned.select("__val", F.abs(cdf_a - cdf_b).alias("__gap"))
-        # Two tiny jobs over the persisted value table: the max gap,
-        # then the smallest value attaining it (deterministic under
-        # ties). Both run before unpersist, so the cached table feeds
-        # every job and nothing recomputes the raw scan.
-        d = gaps.agg(F.max("__gap")).head()[0]
-        at = gaps.filter(F.col("__gap") == F.lit(d)).agg(F.min("__val")).head()[0]
+        gaps = binned.select(
+            "__val", F.abs(cdf_a - cdf_b).alias("__gap")
+        ).persist()
+        try:
+            # Two tiny jobs: the max gap, then the smallest value
+            # attaining it (deterministic under ties). gaps is persisted
+            # so the per-bin window shuffle runs ONCE and both jobs read
+            # the shuffled result — on a high-cardinality value column
+            # that window is the dominant cost.
+            d = gaps.agg(F.max("__gap")).head()[0]
+            at = gaps.filter(F.col("__gap") == F.lit(d)).agg(F.min("__val")).head()[0]
+        finally:
+            gaps.unpersist()
         return df.sparkSession.createDataFrame(
             [(int(tot_a), int(tot_b), float(d), at)],
             f"n_a long, n_b long, ks_stat double, at_value {binned.schema['__val'].dataType.simpleString()}",

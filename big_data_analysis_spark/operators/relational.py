@@ -35,6 +35,27 @@ def portable_hash32(key_cols: Sequence[str], seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
 
 
+def lit_map(d: dict) -> Column:
+    """Compile a small dict into a ``create_map`` literal Column — the
+    per-group constants of the bucketed-prefix-scan pattern
+    (``budget_prefix_sample``, ``dq.ks_statistic``): driver-computed
+    offsets/limits reach every executor as pure codegen expressions, no
+    broadcast variable lifecycle. ``Decimal`` values become
+    decimal(38,6) literals so fixed-point arithmetic survives the
+    round-trip."""
+    from decimal import Decimal
+
+    pairs = []
+    for k, v in d.items():
+        val = (
+            F.lit(str(v)).cast("decimal(38,6)")
+            if isinstance(v, Decimal)
+            else F.lit(v)
+        )
+        pairs.extend([F.lit(k), val])
+    return F.create_map(*pairs)
+
+
 # ---------------------------------------------------------------------------
 # Projections / row transforms (P1-P12)
 # ---------------------------------------------------------------------------
@@ -1149,17 +1170,7 @@ def budget_prefix_sample(
     if not full_lim and not boundary:
         return df.limit(0)
 
-    def _lit_map(d: dict) -> Column:
-        pairs = []
-        for k, v in d.items():
-            val = (
-                F.lit(str(v)).cast("decimal(38,6)")
-                if isinstance(v, Decimal)
-                else F.lit(v)
-            )
-            pairs.extend([F.lit(k), val])
-        return F.create_map(*pairs)
-
+    _lit_map = lit_map
     g = F.col(group_col)
     kept_full = (
         hashed.filter(F.col("__bps_b") < _lit_map(full_lim)[g])
@@ -1401,41 +1412,62 @@ def weighted_quantiles(
     keys, or pre-aggregate to per-value weights first (the CDF only
     needs the value-level table).
     """
+    from decimal import Decimal
+
     if not qs:
         raise ValueError("weighted_quantiles: qs must be non-empty")
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"weighted_quantiles: q must be in (0, 1], got {q}")
+        if -Decimal(str(q)).as_tuple().exponent > 6:
+            raise ValueError(
+                f"weighted_quantiles: q={q} has more than 6 decimal places — "
+                "the fixed-point threshold is exact only at 1e-6 granularity; "
+                "silently rounding q would answer a different quantile"
+            )
     keys = list(partition_by)
     v = F.col(value_col)
     w_raw = F.col(weight_col)
     bad = w_raw.isNull() | F.isnan(w_raw.cast("double")) | (w_raw < 0)
-    w_dec = F.when(
-        bad,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"weighted_quantiles: NULL, NaN or negative {weight_col} — "
-                    "the weighted CDF needs non-negative weights; got "
-                ),
-                F.coalesce(w_raw.cast("string"), F.lit("NULL")),
-            )
-        ).cast("decimal(28,6)"),
-    ).otherwise(w_raw.cast("decimal(28,6)"))
+    bad_msg = F.concat(
+        F.lit(
+            f"weighted_quantiles: NULL, NaN or negative {weight_col} — "
+            "the weighted CDF needs non-negative weights; got "
+        ),
+        F.coalesce(w_raw.cast("string"), F.lit("NULL")),
+    )
+    # The weight guard lives INSIDE the value filter so it fires for
+    # EVERY input row — a corrupt weight must raise even when its value
+    # is NULL (the docstring's per-row validation contract).
+    keep = F.when(bad, F.raise_error(bad_msg).cast("boolean")).otherwise(
+        v.isNotNull()
+    )
+    w_dec = w_raw.cast("decimal(28,6)")
     w_all = Window.partitionBy(*keys)
     # RANGE frame (default with orderBy): equal values share the
     # cumulative weight of their whole tie group — the value-level CDF.
     w_ord = Window.partitionBy(*keys).orderBy(v)
     base = (
-        df.filter(v.isNotNull())
+        df.filter(keep)
         .withColumn("__wq_cum", F.sum(w_dec).over(w_ord))
         .withColumn("__wq_tot", F.sum(w_dec).over(w_all))
     )
-    from decimal import Decimal
-
     aggs = []
+    # Decimal-precision discipline (verified on a knife-edge repro:
+    # weights .999999/2.000002, q=.333333): Spark rounds ANY decimal
+    # step whose result type would exceed 38 digits (allowPrecisionLoss)
+    # — including the >= COMPARISON's common type, not just the
+    # multiply. Keep every operand small enough that product (7,6) x
+    # (26,6) -> (34,12) and comparison (26,6) vs (34,12) -> (36,12)
+    # both stay inside the cap, so threshold and comparison are EXACT.
+    # The (26,6) downcasts are lossless below 1e20 total weight; ANSI
+    # mode makes an overflow loud, never silent.
+    cum_c = F.col("__wq_cum").cast("decimal(26,6)")
     for q in qs:
-        thr = F.lit(str(Decimal(str(q)))).cast("decimal(12,6)") * F.col("__wq_tot")
+        thr = (
+            F.lit(str(Decimal(str(q)))).cast("decimal(7,6)")
+            * F.col("__wq_tot").cast("decimal(26,6)")
+        )
         name = f"wq_{str(q).replace('.', '_')}"
-        aggs.append(F.min(F.when(F.col("__wq_cum") >= thr, v)).alias(name))
+        aggs.append(F.min(F.when(cum_c >= thr, v)).alias(name))
     return base.groupBy(*keys).agg(*aggs)

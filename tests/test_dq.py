@@ -385,3 +385,14 @@ def test_ks_statistic_identical_samples_and_ties(spark):
     one = spark.createDataFrame([(1.0, True)], "x double, side boolean")
     with _pytest.raises(ValueError, match="both sides"):
         dq.ks_statistic(one, "x", "side")
+
+
+def test_ks_statistic_null_side_and_empty_input_fail_loudly(spark):
+    ns = spark.createDataFrame(
+        [(1.0, True), (2.0, None), (3.0, False)], "x double, side boolean"
+    )
+    with pytest.raises(Exception, match="unlabeled"):
+        dq.ks_statistic(ns, "x", "side").collect()
+    empty = spark.createDataFrame([], "x double, side boolean")
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        dq.ks_statistic(empty, "x", "side")

@@ -1041,3 +1041,27 @@ def test_weighted_quantiles_validation(spark):
     # NULL values are excluded, not selected
     withnull = spark.createDataFrame([(None, 5.0), (7, 1.0)], "v int, w double")
     assert rel.weighted_quantiles(withnull, "v", "w", [0.5]).head()["wq_0_5"] == 7
+
+
+def test_weighted_quantiles_decimal_knife_edge_and_granularity(spark):
+    """Precision-loss regression (found by review, verified live):
+    Spark rounds any decimal step whose RESULT TYPE exceeds 38 digits —
+    including the >= comparison's common type — so a naive
+    (12,6)x(38,6) threshold silently rounds 0.999999333333 down to
+    0.999999 and selects the wrong value. The (7,6)/(26,6) discipline
+    keeps threshold AND comparison exact."""
+    df = spark.createDataFrame([(1, 0.999999), (2, 2.000002)], "v int, w double")
+    # exact threshold 0.333333 * 3.000001 = 0.999999333333 > cum(1)
+    assert rel.weighted_quantiles(df, "v", "w", [0.333333]).head()["wq_0_333333"] == 2
+    # cum exactly == threshold still selects (>=, not >)
+    eq = spark.createDataFrame([(1, 1.0), (2, 1.0)], "v int, w double")
+    assert rel.weighted_quantiles(eq, "v", "w", [0.5]).head()["wq_0_5"] == 1
+    # q beyond 1e-6 granularity would silently answer a different
+    # quantile -> must raise, not round
+    with pytest.raises(ValueError, match="decimal places"):
+        rel.weighted_quantiles(df, "v", "w", [0.1234567])
+    # corrupt weight on a NULL-value row still raises (guard runs
+    # before the value filter drops the row)
+    bad = spark.createDataFrame([(None, -5.0), (7, 1.0)], "v int, w double")
+    with pytest.raises(Exception, match="negative"):
+        rel.weighted_quantiles(bad, "v", "w", [0.5]).collect()
