@@ -748,3 +748,34 @@ def test_budget_prefix_sample_windows_only_boundary_bucket(spark, sf_dir):
     for i in bucket_filters:
         child = names.get(i - 1, ("", ""))[0]
         assert child.startswith("Scan parquet"), (i, child, plan)
+
+
+def test_dsir_selection_broadcasts_ratio_table_no_single_partition(spark, sf_dir):
+    """DSIR's scoring join must broadcast the <= n_buckets ratio table
+    (never shuffle the corpus-sized feature rows on bucket), and no
+    stage may funnel through a single partition — the plan that holds
+    at 100 TB."""
+    df = QUERIES["dsir_selection_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_weighted_quantiles_grouped_single_exchange(spark, sf_dir):
+    """Grouped weighted quantiles: ONE exchange on the group keys feeds
+    both the cumulative and the whole-partition window AND the final
+    aggregate — a second exchange or a SinglePartition funnel means the
+    shared-partitioning design regressed."""
+    import re
+
+    from big_data_analysis_spark.operators import relational as rel
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    df = rel.weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", [0.5], partition_by=["l_returnflag"]
+    )
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
