@@ -410,3 +410,84 @@ def test_simhash_combo_tables_never_miss_within_hamming_3(h, flips):
         for combo in itertools.combinations(range(6), 3)
     )
     assert collides, (hex(h), sorted(flips), matching)
+
+
+# ---------------------------------------------------------------------------
+# Decimal-exactness invariants (randomized): the bucketed/fixed-point
+# plans must equal their definitional forms on ADVERSARIAL float inputs,
+# not just hand-picked cases. One batched Spark run per property.
+# ---------------------------------------------------------------------------
+
+
+def test_budget_prefix_matches_naive_on_random_float_weights(spark):
+    """Randomized knife-edge hunting: fractional weights drawn from a
+    small set of awkward decimals (0.1, 0.3, 0.7 sums are classic
+    double-rounding traps) across several groups and budget positions —
+    the bucketed boundary plan must equal the definitional decimal
+    cumulative window row-for-row, every time."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.operators import relational as rel
+    from tests.test_relational import _naive_budget_prefix
+
+    rng = random.Random(77)
+    awkward = [0.1, 0.2, 0.3, 0.7, 1.1, 0.000001, 2.999999]
+    rows = [
+        (i, f"g{i % 4}", rng.choice(awkward)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    totals = {
+        r["grp"]: float(r["t"])
+        for r in df.groupBy("grp").agg(F.sum("w").alias("t")).collect()
+    }
+    # budgets at awkward fractions of each group's total, incl. a
+    # fraction that lands exactly on a cumulative step often
+    budgets = {
+        g: round(t * rng.choice([0.1, 0.333333, 0.5, 0.777777, 0.999999]), 6)
+        for g, t in totals.items()
+    }
+    got = rel.budget_prefix_sample(df, ["doc_id"], "w", "grp", budgets, seed="p", buckets=16)
+    want = _naive_budget_prefix(spark, df, budgets, "p")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_weighted_quantiles_match_python_reference_on_random_floats(spark):
+    """Random fractional weights + duplicate values: the Spark decimal
+    CDF must select exactly the value the definitional Python Decimal
+    computation selects, for every q on a 1e-6 grid."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import groupby
+
+    from big_data_analysis_spark.operators import relational as rel
+
+    rng = random.Random(41)
+    q6 = Decimal("0.000001")
+    data = [
+        (rng.randint(0, 30), rng.choice([0.1, 0.3, 0.999999, 1.0, 2.000002]))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(data, "v int, w double")
+    qs = [0.123456, 0.333333, 0.5, 0.875, 0.999999]
+    got = rel.weighted_quantiles(df, "v", "w", qs).head()
+
+    # definitional: exact decimal value-level CDF
+    dec = [(v, Decimal(str(w)).quantize(q6, rounding=ROUND_HALF_UP)) for v, w in data]
+    dec.sort()
+    tot = sum(w for _, w in dec)
+
+    def manual(q):
+        thr = Decimal(str(q)) * tot
+        cum = Decimal(0)
+        for v, grp in groupby(dec, key=lambda t: t[0]):
+            cum += sum(w for _, w in grp)
+            if cum >= thr:
+                return v
+        return dec[-1][0]
+
+    for q in qs:
+        name = f"wq_{str(q).replace('.', '_')}"
+        assert got[name] == manual(q), (q, got[name], manual(q))
