@@ -874,3 +874,72 @@ def acf(
             (F.round(r, round_to) if round_to is not None else r).alias(f"acf_{lag}")
         )
     return d.groupBy(*keys).agg(*aggs)
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    partition_by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — the standard
+    outlier-robust alternative to OLS (breakdown point ~29%: a third of
+    the points can be corrupt before the estimate moves), with the
+    median intercept b = median(y - slope*x). The trend check that
+    doesn't lie when a metric series contains spikes OLS would chase.
+
+    Scale contract: pairwise slopes are O(n²) PER SERIES — this
+    operator is for series already reduced to reporting granularity
+    (daily/monthly aggregates, at most a few thousand points per key;
+    84 months -> 3.5k pairs). Pre-aggregate first; the per-series blowup
+    is the caller's knob, exactly like ``seasonal_decompose``'s period.
+    The pairwise stage is a keyed self-join (one shuffle each side on
+    the series key; bounded output), the median one exact percentile
+    per group. Series with fewer than 2 distinct x have no slope and
+    are dropped (document: not NULL rows — absent, like an empty
+    groupBy group). Ties in x contribute no pair (slope undefined).
+
+    Returns one row per series: keys, n_obs, n_pairs, slope,
+    intercept.
+    """
+    keys = list(partition_by)
+    a = df.select(
+        *keys,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    l = a
+    r = a.select(
+        *keys,
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    pairs = l.join(r, keys) if keys else l.crossJoin(r)
+    pairs = pairs.filter(F.col("__x") < F.col("__x2")).select(
+        *keys,
+        ((F.col("__y2") - F.col("__y")) / (F.col("__x2") - F.col("__x"))).alias("__s"),
+    )
+    slopes = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(F.col("__s"), F.lit(0.5)).alias("__slope"),
+    )
+    stats = a.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    joined = stats.join(slopes, keys) if keys else stats.crossJoin(slopes)
+    resid = a.join(F.broadcast(joined.select(*keys, "__slope")), keys) if keys else (
+        a.crossJoin(F.broadcast(joined.select("__slope")))
+    )
+    intercepts = resid.groupBy(*keys).agg(
+        F.percentile(F.col("__y") - F.col("__slope") * F.col("__x"), F.lit(0.5)).alias(
+            "__icept"
+        )
+    )
+    out = joined.join(intercepts, keys) if keys else joined.crossJoin(intercepts)
+    slope = F.col("__slope")
+    icept = F.col("__icept")
+    if round_to is not None:
+        slope, icept = F.round(slope, round_to), F.round(icept, round_to)
+    return out.select(
+        *keys, "n_obs", "n_pairs", slope.alias("slope"), icept.alias("intercept")
+    )

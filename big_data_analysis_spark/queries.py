@@ -7819,6 +7819,61 @@ def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Theil-Sen robust trend (timeseries.theil_sen_trend): median of pairwise
+# slopes per series. Oracle re-derives every pair, the exact median
+# interpolation, and the median intercept. Monthly COUNTS keep the pair
+# slopes integer-ratio exact, so parity needs no tolerance.
+# =========================================================================
+
+_THEILSEN_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority AS pri,
+           CAST(datediff('month', DATE '1992-01-01',
+                         date_trunc('month', o_orderdate)) AS DOUBLE) AS x,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+), p AS (
+    SELECT a.pri, (b.y - a.y) / (b.x - a.x) AS s
+    FROM m a JOIN m b ON a.pri = b.pri AND a.x < b.x
+), sl AS (
+    SELECT pri, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(s, 0.5) AS slope
+    FROM p GROUP BY pri
+), st AS (
+    SELECT pri, CAST(count(*) AS BIGINT) AS n_obs FROM m GROUP BY pri
+), ic AS (
+    SELECT m.pri, quantile_cont(m.y - sl.slope * m.x, 0.5) AS icept
+    FROM m JOIN sl ON m.pri = sl.pri GROUP BY m.pri
+)
+SELECT st.pri AS o_orderpriority, st.n_obs, sl.n_pairs,
+       round(sl.slope, 6) AS slope, round(ic.icept, 6) AS intercept
+FROM st JOIN sl ON st.pri = sl.pri JOIN ic ON st.pri = ic.pri
+"""
+
+
+@query("theil_sen_monthly_orders", _THEILSEN_ORACLE)
+def q_theil_sen_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust monthly order-volume trend per priority class:
+    the Theil-Sen median of all pairwise slopes (~3k pairs per series
+    over ~80 months — the bounded reporting granularity the operator's
+    O(n^2)-per-series contract requires), plus the median intercept.
+    Monthly counts are exact integers, so every pairwise slope is an
+    identical integer ratio in both engines and the exact median
+    interpolation carries no float-accumulation risk."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.lit("1992-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = ts.theil_sen_trend(monthly, "x", "y", partition_by=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "n_obs", "n_pairs", "slope", "intercept"
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50

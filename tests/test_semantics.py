@@ -1122,3 +1122,55 @@ def test_acf_edge_cases(spark):
     both = df.unionByName(const.withColumn("g", F.lit("b")))
     rows = {r["g"]: r for r in tsm.acf(both, "t", "x", 1, partition_by=["g"]).collect()}
     assert rows["a"]["acf_1"] is not None and rows["b"]["acf_1"] is None
+
+
+# ---------------------------------------------------------------------------
+# timeseries.theil_sen_trend
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_robust_to_outliers_and_exact_on_clean(spark):
+    """A clean line recovers slope/intercept exactly; one gross outlier
+    in 20 points must NOT move the estimate (the 29% breakdown point is
+    the operator's whole reason to exist — OLS would chase the spike)."""
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(20)]
+    rows[7] = ("a", 7.0, 1000.0)
+    rows += [("b", float(x), -0.5 * x + 3.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in ts.theil_sen_trend(
+        df, "x", "y", partition_by=["g"]).collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 1.0
+    assert got["a"]["n_obs"] == 20 and got["a"]["n_pairs"] == 190
+    assert got["b"]["slope"] == -0.5 and got["b"]["intercept"] == 3.0
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark):
+    import random
+    import statistics
+
+    rng = random.Random(5)
+    pts = [(float(x), rng.uniform(-10, 10)) for x in range(30)]
+    df = spark.createDataFrame([("s", x, y) for x, y in pts], "g string, x double, y double")
+    got = ts.theil_sen_trend(df, "x", "y", partition_by=["g"]).head()
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+        if x2 != x1
+    ]
+    want_slope = statistics.median(slopes)
+    want_icept = statistics.median([y - want_slope * x for x, y in pts])
+    assert abs(got["slope"] - round(want_slope, 6)) < 1e-9
+    assert abs(got["intercept"] - round(want_icept, 6)) < 1e-9
+
+
+def test_theil_sen_degenerate_series(spark):
+    # a series with a single distinct x has no pair -> absent from output
+    df = spark.createDataFrame(
+        [("one", 1.0, 5.0), ("one", 1.0, 7.0), ("ok", 0.0, 0.0), ("ok", 1.0, 2.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in ts.theil_sen_trend(
+        df, "x", "y", partition_by=["g"]).collect()}
+    assert "one" not in rows
+    assert rows["ok"]["slope"] == 2.0 and rows["ok"]["n_pairs"] == 1
