@@ -905,31 +905,54 @@ def theil_sen_trend(
     intercept.
     """
     keys = list(partition_by)
-    a = df.select(
-        *keys,
-        F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    l = a
+    # The projected input is referenced FOUR times (both pair sides,
+    # n_obs, residuals) and Catalyst gives multi-referenced subtrees no
+    # ReusedExchange — without a cut, the whole UPSTREAM (typically an
+    # aggregation over a fact table) would re-execute per reference.
+    # localCheckpoint materializes the (reporting-granularity, bounded)
+    # series table once; blocks are released by the ContextCleaner when
+    # the result frame is dropped.
+    a = (
+        df.select(
+            *keys,
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     r = a.select(
         *keys,
         F.col("__x").alias("__x2"),
         F.col("__y").alias("__y2"),
     )
-    pairs = l.join(r, keys) if keys else l.crossJoin(r)
+    pairs = a.join(r, keys) if keys else a.crossJoin(r)
     pairs = pairs.filter(F.col("__x") < F.col("__x2")).select(
         *keys,
         ((F.col("__y2") - F.col("__y")) / (F.col("__x2") - F.col("__x"))).alias("__s"),
     )
-    slopes = pairs.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.percentile(F.col("__s"), F.lit(0.5)).alias("__slope"),
+    # slopes is referenced twice (residual join + output) and sits on
+    # the O(n^2) pairwise stage — cut it too (1 row per series, tiny).
+    # The degenerate global group (no pair at all: groupBy() still
+    # emits one row, NULL slope) is filtered so the "no slope -> row
+    # ABSENT" contract holds for partition_by=() as well.
+    slopes = (
+        pairs.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.percentile(F.col("__s"), F.lit(0.5)).alias("__slope"),
+        )
+        .filter(F.col("n_pairs") >= 1)
+        .localCheckpoint(eager=True)
     )
     stats = a.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     joined = stats.join(slopes, keys) if keys else stats.crossJoin(slopes)
-    resid = a.join(F.broadcast(joined.select(*keys, "__slope")), keys) if keys else (
-        a.crossJoin(F.broadcast(joined.select("__slope")))
-    )
+    # Plain join (no broadcast hint): the slope table has one row PER
+    # SERIES — unbounded by this operator's per-series contract (think
+    # partition_by=[user_id]) — so forcing it through the driver would
+    # be the scale hazard; AQE broadcasts it when it is actually small.
+    sl = slopes.select(*keys, "__slope") if keys else slopes.select("__slope")
+    resid = a.join(sl, keys) if keys else a.crossJoin(sl)
     intercepts = resid.groupBy(*keys).agg(
         F.percentile(F.col("__y") - F.col("__slope") * F.col("__x"), F.lit(0.5)).alias(
             "__icept"

@@ -7867,10 +7867,7 @@ def q_theil_sen_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate")), F.lit("1992-01-01").cast("date")
         ).alias("x"),
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
-    out = ts.theil_sen_trend(monthly, "x", "y", partition_by=["o_orderpriority"])
-    return out.select(
-        "o_orderpriority", "n_obs", "n_pairs", "slope", "intercept"
-    )
+    return ts.theil_sen_trend(monthly, "x", "y", partition_by=["o_orderpriority"])
 
 
 # =========================================================================

@@ -1174,3 +1174,10 @@ def test_theil_sen_degenerate_series(spark):
         df, "x", "y", partition_by=["g"]).collect()}
     assert "one" not in rows
     assert rows["ok"]["slope"] == 2.0 and rows["ok"]["n_pairs"] == 1
+    # the UNGROUPED degenerate case must also be absent, not a NULL row
+    # (a global groupBy always emits a row — the operator filters it)
+    single = spark.createDataFrame([(1.0, 5.0), (1.0, 7.0)], "x double, y double")
+    assert ts.theil_sen_trend(single, "x", "y").count() == 0
+    ok = spark.createDataFrame([(0.0, 1.0), (2.0, 5.0)], "x double, y double")
+    g = ts.theil_sen_trend(ok, "x", "y").head()
+    assert g["slope"] == 2.0 and g["intercept"] == 1.0
