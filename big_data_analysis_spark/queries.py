@@ -7871,6 +7871,62 @@ def q_theil_sen_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Benford first-digit conformance (dq.benford_test): the fabricated-data
+# screen over order amounts. Oracle re-derives digits from the same
+# round-trip string representation (libm-free), the 9-digit profile, and
+# the chi-square.
+# =========================================================================
+
+_BENFORD_ORACLE = """
+WITH v AS (
+    SELECT o_totalprice AS x FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0 AND isfinite(o_totalprice)
+), d AS (
+    SELECT CAST(regexp_extract(CAST(x AS VARCHAR), '[1-9]') AS INTEGER) AS digit
+    FROM v
+), c AS (
+    SELECT digit, count(*) AS n FROM d GROUP BY digit
+), spine AS (
+    SELECT unnest(generate_series(1, 9)) AS digit
+), full_t AS (
+    SELECT s.digit, coalesce(c.n, 0) AS n
+    FROM spine s LEFT JOIN c ON s.digit = c.digit
+), t AS (
+    SELECT sum(n) AS total FROM full_t
+), terms AS (
+    SELECT f.digit, f.n,
+           f.n * 1.0 / t.total AS obs_p,
+           log10(1 + 1.0 / f.digit) AS exp_p,
+           pow(f.n - log10(1 + 1.0 / f.digit) * t.total, 2)
+               / (log10(1 + 1.0 / f.digit) * t.total) AS term
+    FROM full_t f, t
+)
+SELECT CAST(digit AS INTEGER) AS digit, CAST(n AS BIGINT) AS n,
+       round(obs_p, 6) AS observed_p,
+       round(exp_p, 6) AS expected_p,
+       round((SELECT sum(term) FROM terms), 6) AS chi2
+FROM terms
+"""
+
+
+@query("benford_order_amounts", _BENFORD_ORACLE)
+def q_benford_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order amounts — the
+    fabricated-data audit: per-digit observed vs log10(1+1/d) expected
+    proportions plus the chi-square conformance statistic, all
+    hash-verified. Digits come from the value's round-trip string in
+    BOTH engines (libm-free — an arithmetic log10 derivation can
+    mis-digit power-of-10 boundaries by one ulp cross-engine). TPC-H
+    prices are uniform-ish, so the statistic is LARGE — the screen
+    fires, which is the interesting certificate: the verdict logic is
+    live, not vacuously conformant."""
+    from big_data_analysis_spark.operators import dq
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return dq.benford_test(o, "o_totalprice")
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50

@@ -396,3 +396,44 @@ def test_ks_statistic_null_side_and_empty_input_fail_loudly(spark):
     empty = spark.createDataFrame([], "x double, side boolean")
     with pytest.raises(ValueError, match="no non-NULL values"):
         dq.ks_statistic(empty, "x", "side")
+
+
+# ---------------------------------------------------------------------------
+# benford_test
+# ---------------------------------------------------------------------------
+
+
+def test_benford_conformant_vs_uniform_and_exclusions(spark):
+    """Log-uniform data IS Benford (chi2 small, ~8 dof); uniform [1,10)
+    is not (chi2 explodes). Zero/negative/NULL values are excluded and
+    all nine digit rows are present even at zero count."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    conforming = spark.createDataFrame(
+        [(math.exp(rng.uniform(0, 14)),) for _ in range(20000)], "x double"
+    )
+    r1 = dq.benford_test(conforming, "x").collect()
+    assert sorted(r["digit"] for r in r1) == list(range(1, 10))
+    assert r1[0]["chi2"] < 30  # ~chi2_{8}; conformant data stays low
+    uniform = spark.createDataFrame(
+        [(rng.uniform(1, 10),) for _ in range(20000)], "x double"
+    )
+    assert dq.benford_test(uniform, "x").head()["chi2"] > 1000
+    mix = spark.createDataFrame(
+        [(0.0,), (-5.0,), (None,), (0.042,), (7.0,), (123.0,), (9999.0,)],
+        "x double",
+    )
+    rows = {r["digit"]: r["n"] for r in dq.benford_test(mix, "x").collect()}
+    assert rows == {1: 1, 2: 0, 3: 0, 4: 1, 5: 0, 6: 0, 7: 1, 8: 0, 9: 1}
+
+
+def test_benford_first_digit_from_string_is_exact_at_boundaries(spark):
+    """Power-of-10 boundaries are exactly where a log10-based digit
+    flips on a one-ulp libm difference — the string derivation must
+    digit them exactly."""
+    vals = [1.0, 10.0, 100.0, 1e6, 1e-6, 9.999999, 0.1, 0.001]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["digit"]: r["n"] for r in dq.benford_test(df, "x").collect()}
+    assert rows[1] == 7 and rows[9] == 1
