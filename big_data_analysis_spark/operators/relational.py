@@ -1471,3 +1471,70 @@ def weighted_quantiles(
         name = f"wq_{str(q).replace('.', '_')}"
         aggs.append(F.min(F.when(cum_c >= thr, v)).alias(name))
     return base.groupBy(*keys).agg(*aggs)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Gini concentration coefficient per group — the inequality
+    certificate business reviews ask of any "share of revenue by
+    customer" question: 0 = perfectly even, ->1 = one entity holds
+    everything. Computed by the rank formula on ascending-sorted
+    values: G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n, with
+    ties broken deterministically by value order (the formula is
+    tie-order-invariant: equal values swap equal contributions).
+
+    Exactness: values are summed in fixed-point DECIMAL(28,6) — both
+    sum(x) and the rank-weighted sum(i * x_i) are exact and
+    accumulation-order-free, so the only floating-point steps are the
+    two final divisions of identical decimals (bit-identical in any
+    engine). Negative values raise per-row: the coefficient is only
+    meaningful on non-negative quantities. NULLs are excluded; a group
+    with no rows or zero total is absent / NULL respectively (0/0 has
+    no inequality reading).
+
+    Scale shape: one shuffle on the group keys; the rank window and
+    the final aggregate share that partitioning. Like every ranking
+    construction, ``partition_by=()`` funnels one global sort — group
+    or pre-aggregate first at scale.
+    """
+    keys = list(partition_by)
+    x_raw = F.col(value_col)
+    bad = x_raw.isNull() | F.isnan(x_raw.cast("double")) | (x_raw < 0)
+    keep = F.when(
+        bad & x_raw.isNotNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"gini_coefficient: NaN or negative {value_col} — the "
+                    "coefficient is defined on non-negative values; got "
+                ),
+                x_raw.cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(x_raw.isNotNull())
+    x = x_raw.cast("decimal(28,6)")
+    w_ord = Window.partitionBy(*keys).orderBy(x_raw)
+    ranked = df.filter(keep).select(
+        *keys,
+        x.alias("__x"),
+        F.row_number().over(w_ord).alias("__i"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__six"),
+    )
+    n = F.col("n_obs")
+    g = (
+        F.lit(2.0) * F.col("__six").cast("double")
+        / (n * F.col("__sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    g = F.when(F.col("__sx") > 0, g)
+    if round_to is not None:
+        g = F.round(g, round_to)
+    return agg.select(*keys, "n_obs", g.alias("gini"))

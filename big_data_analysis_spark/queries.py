@@ -7927,6 +7927,53 @@ def q_benford_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Gini concentration (relational.gini_coefficient): revenue-inequality
+# certificate per nation. Oracle re-derives the decimal rank formula;
+# sums are exact, so the two final double divisions are bit-identical.
+# =========================================================================
+
+_GINI_ORACLE = """
+WITH ct AS (
+    SELECT c.c_nationkey, o.o_custkey,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+), r AS (
+    SELECT c_nationkey, x,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY x) AS i
+    FROM ct
+), a AS (
+    SELECT c_nationkey, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+    FROM r GROUP BY c_nationkey
+)
+SELECT c_nationkey, CAST(n AS BIGINT) AS n_obs,
+       round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM a
+"""
+
+
+@query("gini_customer_revenue", _GINI_ORACLE)
+def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration certificate: the Gini coefficient of
+    per-customer order totals within each nation — "is our revenue in
+    nation X carried by a few whales?" answered with a hash-verified
+    number. Per-customer totals are DECIMAL-exact (cents), the rank
+    formula's sums stay decimal inside the operator, and only the two
+    final divisions are floating point — bit-identical cross-engine.
+    One shuffle for the per-customer rollup, one for the per-nation
+    ranking."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    per_cust = (
+        t["orders"]
+        .join(t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    return rel.gini_coefficient(per_cust, "x", partition_by=["c_nationkey"])
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50

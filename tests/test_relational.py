@@ -1065,3 +1065,45 @@ def test_weighted_quantiles_decimal_knife_edge_and_granularity(spark):
     bad = spark.createDataFrame([(None, -5.0), (7, 1.0)], "v int, w double")
     with pytest.raises(Exception, match="negative"):
         rel.weighted_quantiles(bad, "v", "w", [0.5]).collect()
+
+
+# ---------------------------------------------------------------------------
+# gini_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_gini_known_distributions_and_python_parity(spark):
+    import random
+
+    even = spark.createDataFrame([("a", 5.0)] * 10, "g string, x double")
+    assert rel.gini_coefficient(even, "x", ["g"]).head()["gini"] == 0.0
+    # one holder of everything among n: G = (n-1)/n
+    onep = spark.createDataFrame(
+        [("a", 0.0)] * 9 + [("a", 100.0)], "g string, x double"
+    )
+    assert rel.gini_coefficient(onep, "x", ["g"]).head()["gini"] == 0.9
+    # random-data parity with the definitional rank formula
+    rng = random.Random(3)
+    vals = [rng.uniform(0, 100) for _ in range(200)]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, x double")
+    got = rel.gini_coefficient(df, "x", ["g"]).head()
+    s = sorted(vals)
+    n = len(s)
+    want = 2 * sum((i + 1) * v for i, v in enumerate(s)) / (n * sum(s)) - (n + 1) / n
+    assert abs(got["gini"] - round(want, 6)) < 2e-6
+    assert got["n_obs"] == 200
+
+
+def test_gini_edges(spark):
+    # zero total -> NULL (0/0 has no inequality reading), never an error
+    z = spark.createDataFrame([("a", 0.0)] * 3, "g string, x double")
+    assert rel.gini_coefficient(z, "x", ["g"]).head()["gini"] is None
+    # negative values raise per-row; NULLs are excluded
+    neg = spark.createDataFrame([("a", -1.0), ("a", 2.0)], "g string, x double")
+    with pytest.raises(Exception, match="negative"):
+        rel.gini_coefficient(neg, "x", ["g"]).collect()
+    withnull = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 1.0)], "g string, x double"
+    )
+    r = rel.gini_coefficient(withnull, "x", ["g"]).head()
+    assert r["n_obs"] == 2 and r["gini"] == 0.0
