@@ -621,7 +621,11 @@ def benford_test(df: DataFrame, col: str) -> DataFrame:
     """
     x = F.col(col).cast("double")
     valid = x.isNotNull() & ~F.isnan(x) & (x > 0) & (x != float("inf"))
-    digit = F.regexp_extract(x.cast("string"), "[1-9]", 0).cast("int")
+    # Digit from the RAW value's string, not the double's: a
+    # decimal(38,20) holding 0.99999999999999999999 rounds to double
+    # 1.0 and would mis-digit 9 -> 1; only the validity FILTER uses the
+    # double view (decimals cannot be NaN/inf anyway).
+    digit = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0).cast("int")
     counts = (
         df.filter(valid)
         .groupBy(digit.alias("digit"))
@@ -641,9 +645,24 @@ def benford_test(df: DataFrame, col: str) -> DataFrame:
     chi2_term = F.try_divide(
         F.pow(F.col("n") - expected_p * total, F.lit(2)), expected_p * total
     )
+    # A batch with ZERO auditable values must not read as conformant
+    # (NULL chi2 silently drops out of a `chi2 > threshold` gate) —
+    # fail loudly at execution, per-row on the 9-row spine, no extra
+    # scan.
+    chi2_col = F.when(
+        total > 0, F.round(F.sum("__chi2_term").over(w), 6)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"benford_test: no positive finite values in {col} — "
+                "nothing to audit; an empty batch must not pass a "
+                "conformance gate silently"
+            )
+        )
+    )
     return (
         full.withColumn("__chi2_term", chi2_term)
-        .withColumn("chi2", F.round(F.sum("__chi2_term").over(w), 6))
+        .withColumn("chi2", chi2_col)
         .select(
             "digit",
             "n",

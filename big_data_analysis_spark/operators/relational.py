@@ -35,6 +35,24 @@ def portable_hash32(key_cols: Sequence[str], seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
 
 
+def nonfinite_or_negative(col: Column) -> Column:
+    """True when a (non-NULL) value is NaN, +/-Infinity or negative —
+    the value classes EVERY weight/amount validator here must reject in
+    one shared place: NaN poisons comparisons, negatives break monotone
+    prefixes, and ANSI Spark casts a double Infinity to decimal as
+    SILENT NULL (verified on 4.1 — not an overflow error), so an
+    unchecked inf corrupts fixed-point sums while still counting toward
+    ranks and row counts. Callers decide NULL handling separately
+    (weights usually raise on NULL; value columns usually exclude)."""
+    c = col.cast("double")
+    return (
+        F.isnan(c)
+        | (col < 0)
+        | (c == float("inf"))
+        | (c == float("-inf"))
+    )
+
+
 def lit_map(d: dict) -> Column:
     """Compile a small dict into a ``create_map`` literal Column — the
     per-group constants of the bucketed-prefix-scan pattern
@@ -1104,30 +1122,26 @@ def budget_prefix_sample(
     h = portable_hash32(key_cols, seed)
     bucket = F.shiftright(h, 32 - n_bits)
     hashed = df.withColumn("__bps_h", h).withColumn("__bps_b", bucket)
+    # NaN sorts ABOVE every number in Spark comparisons (so it passes a
+    # plain w >= 0), and a double Infinity casts to decimal as SILENT
+    # NULL under ANSI — both would corrupt the totals without an error;
+    # reject the whole class alongside NULL and negatives.
+    w_bad = w.isNull() | nonfinite_or_negative(w)
     stats = (
         hashed.groupBy(group_col, "__bps_b")
         .agg(
-            # NaN sorts ABOVE every number in Spark comparisons, so it
-            # would pass a plain w >= 0 and poison the totals — reject
-            # it alongside NULL and negatives.
-            F.sum(
-                F.when(
-                    w.isNull() | F.isnan(w.cast("double")) | (w < 0), 1
-                ).otherwise(0)
-            ).alias("n_bad"),
-            F.sum(
-                F.when(~F.isnan(w.cast("double")) & (w >= 0), w_dec)
-            ).alias("total"),
+            F.sum(F.when(w_bad, 1).otherwise(0)).alias("n_bad"),
+            F.sum(F.when(~w_bad, w_dec)).alias("total"),
         )
         .collect()
     )
     n_bad = sum(r["n_bad"] for r in stats)
     if n_bad:
         raise ValueError(
-            f"budget_prefix_sample: {n_bad} row(s) have NULL, NaN or "
-            f"negative {weight_col} — the cumulative prefix is only "
-            "meaningful for non-negative weights; filter or clamp them "
-            "first"
+            f"budget_prefix_sample: {n_bad} row(s) have NULL, NaN, "
+            f"infinite or negative {weight_col} — the cumulative prefix "
+            "is only meaningful for finite non-negative weights; filter "
+            "or clamp them first"
         )
     per_group: dict = {}
     for r in stats:
@@ -1428,11 +1442,12 @@ def weighted_quantiles(
     keys = list(partition_by)
     v = F.col(value_col)
     w_raw = F.col(weight_col)
-    bad = w_raw.isNull() | F.isnan(w_raw.cast("double")) | (w_raw < 0)
+    bad = w_raw.isNull() | nonfinite_or_negative(w_raw)
     bad_msg = F.concat(
         F.lit(
-            f"weighted_quantiles: NULL, NaN or negative {weight_col} — "
-            "the weighted CDF needs non-negative weights; got "
+            f"weighted_quantiles: NULL, NaN, infinite or negative "
+            f"{weight_col} — the weighted CDF needs finite non-negative "
+            "weights; got "
         ),
         F.coalesce(w_raw.cast("string"), F.lit("NULL")),
     )
@@ -1503,14 +1518,14 @@ def gini_coefficient(
     """
     keys = list(partition_by)
     x_raw = F.col(value_col)
-    bad = x_raw.isNull() | F.isnan(x_raw.cast("double")) | (x_raw < 0)
     keep = F.when(
-        bad & x_raw.isNotNull(),
+        x_raw.isNotNull() & nonfinite_or_negative(x_raw),
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"gini_coefficient: NaN or negative {value_col} — the "
-                    "coefficient is defined on non-negative values; got "
+                    f"gini_coefficient: NaN, infinite or negative "
+                    f"{value_col} — the coefficient is defined on finite "
+                    "non-negative values; got "
                 ),
                 x_raw.cast("string"),
             )

@@ -437,3 +437,21 @@ def test_benford_first_digit_from_string_is_exact_at_boundaries(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     rows = {r["digit"]: r["n"] for r in dq.benford_test(df, "x").collect()}
     assert rows[1] == 7 and rows[9] == 1
+
+
+def test_benford_decimal_boundary_and_empty_batch(spark):
+    """The digit must come from the RAW value's string: a
+    decimal(38,20) just below 1 is digit 9, though its double
+    round-trips to 1.0. And a batch with zero auditable values must
+    raise, never read as conformant through a NULL chi2."""
+    from decimal import Decimal
+
+    d = spark.createDataFrame(
+        [(Decimal("0.99999999999999999999"),), (Decimal("123.45"),)],
+        "x decimal(38,20)",
+    )
+    rows = {r["digit"]: r["n"] for r in dq.benford_test(d, "x").collect()}
+    assert rows[9] == 1 and rows[1] == 1
+    nothing = spark.createDataFrame([(0.0,), (-1.0,), (None,)], "x double")
+    with pytest.raises(Exception, match="nothing to audit"):
+        dq.benford_test(nothing, "x").collect()

@@ -1107,3 +1107,21 @@ def test_gini_edges(spark):
     )
     r = rel.gini_coefficient(withnull, "x", ["g"]).head()
     assert r["n_obs"] == 2 and r["gini"] == 0.0
+
+
+def test_infinite_values_raise_not_corrupt(spark):
+    """ANSI Spark casts a double Infinity to decimal as SILENT NULL —
+    without the shared nonfinite_or_negative guard an inf row would
+    count toward ranks/row counts while vanishing from the fixed-point
+    sums, corrupting certificates without an error (observed: a
+    negative Gini). All three fixed-point operators must raise."""
+    inf = float("inf")
+    g = spark.createDataFrame([("a", inf), ("a", 1.0)], "g string, x double")
+    with pytest.raises(Exception, match="infinite"):
+        rel.gini_coefficient(g, "x", ["g"]).collect()
+    wq = spark.createDataFrame([(1, inf), (2, 1.0)], "v int, w double")
+    with pytest.raises(Exception, match="infinite"):
+        rel.weighted_quantiles(wq, "v", "w", [0.5]).collect()
+    bp = spark.createDataFrame([(1, "a", inf)], "doc_id long, grp string, w double")
+    with pytest.raises(ValueError, match="infinite"):
+        rel.budget_prefix_sample(bp, ["doc_id"], "w", "grp", {"a": 10})
