@@ -7974,6 +7974,80 @@ def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# RFM customer segmentation (composition: exact-ntile scoring over
+# recency/frequency/monetary). Oracle re-derives per-customer metrics,
+# the three ntile(5) scores with identical orderings, and the segment
+# rollup.
+# =========================================================================
+
+_RFM_ORACLE = """
+WITH pc AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS freq,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+    FROM orders GROUP BY 1
+), mx AS (
+    SELECT max(o_orderdate) AS mxd FROM orders
+), s AS (
+    SELECT o_custkey, freq, mon,
+           ntile(5) OVER (
+               ORDER BY datediff('day', last_order, mxd), o_custkey
+           ) AS r,
+           ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+           ntile(5) OVER (ORDER BY mon DESC, o_custkey) AS m
+    FROM pc, mx
+)
+SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR)) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(freq) AS BIGINT) AS total_orders,
+       round(CAST(sum(mon) AS DOUBLE), 2) AS total_spend
+FROM s GROUP BY 1
+"""
+
+
+@query("rfm_segments_customers", _RFM_ORACLE)
+def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: ntile(5)
+    scores over recency (days since last order), frequency and
+    monetary value, rolled up to per-segment counts and exact totals.
+    Score 1 is best on every axis. Each score uses the DISTRIBUTED
+    exact-ntile tier (range repartition + per-partition offset lift —
+    zero Exchange SinglePartition, unlike a bare ntile().over(orderBy)
+    which funnels every customer through one task), with o_custkey as
+    the deterministic tiebreak so both engines split ties identically.
+    Monetary sums are DECIMAL-exact; the only double step is the final
+    rounded display cast."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    mxd = o.agg(F.max("o_orderdate")).head()[0]
+    per = (
+        per.withColumn("rec", F.datediff(F.lit(mxd), F.col("last_order")))
+        .withColumn("negf", -F.col("freq"))
+        .withColumn("negm", -F.col("mon"))
+    )
+    for metric, score in (("rec", "r"), ("negf", "f"), ("negm", "m")):
+        per = rel.quantile_bins(
+            per, metric, 5, out_col=score,
+            order_tiebreak=["o_custkey"], exact_ntile=True,
+        )
+    return per.groupBy(
+        F.concat(
+            F.col("r").cast("string"), F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("freq").cast("long").alias("total_orders"),
+        F.round(F.sum("mon").cast("double"), 2).alias("total_spend"),
+    )
+
+
+# =========================================================================
 # Driver verification window.
 #
 # The external driver's correctness gate compares exactly the FIRST 50

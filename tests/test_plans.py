@@ -779,3 +779,13 @@ def test_weighted_quantiles_grouped_single_exchange(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_rfm_segmentation_no_single_partition(spark, sf_dir):
+    """Three global ntile scorings that would each funnel every
+    customer through one task as bare window ntile — the exact-ntile
+    tier must keep the whole segmentation free of Exchange
+    SinglePartition."""
+    df = QUERIES["rfm_segments_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
