@@ -8021,12 +8021,17 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
     )
-    mxd = o.agg(F.max("o_orderdate")).head()[0]
+    # Corpus max date as a broadcast 1-row aggregate (the robust_scale
+    # pattern) — an eager .head() here would run a standalone orders
+    # scan at query-CONSTRUCTION time, before any action.
+    mx = o.agg(F.max("o_orderdate").alias("__mxd"))
     per = (
-        per.withColumn("rec", F.datediff(F.lit(mxd), F.col("last_order")))
+        per.crossJoin(F.broadcast(mx))
+        .withColumn("rec", F.datediff(F.col("__mxd"), F.col("last_order")))
+        .drop("__mxd")
         .withColumn("negf", -F.col("freq"))
         .withColumn("negm", -F.col("mon"))
     )
@@ -8041,8 +8046,8 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("string"),
         ).alias("segment")
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("freq").cast("long").alias("total_orders"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("freq").alias("total_orders"),
         F.round(F.sum("mon").cast("double"), 2).alias("total_spend"),
     )
 
