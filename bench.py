@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": core_total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ..., "cycles": N, "stat": "min", ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+summary as the FINAL stdout line (compact JSON, < 1.8 KiB so a 2 KiB
+tail capture gets it whole): {"metric": ..., "value": core_total_sec,
+"unit": "sec", "queries": {core name: sec, ...}, "sf": ...,
+"extended_total": ..., "grand_total": ..., "cycles": N, "stat": "min"}.
+Per-query EXTENDED-set timings are printed on their own earlier line
+({"detail": "extended", ...}) — r6's single fat line outgrew the
+driver's capture window and arrived decapitated.
 
 Methodology (hardened in r6 per VERDICT r5 "What's wrong" #1 — ambient
 sandbox variance had grown past the cross-round signal):
@@ -139,6 +144,10 @@ EXTENDED_QUERIES = [
     # and the one-scan declarative constraint suite
     "dsir_selection_docs",
     "dq_constraints_orders",
+    # round-7: incremental corpus-refresh dedup against the persisted
+    # signature index (index save + shard increment + batch-parity
+    # certificate — the entry measures the whole lifecycle)
+    "minhash_incremental_docs",
 ]
 
 
@@ -247,33 +256,68 @@ def _spawn(which: str) -> dict:
 
 
 def main() -> None:
+    """Emission contract (VERDICT r6 #3): the driver records only the
+    LAST ~2 KiB of stdout and parses the final line — r6's single fat
+    line (core + extended + probes, ~2.5 KiB) arrived decapitated and
+    unparseable. So: compact separators, per-query detail for the
+    EXTENDED set on its own earlier line, and the summary (metric,
+    core total, every CORE query, totals, methodology) as the FINAL
+    line, kept well under the capture window."""
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         _child_main(sys.argv[2])
         return
     core = _spawn("core")
     ext = _spawn("extended")
     pagerank_iters = {k: ext.pop(k) for k in list(ext) if k.startswith("pagerank_iter")}
-    timings = {**core, **ext}
     core_total = round(sum(core[n] for n in BENCH_QUERIES), 3)
     ext_total = round(sum(ext[n] for n in EXTENDED_QUERIES), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    compact = {"separators": (",", ":")}
     print(
         json.dumps(
+            {
+                "detail": "extended",
+                "sf": sf_val,
+                "queries": ext,
+                "extended_total": ext_total,
+                **pagerank_iters,
+            },
+            **compact,
+        )
+    )
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": core_total,
+            "unit": "sec",
+            "queries": core,
+            "sf": sf_val,
+            "extended_total": ext_total,
+            "grand_total": round(core_total + ext_total, 3),
+            "cycles": REPS,
+            "stat": "min",
+            "isolated_processes": True,
+        },
+        **compact,
+    )
+    if len(summary) > 1800:  # pragma: no cover - capture-window guard
+        print(json.dumps({"detail": "core", "queries": core}, **compact))
+        summary = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": core_total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
                 "extended_total": ext_total,
                 "grand_total": round(core_total + ext_total, 3),
                 "cycles": REPS,
                 "stat": "min",
                 "isolated_processes": True,
-                **pagerank_iters,
-            }
+            },
+            **compact,
         )
-    )
+    print(summary)
 
 
 if __name__ == "__main__":

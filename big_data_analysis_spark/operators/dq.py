@@ -353,7 +353,15 @@ def verify_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
     gates on ``passed`` without re-deriving metrics. Kinds:
 
     - ``completeness``: {col, min_ratio} — non-null fraction >= ratio
-    - ``unique``: {cols, [min_ratio=1.0]} — distinct/total >= ratio
+    - ``unique``: {cols, [min_ratio=1.0]} — distinct keys / rows with NO
+      NULL in ``cols`` >= ratio. NULL-keyed rows are excluded from BOTH
+      sides (count_distinct already skips them; a NULL-inclusive
+      denominator would deflate the ratio and make N all-NULL keys look
+      like real duplicates — Deequ calls the NULL-inclusive variant
+      "distinctness", a different metric). Gate NULL keys separately
+      with a ``completeness`` constraint on the same column; a table
+      whose listed columns are ALL NULL has no keys to check and fails
+      conservatively (observed NULL -> passed false)
     - ``min`` / ``max``: {col, bound} — min(col) >= / max(col) <= bound
     - ``in_set``: {col, allowed, min_ratio} — fraction of rows whose
       value is in ``allowed`` (NULLs count as misses)
@@ -391,8 +399,17 @@ def verify_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
         elif kind == "unique":
             cols = list(spec["cols"])
             aggs.append(F.count_distinct(*[F.col(c) for c in cols]).alias(alias))
+            # Non-NULL-key row count as the denominator: count_distinct
+            # skips NULL keys, so dividing by total rows would deflate
+            # the ratio for nullable keys (ADVICE r6).
+            denom_alias = f"__d{i}"
+            nn = F.lit(True)
+            for c in cols:
+                nn = nn & F.col(c).isNotNull()
+            aggs.append(F.sum(F.when(nn, 1).otherwise(0)).alias(denom_alias))
             meta.append((spec.get("name", f"unique:{','.join(cols)}"), kind,
-                         ",".join(cols), float(spec.get("min_ratio", 1.0)), alias, "ratio_ge"))
+                         ",".join(cols), float(spec.get("min_ratio", 1.0)),
+                         (alias, denom_alias), "ratio_ge_pair"))
         elif kind == "min":
             aggs.append(F.min(F.col(col)).cast("double").alias(alias))
             meta.append((spec.get("name", f"min:{col}"), kind, col,
@@ -426,6 +443,21 @@ def verify_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
     n = F.col("__n")
     structs = []
     for name, kind, col, threshold, alias, direction in meta:
+        if direction == "ratio_ge_pair":
+            num_alias, denom_alias = alias
+            num = F.col(num_alias).cast("double")
+            denom = F.col(denom_alias).cast("double")
+            observed = F.when(denom > 0, num / denom)
+            passed = observed >= F.lit(threshold)
+            structs.append(F.struct(
+                F.lit(name).alias("name"),
+                F.lit(kind).alias("kind"),
+                F.lit(col).alias("column"),
+                observed.alias("observed"),
+                F.lit(threshold).alias("threshold"),
+                F.coalesce(passed, F.lit(False)).alias("passed"),
+            ))
+            continue
         raw = F.col(alias).cast("double")
         if direction == "ratio_ge":
             observed = F.when(n > 0, raw / n)

@@ -139,15 +139,20 @@ def triangle_counts(
     sorting by id on a degree-regular graph, so an id-oriented SQL
     enumeration is a valid oracle: the triangle SET is
     orientation-independent."""
-    # Persist the canonical edge list: it feeds the degree count (two
-    # logical references via the union) AND the orientation join, and
-    # the oriented list below is referenced by three joins — without
-    # materialization Catalyst re-derives the upstream edge GENERATOR
-    # (for the co-purchase graph, a lineitem self-join + distinct)
-    # once per reference; measured plan: 60 parquet scans, zero
-    # ReusedExchange. Materializing the edge list once is exactly what
-    # a 100 TB deployment does (it's 2 longs per edge — tiny next to
-    # the generator's shuffle).
+    # Materialize the canonical edge list: it feeds the degree count
+    # (two logical references via the union) AND the orientation join,
+    # and the oriented list below is referenced by three joins —
+    # without materialization Catalyst re-derives the upstream edge
+    # GENERATOR (for the co-purchase graph, a lineitem self-join +
+    # distinct) once per reference; measured plan: 60 parquet scans,
+    # zero ReusedExchange. Materializing the edge list once is exactly
+    # what a 100 TB deployment does (it's 2 longs per edge — tiny next
+    # to the generator's shuffle). localCheckpoint, NOT persist: the
+    # returned frame references these blocks, so a persist could never
+    # be unpersisted by this function — checkpoint blocks are released
+    # by the ContextCleaner once the caller drops the result (the CC
+    # discipline; ADVICE r6 — a looping driver leaked a cached edge
+    # list per call).
     und = (
         edges.select(
             F.least(src_col, dst_col).alias("u"),
@@ -155,7 +160,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -176,7 +181,7 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.a", "e.b")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     wedges = ranked.alias("e1").join(
         ranked.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"), "b"
@@ -196,13 +201,32 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 5,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007): every node starts in its own community; each round it
     adopts the most frequent label among its neighbors (ties -> the
     smallest label, so the algorithm is deterministic under any
     partitioning — the published async/random variant is not, which a
-    distributed engine cannot afford). Returns (node, community).
+    distributed engine cannot afford). Returns (node, community); with
+    ``return_stats=True`` returns ``(labels, {"converged": bool,
+    "rounds_used": int})``.
+
+    Convergence contract (VERDICT r6): each round counts changed
+    labels (one join+count on the tiny (node, community) state, NOT on
+    the edge list) and stops early when a round changes nothing — the
+    labels are then a fixpoint, so the result is identical to running
+    all remaining rounds (a fixed-round oracle unroll stays valid).
+    ``converged`` is True only if a zero-change round was observed
+    within the budget. SYNCHRONOUS deterministic LPA can oscillate
+    with period 2 and never converge (the classic mode: a bipartite
+    region where the two sides adopt each other's labels every round —
+    Raghavan et al. §3 recommend asynchronous updates precisely to
+    break this); fixed ``iterations`` is therefore the hard contract
+    and the round-``iterations`` labels are returned with
+    ``converged=False`` rather than looping forever or raising —
+    unlike connected_components, a non-converged LPA labeling is still
+    a valid (if unsettled) community assignment.
 
     Differs from connected_components on purpose: CC merges anything
     reachable; LPA keeps DENSELY linked regions together while sparse
@@ -211,8 +235,10 @@ def label_propagation(
 
     Scale shape per round: edges ⋈ labels (shuffle on node id), one
     groupBy((node, label)) count, one max_by per node — all
-    partition-local after the join shuffle. Labels localCheckpoint
-    each round (lineage truncation, same discipline as pagerank)."""
+    partition-local after the join shuffle; plus the change count, a
+    self-join of two |V|-row label tables on node. Labels
+    localCheckpoint each round (lineage truncation, same discipline
+    as pagerank)."""
     both = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -225,6 +251,8 @@ def label_propagation(
         .withColumn("community", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    rounds_used = 0
     for _ in range(iterations):
         neigh = both.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -240,7 +268,21 @@ def label_propagation(
                 )
             )["c"].alias("community")
         )
-        labels = best.localCheckpoint(eager=True)
+        new_labels = best.localCheckpoint(eager=True)
+        rounds_used += 1
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("community", "__prev"), "node"
+            )
+            .filter(F.col("community") != F.col("__prev"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    if return_stats:
+        return labels, {"converged": converged, "rounds_used": rounds_used}
     return labels
 
 

@@ -977,33 +977,35 @@ def ivfpq_save(
     _commit_index_manifest(path, manifest)
 
 
-def _commit_index_manifest(path: str, manifest: dict) -> None:
-    """Atomically publish the manifest, then best-effort-clean every
-    versioned artifact it does NOT reference — correctness never
-    depends on the cleanup (unreferenced artifacts are invisible to
-    the loader, exactly like the manifest sink's orphans)."""
-    import json
-    import os
-    import shutil
-
-    mpath = os.path.join(path, "_INDEX.json")
-    tmp = os.path.join(path, "._INDEX.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, mpath)  # commit point
-    live = set(manifest["encoded_dirs"]) | {manifest["codebooks_file"]}
+def _manifest_artifacts(manifest: dict) -> set:
+    """The versioned artifact names a manifest references directly
+    (encoded dirs + codebooks + tombstones) — NOT its grace-retained
+    set, which belongs to the PREVIOUS version."""
+    live = set(manifest.get("encoded_dirs", [])) | {manifest["codebooks_file"]}
     if manifest.get("tombstones_file"):
         live.add(manifest["tombstones_file"])
-    for entry in os.listdir(path):
-        if (
-            entry.startswith(("encoded-", "codebooks-", "tombstones-"))
-            and entry not in live
-        ):
-            target = os.path.join(path, entry)
-            try:
-                shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
-            except OSError:
-                pass
+    return live
+
+
+def _commit_index_manifest(path: str, manifest: dict) -> None:
+    """Atomically publish the manifest with a ONE-VERSION retention
+    grace: artifacts referenced by the manifest being superseded are
+    kept (recorded under ``retained``) and deleted only on the commit
+    AFTER next. ``ivfpq_load`` returns a LAZY DataFrame — a frame
+    loaded just before a re-save/compact must still execute afterwards
+    (ADVICE r6: immediate deletion broke exactly that, single-process
+    included). Frames held across MORE than one re-save must be
+    eagerly materialized by the caller — that contract is now one
+    commit wide, not zero. Shared protocol: operators.index_store
+    (also backs the MinHash signature index)."""
+    from big_data_analysis_spark.operators.index_store import commit_manifest
+
+    commit_manifest(
+        path,
+        manifest,
+        prefixes=("encoded-", "codebooks-", "tombstones-"),
+        artifacts_fn=_manifest_artifacts,
+    )
 
 
 def ivfpq_load(spark, path: str):

@@ -332,8 +332,14 @@ def ngram_lm_scores(
     # the persisted per-bigram aggregate instead of re-tokenizing the
     # corpus twice more (measured ~1.6x on the benchmark query;
     # values are identical, the LM oracle stays hash-green).
+    # localCheckpoint, not persist: the returned scores reference the
+    # count blocks, so this function could never unpersist a persist()
+    # — checkpoint blocks release when the caller drops the result
+    # (ADVICE r6 leak class).
     bigram_counts = (
-        train_bg.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("c12")).persist()
+        train_bg.groupBy("bg", "w1")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
     )
     unigram_counts = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = bigram_counts.select(F.countDistinct("w1").alias("v"))

@@ -758,12 +758,43 @@ def cusum_changepoint(
     the earliest index. ``cusum_peak`` (=|S| at the peak) and the
     before/after means are the only float outputs.
 
+    Input contract (ENFORCED, the sssp discipline): values must be
+    integral — null, NaN, +/-Infinity and fractional values are
+    rejected up front in one aggregate pass. A silent ``cast("long")``
+    would truncate revenue-like series (1.75 -> 1) and move the change
+    point without any error; callers with fractional data scale to
+    integer units first (cents, milliunits), which preserves the
+    argmax exactly because CUSUM is scale-equivariant.
+
     Scale shape: one ROWS-frame window (prefix sum + row_number) and
     one map-combinable groupBy per series — two shuffles total, both
     keyed on ``partition_by``. Without keys the single global series
     funnels through one partition (same caveat as pack_offsets); at
     100 TB always pass the series keys."""
     parts = list(partition_by)
+    v = F.col(value_col)
+    vd = v.cast("double")
+    n_bad = df.select(
+        F.sum(
+            F.when(
+                v.isNull()
+                | F.isnan(vd)
+                | (vd == float("inf"))
+                | (vd == float("-inf"))
+                | (vd != F.floor(vd)),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad")
+    ).head()["n_bad"]
+    if n_bad:
+        raise ValueError(
+            f"cusum_changepoint: {n_bad} value(s) in {value_col!r} are "
+            "null, NaN, infinite or non-integral — the exact-argmax "
+            "guarantee needs integer arithmetic and a silent long-cast "
+            "would truncate 1.75 -> 1 and move the change point; scale "
+            "fractional series to integer units (cents) first (CUSUM's "
+            "argmax is scale-equivariant)"
+        )
     w = (
         Window.partitionBy(*parts).orderBy(order_col)
         if parts

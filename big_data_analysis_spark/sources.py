@@ -269,6 +269,19 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
             self.path = options["path"]
             self.fields = [f.name for f in schema.fields]
             self.overwrite = overwrite
+            # Optional exactly-once handle for foreachBatch pipelines:
+            # with .option("batch_id", <epoch>) the commit publishes a
+            # per-batch _BATCH_{id}.json manifest (the streaming
+            # writer's protocol) instead of _MANIFEST.json — a replayed
+            # micro-batch re-running the SAME foreachBatch body finds
+            # its manifest already published, discards the duplicate
+            # part files and returns. This is what lets arbitrary
+            # batch-only logic (anti joins, groupBy dedup) live inside
+            # foreachBatch WITHOUT giving up the sink's exactly-once
+            # guarantee (r7: streaming corpus refresh).
+            self.batch_id = (
+                int(options["batch_id"]) if "batch_id" in options else None
+            )
             # Per-JOB token baked into every part filename:
             # (partitionId, taskAttemptId) alone is only unique within
             # one SparkContext, so an append from a restarted
@@ -319,6 +332,29 @@ try:  # WriterCommitMessage is a plain marker base class in Spark 4
                 for m in messages
                 if m is not None
             ]
+            if self.batch_id is not None:
+                # foreachBatch exactly-once path: per-batch manifest,
+                # replay-idempotent (the streaming writer's protocol).
+                mpath = os.path.join(self.path, f"_BATCH_{self.batch_id}.json")
+                if os.path.exists(mpath):
+                    for f in files:
+                        try:
+                            os.remove(os.path.join(self.path, f["name"]))
+                        except OSError:
+                            pass
+                    return
+                tmp = mpath + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(
+                        {
+                            "batch_id": self.batch_id,
+                            "files": files,
+                            "total_rows": sum(f["n_rows"] for f in files),
+                        },
+                        fh,
+                    )
+                os.replace(tmp, mpath)
+                return
             mpath = os.path.join(self.path, "_MANIFEST.json")
             lock_path = os.path.join(self.path, "._MANIFEST.lock")
             with open(lock_path, "w") as lock_fh:

@@ -43,6 +43,74 @@ def test_minhash_signature_shape(spark, docs):
     assert len(sig["signature"]) == 32
 
 
+def test_minhash_incremental_index_composes_with_batch(spark, docs, request):
+    """VERDICT r6 #2 done-criterion: TWO successive shard increments
+    against a persisted signature index must together equal ONE batch
+    run on the union — incrB yields batch(A∪B) pairs touching B, incrC
+    yields batch(A∪B∪C) pairs touching C, and incrB ∪ incrC ∪
+    batch(A) == batch(A∪B∪C) exactly (ids, pairs AND est_jaccard:
+    signature determinism makes the incremental path an identity).
+    Also pins: already-indexed ids are skipped, append=False leaves
+    the manifest untouched, a never-saved path refuses."""
+    import os
+    import shutil
+
+    d = docs.filter(F.col("doc_id") < 900)
+    a = d.filter(F.col("doc_id") % 3 == 0)
+    b = d.filter(F.col("doc_id") % 3 == 1)
+    c = d.filter(F.col("doc_id") % 3 == 2)
+    path = f"/root/repo/.scratch/minhash-index-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    kw = dict(num_hashes=64, num_bands=16, shingle_n=1)
+    dd.minhash_index_save(a, "text", "doc_id", path, **kw)
+
+    def pairset(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+            for r in df.collect()
+        }
+
+    incr_b = pairset(
+        dd.minhash_dedup_increment(spark, b, "text", path, threshold=0.5)
+    )
+    incr_c = pairset(
+        dd.minhash_dedup_increment(spark, c, "text", path, threshold=0.5)
+    )
+    batch_a = pairset(
+        dd.minhash_dedup_pairs(a, "text", "doc_id", threshold=0.5, **kw)
+    )
+    batch_all = pairset(
+        dd.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5, **kw)
+    )
+    assert incr_b | incr_c | batch_a == batch_all
+    # increments are disjoint from each other and from the base set
+    assert not (incr_b & batch_a)
+    assert not (incr_c & (incr_b | batch_a))
+
+    # re-submitting an already-indexed shard: every id skips -> no
+    # pairs, no manifest churn
+    import json
+
+    man_before = json.load(open(os.path.join(path, "_INDEX.json")))
+    again = dd.minhash_dedup_increment(spark, b, "text", path, threshold=0.5)
+    assert again.count() == 0
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man_before
+
+    # append=False: pairs computed, nothing persisted
+    probe = docs.filter((F.col("doc_id") >= 900) & (F.col("doc_id") < 950))
+    dd.minhash_dedup_increment(spark, probe, "text", path, append=False).count()
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man_before
+
+    with pytest.raises(FileNotFoundError, match="_INDEX.json"):
+        dd.minhash_dedup_increment(
+            spark, b, "text", "/root/repo/.scratch/no-such-minhash-index"
+        )
+    with pytest.raises(ValueError, match="multiple of num_bands"):
+        dd.minhash_index_save(a, "text", "doc_id", path, num_hashes=60, num_bands=16)
+
+
 def test_simhash_identical_and_perturbed(spark):
     """Identical texts -> hamming 0; one-token change -> small hamming;
     unrelated texts -> large hamming."""
@@ -532,6 +600,40 @@ def test_label_propagation_separates_bridged_cliques(spark):
     comm2 = {out[i + 10] for i in range(5)}
     assert len(comm1) == 1 and len(comm2) == 1
     assert comm1 != comm2
+
+
+def test_label_propagation_convergence_contract(spark):
+    """VERDICT r6 #5: LPA must detect label-set stability and stop
+    early. A triangle settles at round 3 (all-label-1 is a fixpoint
+    verified by the zero-change round) — with a budget of 10 rounds
+    LPA must report converged=True and rounds_used well short of the
+    budget, and the early-stopped labels must equal a full fixed-round
+    run (fixpoint => the unrolled oracle stays valid). A single edge
+    is the classic synchronous 2-cycle (the endpoints adopt each
+    other's labels forever): the budget must expire with
+    converged=False, never a hang or a raise."""
+    from big_data_analysis_spark.operators.graph import label_propagation
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    labels, stats = label_propagation(tri, iterations=10, return_stats=True)
+    assert stats["converged"] is True
+    assert stats["rounds_used"] < 10
+    early = {(r["node"], r["community"]) for r in labels.collect()}
+    full = {
+        (r["node"], r["community"])
+        for r in label_propagation(tri, iterations=10).collect()
+    }
+    assert early == full == {(1, 1), (2, 1), (3, 1)}
+
+    edge = spark.createDataFrame([(1, 2)], "src long, dst long")
+    osc, stats = label_propagation(edge, iterations=4, return_stats=True)
+    assert stats == {"converged": False, "rounds_used": 4}
+    # period-2 swap: after an even number of rounds labels are back
+    # to the initial self-labels
+    assert {(r["node"], r["community"]) for r in osc.collect()} == {
+        (1, 1),
+        (2, 2),
+    }
 
 
 def test_pagerank_partial_indegree_join_path(spark):

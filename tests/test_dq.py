@@ -252,6 +252,39 @@ def test_verify_constraints_verdicts(spark):
     assert "my_check" in rep and not rep["my_check"]["passed"]
 
 
+def test_verify_constraints_unique_excludes_null_keys(spark):
+    """'unique' ratio is distinct keys over NON-NULL-keyed rows:
+    count_distinct skips NULL keys, so a NULL-inclusive denominator
+    would deflate the ratio (3 distinct / 5 rows = 0.6) and make
+    all-NULL keys read as duplicates. Here the 3 non-null keys are all
+    distinct -> observed 1.0 regardless of the 2 NULL rows; an all-NULL
+    key column has no keys to check -> observed NULL, passed False."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "k long"
+    )
+    r = dq.verify_constraints(df, [{"kind": "unique", "cols": ["k"]}]).head()
+    assert r["observed"] == 1.0 and r["passed"] is True
+
+    dup = spark.createDataFrame([(1,), (1,), (2,), (None,)], "k long")
+    r = dq.verify_constraints(dup, [{"kind": "unique", "cols": ["k"]}]).head()
+    assert abs(r["observed"] - 2 / 3) < 1e-12 and r["passed"] is False
+
+    all_null = spark.createDataFrame([(None,), (None,)], "k long")
+    r = dq.verify_constraints(
+        all_null, [{"kind": "unique", "cols": ["k"]}]
+    ).head()
+    assert r["observed"] is None and r["passed"] is False
+
+    # composite keys: a NULL in ANY listed column excludes the row
+    comp = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, None)], "k long, s string"
+    )
+    r = dq.verify_constraints(
+        comp, [{"kind": "unique", "cols": ["k", "s"]}]
+    ).head()
+    assert r["observed"] == 1.0 and r["passed"] is True
+
+
 def test_verify_constraints_pattern_is_full_match(spark):
     """A format gate must not admit a value that merely CONTAINS a
     matching substring: 'xxABC-1234yy' is NOT a valid SKU under

@@ -432,6 +432,45 @@ def test_triangle_counts_canonicalization_and_known_graph(spark):
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
+def test_internal_materializations_release_across_repeated_calls(spark):
+    """VERDICT r6 #4: operators that materialize internals and return a
+    frame referencing them must not accumulate cached blocks on a
+    long-lived driver. With the old persist() discipline each
+    triangle_counts call pinned 2 RDDs forever (the callee cannot
+    unpersist what the result still references); with localCheckpoint
+    the ContextCleaner reaps the blocks once the result is dropped —
+    so N repeated call+drop cycles end at the baseline count."""
+    import gc
+    import time
+
+    from big_data_analysis_spark.operators.graph import triangle_counts
+
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+
+    def n_persistent() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    def settle(target: int, tries: int = 60) -> int:
+        """GC + let the ContextCleaner drain its reference queue."""
+        for _ in range(tries):
+            gc.collect()
+            sc._jvm.System.gc()
+            if n_persistent() <= target:
+                break
+            time.sleep(0.5)
+        return n_persistent()
+
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (2, 4), (3, 4), (3, 2), (4, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    baseline = settle(0)
+    for _ in range(3):
+        out = triangle_counts(df)
+        assert out.count() == 4
+        del out
+    assert settle(baseline) <= baseline
+
+
 def test_k_core_cascades_past_one_round(spark):
     """4-clique + 4-path, k=2: the clique survives (within-core degree
     3 each); the path EMPTIES — its middle nodes have raw degree 2, so
@@ -922,6 +961,29 @@ def test_cusum_changepoint_locates_mean_shift(spark):
     one = spark.createDataFrame([("c", 0, 3)], "k string, t int, v int")
     r = cusum_changepoint(one, "t", "v", partition_by=["k"]).collect()[0]
     assert r["n_rows"] == 1 and r["mean_after"] is None
+
+
+def test_cusum_changepoint_rejects_non_integral_values(spark):
+    """The exact-argmax contract needs integer arithmetic: fractional,
+    NaN, infinite and NULL values must raise up front — a silent
+    long-cast would truncate 1.75 -> 1 and move the change point.
+    Integral DOUBLES (e.g. 3.0) are fine: no information is lost."""
+    import pytest
+    from big_data_analysis_spark.operators.timeseries import cusum_changepoint
+
+    for bad in [1.75, float("nan"), float("inf"), None]:
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, bad)], "k string, t int, v double"
+        )
+        with pytest.raises(ValueError, match="non-integral|null, NaN"):
+            cusum_changepoint(df, "t", "v", partition_by=["k"])
+
+    ok = spark.createDataFrame(
+        [("a", i, float(10 if i < 5 else 20)) for i in range(10)],
+        "k string, t int, v double",
+    )
+    r = cusum_changepoint(ok, "t", "v", partition_by=["k"]).collect()[0]
+    assert r["cp_index"] == 5 and r["cusum_peak"] == 25.0
 
 
 def test_sssp_prefers_cheap_long_path_over_short_expensive(spark):

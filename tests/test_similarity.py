@@ -571,6 +571,61 @@ def test_ivfpq_save_load_probe_matches_in_memory(spark, request):
     assert cents3 == centroids and enc3.count() == encoded.count()
 
 
+def test_index_manifest_retains_one_generation(spark, request):
+    """ADVICE r6: ivfpq_load returns a LAZY frame, so a commit must NOT
+    delete the version it supersedes — a frame loaded just before a
+    re-save must still execute after it. The grace is exactly one
+    generation: the superseded artifacts are recorded under
+    ``retained`` and deleted on the commit after next."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    from big_data_analysis_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(60, 16))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    encoded, centroids, books = ivfpq_build(emb, n_cells=3, m=4, k=8, max_iter=4)
+    path = f"/root/repo/.scratch/ivfpq-retain-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    def artifacts():
+        with open(os.path.join(path, "_INDEX.json"), encoding="utf-8") as fh:
+            m = json.load(fh)
+        return set(m["encoded_dirs"]) | {m["codebooks_file"]}, m
+
+    ivfpq_save(encoded, centroids, books, path)
+    v1, _ = artifacts()
+    lazy, _, _ = ivfpq_load(spark, path)
+
+    ivfpq_save(encoded, centroids, books, path)  # supersedes v1
+    v2, man2 = artifacts()
+    # the pre-re-save frame still executes: v1 is grace-retained
+    assert lazy.count() == 60
+    assert set(man2["retained"]) == v1
+    for a in v1 | v2:
+        assert os.path.exists(os.path.join(path, a)), a
+
+    ivfpq_save(encoded, centroids, books, path)  # commit after next
+    v3, man3 = artifacts()
+    assert set(man3["retained"]) == v2
+    for a in v1:
+        assert not os.path.exists(os.path.join(path, a)), a
+    for a in v2 | v3:
+        assert os.path.exists(os.path.join(path, a)), a
+
+
 def test_filtered_ann_predicate_and_refill(spark):
     """VERDICT r5 #8: filtered ANN returns the top-k AMONG rows
     matching the metadata predicate — equal to brute force on the
@@ -743,7 +798,12 @@ def test_ivfpq_delete_tombstones_lifecycle(spark, request):
     man_c = json.load(open(path + "/_INDEX.json"))
     assert len(man_c["encoded_dirs"]) == 1
     assert "tombstones_file" not in man_c
-    assert not [f for f in os.listdir(path) if f.startswith("tombstones-")]
+    # the superseded tombstones file survives ONE commit (grace for
+    # lazy frames loaded pre-compaction — ADVICE r6) and is recorded
+    # in the manifest's retained set; the commit after next drops it
+    # (asserted at the end of this test)
+    leftover = [f for f in os.listdir(path) if f.startswith("tombstones-")]
+    assert leftover and set(leftover) <= set(man_c["retained"])
     raw = spark.read.parquet(os.path.join(path, man_c["encoded_dirs"][0]))
     enc5, cents5, books5 = ivfpq_load(spark, path)
     assert raw.count() == enc5.count() == n - 4
@@ -754,6 +814,12 @@ def test_ivfpq_delete_tombstones_lifecycle(spark, request):
         ).collect()
     ]
     assert probe_after == probe_before
+
+    # grace expiry: the NEXT commit drops the pre-compaction
+    # tombstones file (one-generation retention, not forever)
+    ivfpq_delete(spark, path, [0])
+    remaining = [f for f in os.listdir(path) if f.startswith("tombstones-")]
+    assert not set(leftover) & set(remaining)
 
     # deleting from a never-saved path fails loudly
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
