@@ -146,8 +146,11 @@ EXTENDED_QUERIES = [
     "dq_constraints_orders",
     # round-7: incremental corpus-refresh dedup against the persisted
     # signature index (index save + shard increment + batch-parity
-    # certificate — the entry measures the whole lifecycle)
+    # certificate — the entry measures the whole lifecycle), and the
+    # streaming end-to-end corpus refresh (4 micro-batches through
+    # foreachBatch + exactly-once manifest sink + batch-twin parity)
     "minhash_incremental_docs",
+    "streaming_corpus_refresh",
 ]
 
 

@@ -534,6 +534,43 @@ def minhash_dedup_increment(
     return pairs
 
 
+def minhash_index_compact(spark, path: str) -> None:
+    """Fold an appended signature index's base + shard directories back
+    into ONE (sigs, bands) version — the LSM compaction half, same as
+    ``ivfpq_compact``: after N nightly shard appends every increment
+    pays N source listings and N union branches per side; compaction
+    restores the single-scan plan without re-reading any TEXT:
+    signature rows are copied as-is, band keys re-derived from them
+    (deterministic xxhash over the stored arrays — identical values,
+    no corpus scan). Atomic: merged dirs land under a
+    fresh version, the manifest repoints in one rename, a torn
+    compaction leaves the old manifest fully servable, and the
+    superseded generation survives one more commit (index_store
+    retention grace)."""
+    from big_data_analysis_spark.operators.index_store import (
+        commit_manifest,
+        read_manifest,
+    )
+
+    man = read_manifest(path, "minhash_index_compact")
+    if len(man["sig_dirs"]) <= 1:
+        return  # already compact
+    sigs, _, _ = minhash_index_load(spark, path)
+    sig_dir, band_dir = _write_minhash_version(
+        sigs, path, man["num_bands"], man["rows_per_band"]
+    )
+    new_man = dict(man)
+    new_man["sig_dirs"] = [sig_dir]
+    new_man["band_dirs"] = [band_dir]
+    new_man.pop("retained", None)
+    commit_manifest(
+        path,
+        new_man,
+        prefixes=_MINHASH_PREFIXES,
+        artifacts_fn=_minhash_artifacts,
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------

@@ -8409,123 +8409,84 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-6 window ---
-    # (a) round-6 additions and graduations — checked the round they
-    # land: the persisted-index lifecycle probe, the filtered ANN
-    # query, the incremental index append, the mergeable quantile
-    # state, the Misra-Gries certificate and the entity-resolution
-    # pipeline are NEW; minhash_pairs / simhash_pairs / als_recommend_
-    # brands graduated from rows-only to contract oracles (VERDICT r5
-    # #2/#3) and must earn their first oracle-backed row.
-    "ivfpq_persisted_ann_topk",
-    "filtered_ann_topk",
+    # --- round-7 window ---
+    # (a) the six r6 post-horizon registrations that have NEVER been
+    # externally driver-verified (VERDICT r6 "What's missing" #1 /
+    # "Next round" #1) — they lead the window:
+    "weighted_quantiles_lineitem",
+    "ks_drift_events",
+    "theil_sen_monthly_orders",
+    "benford_order_amounts",
+    "gini_customer_revenue",
+    "rfm_segments_customers",
+    # (b) round-7 additions: the incremental MinHash signature-index
+    # refresh (VERDICT r6 #2) and the streaming end-to-end corpus
+    # refresh (VERDICT r6 #6) — checked the round they land:
+    "minhash_incremental_docs",
+    "streaming_corpus_refresh",
+    # (c) queries whose code or oracle changed this round — external
+    # re-verification mandatory: verify_constraints 'unique' now
+    # measures over non-NULL-keyed rows (operator + oracle);
+    # cusum_changepoint validates integrality up front; the minhash /
+    # simhash / lm / triangle / gram-index / heavy-hitter internals
+    # switched persist() -> localCheckpoint (release-on-drop);
+    # minhash banding was factored into the shared minhash_bands used
+    # by the new index; label_propagation gained the per-round change
+    # count + early stop; the index-store commit gained one-generation
+    # retention (ivfpq save/append/delete/compact all republish
+    # through it); embedding_near_dup_pairs' exact certificate join is
+    # now localCheckpointed.
+    "dq_constraints_orders",
+    "cusum_changepoint_events",
     "minhash_pairs",
     "simhash_pairs",
-    "als_recommend_brands",
-    "ivfpq_incremental_append",
-    "incremental_quantile_orders",
-    "quantile_state_read_orders",
     "heavy_hitter_tokens",
-    "entity_resolution_customers",
-    "kcore_copurchase",
-    "incremental_distinct_orders",
-    "ivfpq_tombstone_delete",
-    "training_shards_docs",
-    # late-round-6 additions (this session): CUSUM change point,
-    # pairwise Welch t-test, the XML source/sink roundtrip digest,
-    # weighted SSSP vs its unrolled relaxation, and LPA communities vs
-    # the unrolled rounds — all full-hash oracles, checked the round
-    # they land.
-    "cusum_changepoint_events",
-    "welch_ab_events",
-    "xml_roundtrip_docs",
-    "sssp_trade_latency",
-    "communities_copurchase",
-    "synthdocs_stream_scan",
-    "stream_sink_manifest_docs",
-    # extra-session additions: exact token-budget domain mixing,
-    # multivariate embedding outliers, Zipf corpus certificate, DSIR
-    # importance selection, the declarative constraint suite, the
-    # per-series ACF diagnostic, leakage-guarded LOO target encoding,
-    # and the k-anonymity release gate
-    "token_budget_mixture_docs",
-    "embedding_outliers_topk",
-    "zipf_corpus_fit_docs",
-    "dsir_selection_docs",
-    "dq_constraints_orders",
-    "acf_monthly_revenue",
-    "loo_target_encode_orders",
-    "k_anonymity_customers",
-    # (b) queries whose code changed this round — re-verify externally:
-    # pq/ivfpq probes now eagerly materialize the shortlist and destroy
-    # their ADC broadcasts; ivf_build/ivfpq_build gained keep_cols;
-    # semantic_dedup_pairs gained the enforced cell-size cap;
-    # bloom_filtered_join reuses the JoinBloom's broadcast;
-    # connected_components was REWRITTEN to alternating large-star/
-    # small-star (Kiveris SoCC'14 — the one-hop propagation silently
-    # under-merged past-diameter graphs) and feeds dedup_groups_docs /
-    # embedding_dedup_groups / dedup_keep_best_docs and the new
-    # entity_resolution_customers; keep_best_in_group gained the
-    # temp-name collision guard.
-    "ivfpq_ann_topk",
-    "pq_ann_topk",
-    "ivf_ann_topk",
-    "semantic_dedup_pairs_docs",
-    "bloom_join_orders",
-    "dedup_groups_docs",
-    "embedding_dedup_groups",
-    "dedup_keep_best_docs",
-    # (c) rotating re-verification sample (ADVICE r3 standing policy) —
-    # 28 slots, provably disjoint from BOTH the r4 and r5 windows
-    # (checked against CORRECTNESS_r04/r05.json key sets), spanning
-    # every module family: nulls/pivot, date+JSON functions,
-    # windows, streaming (3 shapes), text quality and LLM-pipeline ops,
-    # dedup/decontamination, ANN/centroids, mining, eval metrics.
-    # (rollup_qty, string_funcs_part, describe_lineitem,
-    # value_counts_events, word_freq_docs, jaccard_pairs_docs,
-    # frequent_items_trend, cube_orders and sliding_window_events —
-    # all r1/r2-verified, families still covered by pivot_returnflag /
-    # json_extract_agg + the remaining text ops / span+contamination
-    # dedup pairs / fpgrowth_rules_pairs / session_window_events —
-    # rotated out for the eleven late-round-6 additions (the four
-    # earlier this round plus cusum/welch/xml/sssp/communities and the
-    # two streaming-connector queries);
-    # tumbling_daily_events and suppliers_with_shipments likewise —
-    # their families stay via session_window_events and the window's
-    # own join-heavy queries.)
-    "null_handling",
-    "pivot_returnflag",
-    "json_extract_agg",
-    "token_stats_docs",
-    "dedup_exact_docs",
-    "fpgrowth_rules_pairs",
-    "lang_id_docs",
-    "quality_docs",
+    "lm_perplexity_docs",
+    "triangle_copurchase",
     "contamination_pairs_docs",
+    "bloom_decontaminate_docs",
+    "communities_copurchase",
     "embedding_near_dup_pairs",
-    "session_window_events",
-    # (lm_perplexity_docs, entropy_gain_events and hash_sample_docs —
-    # r3-verified — rotated out for the three extra-session additions;
-    # their families stay via quality/lang_id, the window's other
-    # eval metrics, and token_budget_mixture_docs, which exercises the
-    # same portable-md5 selection convention end-to-end.
-    # tfidf_top_terms_docs, centroid_assignment_embeddings and
-    # span_dedup_docs — r1-r3-verified — rotated out for
-    # dsir_selection_docs / dq_constraints_orders / acf_monthly_revenue;
-    # their families stay triple-covered: text via token_stats/lang_id/
-    # quality + DSIR itself, ANN/embeddings via the five ANN probes +
-    # embedding_near_dup_pairs + embedding_outliers_topk, dedup via
-    # dedup_exact/dedup_groups/contamination/minhash/simhash.
-    # window_lag_features and corr_lineitem — r1/r2-verified — rotated
-    # out for loo_target_encode_orders / k_anonymity_customers; the lag
-    # window family stays via acf_monthly_revenue (lag windows ARE its
-    # core) + session/stateful streaming windows, the stats-agg family
-    # via corr_matrix_lineitem (r5 green), zipf regr_* and the
-    # constraint suite.)
-    "streaming_attribution_join",
-    "stateful_running_totals",
+    "ivfpq_persisted_ann_topk",
+    "ivfpq_incremental_append",
+    "ivfpq_tombstone_delete",
+    # (d) rotating re-verification sample — 28 slots, provably
+    # disjoint from the r4+r5+r6 windows (diffed against
+    # CORRECTNESS_r04/r05/r06.json key sets; all are r1-r3 greens due
+    # a fresh external row), spanning every module family:
+    # joins/set-ops, profiling, date funcs, lag windows, similarity,
+    # mining, text quality, tokenization, embeddings, streaming (4
+    # shapes), eval metrics, regression, sampling (3 kinds), RANGE
+    # windows, graph, stats screens, multimodal, BLAS kNN.
+    "customers_without_orders",
+    "set_ops_customers",
+    "suppliers_with_shipments",
+    "value_counts_events",
+    "window_lag_features",
+    "order_date_arithmetic",
+    "cosine_topk",
+    "frequent_items_trend",
+    "repetition_docs",
+    "bpe_token_counts",
+    "centroid_assignment_embeddings",
+    "streaming_dedup_count",
+    "confusion_matrix_rule",
+    "per_class_report_rule",
+    "ols_metrics",
+    "audio_decode_wav",
+    "knn_blas_batch",
+    "novelty_docs",
+    "streaming_enriched_daily",
+    "weighted_sample_docs",
+    "balanced_sample_docs",
+    "mixture_sample_events",
+    "streaming_distinct_users",
+    "range_window_spend",
+    "pagerank_trade_graph",
+    "grouped_ols_nation_trend",
+    "chi2_orders",
+    "entropy_gain_events",
 ]
-
 
 def _apply_driver_order() -> None:
     prioritized = [n for n in _DRIVER_PRIORITY if n in QUERIES]

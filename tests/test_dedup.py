@@ -103,6 +103,26 @@ def test_minhash_incremental_index_composes_with_batch(spark, docs, request):
     dd.minhash_dedup_increment(spark, probe, "text", path, append=False).count()
     assert json.load(open(os.path.join(path, "_INDEX.json"))) == man_before
 
+    # compaction folds base + 2 shard versions into one; increments
+    # against the compacted store behave identically (probe pairs ==
+    # the append=False pairs computed pre-compaction)
+    pre = pairset(
+        dd.minhash_dedup_increment(spark, probe, "text", path, append=False,
+                                   threshold=0.5)
+    )
+    dd.minhash_index_compact(spark, path)
+    man_c = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert len(man_c["sig_dirs"]) == 1 and len(man_c["band_dirs"]) == 1
+    sigs_c, bands_c, _ = dd.minhash_index_load(spark, path)
+    assert sigs_c.count() == a.count() + b.count() + c.count()
+    post = pairset(
+        dd.minhash_dedup_increment(spark, probe, "text", path, append=False,
+                                   threshold=0.5)
+    )
+    assert post == pre
+    dd.minhash_index_compact(spark, path)  # idempotent: already compact
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man_c
+
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
         dd.minhash_dedup_increment(
             spark, b, "text", "/root/repo/.scratch/no-such-minhash-index"

@@ -552,35 +552,29 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # round-6 additions and rows-only -> contract-oracle
-        # graduations (VERDICT r5 #2/#3/#5/#8) must be checked the
-        # round they land
-        "ivfpq_persisted_ann_topk", "filtered_ann_topk",
-        "minhash_pairs", "simhash_pairs", "als_recommend_brands",
-        "ivfpq_incremental_append", "incremental_quantile_orders",
-        "quantile_state_read_orders",
-        "heavy_hitter_tokens", "entity_resolution_customers",
-        "kcore_copurchase", "incremental_distinct_orders",
-        "ivfpq_tombstone_delete", "training_shards_docs",
-        # late-round-6 additions (full-hash oracles, never driver-run)
-        "cusum_changepoint_events", "welch_ab_events",
-        "xml_roundtrip_docs", "sssp_trade_latency",
-        "communities_copurchase", "synthdocs_stream_scan",
-        "stream_sink_manifest_docs",
-        # extra-session additions (full-hash oracles, never driver-run)
-        "token_budget_mixture_docs", "embedding_outliers_topk",
-        "zipf_corpus_fit_docs", "dsir_selection_docs",
-        "dq_constraints_orders", "acf_monthly_revenue",
-        "loo_target_encode_orders", "k_anonymity_customers",
-        # code changed this round -> external re-verification: eager
-        # shortlist + ADC broadcast destroy (pq/ivfpq), keep_cols
-        # threading (ivf/ivfpq build), SemDeDup cell cap, JoinBloom
-        # broadcast reuse, connected_components persist release,
-        # keep_best temp-name guard
-        "ivfpq_ann_topk", "pq_ann_topk", "ivf_ann_topk",
-        "semantic_dedup_pairs_docs", "bloom_join_orders",
-        "dedup_groups_docs", "embedding_dedup_groups",
-        "dedup_keep_best_docs",
+        # (a) r6 post-horizon registrations that have never received an
+        # external driver row (VERDICT r6 "Next round" #1) — they MUST
+        # lead the r7 window
+        "weighted_quantiles_lineitem", "ks_drift_events",
+        "theil_sen_monthly_orders", "benford_order_amounts",
+        "gini_customer_revenue", "rfm_segments_customers",
+        # (b) round-7 additions: incremental MinHash index refresh and
+        # the streaming end-to-end corpus refresh
+        "minhash_incremental_docs", "streaming_corpus_refresh",
+        # (c) code/oracle changed this round -> external
+        # re-verification: verify_constraints 'unique' NULL handling,
+        # cusum integrality validation, persist->localCheckpoint
+        # conversions (minhash/simhash/lm/triangle/gram-index/
+        # heavy-hitter/embedding-cert), minhash_bands factoring, LPA
+        # convergence counting, index-store one-generation retention
+        # (all ivfpq lifecycle commits republish through it)
+        "dq_constraints_orders", "cusum_changepoint_events",
+        "minhash_pairs", "simhash_pairs", "heavy_hitter_tokens",
+        "lm_perplexity_docs", "triangle_copurchase",
+        "contamination_pairs_docs", "bloom_decontaminate_docs",
+        "communities_copurchase", "embedding_near_dup_pairs",
+        "ivfpq_persisted_ann_topk", "ivfpq_incremental_append",
+        "ivfpq_tombstone_delete",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -657,6 +651,20 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "semantic_dedup_pairs_docs", "pq_ann_topk", "bloom_decontaminate_docs",
     "sketch_profile_events", "lsh_ann_topk", "ivf_ann_topk",
     "kmeans_embeddings", "real_bpe_token_counts",
+    # round-6 window (CORRECTNESS_r06.json: 50/50 full hash-match)
+    "acf_monthly_revenue", "als_recommend_brands", "communities_copurchase",
+    "cusum_changepoint_events", "dq_constraints_orders",
+    "dsir_selection_docs", "embedding_outliers_topk",
+    "entity_resolution_customers", "filtered_ann_topk",
+    "heavy_hitter_tokens", "incremental_distinct_orders",
+    "incremental_quantile_orders", "ivfpq_incremental_append",
+    "ivfpq_persisted_ann_topk", "ivfpq_tombstone_delete",
+    "k_anonymity_customers", "kcore_copurchase", "loo_target_encode_orders",
+    "minhash_pairs", "quantile_state_read_orders", "simhash_pairs",
+    "sssp_trade_latency", "stream_sink_manifest_docs",
+    "synthdocs_stream_scan", "token_budget_mixture_docs",
+    "training_shards_docs", "welch_ab_events", "xml_roundtrip_docs",
+    "zipf_corpus_fit_docs",
 }
 
 
