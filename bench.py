@@ -289,37 +289,23 @@ def main() -> None:
             **compact,
         )
     )
-    summary = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": core_total,
-            "unit": "sec",
-            "queries": core,
-            "sf": sf_val,
-            "extended_total": ext_total,
-            "grand_total": round(core_total + ext_total, 3),
-            "cycles": REPS,
-            "stat": "min",
-            "isolated_processes": True,
-        },
-        **compact,
-    )
+    summary_dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": core_total,
+        "unit": "sec",
+        "queries": core,
+        "sf": sf_val,
+        "extended_total": ext_total,
+        "grand_total": round(core_total + ext_total, 3),
+        "cycles": REPS,
+        "stat": "min",
+        "isolated_processes": True,
+    }
+    summary = json.dumps(summary_dict, **compact)
     if len(summary) > 1800:  # pragma: no cover - capture-window guard
         print(json.dumps({"detail": "core", "queries": core}, **compact))
-        summary = json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": core_total,
-                "unit": "sec",
-                "sf": sf_val,
-                "extended_total": ext_total,
-                "grand_total": round(core_total + ext_total, 3),
-                "cycles": REPS,
-                "stat": "min",
-                "isolated_processes": True,
-            },
-            **compact,
-        )
+        del summary_dict["queries"]
+        summary = json.dumps(summary_dict, **compact)
     print(summary)
 
 

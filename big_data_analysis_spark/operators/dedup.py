@@ -317,11 +317,14 @@ def minhash_dedup_pairs(
 # one-generation retention, via operators.index_store.)
 # ---------------------------------------------------------------------------
 
-_MINHASH_PREFIXES = ("sigs-", "bands-")
+_MINHASH_PREFIXES = ("sigs-", "bands-", "tombstones-")
 
 
 def _minhash_artifacts(manifest: dict) -> set:
-    return set(manifest.get("sig_dirs", [])) | set(manifest.get("band_dirs", []))
+    arts = set(manifest.get("sig_dirs", [])) | set(manifest.get("band_dirs", []))
+    if manifest.get("tombstones_file"):
+        arts.add(manifest["tombstones_file"])
+    return arts
 
 
 def _write_minhash_version(sigs: DataFrame, path: str, num_bands: int,
@@ -397,25 +400,64 @@ def minhash_index_save(
     )
 
 
+def _minhash_tombstones(path: str, man: dict):
+    """The (id, scope) tombstone table as a pandas frame, or None.
+    Tombstones are a deletion trickle — the file is tiny and
+    driver-read ONCE per load."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    tf = man.get("tombstones_file")
+    if not tf:
+        return None
+    return pq_.read_table(os.path.join(path, tf)).to_pandas()
+
+
 def minhash_index_load(spark, path: str):
     """Load the persisted signature index lazily: returns
     ``(sigs, bands, manifest)`` where sigs is (id, signature) and
     bands is (id, band_idx, band_hash) — no text scan, no hashing.
     Multi-version stores union per-dir scans (Spark refuses multi-root
-    reads of separately-partitioned dirs)."""
+    reads of separately-partitioned dirs). Tombstoned ids
+    (``minhash_index_delete``) are masked per dir branch with a
+    BROADCAST anti-join scoped to the dirs that existed when the
+    delete committed — a later shard append may legitimately RE-ADD a
+    deleted id (its dir sits past every earlier scope)."""
     import os
     from functools import reduce
 
     from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "minhash_index_load")
+    tombs = _minhash_tombstones(path, man)
+
+    def _masked(frame: DataFrame, i: int) -> DataFrame:
+        if tombs is None:
+            return frame
+        dead = tombs.loc[tombs["scope"] > i, "id"].tolist()
+        if not dead:
+            return frame
+        tomb = F.broadcast(
+            frame.sparkSession.createDataFrame(
+                [(v,) for v in dead], frame.select("id").schema
+            )
+        )
+        return frame.join(tomb, "id", "left_anti")
+
     sigs = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(os.path.join(path, d)) for d in man["sig_dirs"]],
+        [
+            _masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["sig_dirs"])
+        ],
     ).select("id", "signature")
     bands = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(os.path.join(path, d)) for d in man["band_dirs"]],
+        [
+            _masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["band_dirs"])
+        ],
     ).select("id", F.col("band_idx").cast("int").alias("band_idx"), "band_hash")
     return sigs, bands, man
 
@@ -452,27 +494,32 @@ def minhash_dedup_increment(
     new-vs-index join to broadcast; the stored band scan is
     band-partitioned and never shuffles the corpus side on anything
     but the (band_idx, band_hash) bucket key."""
-    from big_data_analysis_spark.operators.index_store import read_manifest
-
-    # Read params from the manifest (not from caller args): stored and
-    # fresh signatures must use the same family or the agreement rate
-    # is meaningless.
-    man_probe = read_manifest(path, "minhash_dedup_increment")
+    # ONE manifest read: params and artifact dirs must come from the
+    # SAME manifest generation (a compaction committing between two
+    # reads could pair one generation's params with another's dirs).
+    # Params come from the manifest, never from caller args: stored
+    # and fresh signatures must use the same family or the agreement
+    # rate is meaningless.
+    sigs_idx, bands_idx, man_probe = minhash_index_load(spark, path)
     nh = man_probe["num_hashes"]
     nb = man_probe["num_bands"]
     rpb = man_probe["rows_per_band"]
     sn = man_probe["shingle_n"]
     id_col = man_probe["id_col"]
-    sigs_idx, bands_idx, _ = minhash_index_load(spark, path)
 
-    # Shard signatures: localCheckpoint — referenced by the candidate
-    # join, the verify join AND the append write; blocks release when
-    # the caller drops the result (the CC discipline).
-    new_sigs = (
-        minhash_signature(new_docs, text_col, id_col, nh, sn)
-        .join(sigs_idx.select("id"), "id", "left_anti")
-        .localCheckpoint(eager=True)
+    # Skip already-indexed ids BEFORE signing: the anti-join is on ids
+    # only, so a re-submitted/overlapping shard never pays the
+    # shingle-explode + 64-way min-aggregate for docs that will be
+    # thrown away anyway. Shard signatures: localCheckpoint —
+    # referenced by the candidate join, the verify join AND the append
+    # write; blocks release when the caller drops the result (the CC
+    # discipline).
+    fresh_docs = new_docs.join(
+        sigs_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+    new_sigs = minhash_signature(
+        fresh_docs, text_col, id_col, nh, sn
+    ).localCheckpoint(eager=True)
     new_bands = minhash_bands(new_sigs, nb, rpb)
 
     nn = (
@@ -534,6 +581,69 @@ def minhash_dedup_increment(
     return pairs
 
 
+def minhash_index_delete(spark, path: str, ids) -> None:
+    """Remove documents from the PERSISTED signature index without
+    rewriting any artifact — the takedown path (a deleted doc must stop
+    generating near-dup pairs immediately): deleted ids land in a tiny
+    ``tombstones-<ver>.parquet`` (id, scope) file, the manifest
+    repoints atomically, and ``minhash_index_load`` masks them per
+    artifact-dir branch with a broadcast anti-join. Same scope
+    semantics as ``ivfpq_delete``: scope = number of sig dirs at
+    delete time, so a LATER shard append may re-add the id (its dir
+    sits past every earlier scope; the increment's skip-existing
+    anti-join runs against the MASKED load, so a deleted id counts as
+    not-indexed). ``minhash_index_compact`` purges tombstoned rows
+    physically and drops the file. ``ids``: a Python sequence or a
+    1-column DataFrame; empty = no-op, no version bump."""
+    import os
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from big_data_analysis_spark.operators.index_store import (
+        commit_manifest,
+        read_manifest,
+    )
+
+    man = read_manifest(path, "minhash_index_delete")
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"minhash_index_delete: ids DataFrame must have exactly "
+                f"one column, got {ids.columns}"
+            )
+        id_values = [r[0] for r in ids.distinct().collect()]
+    else:
+        id_values = list(dict.fromkeys(ids))
+    id_values = [v for v in id_values if v is not None]
+    if not id_values:
+        return  # manifest untouched
+    scope = len(man["sig_dirs"])
+    new = pd.DataFrame({"id": id_values, "scope": scope})
+    old = _minhash_tombstones(path, man)
+    if old is not None:
+        # max scope per id: a re-deleted id must mask every dir that
+        # exists NOW, superseding its earlier, narrower tombstone.
+        new = (
+            pd.concat([old, new], ignore_index=True)
+            .groupby("id", as_index=False)["scope"]
+            .max()
+        )
+    tf = f"tombstones-{uuid.uuid4().hex[:12]}.parquet"
+    pq_.write_table(
+        pa.Table.from_pandas(new, preserve_index=False),
+        os.path.join(path, tf),
+    )
+    new_man = dict(man)
+    new_man["tombstones_file"] = tf
+    new_man.pop("retained", None)
+    commit_manifest(
+        path, new_man, prefixes=_MINHASH_PREFIXES, artifacts_fn=_minhash_artifacts
+    )
+
+
 def minhash_index_compact(spark, path: str) -> None:
     """Fold an appended signature index's base + shard directories back
     into ONE (sigs, bands) version — the LSM compaction half, same as
@@ -553,8 +663,11 @@ def minhash_index_compact(spark, path: str) -> None:
     )
 
     man = read_manifest(path, "minhash_index_compact")
-    if len(man["sig_dirs"]) <= 1:
-        return  # already compact
+    if len(man["sig_dirs"]) <= 1 and not man.get("tombstones_file"):
+        return  # already compact, nothing to purge
+    # minhash_index_load applies the tombstone masking, so the merged
+    # dir is written with deletions PURGED and the tombstone file is
+    # dropped from the manifest (the per-load anti-join disappears).
     sigs, _, _ = minhash_index_load(spark, path)
     sig_dir, band_dir = _write_minhash_version(
         sigs, path, man["num_bands"], man["rows_per_band"]
@@ -562,6 +675,7 @@ def minhash_index_compact(spark, path: str) -> None:
     new_man = dict(man)
     new_man["sig_dirs"] = [sig_dir]
     new_man["band_dirs"] = [band_dir]
+    new_man.pop("tombstones_file", None)
     new_man.pop("retained", None)
     commit_manifest(
         path,
@@ -1134,17 +1248,35 @@ def contamination_pairs_from_index(
 
 def decontaminate(
     train: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     text_col: str,
     id_col: str,
     n: int = 5,
     min_shared: int = 1,
+    benchmark_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Drop training docs contaminated by the benchmark set: anti-join
     against the ids flagged by ``contamination_pairs`` (>= min_shared
-    distinct shared n-grams with ANY benchmark doc)."""
+    distinct shared n-grams with ANY benchmark doc).
+
+    ``benchmark_grams`` accepts a PREBUILT ``gram_index(benchmark, ...)``
+    frame (columns (id, gram)) in place of ``benchmark``: when many
+    shards / micro-batches are decontaminated against the SAME
+    benchmark (the streaming corpus-refresh shape), build the gram
+    index once, localCheckpoint it, and pass it here — otherwise every
+    call re-pays the benchmark tokenize + shingle explode."""
+    if benchmark_grams is None:
+        if benchmark is None:
+            raise ValueError(
+                "decontaminate: pass benchmark or benchmark_grams"
+            )
+        benchmark_grams = gram_index(benchmark, text_col, id_col, n)
+    t = gram_index(train, text_col, id_col, n).withColumnRenamed(
+        "id", "train_id"
+    )
+    b = benchmark_grams.withColumnRenamed("id", "bench_id")
     flagged = (
-        contamination_pairs(train, benchmark, text_col, id_col, n)
+        contamination_pairs_from_index(t, b)
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("train_id").alias(id_col))
         .distinct()

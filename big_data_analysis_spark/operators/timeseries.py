@@ -773,14 +773,21 @@ def cusum_changepoint(
     100 TB always pass the series keys."""
     parts = list(partition_by)
     v = F.col(value_col)
-    vd = v.cast("double")
+    vd = v.try_cast("double")
+    # Guard construction notes: every predicate must evaluate to a
+    # definite TRUE for a bad row — a NULL predicate ORed in counts as
+    # 0 and silently passes. So non-numeric strings are caught by
+    # "value present but double-cast NULL" (try_cast, since ANSI cast
+    # would raise mid-aggregate instead of counting), and magnitudes
+    # at/above 2^63 are rejected explicitly (an integral 1e19 passes
+    # floor-equality but the long cast would clamp to Long.MaxValue).
     n_bad = df.select(
         F.sum(
             F.when(
                 v.isNull()
+                | (v.isNotNull() & vd.isNull())
                 | F.isnan(vd)
-                | (vd == float("inf"))
-                | (vd == float("-inf"))
+                | (F.abs(vd) >= F.lit(float(2**63)))
                 | (vd != F.floor(vd)),
                 1,
             ).otherwise(0)
@@ -789,9 +796,10 @@ def cusum_changepoint(
     if n_bad:
         raise ValueError(
             f"cusum_changepoint: {n_bad} value(s) in {value_col!r} are "
-            "null, NaN, infinite or non-integral — the exact-argmax "
-            "guarantee needs integer arithmetic and a silent long-cast "
-            "would truncate 1.75 -> 1 and move the change point; scale "
+            "null, non-numeric, NaN, infinite, non-integral or beyond "
+            "long range — the exact-argmax guarantee needs integer "
+            "arithmetic and a silent long-cast would truncate 1.75 -> 1 "
+            "(or clamp 1e19) and move the change point; scale "
             "fractional series to integer units (cents) first (CUSUM's "
             "argmax is scale-equivariant)"
         )

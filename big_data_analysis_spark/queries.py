@@ -38,6 +38,31 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _multiset_mismatch(a: DataFrame, b: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row (n_mismatch bigint) frame counting multiset differences
+    between two frames on ``cols`` — the parity-certificate primitive
+    (incremental-vs-batch dedup, stream-vs-batch refresh): tag the
+    sides, group on the compared columns, count rows where the side
+    counts disagree. NULL-safe: groupBy treats NULLs as equal keys, so
+    a NULL-bearing row on one side only still registers as a mismatch."""
+    tagged = a.select(*cols, F.lit(1).alias("__s")).unionByName(
+        b.select(*cols, F.lit(2).alias("__s"))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("__nb"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__na") != F.col("__nb"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_mismatch")
+        )
+    )
+
+
 # =========================================================================
 # Flagship: price-trend association rules (SURVEY.md §7 step 2)
 # lineitem ⋈ part -> monthly brand price series -> lag window -> ±5% CASE
@@ -2083,12 +2108,18 @@ def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_pairs template. Two-appends-compose is pinned in
     tests/test_dedup.py::test_minhash_incremental_index_composes_with_batch."""
     import os
+    import shutil
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     shard = d.filter(F.col("doc_id") % 10 == 0)
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/root/repo/.scratch/minhash-index-{sf_tag}"
+    # pid-scoped scratch (concurrent bench + driver runs must not race
+    # on one index dir: a shared path would interleave the fixed
+    # ._INDEX.json.tmp and let one process's commits delete generations
+    # another's lazy manifest still references), cleaned after the
+    # eager certificate pull below.
+    path = f"/root/repo/.scratch/minhash-index-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
     dd.minhash_index_save(
         corpus, "text", "doc_id", path, num_hashes=64, num_bands=16, shingle_n=3
     )
@@ -2099,30 +2130,11 @@ def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=3,
         threshold=0.7,
     ).filter(touching)
-    # parity: multiset equality of (id_a, id_b, est_jaccard) — tag the
-    # sides, group, and count rows where the side-counts disagree
-    ikeys = incr.select(
-        "id_a", "id_b", F.round("est_jaccard", 9).alias("e"),
-        F.lit(1).alias("__s"),
+    # parity: multiset equality of (id_a, id_b, est_jaccard)
+    e9 = lambda df_: df_.select(  # noqa: E731 - tiny local projection
+        "id_a", "id_b", F.round("est_jaccard", 9).alias("e")
     )
-    bkeys = batch_t.select(
-        "id_a", "id_b", F.round("est_jaccard", 9).alias("e"),
-        F.lit(2).alias("__s"),
-    )
-    par = (
-        ikeys.unionByName(bkeys)
-        .groupBy("id_a", "id_b", "e")
-        .agg(
-            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("ni"),
-            F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("nb"),
-        )
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("ni") != F.col("nb"), 1).otherwise(0)),
-                F.lit(0),
-            ).alias("n_mismatch")
-        )
-    )
+    par = _multiset_mismatch(e9(incr), e9(batch_t), ["id_a", "id_b", "e"])
 
     slice_ = d.filter(F.col("doc_id") < 500)
     exact05 = (
@@ -2161,7 +2173,13 @@ def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return cert
+    # Eager 1-row pull, then drop the scratch index: the driver
+    # collects the RETURNED frame later, and a lazy cert would read
+    # index dirs this cleanup just deleted (the minhash_pairs eager
+    # pattern, extended to on-disk state).
+    rows = cert.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, cert.schema)
 
 
 _SIMHASH_CONTRACT_ORACLE = """
@@ -7527,6 +7545,13 @@ def q_streaming_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
     )
+    # The benchmark never changes across micro-batches: build its gram
+    # index ONCE (localCheckpoint: blocks release when this query's
+    # frames drop) instead of re-paying the tokenize+shingle explode
+    # inside all four foreachBatch bodies AND the batch twin.
+    bench_grams = dd.gram_index(bench, "text", "doc_id", 5).localCheckpoint(
+        eager=True
+    )
     back_schema = "doc_id bigint, source string, text string, n_tok bigint"
 
     def _pipeline(docs: DataFrame, committed: DataFrame | None) -> DataFrame:
@@ -7540,7 +7565,9 @@ def q_streaming_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seen, "__fp", "left_anti"
             ).drop("__fp")
         train = dq.filter(F.col("doc_id") % 10 != 0)
-        cleaned = dd.decontaminate(train, bench, "text", "doc_id", n=5)
+        cleaned = dd.decontaminate(
+            train, None, "text", "doc_id", n=5, benchmark_grams=bench_grams
+        )
         return cleaned.select("doc_id", "source", "text", "n_tok")
 
     def _process_batch(bdf: DataFrame, bid: int) -> None:
@@ -7584,22 +7611,7 @@ def q_streaming_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     twin = _pipeline(batch_docs, None)
-    tagged = back.withColumn("__s", F.lit(1)).unionByName(
-        twin.withColumn("__s", F.lit(2))
-    )
-    par = (
-        tagged.groupBy("doc_id", "source", "text", "n_tok")
-        .agg(
-            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("ni"),
-            F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("nb"),
-        )
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("ni") != F.col("nb"), 1).otherwise(0)),
-                F.lit(0),
-            ).alias("n_mismatch")
-        )
-    )
+    par = _multiset_mismatch(back, twin, ["doc_id", "source", "text", "n_tok"])
     digest = back.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum(F.length("text")), F.lit(0))

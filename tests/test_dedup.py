@@ -131,6 +131,85 @@ def test_minhash_incremental_index_composes_with_batch(spark, docs, request):
         dd.minhash_index_save(a, "text", "doc_id", path, num_hashes=60, num_bands=16)
 
 
+def test_minhash_index_delete_tombstone_lifecycle(spark, request):
+    """Takedown path: a tombstoned doc stops appearing in incremental
+    pairs immediately (no artifact rewrite), a LATER shard append may
+    re-add the id (scope semantics), increments treat deleted ids as
+    not-indexed, and compaction purges physically (single dirs, no
+    tombstone file, masked rows gone from the raw store)."""
+    import json
+    import os
+    import shutil
+
+    # docs 2k and 2k+1 share an identical, pair-unique vocabulary —
+    # cross-pair Jaccard is exactly 0, so partner sets are crisp
+    rows = [
+        (i, " ".join(f"w{i // 2}_{j}" for j in range(12))) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = f"/root/repo/.scratch/minhash-del-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    dd.minhash_index_save(docs, "text", "doc_id", path, num_hashes=64,
+                          num_bands=16, shingle_n=1)
+    probe = spark.createDataFrame(
+        [(100, " ".join(f"w0_{j}" for j in range(12)))],
+        "doc_id long, text string",
+    )
+
+    def probe_partners():
+        got = dd.minhash_dedup_increment(
+            spark, probe, "text", path, threshold=0.5, append=False
+        ).collect()
+        return ({r["id_a"] for r in got} | {r["id_b"] for r in got}) - {100}
+
+    assert probe_partners() == {0, 1}
+
+    dd.minhash_index_delete(spark, path, [0])
+    after = probe_partners()
+    assert 0 not in after and 1 in after
+    sigs, bands, man = dd.minhash_index_load(spark, path)
+    assert sigs.filter(F.col("id") == 0).count() == 0
+    assert bands.filter(F.col("id") == 0).count() == 0
+    assert sigs.count() == 9
+
+    # empty delete: no version churn
+    snap = json.load(open(os.path.join(path, "_INDEX.json")))
+    dd.minhash_index_delete(spark, path, [])
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == snap
+
+    # a LATER append re-adds the id: the skip-existing anti-join runs
+    # against the MASKED load, so the deleted id counts as not-indexed
+    readd = docs.filter(F.col("doc_id") == 0)
+    dd.minhash_dedup_increment(spark, readd, "text", path, threshold=0.5)
+    sigs2, _, _ = dd.minhash_index_load(spark, path)
+    assert sigs2.filter(F.col("id") == 0).count() == 1  # exactly once
+    assert probe_partners() == {0, 1}
+
+    # re-delete consolidates to the max scope: 0 vanishes again even
+    # though its new row lives past the FIRST tombstone's scope
+    dd.minhash_index_delete(spark, path, [0, 3])
+    assert probe_partners() == {1}
+    sigs3, _, _ = dd.minhash_index_load(spark, path)
+    assert sigs3.count() == 8
+
+    # compaction purges physically and drops the tombstone file
+    dd.minhash_index_compact(spark, path)
+    man_c = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert len(man_c["sig_dirs"]) == 1 and "tombstones_file" not in man_c
+    raw = spark.read.parquet(os.path.join(path, man_c["sig_dirs"][0]))
+    assert raw.count() == 8
+    assert raw.filter(F.col("id").isin(0, 3)).count() == 0
+    assert probe_partners() == {1}
+
+    # 2-column ids frame refuses; unknown path refuses
+    with pytest.raises(ValueError, match="one column"):
+        dd.minhash_index_delete(spark, path, docs.select("doc_id", "text"))
+    with pytest.raises(FileNotFoundError, match="_INDEX.json"):
+        dd.minhash_index_delete(spark, "/root/repo/.scratch/no-such-mh", [1])
+
+
 def test_simhash_identical_and_perturbed(spark):
     """Identical texts -> hamming 0; one-token change -> small hamming;
     unrelated texts -> large hamming."""

@@ -979,12 +979,22 @@ def test_cusum_changepoint_rejects_non_integral_values(spark):
     import pytest
     from big_data_analysis_spark.operators.timeseries import cusum_changepoint
 
-    for bad in [1.75, float("nan"), float("inf"), None]:
+    for bad in [1.75, float("nan"), float("inf"), None, 1e19]:
         df = spark.createDataFrame(
             [("a", 0, 1.0), ("a", 1, bad)], "k string, t int, v double"
         )
-        with pytest.raises(ValueError, match="non-integral|null, NaN"):
+        with pytest.raises(ValueError, match="non-integral|long range"):
             cusum_changepoint(df, "t", "v", partition_by=["k"])
+
+    # a string column smuggling a non-numeric value must raise, not
+    # silently drop the row from the prefix sums (double-cast NULL is
+    # caught as "present but uncastable")
+    sdf = spark.createDataFrame(
+        [("a", 0, "10"), ("a", 1, "abc"), ("a", 2, "20")],
+        "k string, t int, v string",
+    )
+    with pytest.raises(ValueError, match="non-numeric|non-integral"):
+        cusum_changepoint(sdf, "t", "v", partition_by=["k"])
 
     ok = spark.createDataFrame(
         [("a", i, float(10 if i < 5 else 20)) for i in range(10)],
