@@ -151,6 +151,8 @@ EXTENDED_QUERIES = [
     # foreachBatch + exactly-once manifest sink + batch-twin parity)
     "minhash_incremental_docs",
     "streaming_corpus_refresh",
+    "exact_dedup_incremental_docs",
+    "simhash_incremental_docs",
 ]
 
 

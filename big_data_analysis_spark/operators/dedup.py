@@ -581,6 +581,255 @@ def minhash_dedup_increment(
     return pairs
 
 
+_SIMHASH_IDX_PREFIXES = ("shs-",)
+
+
+def _simhash_idx_artifacts(manifest: dict) -> set:
+    return set(manifest.get("sh_dirs", []))
+
+
+def simhash_index_save(df: DataFrame, text_col: str, id_col: str, path: str) -> None:
+    """Persist the SimHash tier's refresh state: one (id, simhash) row
+    per document — 16 bytes/doc, the cheapest near-dup artifact. The
+    Manku combo keys are NOT stored: they derive from the 64-bit hash
+    by pure codegen at probe time, so ``max_hamming`` stays a
+    query-time knob instead of a baked index parameter (unlike MinHash
+    banding, whose keys depend on save-time num_bands). Same
+    versioned-artifact + atomic manifest discipline as the other
+    stores (operators.index_store)."""
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+    from big_data_analysis_spark.operators.index_store import commit_manifest
+
+    os.makedirs(path, exist_ok=True)
+    ver = uuid.uuid4().hex[:12]
+    sh_dir = f"shs-{ver}"
+    write_parquet(simhash(df, text_col, id_col), os.path.join(path, sh_dir))
+    commit_manifest(
+        path,
+        {
+            "format_version": 1,
+            "kind": "simhash",
+            "id_col": id_col,
+            "sh_dirs": [sh_dir],
+        },
+        prefixes=_SIMHASH_IDX_PREFIXES,
+        artifacts_fn=_simhash_idx_artifacts,
+    )
+
+
+def simhash_index_load(spark, path: str):
+    """Load the persisted (id, simhash) store lazily: ``(hashed,
+    manifest)``. Multi-version stores union per-dir scans."""
+    import os
+    from functools import reduce
+
+    from big_data_analysis_spark.operators.index_store import read_manifest
+
+    man = read_manifest(path, "simhash_index_load")
+    hashed = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(os.path.join(path, d)) for d in man["sh_dirs"]],
+    ).select("id", "simhash")
+    return hashed, man
+
+
+def simhash_dedup_increment(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    path: str,
+    max_hamming: int = 3,
+    append: bool = True,
+) -> DataFrame:
+    """SimHash-dedup a NEW shard against the persisted fingerprint
+    store without re-hashing the corpus text: the shard is simhashed
+    alone (skip-existing ids first — the anti-join is on ids only),
+    candidates come from the shard self-join plus the cross
+    shard-vs-index combo-key join (``simhash_pairs_between``) — NEVER
+    index-vs-index — and survive the exact hamming filter. Returns
+    (id_a, id_b, hamming): exactly the pairs of a batch
+    ``simhash_near_pairs`` run on corpus ∪ shard RESTRICTED to pairs
+    touching the shard (pair emission depends only on the two hashes,
+    so incremental is an identity — pinned by the oracle certificate
+    and the composition test). With ``append=True`` the shard's hashes
+    append as a new artifact version."""
+    from big_data_analysis_spark.operators.index_store import commit_manifest
+
+    hashed_idx, man = simhash_index_load(spark, path)
+    id_col = man["id_col"]
+    fresh_docs = new_docs.join(
+        hashed_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    new_hashed = simhash(fresh_docs, text_col, id_col).localCheckpoint(eager=True)
+    nn = simhash_candidate_pairs(new_hashed, max_hamming)
+    ni = simhash_pairs_between(new_hashed, hashed_idx, max_hamming)
+    cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
+        ni.select("id_a", "id_b", "h_a", "h_b")
+    )
+    if max_hamming <= 0:
+        pairs = cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
+    else:
+        pairs = (
+            cands.withColumn(
+                "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    if append and new_hashed.limit(1).count() > 0:
+        import os
+        import uuid
+
+        from big_data_analysis_spark.io import write_parquet
+
+        ver = uuid.uuid4().hex[:12]
+        sh_dir = f"shs-{ver}"
+        write_parquet(new_hashed, os.path.join(path, sh_dir))
+        new_man = dict(man)
+        new_man["sh_dirs"] = man["sh_dirs"] + [sh_dir]
+        new_man.pop("retained", None)
+        commit_manifest(
+            path,
+            new_man,
+            prefixes=_SIMHASH_IDX_PREFIXES,
+            artifacts_fn=_simhash_idx_artifacts,
+        )
+    return pairs
+
+
+_FP_PREFIXES = ("fps-",)
+
+
+def _fp_artifacts(manifest: dict) -> set:
+    return set(manifest.get("fp_dirs", []))
+
+
+def fingerprint_index_save(
+    df: DataFrame, text_col: str, id_col: str, path: str
+) -> None:
+    """Persist the EXACT-dedup state of a corpus: one (fp, keeper_id)
+    row per distinct normalized-text md5 fingerprint, keeper = the
+    lowest id bearing it (what ``exact_dedup`` keeps). The cheapest
+    tier of the incremental-refresh family (MinHash/SimHash/exact —
+    VERDICT r6 #2): the whole artifact is ~48 bytes per DISTINCT text,
+    and a shard refresh needs one fingerprint join instead of
+    re-hashing the archive. Same versioned-artifact + atomic manifest
+    discipline as the MinHash/IVFPQ stores (operators.index_store)."""
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+    from big_data_analysis_spark.operators.index_store import commit_manifest
+
+    os.makedirs(path, exist_ok=True)
+    fps = (
+        fingerprint(df, text_col, "__fp")
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("keeper_id"))
+        .select(F.col("__fp").alias("fp"), "keeper_id")
+    )
+    ver = uuid.uuid4().hex[:12]
+    fp_dir = f"fps-{ver}"
+    write_parquet(fps, os.path.join(path, fp_dir))
+    commit_manifest(
+        path,
+        {
+            "format_version": 1,
+            "kind": "fingerprint",
+            "id_col": id_col,
+            "fp_dirs": [fp_dir],
+        },
+        prefixes=_FP_PREFIXES,
+        artifacts_fn=_fp_artifacts,
+    )
+
+
+def fingerprint_index_load(spark, path: str):
+    """Load the persisted fingerprint index lazily: ``(fps, manifest)``
+    where fps is (fp, keeper_id). Across appended versions an fp
+    appears at most once by construction (increments only append fps
+    NOT already indexed), so the union needs no re-aggregation."""
+    import os
+    from functools import reduce
+
+    from big_data_analysis_spark.operators.index_store import read_manifest
+
+    man = read_manifest(path, "fingerprint_index_load")
+    fps = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(os.path.join(path, d)) for d in man["fp_dirs"]],
+    ).select("fp", "keeper_id")
+    return fps, man
+
+
+def exact_dedup_increment(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    path: str,
+    append: bool = True,
+) -> DataFrame:
+    """Exact-dedup a NEW shard against the persisted fingerprint index
+    without re-hashing the corpus: shard rows are fingerprinted (one
+    shard scan), duplicates of ALREADY-INDEXED texts drop (fp inner
+    match — first-indexed wins, the streaming keep-first convention,
+    which equals batch keep-lowest-id whenever shards arrive in id
+    order), and within-shard duplicate groups keep their lowest id.
+    Returns the SURVIVING shard rows with all original columns — the
+    rows a corpus refresh appends to the archive. With ``append=True``
+    the survivors' fingerprints append to the index as a new artifact
+    version, so successive increments compose.
+
+    At 100 TB: the index is one row per distinct text (fp + keeper
+    id); the shard-vs-index join shuffles on the fp hash — uniform
+    keys — and AQE broadcasts whichever side is small. The archive
+    text is never re-read."""
+    from big_data_analysis_spark.operators.index_store import commit_manifest
+
+    fps_idx, man = fingerprint_index_load(spark, path)
+    id_col = man["id_col"]
+    fp_new = fingerprint(new_docs, text_col, "__fp")
+    # winners: per new-fp lowest id, minus fps the index already holds
+    winners = (
+        fp_new.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(
+            fps_idx.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
+    survivors = new_docs.join(
+        winners.select(id_col), id_col, "left_semi"
+    )
+    if append and winners.limit(1).count() > 0:
+        import os
+        import uuid
+
+        from big_data_analysis_spark.io import write_parquet
+
+        ver = uuid.uuid4().hex[:12]
+        fp_dir = f"fps-{ver}"
+        write_parquet(
+            winners.select(
+                F.col("__fp").alias("fp"), F.col(id_col).alias("keeper_id")
+            ),
+            os.path.join(path, fp_dir),
+        )
+        new_man = dict(man)
+        new_man["fp_dirs"] = man["fp_dirs"] + [fp_dir]
+        new_man.pop("retained", None)
+        commit_manifest(
+            path,
+            new_man,
+            prefixes=_FP_PREFIXES,
+            artifacts_fn=_fp_artifacts,
+        )
+    return survivors
+
+
 def minhash_index_delete(spark, path: str, ids) -> None:
     """Remove documents from the PERSISTED signature index without
     rewriting any artifact — the takedown path (a deleted doc must stop
@@ -1106,28 +1355,8 @@ def simhash_candidate_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFram
                 F.col("b.simhash").alias("h_b"),
             )
         )
-    n_blocks = max_hamming + 3
-    widths = _simhash_block_widths(n_blocks)
-    offsets = [sum(widths[:i]) for i in range(n_blocks)]
-
-    def block(i: int) -> Column:
-        mask = (1 << widths[i]) - 1
-        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit(mask))
-
-    combos = list(itertools.combinations(range(n_blocks), 3))
-    keys = []
-    for (i, j, k) in combos:
-        # Pack 3 block values into one long: widths sum to <= 3*ceil(64/4)
-        # = 48 bits for every supported max_hamming >= 1.
-        key = (
-            F.shiftleft(block(i), widths[j] + widths[k])
-            .bitwiseOR(F.shiftleft(block(j), widths[k]))
-            .bitwiseOR(block(k))
-        )
-        keys.append(key)
-    tables = hashed.select(
-        "id", "simhash", F.posexplode(F.array(*keys)).alias("combo_idx", "combo_key")
-    )
+    widths, offsets, combos = _simhash_combo_meta(max_hamming)
+    tables = _simhash_combo_tables(hashed, widths, offsets, combos)
     a, b = tables.alias("a"), tables.alias("b")
     joined = a.join(
         b,
@@ -1141,14 +1370,51 @@ def simhash_candidate_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFram
         F.col("b.simhash").alias("h_b"),
         F.col("a.combo_idx").alias("combo_idx"),
     )
-    # Dedup WITHOUT a distinct() shuffle: a near-identical pair collides
-    # in up to C(n,3) combo tables, but both full hashes are in hand
-    # post-join, so each combo can re-derive from the XOR which blocks
-    # agree and keep the pair only in its FIRST fully-matching combo —
-    # pure codegen comparisons, exactly-once emission. Removes the
-    # distinct exchange entirely; at 100 TB that exchange would carry
-    # up-to-20x-duplicated candidate pairs, at bench scale the win is
-    # modest (stage overhead dominates a 5k-doc corpus).
+    return _simhash_first_match_only(joined, widths, offsets, combos)
+
+
+def _simhash_combo_meta(max_hamming: int):
+    """(widths, offsets, 3-of-n combos) for the Manku block tables at
+    a given hamming radius — shared by the self-join candidate pass
+    and the cross-relation (shard vs index) pass so both derive
+    IDENTICAL keys from a 64-bit simhash."""
+    n_blocks = max_hamming + 3
+    widths = _simhash_block_widths(n_blocks)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    combos = list(itertools.combinations(range(n_blocks), 3))
+    return widths, offsets, combos
+
+
+def _simhash_combo_tables(hashed: DataFrame, widths, offsets, combos) -> DataFrame:
+    """(id, simhash, combo_idx, combo_key) — one row per doc per
+    3-block combination, keys packed into one long (widths sum to
+    <= 3*ceil(64/4) = 48 bits for every supported max_hamming >= 1)."""
+
+    def block(i: int) -> Column:
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit(mask))
+
+    keys = []
+    for (i, j, k) in combos:
+        key = (
+            F.shiftleft(block(i), widths[j] + widths[k])
+            .bitwiseOR(F.shiftleft(block(j), widths[k]))
+            .bitwiseOR(block(k))
+        )
+        keys.append(key)
+    return hashed.select(
+        "id", "simhash", F.posexplode(F.array(*keys)).alias("combo_idx", "combo_key")
+    )
+
+
+def _simhash_first_match_only(joined: DataFrame, widths, offsets, combos) -> DataFrame:
+    """Dedup WITHOUT a distinct() shuffle: a near-identical pair
+    collides in up to C(n,3) combo tables, but both full hashes are in
+    hand post-join, so each combo can re-derive from the XOR which
+    blocks agree and keep the pair only in its FIRST fully-matching
+    combo — pure codegen comparisons, exactly-once emission. Removes
+    the distinct exchange entirely; at 100 TB that exchange would
+    carry up-to-20x-duplicated candidate pairs."""
     xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
 
     def block_matches(i: int) -> Column:
@@ -1161,6 +1427,57 @@ def simhash_candidate_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFram
         all3 = block_matches(i) & block_matches(j) & block_matches(k)
         first_match = F.when(all3, F.lit(idx)).otherwise(first_match)
     return joined.filter(F.col("combo_idx") == first_match).drop("combo_idx")
+
+
+def simhash_pairs_between(
+    left_hashed: DataFrame, right_hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate (id_a, id_b, h_a, h_b) pairs with one side in EACH
+    relation — the cross half of an incremental refresh (shard bands
+    never meet shard bands here, index never meets index). Same Manku
+    combo keys and first-match exactly-once dedup as the self-join
+    pass. Preconditions: one row per id per side, DISJOINT id sets
+    (the increment's skip-existing anti-join guarantees it); output is
+    canonicalized to id_a < id_b."""
+    if max_hamming <= 0:
+        joined = left_hashed.alias("a").join(
+            right_hashed.alias("b"),
+            F.col("a.simhash") == F.col("b.simhash"),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+    else:
+        widths, offsets, combos = _simhash_combo_meta(max_hamming)
+        ta = _simhash_combo_tables(left_hashed, widths, offsets, combos)
+        tb = _simhash_combo_tables(right_hashed, widths, offsets, combos)
+        joined = _simhash_first_match_only(
+            ta.alias("a")
+            .join(
+                tb.alias("b"),
+                (F.col("a.combo_idx") == F.col("b.combo_idx"))
+                & (F.col("a.combo_key") == F.col("b.combo_key")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"),
+                F.col("b.simhash").alias("h_b"),
+                F.col("a.combo_idx").alias("combo_idx"),
+            ),
+            widths,
+            offsets,
+            combos,
+        )
+    flip = F.col("id_a") > F.col("id_b")
+    return joined.select(
+        F.when(flip, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(flip, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+        F.when(flip, F.col("h_b")).otherwise(F.col("h_a")).alias("h_a"),
+        F.when(flip, F.col("h_a")).otherwise(F.col("h_b")).alias("h_b"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -131,6 +131,127 @@ def test_minhash_incremental_index_composes_with_batch(spark, docs, request):
         dd.minhash_index_save(a, "text", "doc_id", path, num_hashes=60, num_bands=16)
 
 
+def test_simhash_increment_composes_with_batch(spark, docs, request):
+    """SimHash-store increments compose: index(A), increment(B),
+    increment(C) — incr(B) ∪ incr(C) ∪ batch(A) equal one batch
+    simhash_near_pairs over A∪B∪C, pair-for-pair INCLUDING hamming
+    (emission depends only on the two 64-bit hashes). Re-submitted
+    shards skip; append=False persists nothing; max_hamming stays a
+    probe-time knob (0 = exact-fingerprint equality path)."""
+    import json
+    import os
+    import shutil
+
+    d = docs.filter(F.col("doc_id") < 900)
+    a = d.filter(F.col("doc_id") % 3 == 0)
+    b = d.filter(F.col("doc_id") % 3 == 1)
+    c = d.filter(F.col("doc_id") % 3 == 2)
+    path = f"/root/repo/.scratch/simhash-compose-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    dd.simhash_index_save(a, "text", "doc_id", path)
+    pairs = lambda df_: {
+        (r["id_a"], r["id_b"], r["hamming"]) for r in df_.collect()
+    }
+    incr_b = pairs(
+        dd.simhash_dedup_increment(spark, b, "text", path, max_hamming=3)
+    )
+    incr_c = pairs(
+        dd.simhash_dedup_increment(spark, c, "text", path, max_hamming=3)
+    )
+    batch_a = pairs(dd.simhash_near_pairs(a, "text", "doc_id", max_hamming=3))
+    batch_all = pairs(dd.simhash_near_pairs(d, "text", "doc_id", max_hamming=3))
+    assert incr_b | incr_c | batch_a == batch_all
+    assert not (incr_b & batch_a) and not (incr_c & (incr_b | batch_a))
+
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert dd.simhash_dedup_increment(
+        spark, b, "text", path, max_hamming=3
+    ).count() == 0
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
+    probe = docs.filter(F.col("doc_id") >= 900)
+    dd.simhash_dedup_increment(
+        spark, probe, "text", path, max_hamming=3, append=False
+    ).count()
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
+
+    # max_hamming=0: exact-equality path, both join shapes
+    dup = spark.createDataFrame(
+        [(5000, d.filter(F.col("doc_id") == 0).head()["text"]),
+         (5001, "completely different text about nothing shared at all"),
+         (5002, "completely different text about nothing shared at all")],
+        "doc_id long, text string",
+    )
+    got = pairs(
+        dd.simhash_dedup_increment(
+            spark, dup, "text", path, max_hamming=0, append=False
+        )
+    )
+    assert (0, 5000, 0) in got and (5001, 5002, 0) in got
+
+    with pytest.raises(FileNotFoundError, match="_INDEX.json"):
+        dd.simhash_dedup_increment(
+            spark, b, "text", "/root/repo/.scratch/no-such-sh-index"
+        )
+
+
+def test_exact_dedup_increment_composes_with_batch(spark, docs, request):
+    """Fingerprint-index increments compose: index(A), increment(B),
+    increment(C) — survivors(B) ∪ survivors(C) plus A's keepers equal
+    one batch exact_dedup over A∪B∪C (ids ordered A<B<C so
+    first-indexed-wins == keep-lowest-id). A re-submitted shard yields
+    zero survivors and no manifest churn; append=False persists
+    nothing."""
+    import json
+    import os
+    import shutil
+
+    d = docs.filter(F.col("doc_id") < 900).select("doc_id", "text", "source")
+    # ID-RANGE splits (A<B<C), so first-indexed-wins == keep-lowest-id
+    # for ANY duplicate distribution (natural sf0.1 dups included);
+    # synthesized cross-set duplicates: B carries copies of A texts, C
+    # carries copies of A and B texts (ids shifted ABOVE all real ids)
+    a = d.filter(F.col("doc_id") < 300)
+    b = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)).unionByName(
+        a.limit(10).select((F.col("doc_id") + 100000).alias("doc_id"),
+                           "text", "source")
+    )
+    c = d.filter(F.col("doc_id") >= 600).unionByName(
+        b.limit(10).select((F.col("doc_id") + 200000).alias("doc_id"),
+                           "text", "source")
+    )
+    path = f"/root/repo/.scratch/fp-compose-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    dd.fingerprint_index_save(a, "text", "doc_id", path)
+    ids = lambda df_: {r["doc_id"] for r in df_.select("doc_id").collect()}
+    surv_b = ids(dd.exact_dedup_increment(spark, b, "text", path))
+    surv_c = ids(dd.exact_dedup_increment(spark, c, "text", path))
+    batch_all = ids(
+        dd.exact_dedup(a.unionByName(b).unionByName(c), "text", "doc_id")
+    )
+    kept_a = ids(dd.exact_dedup(a, "text", "doc_id"))
+    assert kept_a | surv_b | surv_c == batch_all
+    assert not (surv_b & kept_a) and not (surv_c & (surv_b | kept_a))
+    # the +100000/+200000 copies never survive (their originals are
+    # indexed first)
+    assert all(i < 100000 for i in surv_b | surv_c)
+
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    again = dd.exact_dedup_increment(spark, b, "text", path)
+    assert again.count() == 0
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
+    fresh = docs.filter(F.col("doc_id") >= 900).select("doc_id", "text", "source")
+    dd.exact_dedup_increment(spark, fresh, "text", path, append=False).count()
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
+
+    with pytest.raises(FileNotFoundError, match="_INDEX.json"):
+        dd.exact_dedup_increment(spark, b, "text",
+                                 "/root/repo/.scratch/no-such-fp-index")
+
+
 def test_minhash_index_delete_tombstone_lifecycle(spark, request):
     """Takedown path: a tombstoned doc stops appearing in incremental
     pairs immediately (no artifact rewrite), a LATER shard append may

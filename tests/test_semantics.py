@@ -561,6 +561,7 @@ def test_driver_window_covers_critical_queries():
         # (b) round-7 additions: incremental MinHash index refresh and
         # the streaming end-to-end corpus refresh
         "minhash_incremental_docs", "streaming_corpus_refresh",
+        "exact_dedup_incremental_docs", "simhash_incremental_docs",
         # (c) code/oracle changed this round -> external
         # re-verification: verify_constraints 'unique' NULL handling,
         # cusum integrality validation, persist->localCheckpoint
