@@ -789,3 +789,44 @@ def test_rfm_segmentation_no_single_partition(spark, sf_dir):
     df = QUERIES["rfm_segments_customers"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_incremental_dedup_increments_never_cartesian(spark, sf_dir, request):
+    """The three incremental-refresh tiers must plan their
+    shard-vs-index joins as keyed (broadcast/shuffled hash) joins —
+    never a CartesianProduct/NestedLoop — and the MinHash increment
+    must scan the stored band table ONCE (one union branch per
+    artifact version, one version here)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    shard = d.filter(F.col("doc_id") % 10 == 0)
+    base = f"/root/repo/.scratch/plan-incr-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+
+    dd.fingerprint_index_save(corpus, "text", "doc_id", f"{base}/fp")
+    exact = dd.exact_dedup_increment(
+        spark, shard, "text", f"{base}/fp", append=False
+    )
+    dd.minhash_index_save(
+        corpus, "text", "doc_id", f"{base}/mh",
+        num_hashes=64, num_bands=16, shingle_n=3,
+    )
+    mh = dd.minhash_dedup_increment(
+        spark, shard, "text", f"{base}/mh", append=False
+    )
+    dd.simhash_index_save(corpus, "text", "doc_id", f"{base}/sh")
+    sh = dd.simhash_dedup_increment(
+        spark, shard, "text", f"{base}/sh", append=False
+    )
+    for name, df in (("exact", exact), ("minhash", mh), ("simhash", sh)):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    assert formatted_plan(mh).count("bands-") == 1, formatted_plan(mh)
