@@ -588,6 +588,19 @@ def _simhash_idx_artifacts(manifest: dict) -> set:
     return set(manifest.get("sh_dirs", []))
 
 
+def _write_simhash_version(hashed: DataFrame, path: str) -> str:
+    """Write one uuid-versioned (id, simhash) dir — shared by save and
+    increment (the _write_minhash_version discipline)."""
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+
+    sh_dir = f"shs-{uuid.uuid4().hex[:12]}"
+    write_parquet(hashed, os.path.join(path, sh_dir))
+    return sh_dir
+
+
 def simhash_index_save(df: DataFrame, text_col: str, id_col: str, path: str) -> None:
     """Persist the SimHash tier's refresh state: one (id, simhash) row
     per document — 16 bytes/doc, the cheapest near-dup artifact. The
@@ -598,15 +611,11 @@ def simhash_index_save(df: DataFrame, text_col: str, id_col: str, path: str) -> 
     versioned-artifact + atomic manifest discipline as the other
     stores (operators.index_store)."""
     import os
-    import uuid
 
-    from big_data_analysis_spark.io import write_parquet
     from big_data_analysis_spark.operators.index_store import commit_manifest
 
     os.makedirs(path, exist_ok=True)
-    ver = uuid.uuid4().hex[:12]
-    sh_dir = f"shs-{ver}"
-    write_parquet(simhash(df, text_col, id_col), os.path.join(path, sh_dir))
+    sh_dir = _write_simhash_version(simhash(df, text_col, id_col), path)
     commit_manifest(
         path,
         {
@@ -680,14 +689,7 @@ def simhash_dedup_increment(
             .select("id_a", "id_b", "hamming")
         )
     if append and new_hashed.limit(1).count() > 0:
-        import os
-        import uuid
-
-        from big_data_analysis_spark.io import write_parquet
-
-        ver = uuid.uuid4().hex[:12]
-        sh_dir = f"shs-{ver}"
-        write_parquet(new_hashed, os.path.join(path, sh_dir))
+        sh_dir = _write_simhash_version(new_hashed, path)
         new_man = dict(man)
         new_man["sh_dirs"] = man["sh_dirs"] + [sh_dir]
         new_man.pop("retained", None)
@@ -707,6 +709,20 @@ def _fp_artifacts(manifest: dict) -> set:
     return set(manifest.get("fp_dirs", []))
 
 
+def _write_fp_version(fps: DataFrame, path: str) -> str:
+    """Write one uuid-versioned fps dir (shared by save and increment
+    so the naming/commit protocol cannot drift between them — the
+    _write_minhash_version discipline)."""
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+
+    fp_dir = f"fps-{uuid.uuid4().hex[:12]}"
+    write_parquet(fps, os.path.join(path, fp_dir))
+    return fp_dir
+
+
 def fingerprint_index_save(
     df: DataFrame, text_col: str, id_col: str, path: str
 ) -> None:
@@ -719,9 +735,7 @@ def fingerprint_index_save(
     re-hashing the archive. Same versioned-artifact + atomic manifest
     discipline as the MinHash/IVFPQ stores (operators.index_store)."""
     import os
-    import uuid
 
-    from big_data_analysis_spark.io import write_parquet
     from big_data_analysis_spark.operators.index_store import commit_manifest
 
     os.makedirs(path, exist_ok=True)
@@ -731,9 +745,7 @@ def fingerprint_index_save(
         .agg(F.min(id_col).alias("keeper_id"))
         .select(F.col("__fp").alias("fp"), "keeper_id")
     )
-    ver = uuid.uuid4().hex[:12]
-    fp_dir = f"fps-{ver}"
-    write_parquet(fps, os.path.join(path, fp_dir))
+    fp_dir = _write_fp_version(fps, path)
     commit_manifest(
         path,
         {
@@ -791,7 +803,14 @@ def exact_dedup_increment(
 
     fps_idx, man = fingerprint_index_load(spark, path)
     id_col = man["id_col"]
-    fp_new = fingerprint(new_docs, text_col, "__fp")
+    # Checkpoint the fingerprinted SHARD, not just the winners: the
+    # survivors join and the winners aggregate must see the SAME rows
+    # even when new_docs is nondeterministic across jobs (a limit()
+    # without ordering, a sample()) — re-scanning the source for the
+    # semi-join could admit a survivor whose fp was never aggregated
+    # into the appended index, silently breaking the
+    # every-archived-text-is-indexed invariant.
+    fp_new = fingerprint(new_docs, text_col, "__fp").localCheckpoint(eager=True)
     # winners: per new-fp lowest id, minus fps the index already holds
     winners = (
         fp_new.groupBy("__fp")
@@ -801,22 +820,15 @@ def exact_dedup_increment(
         )
         .localCheckpoint(eager=True)
     )
-    survivors = new_docs.join(
+    survivors = fp_new.join(
         winners.select(id_col), id_col, "left_semi"
-    )
+    ).drop("__fp")
     if append and winners.limit(1).count() > 0:
-        import os
-        import uuid
-
-        from big_data_analysis_spark.io import write_parquet
-
-        ver = uuid.uuid4().hex[:12]
-        fp_dir = f"fps-{ver}"
-        write_parquet(
+        fp_dir = _write_fp_version(
             winners.select(
                 F.col("__fp").alias("fp"), F.col(id_col).alias("keeper_id")
             ),
-            os.path.join(path, fp_dir),
+            path,
         )
         new_man = dict(man)
         new_man["fp_dirs"] = man["fp_dirs"] + [fp_dir]

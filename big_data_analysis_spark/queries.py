@@ -2197,9 +2197,9 @@ _EXACT_INCR_ORACLE = """
 WITH shard AS (
     SELECT doc_id, text, source FROM documents WHERE doc_id >= 300
     UNION ALL
-    SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 50
+    SELECT doc_id + 10000000, text, source FROM documents WHERE doc_id < 50
     UNION ALL
-    SELECT doc_id + 20000, text, source FROM documents
+    SELECT doc_id + 20000000, text, source FROM documents
     WHERE doc_id >= 300 AND doc_id < 320
 ), cfp AS (
     SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
@@ -2229,7 +2229,11 @@ def q_exact_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
     within-shard duplicate groups keep their lowest id, fresh texts
     pass. FULL row-for-row hash oracle (md5 is engine-portable), the
     strongest oracle tier — unlike the bounded-slice MinHash
-    certificate, every survivor is SQL-verified."""
+    certificate, every survivor is SQL-verified. The copy-id shifts
+    (+10M/+20M) sit far above any real doc_id at every shipped SF
+    (sf1-scale would be ~50k docs) so shifted ids can never collide
+    with real ones — a collision would put one id on two texts and
+    break the oracle's (fp, min id) join."""
     import os
     import shutil
 
@@ -2240,12 +2244,12 @@ def q_exact_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
         base.filter(F.col("doc_id") >= 300)
         .unionByName(
             base.filter(F.col("doc_id") < 50).select(
-                (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text", "source"
             )
         )
         .unionByName(
             base.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320)).select(
-                (F.col("doc_id") + 20000).alias("doc_id"), "text", "source"
+                (F.col("doc_id") + 20000000).alias("doc_id"), "text", "source"
             )
         )
     )

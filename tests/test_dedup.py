@@ -213,13 +213,18 @@ def test_exact_dedup_increment_composes_with_batch(spark, docs, request):
     # synthesized cross-set duplicates: B carries copies of A texts, C
     # carries copies of A and B texts (ids shifted ABOVE all real ids)
     a = d.filter(F.col("doc_id") < 300)
+    # deterministic duplicate slices (NOT limit(): an unordered limit
+    # may pick different rows per job, and b/c are each evaluated in
+    # several independent jobs here)
     b = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)).unionByName(
-        a.limit(10).select((F.col("doc_id") + 100000).alias("doc_id"),
-                           "text", "source")
+        a.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
     )
     c = d.filter(F.col("doc_id") >= 600).unionByName(
-        b.limit(10).select((F.col("doc_id") + 200000).alias("doc_id"),
-                           "text", "source")
+        b.filter(F.col("doc_id") < 330).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text", "source"
+        )
     )
     path = f"/root/repo/.scratch/fp-compose-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
