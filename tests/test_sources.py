@@ -431,3 +431,60 @@ def test_synthdocs_stream_full_commit_restart_emits_nothing(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 1000
     assert got.select("doc_id").distinct().count() == 1000
+
+
+def test_manifest_batch_writer_batch_id_replay_idempotent(spark, tmp_path):
+    """The batch writer's foreachBatch handle: .option("batch_id", N)
+    publishes a per-batch _BATCH_{N}.json manifest and a REPLAY of the
+    same batch id (a restarted foreachBatch re-running its body,
+    possibly with different recomputed content) is discarded — the
+    first commit wins and its rows are what the reader sees. Distinct
+    batch ids accumulate; the plain path (_MANIFEST.json) is untouched
+    by batch_id commits."""
+    import json
+    import os
+
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+    )
+
+    register_manifest_jsonl(spark)
+    out = str(tmp_path / "out")
+    schema = "k bigint, v string"
+
+    def write(df, bid):
+        (
+            df.write.format("manifest_jsonl")
+            .option("path", out)
+            .option("batch_id", str(bid))
+            .mode("append")
+            .save()
+        )
+
+    first = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    write(first, 0)
+    # replay of batch 0 with DIFFERENT content: must be discarded
+    write(spark.createDataFrame([(9, "z")], schema), 0)
+    write(spark.createDataFrame([(3, "c")], schema), 1)
+
+    back = {
+        (r["k"], r["v"])
+        for r in read_manifest_jsonl_stream(spark, out, schema).collect()
+    }
+    assert back == {(1, "a"), (2, "b"), (3, "c")}
+    manifests = sorted(
+        f for f in os.listdir(out) if f.startswith("_BATCH_")
+    )
+    assert manifests == ["_BATCH_0.json", "_BATCH_1.json"]
+    m0 = json.load(open(os.path.join(out, "_BATCH_0.json")))
+    assert m0["total_rows"] == 2  # the first commit's rows, not the replay's
+    # the replay attempt's part files were removed, not orphaned
+    listed = {
+        f["name"]
+        for mf in manifests
+        for f in json.load(open(os.path.join(out, mf)))["files"]
+    }
+    on_disk = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert on_disk == listed
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
