@@ -414,6 +414,30 @@ def _minhash_tombstones(path: str, man: dict):
     return pq_.read_table(os.path.join(path, tf)).to_pandas()
 
 
+def _tombstone_masker(path: str, man: dict, id_field: str):
+    """Per-dir-branch tombstone mask shared by every dedup store load:
+    returns mask(frame, dir_index) that broadcast-anti-joins away ids
+    whose tombstone scope covers that artifact version (dir i existed
+    at delete time iff i < scope). The tombstone table is driver-read
+    ONCE per load."""
+    tombs = _minhash_tombstones(path, man)
+
+    def mask(frame: DataFrame, i: int) -> DataFrame:
+        if tombs is None:
+            return frame
+        dead = tombs.loc[tombs["scope"] > i, "id"].tolist()
+        if not dead:
+            return frame
+        tomb = F.broadcast(
+            frame.sparkSession.createDataFrame(
+                [(v,) for v in dead], frame.select(id_field).schema
+            )
+        )
+        return frame.join(tomb, id_field, "left_anti")
+
+    return mask
+
+
 def minhash_index_load(spark, path: str):
     """Load the persisted signature index lazily: returns
     ``(sigs, bands, manifest)`` where sigs is (id, signature) and
@@ -430,20 +454,7 @@ def minhash_index_load(spark, path: str):
     from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "minhash_index_load")
-    tombs = _minhash_tombstones(path, man)
-
-    def _masked(frame: DataFrame, i: int) -> DataFrame:
-        if tombs is None:
-            return frame
-        dead = tombs.loc[tombs["scope"] > i, "id"].tolist()
-        if not dead:
-            return frame
-        tomb = F.broadcast(
-            frame.sparkSession.createDataFrame(
-                [(v,) for v in dead], frame.select("id").schema
-            )
-        )
-        return frame.join(tomb, "id", "left_anti")
+    _masked = _tombstone_masker(path, man, "id")
 
     sigs = reduce(
         DataFrame.unionByName,
@@ -581,11 +592,14 @@ def minhash_dedup_increment(
     return pairs
 
 
-_SIMHASH_IDX_PREFIXES = ("shs-",)
+_SIMHASH_IDX_PREFIXES = ("shs-", "tombstones-")
 
 
 def _simhash_idx_artifacts(manifest: dict) -> set:
-    return set(manifest.get("sh_dirs", []))
+    arts = set(manifest.get("sh_dirs", []))
+    if manifest.get("tombstones_file"):
+        arts.add(manifest["tombstones_file"])
+    return arts
 
 
 def _write_simhash_version(hashed: DataFrame, path: str) -> str:
@@ -631,18 +645,60 @@ def simhash_index_save(df: DataFrame, text_col: str, id_col: str, path: str) -> 
 
 def simhash_index_load(spark, path: str):
     """Load the persisted (id, simhash) store lazily: ``(hashed,
-    manifest)``. Multi-version stores union per-dir scans."""
+    manifest)``. Multi-version stores union per-dir scans; tombstoned
+    ids (``simhash_index_delete``) are masked per dir branch with the
+    shared scope semantics (a later append may re-add the id)."""
     import os
     from functools import reduce
 
     from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "simhash_index_load")
+    masked = _tombstone_masker(path, man, "id")
     hashed = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(os.path.join(path, d)) for d in man["sh_dirs"]],
+        [
+            masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["sh_dirs"])
+        ],
     ).select("id", "simhash")
     return hashed, man
+
+
+def simhash_index_delete(spark, path: str, ids) -> None:
+    """Takedown path for the SimHash store: scoped tombstones mask the
+    deleted ids at load (no artifact rewrite), a later shard append may
+    re-add the id, ``simhash_index_compact`` purges physically. Same
+    semantics as minhash_index_delete / ivfpq_delete."""
+    _index_tombstone_delete(
+        path, ids, "simhash_index_delete", "sh_dirs",
+        _SIMHASH_IDX_PREFIXES, _simhash_idx_artifacts,
+    )
+
+
+def simhash_index_compact(spark, path: str) -> None:
+    """Fold appended (id, simhash) versions into ONE dir, purging
+    tombstoned rows physically and dropping the tombstone file — the
+    load-time anti-join disappears. Atomic via the shared index_store
+    commit; already-compact stores with no tombstones are a no-op."""
+    from big_data_analysis_spark.operators.index_store import (
+        commit_manifest,
+        read_manifest,
+    )
+
+    man = read_manifest(path, "simhash_index_compact")
+    if len(man["sh_dirs"]) <= 1 and not man.get("tombstones_file"):
+        return
+    hashed, _ = simhash_index_load(spark, path)  # masked => purged
+    sh_dir = _write_simhash_version(hashed, path)
+    new_man = dict(man)
+    new_man["sh_dirs"] = [sh_dir]
+    new_man.pop("tombstones_file", None)
+    new_man.pop("retained", None)
+    commit_manifest(
+        path, new_man,
+        prefixes=_SIMHASH_IDX_PREFIXES, artifacts_fn=_simhash_idx_artifacts,
+    )
 
 
 def simhash_dedup_increment(
@@ -702,11 +758,14 @@ def simhash_dedup_increment(
     return pairs
 
 
-_FP_PREFIXES = ("fps-",)
+_FP_PREFIXES = ("fps-", "tombstones-")
 
 
 def _fp_artifacts(manifest: dict) -> set:
-    return set(manifest.get("fp_dirs", []))
+    arts = set(manifest.get("fp_dirs", []))
+    if manifest.get("tombstones_file"):
+        arts.add(manifest["tombstones_file"])
+    return arts
 
 
 def _write_fp_version(fps: DataFrame, path: str) -> str:
@@ -770,11 +829,54 @@ def fingerprint_index_load(spark, path: str):
     from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "fingerprint_index_load")
+    masked = _tombstone_masker(path, man, "keeper_id")
     fps = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(os.path.join(path, d)) for d in man["fp_dirs"]],
+        [
+            masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["fp_dirs"])
+        ],
     ).select("fp", "keeper_id")
     return fps, man
+
+
+def fingerprint_index_delete(spark, path: str, ids) -> None:
+    """Takedown path for the exact-dedup store: tombstone the KEEPER
+    ids (the store holds one (fp, keeper_id) row per distinct text —
+    non-keeper duplicates were never indexed), so the text's
+    fingerprint row disappears from masked loads and IDENTICAL text
+    becomes re-ingestable by a later increment (which re-indexes it
+    under the new shard's id). Deleting a non-keeper id is a harmless
+    no-op row. Scoped like the other stores; ``fingerprint_index_compact``
+    purges physically."""
+    _index_tombstone_delete(
+        path, ids, "fingerprint_index_delete", "fp_dirs",
+        _FP_PREFIXES, _fp_artifacts,
+    )
+
+
+def fingerprint_index_compact(spark, path: str) -> None:
+    """Fold appended (fp, keeper_id) versions into ONE dir, purging
+    tombstoned keepers physically and dropping the tombstone file.
+    Atomic via the shared index_store commit; no-op when already
+    compact and tombstone-free."""
+    from big_data_analysis_spark.operators.index_store import (
+        commit_manifest,
+        read_manifest,
+    )
+
+    man = read_manifest(path, "fingerprint_index_compact")
+    if len(man["fp_dirs"]) <= 1 and not man.get("tombstones_file"):
+        return
+    fps, _ = fingerprint_index_load(spark, path)  # masked => purged
+    fp_dir = _write_fp_version(fps, path)
+    new_man = dict(man)
+    new_man["fp_dirs"] = [fp_dir]
+    new_man.pop("tombstones_file", None)
+    new_man.pop("retained", None)
+    commit_manifest(
+        path, new_man, prefixes=_FP_PREFIXES, artifacts_fn=_fp_artifacts,
+    )
 
 
 def exact_dedup_increment(
@@ -842,6 +944,65 @@ def exact_dedup_increment(
     return survivors
 
 
+def _index_tombstone_delete(
+    path: str,
+    ids,
+    op: str,
+    dirs_key: str,
+    prefixes,
+    artifacts_fn,
+) -> None:
+    """Shared tombstone-delete commit for every dedup store: validate
+    ids (sequence or 1-column DataFrame), consolidate with any existing
+    tombstones at max-scope-per-id (a re-deleted id must mask every dir
+    that exists NOW, superseding its earlier, narrower tombstone),
+    write the new tombstones parquet and repoint the manifest. Empty id
+    sets are a no-op (no version bump)."""
+    import os
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from big_data_analysis_spark.operators.index_store import (
+        commit_manifest,
+        read_manifest,
+    )
+
+    man = read_manifest(path, op)
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"{op}: ids DataFrame must have exactly one column, "
+                f"got {ids.columns}"
+            )
+        id_values = [r[0] for r in ids.distinct().collect()]
+    else:
+        id_values = list(dict.fromkeys(ids))
+    id_values = [v for v in id_values if v is not None]
+    if not id_values:
+        return  # manifest untouched
+    scope = len(man[dirs_key])
+    new = pd.DataFrame({"id": id_values, "scope": scope})
+    old = _minhash_tombstones(path, man)
+    if old is not None:
+        new = (
+            pd.concat([old, new], ignore_index=True)
+            .groupby("id", as_index=False)["scope"]
+            .max()
+        )
+    tf = f"tombstones-{uuid.uuid4().hex[:12]}.parquet"
+    pq_.write_table(
+        pa.Table.from_pandas(new, preserve_index=False),
+        os.path.join(path, tf),
+    )
+    new_man = dict(man)
+    new_man["tombstones_file"] = tf
+    new_man.pop("retained", None)
+    commit_manifest(path, new_man, prefixes=prefixes, artifacts_fn=artifacts_fn)
+
+
 def minhash_index_delete(spark, path: str, ids) -> None:
     """Remove documents from the PERSISTED signature index without
     rewriting any artifact — the takedown path (a deleted doc must stop
@@ -856,52 +1017,9 @@ def minhash_index_delete(spark, path: str, ids) -> None:
     not-indexed). ``minhash_index_compact`` purges tombstoned rows
     physically and drops the file. ``ids``: a Python sequence or a
     1-column DataFrame; empty = no-op, no version bump."""
-    import os
-    import uuid
-
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq_
-
-    from big_data_analysis_spark.operators.index_store import (
-        commit_manifest,
-        read_manifest,
-    )
-
-    man = read_manifest(path, "minhash_index_delete")
-    if isinstance(ids, DataFrame):
-        if len(ids.columns) != 1:
-            raise ValueError(
-                f"minhash_index_delete: ids DataFrame must have exactly "
-                f"one column, got {ids.columns}"
-            )
-        id_values = [r[0] for r in ids.distinct().collect()]
-    else:
-        id_values = list(dict.fromkeys(ids))
-    id_values = [v for v in id_values if v is not None]
-    if not id_values:
-        return  # manifest untouched
-    scope = len(man["sig_dirs"])
-    new = pd.DataFrame({"id": id_values, "scope": scope})
-    old = _minhash_tombstones(path, man)
-    if old is not None:
-        # max scope per id: a re-deleted id must mask every dir that
-        # exists NOW, superseding its earlier, narrower tombstone.
-        new = (
-            pd.concat([old, new], ignore_index=True)
-            .groupby("id", as_index=False)["scope"]
-            .max()
-        )
-    tf = f"tombstones-{uuid.uuid4().hex[:12]}.parquet"
-    pq_.write_table(
-        pa.Table.from_pandas(new, preserve_index=False),
-        os.path.join(path, tf),
-    )
-    new_man = dict(man)
-    new_man["tombstones_file"] = tf
-    new_man.pop("retained", None)
-    commit_manifest(
-        path, new_man, prefixes=_MINHASH_PREFIXES, artifacts_fn=_minhash_artifacts
+    _index_tombstone_delete(
+        path, ids, "minhash_index_delete", "sig_dirs",
+        _MINHASH_PREFIXES, _minhash_artifacts,
     )
 
 

@@ -257,6 +257,79 @@ def test_exact_dedup_increment_composes_with_batch(spark, docs, request):
                                  "/root/repo/.scratch/no-such-fp-index")
 
 
+def test_fp_and_simhash_index_delete_compact_lifecycle(spark, request):
+    """The exact-fingerprint and SimHash stores carry the same
+    takedown lifecycle as the MinHash/IVFPQ ones: scoped tombstones
+    mask at load (no artifact rewrite), identical text becomes
+    re-ingestable after an fp keeper delete, a later append re-adds,
+    and compact purges physically + drops the tombstone file."""
+    import json
+    import os
+    import shutil
+
+    rows = [(i, " ".join(f"t{i // 2}_{j}" for j in range(12))) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = f"/root/repo/.scratch/idx-del2-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+
+    # --- fingerprint store: delete keeper -> identical text re-ingestable
+    fpp = f"{base}/fp"
+    dd.fingerprint_index_save(docs, "text", "doc_id", fpp)
+    dup0 = spark.createDataFrame(
+        [(100, rows[0][1])], "doc_id long, text string"
+    )
+    # doc 0's text is indexed (keeper 0): the copy dies
+    assert dd.exact_dedup_increment(
+        spark, dup0, "text", fpp, append=False
+    ).count() == 0
+    dd.fingerprint_index_delete(spark, fpp, [0])
+    fps, _ = dd.fingerprint_index_load(spark, fpp)
+    assert fps.filter(F.col("keeper_id") == 0).count() == 0
+    # the text is re-ingestable now, and the increment re-indexes it
+    surv = dd.exact_dedup_increment(spark, dup0, "text", fpp)
+    assert [r["doc_id"] for r in surv.collect()] == [100]
+    # the SAME text arriving again dies against the re-indexed fp
+    assert dd.exact_dedup_increment(
+        spark,
+        spark.createDataFrame([(200, rows[0][1])], "doc_id long, text string"),
+        "text", fpp, append=False,
+    ).count() == 0
+    dd.fingerprint_index_compact(spark, fpp)
+    man = json.load(open(os.path.join(fpp, "_INDEX.json")))
+    assert len(man["fp_dirs"]) == 1 and "tombstones_file" not in man
+    raw = spark.read.parquet(os.path.join(fpp, man["fp_dirs"][0]))
+    assert raw.filter(F.col("keeper_id") == 0).count() == 0
+    assert raw.filter(F.col("keeper_id") == 100).count() == 1
+
+    # --- simhash store: delete masks pairs, compact purges
+    shp = f"{base}/sh"
+    dd.simhash_index_save(docs, "text", "doc_id", shp)
+    probe = spark.createDataFrame(
+        [(300, rows[2][1])], "doc_id long, text string"
+    )
+
+    def partners():
+        got = dd.simhash_dedup_increment(
+            spark, probe, "text", shp, max_hamming=3, append=False
+        ).collect()
+        return ({r["id_a"] for r in got} | {r["id_b"] for r in got}) - {300}
+
+    assert partners() == {2, 3}
+    dd.simhash_index_delete(spark, shp, [2])
+    assert partners() == {3}
+    dd.simhash_index_compact(spark, shp)
+    man2 = json.load(open(os.path.join(shp, "_INDEX.json")))
+    assert len(man2["sh_dirs"]) == 1 and "tombstones_file" not in man2
+    raw2 = spark.read.parquet(os.path.join(shp, man2["sh_dirs"][0]))
+    assert raw2.count() == 7 and raw2.filter(F.col("id") == 2).count() == 0
+    assert partners() == {3}
+    # empty delete: no version churn; compact idempotent
+    dd.simhash_index_delete(spark, shp, [])
+    dd.simhash_index_compact(spark, shp)
+    assert json.load(open(os.path.join(shp, "_INDEX.json"))) == man2
+
+
 def test_minhash_index_delete_tombstone_lifecycle(spark, request):
     """Takedown path: a tombstoned doc stops appearing in incremental
     pairs immediately (no artifact rewrite), a LATER shard append may
