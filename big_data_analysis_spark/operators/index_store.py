@@ -35,8 +35,21 @@ def commit_manifest(
     set of artifact names it references directly; ``prefixes`` are the
     artifact filename prefixes this store owns (nothing else under
     ``path`` is ever touched). The superseded manifest's artifacts are
-    recorded under ``retained`` and kept until the next commit."""
+    recorded under ``retained`` and kept until the next commit.
+
+    Concurrency contract (ADVICE r7): ONE committer per index path at
+    a time. The read-modify-write of the previous manifest takes no
+    lock, so two simultaneous commits to the same path can lose one
+    append's dirs from the final manifest, and each commit's
+    post-publish cleanup deletes artifacts absent from ITS keep set —
+    including the other writer's freshly written generation. Torn
+    single-writer saves stay safe (the uuid tmp name below means even
+    an abandoned tmp from a killed process can never be half-renamed
+    by a later commit); concurrent writers must be serialized
+    externally — which is why every query/bench call site uses a
+    pid-scoped path."""
     import shutil
+    import uuid
 
     mpath = os.path.join(path, "_INDEX.json")
     prev_live: set = set()
@@ -49,12 +62,15 @@ def commit_manifest(
     live = artifacts_fn(manifest)
     manifest = dict(manifest)
     manifest["retained"] = sorted(prev_live - live)
-    tmp = os.path.join(path, "._INDEX.json.tmp")
+    tmp = os.path.join(path, f"._INDEX.json.{uuid.uuid4().hex[:12]}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, mpath)  # commit point
     keep = live | prev_live
-    pref = tuple(prefixes)
+    # uuid-named tmp files from a killed writer are dead the moment a
+    # commit lands (ours was just renamed away) — sweep them with the
+    # superseded artifacts
+    pref = (*prefixes, "._INDEX.json.")
     for entry in os.listdir(path):
         if entry.startswith(pref) and entry not in keep:
             target = os.path.join(path, entry)

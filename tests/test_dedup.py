@@ -89,14 +89,34 @@ def test_minhash_incremental_index_composes_with_batch(spark, docs, request):
     assert not (incr_b & batch_a)
     assert not (incr_c & (incr_b | batch_a))
 
-    # re-submitting an already-indexed shard: every id skips -> no
-    # pairs, no manifest churn
+    # re-submitting an already-indexed shard: LOUD by default (the id
+    # collision hides the colliding text — VERDICT r7 #2) ...
     import json
 
     man_before = json.load(open(os.path.join(path, "_INDEX.json")))
-    again = dd.minhash_dedup_increment(spark, b, "text", path, threshold=0.5)
+    with pytest.raises(ValueError, match="already indexed"):
+        dd.minhash_dedup_increment(spark, b, "text", path, threshold=0.5)
+    # ... and with the skip opt-in: every id skips -> no pairs, no
+    # manifest churn, and the stats report skipped == shard size
+    again, st = dd.minhash_dedup_increment(
+        spark, b, "text", path, threshold=0.5,
+        on_existing="skip", return_stats=True,
+    )
     assert again.count() == 0
+    assert st["skipped_existing"] == st["shard_rows"] == b.count()
+    assert st["indexed"] == 0 and st["appended"] is False
     assert json.load(open(os.path.join(path, "_INDEX.json"))) == man_before
+    # duplicate shard ids would merge two texts into one signature:
+    # always rejected
+    with pytest.raises(ValueError, match="duplicate or NULL"):
+        dd.minhash_dedup_increment(
+            spark,
+            spark.createDataFrame(
+                [(7000, "one text"), (7000, "another text")],
+                "doc_id long, text string",
+            ),
+            "text", path, threshold=0.5,
+        )
 
     # append=False: pairs computed, nothing persisted
     probe = docs.filter((F.col("doc_id") >= 900) & (F.col("doc_id") < 950))
@@ -166,9 +186,14 @@ def test_simhash_increment_composes_with_batch(spark, docs, request):
     assert not (incr_b & batch_a) and not (incr_c & (incr_b | batch_a))
 
     man = json.load(open(os.path.join(path, "_INDEX.json")))
-    assert dd.simhash_dedup_increment(
-        spark, b, "text", path, max_hamming=3
-    ).count() == 0
+    with pytest.raises(ValueError, match="already indexed"):
+        dd.simhash_dedup_increment(spark, b, "text", path, max_hamming=3)
+    again, st = dd.simhash_dedup_increment(
+        spark, b, "text", path, max_hamming=3,
+        on_existing="skip", return_stats=True,
+    )
+    assert again.count() == 0
+    assert st["skipped_existing"] == st["shard_rows"] and st["indexed"] == 0
     assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
     probe = docs.filter(F.col("doc_id") >= 900)
     dd.simhash_dedup_increment(
@@ -245,16 +270,91 @@ def test_exact_dedup_increment_composes_with_batch(spark, docs, request):
     assert all(i < 100000 for i in surv_b | surv_c)
 
     man = json.load(open(os.path.join(path, "_INDEX.json")))
-    again = dd.exact_dedup_increment(spark, b, "text", path)
+    again, st = dd.exact_dedup_increment(
+        spark, b, "text", path, return_stats=True
+    )
     assert again.count() == 0
+    # the replayed shard's losses are ACCOUNTED, not silent (VERDICT
+    # r7 #2): every row drops as already-indexed or within-shard dup
+    assert st["survivors"] == 0 and st["appended"] is False
+    assert (
+        st["dropped_already_indexed"] + st["dropped_within_shard"]
+        == st["shard_rows"]
+    )
     assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
     fresh = docs.filter(F.col("doc_id") >= 900).select("doc_id", "text", "source")
     dd.exact_dedup_increment(spark, fresh, "text", path, append=False).count()
     assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
 
+    # duplicate shard ids: both rows would survive while one fp indexes
+    # (ADVICE r7) — rejected up front
+    with pytest.raises(ValueError, match="duplicate or NULL"):
+        dd.exact_dedup_increment(
+            spark,
+            spark.createDataFrame(
+                [(9000, "text one", "s"), (9000, "text two", "s")],
+                "doc_id long, text string, source string",
+            ),
+            "text", path, append=False,
+        )
+
     with pytest.raises(FileNotFoundError, match="_INDEX.json"):
         dd.exact_dedup_increment(spark, b, "text",
                                  "/root/repo/.scratch/no-such-fp-index")
+
+
+def test_exact_dedup_increment_version_tag_replay(spark, docs, request):
+    """version_tag makes the fp append replay-idempotent end to end —
+    the crashed-between-fp-append-and-sink-publish interleaving: a
+    SECOND call with the same tag and the same shard must return the
+    ORIGINAL survivors (not zero rows from anti-joining the shard
+    against its own fingerprints) and must not append a second
+    version. An empty-bootstrap index (fingerprint_index_init) serves
+    batch 0."""
+    import json
+    import os
+    import shutil
+
+    path = f"/root/repo/.scratch/fp-tag-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    dd.fingerprint_index_init(spark, path, id_col="doc_id", id_type="bigint")
+    fps0, man0 = dd.fingerprint_index_load(spark, path)
+    assert fps0.count() == 0 and man0["fp_dirs"] == []
+
+    d = docs.filter(F.col("doc_id") < 200).select("doc_id", "text", "source")
+    b0 = d.filter(F.col("doc_id") < 100)
+    surv0 = dd.exact_dedup_increment(
+        spark, b0, "text", path, version_tag="batch-0"
+    )
+    ids0 = {r["doc_id"] for r in surv0.select("doc_id").collect()}
+    assert ids0 == {
+        r["doc_id"] for r in dd.exact_dedup(b0, "text", "doc_id").collect()
+    }
+    man1 = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert man1["fp_dirs"] == ["fps-tag-batch-0"]
+
+    # replay batch 0: same survivors, zero new versions
+    replay, st = dd.exact_dedup_increment(
+        spark, b0, "text", path, version_tag="batch-0", return_stats=True
+    )
+    assert {r["doc_id"] for r in replay.select("doc_id").collect()} == ids0
+    assert st["replayed"] is True and st["appended"] is False
+    assert st["survivors"] == len(ids0)
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man1
+
+    # batch 1 composes on top; a bad tag is rejected before any work
+    b1 = d.filter(F.col("doc_id") >= 100)
+    surv1 = dd.exact_dedup_increment(
+        spark, b1, "text", path, version_tag="batch-1"
+    )
+    all_keep = {
+        r["doc_id"] for r in dd.exact_dedup(d, "text", "doc_id").collect()
+    }
+    assert ids0 | {r["doc_id"] for r in surv1.select("doc_id").collect()} == all_keep
+    with pytest.raises(ValueError, match="version_tag"):
+        dd.exact_dedup_increment(spark, b1, "text", path, version_tag="a/b")
 
 
 def test_fp_and_simhash_index_delete_compact_lifecycle(spark, request):
