@@ -1035,3 +1035,95 @@ def test_embedding_outlier_scores_malformed_rows_fail_loudly(spark):
     clean = spark.createDataFrame(full, "vec_id long, embedding array<double>")
     out = sim.embedding_outlier_scores(clean, "embedding", dim=4).collect()
     assert len(out) == 2 and all(r["score"] is not None for r in out)
+
+
+def test_semantic_dedup_increment_composes(spark, emb, request):
+    """Fourth incremental tier (VERDICT r7 #4): store(A), increment(B),
+    increment(C) — with the assignment FROZEN at build time, incr(B) ∪
+    incr(C) ∪ frozen_batch(A) must equal one frozen-assignment batch
+    over A∪B∪C exactly (ids and cosine), increments are disjoint from
+    each other and the base, every pair clears the exact threshold, and
+    the store ends holding every id. Also pins the increment contracts:
+    store without raw-vector metadata refuses; overlap raises by
+    default and skip-stats account for it."""
+    import os
+    import shutil
+
+    sub = emb.filter(F.col("vec_id") < 240).select("vec_id", "embedding")
+    a = sub.filter(F.col("vec_id") % 3 == 0)
+    b = sub.filter(F.col("vec_id") % 3 == 1)
+    c = sub.filter(F.col("vec_id") % 3 == 2)
+    path = f"/root/repo/.scratch/sem-incr-compose-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    encoded, cents, books = sim.ivfpq_build(
+        a, n_cells=4, m=8, k=32, max_iter=8, keep_cols=["embedding"]
+    )
+    sim.ivfpq_save(encoded, cents, books, path)
+
+    def pairset(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["cosine_sim"], 9))
+            for r in df.collect()
+        }
+
+    incr_b = pairset(
+        sim.semantic_dedup_increment(spark, path, b, threshold=0.2)
+    )
+    incr_c = pairset(
+        sim.semantic_dedup_increment(spark, path, c, threshold=0.2)
+    )
+
+    # frozen-assignment ground truth from the final store itself
+    enc_all, _, _ = sim.ivfpq_load(spark, path)
+    members = enc_all.select("vec_id", "cell", "embedding")
+    ma = members.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    mb = members.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    csim = sim.cosine(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    frozen_all = (
+        ma.join(mb, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", csim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.2)
+    )
+    batch_all = pairset(frozen_all)
+    batch_a = {
+        p for p in batch_all if p[0] % 3 == 0 and p[1] % 3 == 0
+    }
+    assert incr_b | incr_c | batch_a == batch_all
+    assert not (incr_b & batch_a)
+    assert not (incr_c & (incr_b | batch_a))
+    assert enc_all.count() == sub.count()
+
+    # precision 1 by construction: every emitted pair's exact cosine
+    # clears the threshold
+    assert all(p[2] >= 0.2 for p in incr_b | incr_c)
+
+    # overlap policy: replaying b raises by default; skip opts in with
+    # full accounting and no second append
+    import json
+
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    with pytest.raises(ValueError, match="already indexed"):
+        sim.semantic_dedup_increment(spark, path, b, threshold=0.2)
+    pairs2, st = sim.semantic_dedup_increment(
+        spark, path, b, threshold=0.2, on_existing="skip", return_stats=True
+    )
+    assert pairs2.count() == 0
+    assert st["skipped_existing"] == st["shard_rows"] and st["indexed"] == 0
+    assert json.load(open(os.path.join(path, "_INDEX.json"))) == man
+
+    # a store saved WITHOUT the raw vector refuses with a pointer
+    bare = f"{path}-bare"
+    request.addfinalizer(lambda: shutil.rmtree(bare, ignore_errors=True))
+    enc_b, cents_b, books_b = sim.ivfpq_build(a, n_cells=4, m=8, k=32, max_iter=8)
+    sim.ivfpq_save(enc_b, cents_b, books_b, bare)
+    with pytest.raises(ValueError, match="keep_cols"):
+        sim.semantic_dedup_increment(spark, bare, b, threshold=0.2)
