@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .index_store import commit_manifest, read_manifest
 from .text import fingerprint
 
 # ---------------------------------------------------------------------------
@@ -371,7 +372,6 @@ def minhash_index_save(
     signatures with 128-hash fresh ones)."""
     import os
 
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     if num_hashes % num_bands:
         raise ValueError(
@@ -451,7 +451,6 @@ def minhash_index_load(spark, path: str):
     import os
     from functools import reduce
 
-    from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "minhash_index_load")
     _masked = _tombstone_masker(path, man, "id")
@@ -615,7 +614,6 @@ def minhash_dedup_increment(
 
     appended = False
     if append and n_fresh > 0:
-        from big_data_analysis_spark.operators.index_store import commit_manifest
 
         sig_dir, band_dir = _write_minhash_version(new_sigs, path, nb, rpb)
         man = dict(man_probe)
@@ -673,7 +671,6 @@ def simhash_index_save(df: DataFrame, text_col: str, id_col: str, path: str) -> 
     stores (operators.index_store)."""
     import os
 
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     os.makedirs(path, exist_ok=True)
     sh_dir = _write_simhash_version(simhash(df, text_col, id_col), path)
@@ -698,7 +695,6 @@ def simhash_index_load(spark, path: str):
     import os
     from functools import reduce
 
-    from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "simhash_index_load")
     masked = _tombstone_masker(path, man, "id")
@@ -728,10 +724,6 @@ def simhash_index_compact(spark, path: str) -> None:
     tombstoned rows physically and dropping the tombstone file — the
     load-time anti-join disappears. Atomic via the shared index_store
     commit; already-compact stores with no tombstones are a no-op."""
-    from big_data_analysis_spark.operators.index_store import (
-        commit_manifest,
-        read_manifest,
-    )
 
     man = read_manifest(path, "simhash_index_compact")
     if len(man["sh_dirs"]) <= 1 and not man.get("tombstones_file"):
@@ -781,7 +773,6 @@ def simhash_dedup_increment(
     returns ``(pairs, stats)`` with the exact counts. Duplicate or
     NULL shard ids always raise (two texts under one id would merge
     into one corrupt fingerprint)."""
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     if on_existing not in ("error", "skip"):
         raise ValueError(
@@ -890,7 +881,6 @@ def fingerprint_index_save(
     discipline as the MinHash/IVFPQ stores (operators.index_store)."""
     import os
 
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     os.makedirs(path, exist_ok=True)
     fps = (
@@ -929,7 +919,6 @@ def fingerprint_index_init(
     the index to empty — do not call it on a populated store."""
     import os
 
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     os.makedirs(path, exist_ok=True)
     commit_manifest(
@@ -954,7 +943,6 @@ def fingerprint_index_load(spark, path: str):
     import os
     from functools import reduce
 
-    from big_data_analysis_spark.operators.index_store import read_manifest
 
     man = read_manifest(path, "fingerprint_index_load")
     if not man["fp_dirs"]:
@@ -995,10 +983,6 @@ def fingerprint_index_compact(spark, path: str) -> None:
     tombstoned keepers physically and dropping the tombstone file.
     Atomic via the shared index_store commit; no-op when already
     compact and tombstone-free."""
-    from big_data_analysis_spark.operators.index_store import (
-        commit_manifest,
-        read_manifest,
-    )
 
     man = read_manifest(path, "fingerprint_index_compact")
     if len(man["fp_dirs"]) <= 1 and not man.get("tombstones_file"):
@@ -1064,7 +1048,6 @@ def exact_dedup_increment(
     import os
     import re
 
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     fps_idx, man = fingerprint_index_load(spark, path)
     id_col = man["id_col"]
@@ -1181,10 +1164,6 @@ def _index_tombstone_delete(
     import pyarrow as pa
     import pyarrow.parquet as pq_
 
-    from big_data_analysis_spark.operators.index_store import (
-        commit_manifest,
-        read_manifest,
-    )
 
     man = read_manifest(path, op)
     if isinstance(ids, DataFrame):
@@ -1252,10 +1231,6 @@ def minhash_index_compact(spark, path: str) -> None:
     compaction leaves the old manifest fully servable, and the
     superseded generation survives one more commit (index_store
     retention grace)."""
-    from big_data_analysis_spark.operators.index_store import (
-        commit_manifest,
-        read_manifest,
-    )
 
     man = read_manifest(path, "minhash_index_compact")
     if len(man["sig_dirs"]) <= 1 and not man.get("tombstones_file"):

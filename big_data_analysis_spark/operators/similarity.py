@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .index_store import commit_manifest
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns — zip_with + aggregate, codegen."""
@@ -1002,7 +1004,6 @@ def _commit_index_manifest(path: str, manifest: dict) -> None:
     eagerly materialized by the caller — that contract is now one
     commit wide, not zero. Shared protocol: operators.index_store
     (also backs the MinHash signature index)."""
-    from big_data_analysis_spark.operators.index_store import commit_manifest
 
     commit_manifest(
         path,

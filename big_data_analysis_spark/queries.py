@@ -8939,86 +8939,85 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-7 window ---
-    # (a) the six r6 post-horizon registrations that have NEVER been
-    # externally driver-verified (VERDICT r6 "What's missing" #1 /
-    # "Next round" #1) — they lead the window:
-    "weighted_quantiles_lineitem",
-    "ks_drift_events",
-    "theil_sen_monthly_orders",
-    "benford_order_amounts",
-    "gini_customer_revenue",
-    "rfm_segments_customers",
-    # (b) round-7 additions: the incremental MinHash signature-index
-    # refresh (VERDICT r6 #2) and the streaming end-to-end corpus
-    # refresh (VERDICT r6 #6) — checked the round they land:
+    # --- round-8 window ---
+    # Composition is now MECHANICALLY AUDITED (VERDICT r7 #3):
+    # tests/window_audit.py maps every query to its transitive operator
+    # modules, reads last-green rounds from CORRECTNESS_r*.json, diffs
+    # modules against each round's boundary commit, and
+    # test_semantics.py::test_driver_window_rotates_transitively_stale_queries
+    # enforces that (b) is complete and (c)+(d) slots go to the STALEST
+    # module-changed queries first.
+    #
+    # (a) round-8 additions — never driver-verified:
+    "dedup_takedown_roundtrip_docs",
+    "semantic_dedup_incremental_embeddings",
+    # (b) r7 greens whose modules changed THIS round (dedup.py,
+    # similarity.py, index_store.py: loud-overlap increments +
+    # duplicate-id guards, version_tag replay idempotence, the
+    # streaming refresh's fp-index cross-batch state, the
+    # _assign_to_cells factoring and keep_cols dedupe, uuid manifest
+    # tmp names) — re-verification mandatory, the audit computes this
+    # set as stale-since-r7:
     "minhash_incremental_docs",
-    "streaming_corpus_refresh",
-    "exact_dedup_incremental_docs",
     "simhash_incremental_docs",
-    # (c) queries whose code or oracle changed this round — external
-    # re-verification mandatory: verify_constraints 'unique' now
-    # measures over non-NULL-keyed rows (operator + oracle);
-    # cusum_changepoint validates integrality up front; the minhash /
-    # simhash / lm / triangle / gram-index / heavy-hitter internals
-    # switched persist() -> localCheckpoint (release-on-drop);
-    # minhash banding was factored into the shared minhash_bands used
-    # by the new index; label_propagation gained the per-round change
-    # count + early stop; the index-store commit gained one-generation
-    # retention (ivfpq save/append/delete/compact all republish
-    # through it); embedding_near_dup_pairs' exact certificate join is
-    # now localCheckpointed.
-    "dq_constraints_orders",
-    "cusum_changepoint_events",
+    "exact_dedup_incremental_docs",
+    "streaming_corpus_refresh",
     "minhash_pairs",
     "simhash_pairs",
-    "heavy_hitter_tokens",
-    "lm_perplexity_docs",
-    "triangle_copurchase",
     "contamination_pairs_docs",
     "bloom_decontaminate_docs",
-    "communities_copurchase",
-    "embedding_near_dup_pairs",
+    "heavy_hitter_tokens",
+    "novelty_docs",
     "ivfpq_persisted_ann_topk",
     "ivfpq_incremental_append",
     "ivfpq_tombstone_delete",
-    # (d) rotating re-verification sample — 28 slots, provably
-    # disjoint from the r4+r5+r6 windows (diffed against
-    # CORRECTNESS_r04/r05/r06.json key sets; all are r1-r3 greens due
-    # a fresh external row), spanning every module family:
-    # joins/set-ops, profiling, date funcs, lag windows, similarity,
-    # mining, text quality, tokenization, embeddings, streaming (4
-    # shapes), eval metrics, regression, sampling (3 kinds), RANGE
-    # windows, graph, stats screens, multimodal, BLAS kNN.
-    "customers_without_orders",
-    "set_ops_customers",
-    "suppliers_with_shipments",
-    "value_counts_events",
-    "window_lag_features",
-    "order_date_arithmetic",
-    "cosine_topk",
-    "frequent_items_trend",
-    "repetition_docs",
-    "bpe_token_counts",
-    "centroid_assignment_embeddings",
-    "streaming_dedup_count",
-    "confusion_matrix_rule",
-    "per_class_report_rule",
-    "ols_metrics",
-    "audio_decode_wav",
     "knn_blas_batch",
-    "novelty_docs",
-    "streaming_enriched_daily",
-    "weighted_sample_docs",
-    "balanced_sample_docs",
-    "mixture_sample_events",
-    "streaming_distinct_users",
-    "range_window_spend",
-    "pagerank_trade_graph",
-    "grouped_ols_nation_trend",
-    # (chi2_orders and entropy_gain_events — r3-verified — ceded their
-    # slots to the two extra incremental-dedup additions; the stats
-    # family stays covered in-window by benford/gini/ks/welch.)
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "centroid_assignment_embeddings",
+    # (c)+(d) all 31 remaining slots: the STALEST module-changed
+    # queries, oldest last-green round first (the audit's ordering
+    # invariant). Every r2 and r3 green whose operator modules changed
+    # since its round (io/relational/text/timeseries/evaluation edits
+    # across r5-r7 never triggered an external re-check before this
+    # mechanism):
+    "corr_lineitem",
+    "cube_orders",
+    "describe_lineitem",
+    "hash_sample_docs",
+    "jaccard_pairs_docs",
+    "rollup_qty",
+    "sliding_window_events",
+    "span_dedup_docs",
+    "string_funcs_part",
+    "tfidf_top_terms_docs",
+    "tumbling_daily_events",
+    "word_freq_docs",
+    "chi2_orders",
+    "entropy_gain_events",
+    # ... then 17 of the 41 stale r4 greens (same round => any subset
+    # satisfies the ordering; picked to span module families: eval,
+    # multimodal/audio, graph, retrieval, text chunking, relational
+    # dedup/binning, ML contract, hybrid fusion, dq drift, the corpus
+    # pipeline, rolling/seasonal timeseries, quality gating, streaming
+    # parity, the flagship, CDC upsert):
+    "auc_orders",
+    "audio_spectral_peak_bands",
+    "bfs_hops_trade",
+    "bm25_search_docs",
+    "chunk_docs_overlap",
+    "dedup_keep_last",
+    "golden_predictions",
+    "hybrid_search_rrf",
+    "jsd_event_type_shift",
+    "llm_corpus_pipeline",
+    "qcut_price_deciles",
+    "rolling_corr_nation_monthly",
+    "seasonal_decompose_daily_events",
+    "source_quality_gate",
+    "streaming_tumbling_daily",
+    "trend_rules",
+    "upsert_orders",
 ]
 
 def _apply_driver_order() -> None:

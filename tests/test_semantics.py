@@ -552,30 +552,23 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # (a) r6 post-horizon registrations that have never received an
-        # external driver row (VERDICT r6 "Next round" #1) — they MUST
-        # lead the r7 window
-        "weighted_quantiles_lineitem", "ks_drift_events",
-        "theil_sen_monthly_orders", "benford_order_amounts",
-        "gini_customer_revenue", "rfm_segments_customers",
-        # (b) round-7 additions: incremental MinHash index refresh and
-        # the streaming end-to-end corpus refresh
-        "minhash_incremental_docs", "streaming_corpus_refresh",
-        "exact_dedup_incremental_docs", "simhash_incremental_docs",
-        # (c) code/oracle changed this round -> external
-        # re-verification: verify_constraints 'unique' NULL handling,
-        # cusum integrality validation, persist->localCheckpoint
-        # conversions (minhash/simhash/lm/triangle/gram-index/
-        # heavy-hitter/embedding-cert), minhash_bands factoring, LPA
-        # convergence counting, index-store one-generation retention
-        # (all ivfpq lifecycle commits republish through it)
-        "dq_constraints_orders", "cusum_changepoint_events",
-        "minhash_pairs", "simhash_pairs", "heavy_hitter_tokens",
-        "lm_perplexity_docs", "triangle_copurchase",
-        "contamination_pairs_docs", "bloom_decontaminate_docs",
-        "communities_copurchase", "embedding_near_dup_pairs",
-        "ivfpq_persisted_ann_topk", "ivfpq_incremental_append",
-        "ivfpq_tombstone_delete",
+        # (a) round-8 additions — never driver-verified
+        "dedup_takedown_roundtrip_docs",
+        "semantic_dedup_incremental_embeddings",
+        # (b) r7 greens whose operator modules changed this round
+        # (dedup/similarity/index_store: loud-overlap increments,
+        # version_tag replay, fp-index streaming state, keep_cols
+        # dedupe + _assign_to_cells factoring) — the mechanical audit
+        # (test_driver_window_rotates_transitively_stale_queries)
+        # computes this same set as stale-since-r7
+        "minhash_incremental_docs", "simhash_incremental_docs",
+        "exact_dedup_incremental_docs", "streaming_corpus_refresh",
+        "minhash_pairs", "simhash_pairs", "contamination_pairs_docs",
+        "bloom_decontaminate_docs", "heavy_hitter_tokens",
+        "novelty_docs", "ivfpq_persisted_ann_topk",
+        "ivfpq_incremental_append", "ivfpq_tombstone_delete",
+        "knn_blas_batch", "cosine_topk", "embedding_near_dup_pairs",
+        "centroid_assignment_embeddings",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -666,7 +659,79 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "synthdocs_stream_scan", "token_budget_mixture_docs",
     "training_shards_docs", "welch_ab_events", "xml_roundtrip_docs",
     "zipf_corpus_fit_docs",
+    # round-7 window (CORRECTNESS_r07.json: 50/50 full hash-match)
+    "weighted_quantiles_lineitem", "ks_drift_events",
+    "theil_sen_monthly_orders", "benford_order_amounts",
+    "gini_customer_revenue", "rfm_segments_customers",
+    "minhash_incremental_docs", "streaming_corpus_refresh",
+    "exact_dedup_incremental_docs", "simhash_incremental_docs",
 }
+
+
+def test_driver_window_rotates_transitively_stale_queries():
+    """VERDICT r7 #3: a query whose TRANSITIVE operator modules changed
+    since its last externally-green round must re-enter the driver
+    window — rotation can no longer miss a helper edit that silently
+    affects queries verified rounds ago. Mechanics in
+    tests/window_audit.py; this test pins three invariants:
+
+    1. every query green LAST round whose modules changed THIS round is
+       in the window (mandatory re-verification of fresh code churn);
+    2. while stale queries wait outside, no window slot is spent on a
+       non-stale, already-verified query (never-verified additions
+       excepted);
+    3. stalest-first: no stale query outside the window has an OLDER
+       last-green round than any rotation-slot stale query inside.
+
+    If this test fails at the START of a round, that is the mechanism
+    working: rewrite _DRIVER_PRIORITY per the failure, update the
+    critical set above, append the prior round's greens to
+    _DRIVER_VERIFIED_PAST_ROUNDS, and bump window_audit.AUDIT_ROUND."""
+    from big_data_analysis_spark.queries import QUERIES
+
+    from tests.window_audit import (
+        AUDIT_ROUND,
+        last_green_rounds,
+        round_commit,
+        stale_queries,
+    )
+
+    if round_commit(1) is None:
+        pytest.skip("no 'round N:' boundary commits in git history")
+    window = list(QUERIES)[:50]
+    in_window = set(window)
+    stale = stale_queries(AUDIT_ROUND - 1)
+
+    # (1) modules changed since the last boundary -> mandatory
+    recent = {q for q, n in stale.items() if n == AUDIT_ROUND - 1}
+    missing = recent - in_window
+    assert not missing, (
+        f"queries green in round {AUDIT_ROUND - 1} whose modules changed "
+        f"this round are outside the window: {sorted(missing)}"
+    )
+
+    # (2) no wasted slots while stale queries wait
+    ever_green = last_green_rounds(AUDIT_ROUND - 1)
+    additions = [q for q in window if q not in ever_green]
+    wasted = [q for q in window if q in ever_green and q not in stale]
+    outside_stale = {q: n for q, n in stale.items() if q not in in_window}
+    assert not (wasted and outside_stale), (
+        f"non-stale verified queries {wasted[:5]} hold window slots while "
+        f"stale queries wait outside: {sorted(outside_stale)[:5]}"
+    )
+
+    # (3) stalest first (round granularity; ties broken freely)
+    rotation = {q: n for q, n in stale.items()
+                if q in in_window and n != AUDIT_ROUND - 1}
+    if outside_stale and rotation:
+        assert min(outside_stale.values()) >= max(rotation.values()), (
+            "a stale query outside the window is staler than a rotation "
+            f"pick inside: outside="
+            f"{sorted(outside_stale.items(), key=lambda kv: kv[1])[:5]} "
+            f"inside_max={max(rotation.values())}"
+        )
+    # sanity: the additions really are registered queries
+    assert all(q in QUERIES for q in additions)
 
 
 def test_ngram_lm_scores_rank_fluent_above_garbage(spark):
