@@ -153,6 +153,11 @@ EXTENDED_QUERIES = [
     "streaming_corpus_refresh",
     "exact_dedup_incremental_docs",
     "simhash_incremental_docs",
+    # round-8: the takedown-lifecycle roundtrip certificate (bounded
+    # slice — lifecycle mechanics, not corpus scale) and the fourth
+    # incremental tier (semantic dedup over the persisted IVFPQ store)
+    "dedup_takedown_roundtrip_docs",
+    "semantic_dedup_incremental_embeddings",
 ]
 
 
@@ -235,12 +240,123 @@ def _pagerank_probe() -> dict:
     return out
 
 
+def _component_probes() -> dict:
+    """VERDICT r7 #6: the incremental-family bench entries measure
+    index save + shard increment + a batch-parity certificate that
+    reruns the batch operator (~2-3x the operator by construction).
+    Time the OPERATOR alone here — one untimed-certificate run per
+    family — so cross-round tables can track the operator's trend
+    separately from the certificate's. Key: '<entry>_operator';
+    certificate cost ~= entry_total - operator."""
+    out = {}
+    try:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from big_data_analysis_spark.io import load_tables
+        from big_data_analysis_spark.operators import dedup as dd
+        from big_data_analysis_spark.operators import similarity as sim
+        from big_data_analysis_spark.queries import _stream_refresh_batch_body
+        from big_data_analysis_spark.session import get_spark
+        from big_data_analysis_spark.sources import (
+            register_manifest_jsonl,
+            register_synthdocs,
+        )
+
+        spark = get_spark("bdas-bench")
+        base = f"/root/repo/.scratch/bench-components-{os.getpid()}"
+        shutil.rmtree(base, ignore_errors=True)
+        d = load_tables(spark, SF_DIR, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        shard = d.filter(F.col("doc_id") % 10 == 0)
+
+        def timed(key, fn):
+            start = time.perf_counter()
+            fn()
+            out[key] = round(time.perf_counter() - start, 3)
+
+        def mh():
+            dd.minhash_index_save(
+                corpus, "text", "doc_id", f"{base}/mh",
+                num_hashes=64, num_bands=16, shingle_n=3,
+            )
+            force(dd.minhash_dedup_increment(
+                spark, shard, "text", f"{base}/mh", threshold=0.7
+            ))
+
+        def sh():
+            dd.simhash_index_save(corpus, "text", "doc_id", f"{base}/sh")
+            force(dd.simhash_dedup_increment(
+                spark, shard, "text", f"{base}/sh", max_hamming=3
+            ))
+
+        def fp():
+            dd.fingerprint_index_save(corpus, "text", "doc_id", f"{base}/fp")
+            force(dd.exact_dedup_increment(spark, shard, "text", f"{base}/fp"))
+
+        def sem():
+            emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+            sub = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+            enc, cents, books = sim.ivfpq_build(
+                sub.filter(F.col("vec_id") % 3 != 0),
+                n_cells=4, m=8, k=32, max_iter=8, keep_cols=["embedding"],
+            )
+            sim.ivfpq_save(enc, cents, books, f"{base}/sem")
+            force(sim.semantic_dedup_increment(
+                spark, f"{base}/sem",
+                sub.filter(F.col("vec_id") % 3 == 0), threshold=0.2,
+            ))
+
+        def stream():
+            register_synthdocs(spark)
+            register_manifest_jsonl(spark)
+            sout, ckpt, fpp = f"{base}/so", f"{base}/sc", f"{base}/sfp"
+            dd.fingerprint_index_init(spark, fpp, "doc_id", "bigint")
+            bench = (
+                spark.read.format("synthdocs").option("rows", 1000)
+                .option("partitions", 8).load()
+                .filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+            )
+            grams = dd.gram_index(bench, "text", "doc_id", 5).localCheckpoint(
+                eager=True
+            )
+            stream_df = (
+                spark.readStream.format("synthdocs").option("rows", 1000)
+                .option("partitions", 8).option("rows_per_batch", 300).load()
+            )
+            sq = (
+                stream_df.writeStream.foreachBatch(
+                    lambda bdf, bid: _stream_refresh_batch_body(
+                        spark, bdf, bid, sout, fpp, grams
+                    )
+                ).option("checkpointLocation", ckpt).start()
+            )
+            try:
+                sq.processAllAvailable()
+            finally:
+                sq.stop()
+
+        timed("minhash_incremental_docs_operator", mh)
+        timed("simhash_incremental_docs_operator", sh)
+        timed("exact_dedup_incremental_docs_operator", fp)
+        timed("semantic_dedup_incremental_embeddings_operator", sem)
+        timed("streaming_corpus_refresh_operator", stream)
+        shutil.rmtree(base, ignore_errors=True)
+    except Exception as exc:  # never break the bench line, but say why
+        print(f"component probe failed: {exc!r}", file=sys.stderr)
+    return out
+
+
 def _child_main(which: str) -> None:
     if which == "core":
         result = _run_set(BENCH_QUERIES)
     elif which == "extended":
         result = _run_set(EXTENDED_QUERIES)
         result.update(_pagerank_probe())
+        result["bench_components"] = _component_probes()
     else:  # pragma: no cover - defensive
         raise SystemExit(f"unknown bench set {which!r}")
     print(json.dumps(result))
@@ -274,6 +390,7 @@ def main() -> None:
     core = _spawn("core")
     ext = _spawn("extended")
     pagerank_iters = {k: ext.pop(k) for k in list(ext) if k.startswith("pagerank_iter")}
+    components = ext.pop("bench_components", {})
     core_total = round(sum(core[n] for n in BENCH_QUERIES), 3)
     ext_total = round(sum(ext[n] for n in EXTENDED_QUERIES), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -286,6 +403,9 @@ def main() -> None:
                 "sf": sf_val,
                 "queries": ext,
                 "extended_total": ext_total,
+                # operator-alone timings for the incremental family
+                # (entry - operator ~= certificate cost; VERDICT r7 #6)
+                "bench_components": components,
                 **pagerank_iters,
             },
             **compact,

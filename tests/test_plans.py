@@ -825,7 +825,24 @@ def test_incremental_dedup_increments_never_cartesian(spark, sf_dir, request):
     sh = dd.simhash_dedup_increment(
         spark, shard, "text", f"{base}/sh", append=False
     )
-    for name, df in (("exact", exact), ("minhash", mh), ("simhash", sh)):
+    # fourth tier: semantic increment must join shard-vs-store on the
+    # cell key (hash join), never an all-pairs product
+    from big_data_analysis_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    sub = emb.filter(F.col("vec_id") < 120).select("vec_id", "embedding")
+    enc, cents, books = sim.ivfpq_build(
+        sub.filter(F.col("vec_id") % 3 != 0),
+        n_cells=4, m=8, k=32, max_iter=8, keep_cols=["embedding"],
+    )
+    sim.ivfpq_save(enc, cents, books, f"{base}/sem")
+    sem = sim.semantic_dedup_increment(
+        spark, f"{base}/sem", sub.filter(F.col("vec_id") % 3 == 0),
+        threshold=0.2, append=False,
+    )
+    for name, df in (
+        ("exact", exact), ("minhash", mh), ("simhash", sh), ("semantic", sem)
+    ):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)

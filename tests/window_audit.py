@@ -64,6 +64,9 @@ def _module_files() -> dict[str, str]:
 
 
 _FROM_RE = re.compile(rf"from ({PKG}[\w.]*) import ([\w, ]+)")
+# parenthesized (multi-line) from-imports: the names sit on later
+# lines, so fall back to the base module as the dependency
+_FROM_PAREN_RE = re.compile(rf"from ({PKG}[\w.]*) import \(")
 _IMP_RE = re.compile(rf"import ({PKG}[\w.]+)")
 _REL_RE = re.compile(r"from \.(\w+) import")
 
@@ -82,6 +85,9 @@ def _parse_deps(src: str, mod_files: dict, toplevel_only: bool, rel_base: str = 
                     continue
                 cand = f"{base}.{nm}"
                 deps.add(cand if cand in mod_files else base)
+        m = _FROM_PAREN_RE.search(line)
+        if m:
+            deps.add(m.group(1))
         m = _IMP_RE.search(line)
         if m:
             deps.add(m.group(1))
