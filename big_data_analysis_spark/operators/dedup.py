@@ -472,6 +472,72 @@ def minhash_index_load(spark, path: str):
     return sigs, bands, man
 
 
+def _increment_precheck(
+    op: str,
+    new_docs: DataFrame,
+    id_col: str,
+    on_existing: str | None,
+    text_col: str | None = None,
+) -> int:
+    """The shard contract shared by EVERY incremental tier (minhash /
+    simhash / exact / semantic), validated in ONE aggregate; returns
+    the shard row count. Single-sourced on purpose (review r8: four
+    hand-rolled copies had already drifted into three different
+    'skipped' semantics):
+
+    - ids must be unique and non-null (count_distinct ignores NULLs,
+      so a null id also trips the guard) — two payloads under one id
+      would silently corrupt whichever signature/fingerprint wins;
+    - text (when the tier hashes text) must be non-null — a null text
+      has no well-defined fingerprint, and each hasher would otherwise
+      decide silently and DIFFERENTLY (simhash drops the row — which
+      miscounted as 'already indexed' before this guard — minhash
+      signs a [null] shingle that pairs all null docs together, and
+      md5 collapses every null into one bogus duplicate group).
+      Rejecting up front also makes 'skipped = shard - fresh'
+      subtraction exact: the skip-existing anti-join is then the only
+      thing that drops rows. Quality-filter the shard first (the
+      corpus-refresh pipelines already do).
+    - ``on_existing`` (when the tier takes it) must be 'error'/'skip'.
+    """
+    if on_existing is not None and on_existing not in ("error", "skip"):
+        raise ValueError(
+            f"{op}: on_existing must be 'error' or 'skip', got {on_existing!r}"
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+    ]
+    if text_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(text_col).isNull().cast("int")), F.lit(0)
+            ).alias("n_null_text")
+        )
+    pre = new_docs.agg(*aggs).head()
+    if pre["n_ids"] != pre["n"]:
+        raise ValueError(
+            f"{op}: shard has {pre['n'] - pre['n_ids']} duplicate or NULL "
+            f"{id_col} value(s); dedup the shard ids first"
+        )
+    if text_col is not None and pre["n_null_text"]:
+        raise ValueError(
+            f"{op}: {pre['n_null_text']} shard row(s) have NULL {text_col} "
+            "— a null text has no fingerprint; quality-filter the shard "
+            "first"
+        )
+    return pre["n"]
+
+
+def _raise_already_indexed(op: str, skipped: int, n: int) -> None:
+    raise ValueError(
+        f"{op}: {skipped} of {n} shard ids are already indexed; their "
+        "payload would be silently ignored (an id can only be indexed "
+        "once). Pass on_existing='skip' if this is an intentional "
+        "replay/overlap."
+    )
+
+
 def minhash_dedup_increment(
     spark,
     new_docs: DataFrame,
@@ -522,11 +588,6 @@ def minhash_dedup_increment(
     # Params come from the manifest, never from caller args: stored
     # and fresh signatures must use the same family or the agreement
     # rate is meaningless.
-    if on_existing not in ("error", "skip"):
-        raise ValueError(
-            f"minhash_dedup_increment: on_existing must be 'error' or "
-            f"'skip', got {on_existing!r}"
-        )
     sigs_idx, bands_idx, man_probe = minhash_index_load(spark, path)
     nh = man_probe["num_hashes"]
     nb = man_probe["num_bands"]
@@ -534,18 +595,9 @@ def minhash_dedup_increment(
     sn = man_probe["shingle_n"]
     id_col = man_probe["id_col"]
 
-    # ONE up-front aggregate: shard size + the unique-id precondition
-    # (count_distinct ignores NULLs, so a null id also trips the guard)
-    pre = new_docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("n_ids"),
-    ).head()
-    if pre["n_ids"] != pre["n"]:
-        raise ValueError(
-            f"minhash_dedup_increment: shard has {pre['n'] - pre['n_ids']} "
-            f"duplicate or NULL {id_col} value(s) — two texts under one id "
-            "would merge into one corrupt signature; dedup the shard first"
-        )
+    n_shard = _increment_precheck(
+        "minhash_dedup_increment", new_docs, id_col, on_existing, text_col
+    )
     # Skip already-indexed ids BEFORE signing: the anti-join is on ids
     # only, so a re-submitted/overlapping shard never pays the
     # shingle-explode + 64-way min-aggregate for docs that will be
@@ -560,14 +612,11 @@ def minhash_dedup_increment(
         fresh_docs, text_col, id_col, nh, sn
     ).localCheckpoint(eager=True)
     n_fresh = new_sigs.count()  # free: just checkpointed
-    skipped = pre["n"] - n_fresh
+    # exact: with null text rejected up front, the id anti-join is the
+    # only row-dropper between new_docs and new_sigs
+    skipped = n_shard - n_fresh
     if skipped and on_existing == "error":
-        raise ValueError(
-            f"minhash_dedup_increment: {skipped} of {pre['n']} shard ids "
-            "are already indexed; their text would be silently ignored "
-            "(an id can only be indexed once). Pass on_existing='skip' "
-            "if this is an intentional replay/overlap."
-        )
+        _raise_already_indexed("minhash_dedup_increment", skipped, n_shard)
     new_bands = minhash_bands(new_sigs, nb, rpb)
 
     nn = (
@@ -629,7 +678,7 @@ def minhash_dedup_increment(
         appended = True
     if return_stats:
         return pairs, {
-            "shard_rows": pre["n"],
+            "shard_rows": n_shard,
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,
@@ -774,36 +823,22 @@ def simhash_dedup_increment(
     NULL shard ids always raise (two texts under one id would merge
     into one corrupt fingerprint)."""
 
-    if on_existing not in ("error", "skip"):
-        raise ValueError(
-            f"simhash_dedup_increment: on_existing must be 'error' or "
-            f"'skip', got {on_existing!r}"
-        )
     hashed_idx, man = simhash_index_load(spark, path)
     id_col = man["id_col"]
-    pre = new_docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("n_ids"),
-    ).head()
-    if pre["n_ids"] != pre["n"]:
-        raise ValueError(
-            f"simhash_dedup_increment: shard has {pre['n'] - pre['n_ids']} "
-            f"duplicate or NULL {id_col} value(s) — two texts under one id "
-            "would merge into one corrupt fingerprint; dedup the shard first"
-        )
+    n_shard = _increment_precheck(
+        "simhash_dedup_increment", new_docs, id_col, on_existing, text_col
+    )
     fresh_docs = new_docs.join(
         hashed_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
     new_hashed = simhash(fresh_docs, text_col, id_col).localCheckpoint(eager=True)
     n_fresh = new_hashed.count()  # free: just checkpointed
-    skipped = pre["n"] - n_fresh
+    # exact: null text (the one row class simhash's explode would drop,
+    # falsely counting it as 'already indexed' — review r8) is rejected
+    # up front, so the id anti-join is the only row-dropper here
+    skipped = n_shard - n_fresh
     if skipped and on_existing == "error":
-        raise ValueError(
-            f"simhash_dedup_increment: {skipped} of {pre['n']} shard ids "
-            "are already indexed; their text would be silently ignored "
-            "(an id can only be indexed once). Pass on_existing='skip' "
-            "if this is an intentional replay/overlap."
-        )
+        _raise_already_indexed("simhash_dedup_increment", skipped, n_shard)
     nn = simhash_candidate_pairs(new_hashed, max_hamming)
     ni = simhash_pairs_between(new_hashed, hashed_idx, max_hamming)
     cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
@@ -834,7 +869,7 @@ def simhash_dedup_increment(
         appended = True
     if return_stats:
         return pairs, {
-            "shard_rows": pre["n"],
+            "shard_rows": n_shard,
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,
@@ -1067,18 +1102,19 @@ def exact_dedup_increment(
     # into the appended index, silently breaking the
     # every-archived-text-is-indexed invariant.
     fp_new = fingerprint(new_docs, text_col, "__fp").localCheckpoint(eager=True)
+    # The shared shard contract (unique non-null ids, non-null text —
+    # review r8: with NULL texts admitted, count_distinct('__fp')
+    # ignored the NULL fp group that groupBy kept, driving
+    # dropped_already_indexed negative and silently merging distinct
+    # null-text docs as 'duplicates'), plus the distinct-fp count for
+    # the drop accounting — one aggregate on the checkpointed frame.
+    _increment_precheck(
+        "exact_dedup_increment", fp_new, id_col, None, text_col
+    )
     pre = fp_new.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("n_ids"),
         F.count_distinct("__fp").alias("n_fps"),
     ).head()
-    if pre["n_ids"] != pre["n"]:
-        raise ValueError(
-            f"exact_dedup_increment: shard has {pre['n'] - pre['n_ids']} "
-            f"duplicate or NULL {id_col} value(s) — with two rows under "
-            "one id both would survive while only one fingerprint enters "
-            "the index; dedup the shard ids first"
-        )
 
     def _result(survivors, n_surv, appended, replayed=False):
         if not return_stats:

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _increment_precheck, _raise_already_indexed
 from .index_store import commit_manifest
 
 
@@ -1660,11 +1661,6 @@ def semantic_dedup_increment(
 
     import numpy as np
 
-    if on_existing not in ("error", "skip"):
-        raise ValueError(
-            f"semantic_dedup_increment: on_existing must be 'error' or "
-            f"'skip', got {on_existing!r}"
-        )
     manifest = _load_index_manifest(path, "semantic_dedup_increment")
     id_col = manifest["id_col"]
     if vec_col not in manifest["metadata_cols"]:
@@ -1675,9 +1671,13 @@ def semantic_dedup_increment(
             "raw vectors; PQ codes are lossy)"
         )
     dim = manifest["dim"]
-    pre = new_embeddings.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("n_ids"),
+    # the shared increment shard contract (unique non-null ids,
+    # on_existing validation) + this tier's payload check: vectors
+    # non-null, right-dimensioned, no null elements
+    n_shard = _increment_precheck(
+        "semantic_dedup_increment", new_embeddings, id_col, on_existing
+    )
+    n_bad = new_embeddings.agg(
         F.coalesce(
             F.sum(
                 (
@@ -1687,16 +1687,11 @@ def semantic_dedup_increment(
                 ).cast("int")
             ),
             F.lit(0),
-        ).alias("n_bad"),
-    ).head()
-    if pre["n_ids"] != pre["n"]:
+        ).alias("n_bad")
+    ).head()["n_bad"]
+    if n_bad:
         raise ValueError(
-            f"semantic_dedup_increment: shard has {pre['n'] - pre['n_ids']} "
-            f"duplicate or NULL {id_col} value(s); dedup the shard first"
-        )
-    if pre["n_bad"]:
-        raise ValueError(
-            f"semantic_dedup_increment: {pre['n_bad']} row(s) have a null "
+            f"semantic_dedup_increment: {n_bad} row(s) have a null "
             f"{vec_col}, a null element, or dim != {dim}"
         )
 
@@ -1709,7 +1704,8 @@ def semantic_dedup_increment(
         id_col=id_col,
     ).select(id_col, "cell", vec_col)
 
-    fresh = new_embeddings.join(
+    keep = list(dict.fromkeys([id_col, vec_col, *manifest["metadata_cols"]]))
+    fresh = new_embeddings.select(*keep).join(
         store.select(id_col), id_col, "left_anti"
     )
     arrs = np.load(os.path.join(path, manifest["codebooks_file"]))
@@ -1717,24 +1713,24 @@ def semantic_dedup_increment(
         np.asarray(arrs["centroids"], dtype=np.float64)
     )
     try:
-        # localCheckpoint: referenced by both candidate joins and (via
-        # count) the stats/policy path; blocks release when the caller
-        # drops the result. Also the broadcast's last reference — safe
-        # to destroy after the eager materialization.
-        assigned = _assign_to_cells(
-            fresh.select(id_col, vec_col), vec_col, bc_cents
-        ).localCheckpoint(eager=True)
+        # ONE eager materialization of the assigned shard, carrying
+        # every store column: the candidate joins, the stats count AND
+        # the append below all read THIS snapshot — appending a lazy
+        # re-evaluation of the anti-join could index rows that never
+        # went through pair generation when new_embeddings is
+        # nondeterministic (review r8; the exact_dedup_increment
+        # checkpoint discipline). Blocks release when the caller drops
+        # the result; the broadcast's last reference is the eager
+        # checkpoint, so destroy right after.
+        assigned = _assign_to_cells(fresh, vec_col, bc_cents).localCheckpoint(
+            eager=True
+        )
     finally:
         bc_cents.destroy()
     n_fresh = assigned.count()  # free: just checkpointed
-    skipped = pre["n"] - n_fresh
+    skipped = n_shard - n_fresh
     if skipped and on_existing == "error":
-        raise ValueError(
-            f"semantic_dedup_increment: {skipped} of {pre['n']} shard ids "
-            "are already indexed; their vectors would be silently ignored "
-            "(an id can only be indexed once). Pass on_existing='skip' "
-            "if this is an intentional replay/overlap."
-        )
+        _raise_already_indexed("semantic_dedup_increment", skipped, n_shard)
 
     sa = assigned.select(
         "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -1765,15 +1761,20 @@ def semantic_dedup_increment(
 
     appended = False
     if append and n_fresh > 0:
-        # skip_existing=False: the anti-join above already ran against
-        # the masked store — a second store id scan would be pure waste
+        # skip_existing=False: the anti-join already ran against the
+        # masked store, and `assigned` is the materialized snapshot —
+        # no second store id scan, no source re-evaluation (the extra
+        # cell column is dropped by the append's keep-list select; the
+        # append re-derives cells itself, one redundant O(shard·dim)
+        # pass, so its assignment can never drift from the store's
+        # conventions)
         ivfpq_append(
-            spark, path, fresh, vec_col=vec_col, skip_existing=False
+            spark, path, assigned, vec_col=vec_col, skip_existing=False
         )
         appended = True
     if return_stats:
         return pairs, {
-            "shard_rows": pre["n"],
+            "shard_rows": n_shard,
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,

@@ -1254,3 +1254,58 @@ def test_duplicate_groups_reports_seeded_dupes(spark):
     out = duplicate_groups(df, "text", "doc_id").collect()
     assert len(out) == 1
     assert out[0]["group_size"] == 3 and out[0]["member_ids"] == [1, 2, 3]
+
+
+def test_increment_null_text_rejected_uniformly(spark, request):
+    """Review r8: with NULL texts admitted, each tier decided silently
+    and DIFFERENTLY — simhash dropped the row and miscounted it as
+    'already indexed' (falsely raising under the default on_existing),
+    minhash signed a [null] shingle that pairs every null doc with
+    every other, and md5 collapsed all nulls into one bogus duplicate
+    group (driving exact's dropped_already_indexed stat negative). The
+    shared _increment_precheck now rejects NULL text up front in all
+    three text tiers with one error shape."""
+    import os
+    import shutil
+
+    base = f"/root/repo/.scratch/null-text-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} with several words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [(10, "totally new text here words"), (11, None)],
+        "doc_id long, text string",
+    )
+    dd.minhash_index_save(corpus, "text", "doc_id", f"{base}/mh",
+                          num_hashes=64, num_bands=16, shingle_n=1)
+    dd.simhash_index_save(corpus, "text", "doc_id", f"{base}/sh")
+    dd.fingerprint_index_save(corpus, "text", "doc_id", f"{base}/fp")
+    with pytest.raises(ValueError, match="NULL text"):
+        dd.minhash_dedup_increment(spark, shard, "text", f"{base}/mh")
+    with pytest.raises(ValueError, match="NULL text"):
+        dd.simhash_dedup_increment(spark, shard, "text", f"{base}/sh")
+    with pytest.raises(ValueError, match="NULL text"):
+        dd.exact_dedup_increment(spark, shard, "text", f"{base}/fp")
+    # a clean shard with a genuinely new id must NOT raise (the simhash
+    # false-positive regression case)
+    clean = shard.filter(F.col("text").isNotNull())
+    got, st = dd.simhash_dedup_increment(
+        spark, clean, "text", f"{base}/sh", return_stats=True
+    )
+    assert st["skipped_existing"] == 0 and st["indexed"] == 1
+    # exact stats never go negative and account every drop
+    dup2 = spark.createDataFrame(
+        [(20, "corpus doc 0 with several words"),
+         (21, "within shard twin"), (22, "within shard twin")],
+        "doc_id long, text string",
+    )
+    surv, st2 = dd.exact_dedup_increment(
+        spark, dup2, "text", f"{base}/fp", return_stats=True
+    )
+    assert st2 == {
+        "shard_rows": 3, "survivors": 1, "dropped_within_shard": 1,
+        "dropped_already_indexed": 1, "appended": True, "replayed": False,
+    }

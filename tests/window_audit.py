@@ -150,8 +150,11 @@ def query_modules() -> dict[str, set]:
 
 def last_green_rounds(max_round: int) -> dict[str, int]:
     """query -> latest round <= max_round with a full driver match
-    (rows+schema green; hash-only queries count too — a rows-only row
-    is still an external verification of that round's code)."""
+    (rows_match AND schema_match true, err null). Rows-only registry
+    entries (no oracle: the driver records rows_match null, err
+    'no_oracle') deliberately do NOT count as green — they carry no
+    hash verification, are terminal (multimodal_decode,
+    ward_linkage_docs), and never compete for window slots."""
     out: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         n = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
