@@ -2656,7 +2656,18 @@ def q_dedup_takedown_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    slice_ = d.filter(F.col("doc_id") < 600).select("doc_id", "text")
+    # ONE eager materialization of the bounded slice: the ~15
+    # sequential lifecycle actions below all derive from it; without
+    # this each would re-scan + re-spread the full documents table for
+    # a few-hundred-row input. (The entry remains latency-bound on
+    # per-action scheduling at bench scale — README bench notes — but
+    # the redundant scans are gone and the cost is now SF-independent.)
+    # Blocks release when the query's frames drop.
+    slice_ = (
+        d.filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     corpus = slice_.filter(F.col("doc_id") % 10 != 0)
     shard = slice_.filter(F.col("doc_id") % 10 == 0)
     takedown = corpus.filter(F.col("doc_id") % 10 == 1).select("doc_id")
