@@ -1960,6 +1960,117 @@ def decontaminate(
     return train.join(flagged, on=id_col, how="left_anti")
 
 
+def contamination_overlap_scores(
+    train: DataFrame,
+    benchmark: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    benchmark_grams: DataFrame | None = None,
+) -> DataFrame:
+    """FRACTIONAL contamination report: per training doc, the share of
+    its DISTINCT word ``n``-grams that occur anywhere in the benchmark
+    set — the graded companion to ``contamination_pairs``' binary
+    any-overlap signal. Real decontamination policies are thresholded
+    on exactly this fraction (GPT-3's 13-gram report distinguishes
+    'dirty' from partially-overlapping docs), so the pipeline can drop
+    high-overlap docs, route borderline ones to review, and KEEP clean
+    ones — a binary flag can only drop. Returns one row per training
+    doc: (id_col, n_grams, n_hit, overlap_frac); clean docs appear with
+    overlap_frac 0.0 (a report that omits clean docs can't certify
+    them).
+
+    ``benchmark_grams`` accepts a prebuilt ``gram_index`` frame (the
+    ``decontaminate`` reuse convention — one benchmark tokenize for
+    many shards).
+
+    At 100 TB: train gram index LEFT-joins the benchmark's DISTINCT
+    gram VOCABULARY (deduped to one row per gram, so the join never
+    fans out per benchmark doc; broadcast when the benchmark is small),
+    then ONE per-doc aggregate. Gram-matched rows are the only shuffle
+    traffic beyond the doc-keyed aggregate."""
+    if benchmark_grams is None:
+        if benchmark is None:
+            raise ValueError(
+                "contamination_overlap_scores: pass benchmark or "
+                "benchmark_grams"
+            )
+        benchmark_grams = gram_index(benchmark, text_col, id_col, n)
+    bench_vocab = benchmark_grams.select("gram").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    t = gram_index(train, text_col, id_col, n)
+    return (
+        t.join(bench_vocab, "gram", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)) / F.count(F.lit(1)), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_fraction: float = 0.1,
+    seed: str = "split-v1",
+    pairs: DataFrame | None = None,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Train/test split that CANNOT leak duplicates across the
+    boundary: rows are assigned by duplicate-GROUP key, never
+    individually, so a document and all its (near-)duplicates land on
+    the same side. A random row split violates this silently — on any
+    corpus that still carries duplicates, test answers sit in the
+    training set and eval scores inflate; splitting by group is the
+    evaluation-integrity step a training-data pipeline runs INSTEAD of
+    (or after) dedup.
+
+    Grouping tiers: by default the EXACT tier (normalized-text md5
+    fingerprint; group key = lowest id bearing the text — one
+    deterministic shuffle, engine-portable, exactly ``exact_dedup``'s
+    keeper convention). Pass ``pairs`` (id_a, id_b) from ANY near-dup
+    tier (MinHash/SimHash/semantic) to group by connected components
+    instead — near-duplicates then also stay together; singletons keep
+    their own id as the group key.
+
+    The side decision is ``hash_sample``'s engine-portable bucket on
+    the GROUP key: portable_hash32(seed, group_key) % buckets <
+    test_fraction * buckets — deterministic, reproducible in SQL, and
+    stable under repartitioning, so train/test membership survives
+    engine migration byte-for-byte. Returns every input row plus
+    (group_key, split ∈ {'train','test'}).
+
+    At 100 TB: exact tier = one fingerprint groupBy + one keeper join
+    (the exact_dedup shuffle budget); the pairs tier adds the CC
+    rounds. The split expression itself is pure codegen."""
+    from big_data_analysis_spark.operators.relational import portable_hash32
+
+    if pairs is not None:
+        comp = connected_components(pairs)
+        grouped = df.join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        ).withColumn(
+            "group_key", F.coalesce(F.col("component"), F.col(id_col))
+        ).drop("component")
+    else:
+        fp = fingerprint(df, text_col, "__fp")
+        keepers = fp.groupBy("__fp").agg(F.min(id_col).alias("group_key"))
+        grouped = fp.join(keepers, "__fp").drop("__fp")
+    bucket = portable_hash32(["group_key"], seed) % buckets
+    return grouped.withColumn(
+        "split",
+        F.when(bucket < int(test_fraction * buckets), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def dedup_spans_global(
     df: DataFrame,
     text_col: str,

@@ -1067,6 +1067,103 @@ def q_contamination_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.contamination_pairs_from_index(t, b).filter(F.col("n_shared") >= 3)
 
 
+# =========================================================================
+# Fractional contamination report (dedup.contamination_overlap_scores):
+# the graded companion to the binary any-overlap scan — per-doc share of
+# n-grams hitting the benchmark vocabulary, the number real
+# decontamination policies threshold on. FULL row-for-row hash oracle.
+# =========================================================================
+
+_CONTAM_OVERLAP_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+    FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+), bv AS (
+    SELECT DISTINCT gram, 1 AS hit FROM grams WHERE doc_id % 10 = 0
+), tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 != 0)
+SELECT tr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(bv.hit), 0) AS BIGINT) AS n_hit,
+       round(coalesce(sum(bv.hit), 0) * 1.0 / count(*), 6) AS overlap_frac
+FROM tr LEFT JOIN bv ON tr.gram = bv.gram
+GROUP BY tr.doc_id
+"""
+
+
+@query("contamination_overlap_docs", _CONTAM_OVERLAP_ORACLE)
+def q_contamination_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc FRACTIONAL contamination vs the %10==0 benchmark slice,
+    hash-verified row-for-row: distinct 5-gram count, hits against the
+    benchmark's deduped gram vocabulary, and the overlap fraction a
+    graded decontamination policy thresholds on (clean docs appear at
+    0.0 — the report certifies them rather than omitting them). The
+    integer-ratio division is bit-identical across engines; the gram
+    index is built once and the benchmark side deduped to its
+    vocabulary before the join (no per-benchmark-doc fanout). See
+    operators.dedup.contamination_overlap_scores."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    grams = dd.gram_index(d, "text", "doc_id", n=5).localCheckpoint(eager=True)
+    bench_grams = grams.filter(F.col("id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dd.contamination_overlap_scores(
+        train, None, "text", "doc_id", n=5, benchmark_grams=bench_grams
+    )
+
+
+# =========================================================================
+# Leakage-safe train/test split (dedup.leakage_safe_split): rows assigned
+# by duplicate-GROUP key so a document and its duplicates can never
+# straddle the boundary. FULL row-for-row hash oracle (md5 fingerprint
+# groups + the portable md5 split bucket, both engine-portable);
+# synthesized duplicate copies keep the group property live at every SF.
+# =========================================================================
+
+_LEAKAGE_SPLIT_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 50
+), fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM corpus
+), k AS (SELECT f, min(doc_id) AS group_key FROM fp GROUP BY f)
+SELECT fp.doc_id, k.group_key,
+       CASE WHEN ('0x' || substr(md5('split-v1' || chr(31) ||
+                                     CAST(k.group_key AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM fp JOIN k USING (f)
+"""
+
+
+@query("leakage_safe_split_docs", _LEAKAGE_SPLIT_ORACLE)
+def q_leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-integrity split, hash-verified row-for-row: the
+    corpus (plus id-shifted duplicate copies of 50 docs, so groups are
+    live at every SF) splits 80/20 by duplicate-group key — the group
+    is the exact-dedup keeper id, the side decision is the
+    engine-portable md5 bucket on the GROUP key, so a text and all its
+    copies provably land on one side (the oracle re-derives every
+    row's group and side independently). A random row split silently
+    puts test answers in the training set on any corpus still carrying
+    duplicates. See operators.dedup.leakage_safe_split."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    base = d.select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    out = dd.leakage_safe_split(
+        corpus, "text", "doc_id", test_fraction=0.2, seed="split-v1"
+    )
+    return out.select("doc_id", "group_key", "split")
+
+
 _REPETITION_ORACLE = """
 WITH m AS (
     SELECT source,

@@ -1309,3 +1309,79 @@ def test_increment_null_text_rejected_uniformly(spark, request):
         "shard_rows": 3, "survivors": 1, "dropped_within_shard": 1,
         "dropped_already_indexed": 1, "appended": True, "replayed": False,
     }
+
+
+def test_contamination_overlap_scores_known_corpus(spark):
+    """Exact fractions on a hand-built corpus: doc 1 shares 2 of its 4
+    distinct 2-grams with the benchmark, doc 2 shares none (reported at
+    0.0, not omitted), doc 3 is fully contained (1.0). Benchmark-side
+    duplicates must not inflate hits (vocabulary is deduped)."""
+    train = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "p q r s"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c"), (101, "a b c"), (102, "z a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dd.contamination_overlap_scores(
+            train, bench, "text", "doc_id", n=2
+        ).collect()
+    }
+    # doc 1 grams: {a b, b c, c x, x y}; bench vocab: {a b, b c, z a}
+    assert got[1]["n_grams"] == 4 and got[1]["n_hit"] == 2
+    assert got[1]["overlap_frac"] == 0.5
+    assert got[2]["n_hit"] == 0 and got[2]["overlap_frac"] == 0.0
+    assert got[3]["n_grams"] == 2 and got[3]["overlap_frac"] == 1.0
+    with pytest.raises(ValueError, match="benchmark"):
+        dd.contamination_overlap_scores(train, None, "text", "doc_id")
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """The defining invariant at both tiers: every duplicate group is
+    single-sided. Exact tier: identical texts share group_key and
+    split; pairs tier: connected near-dup components (including a
+    transitive chain) stay together while singletons keep their own id.
+    The split is deterministic (same seed => same assignment) and both
+    labels occur on enough groups."""
+    rows = [(i, f"unique text number {i} with words") for i in range(40)]
+    rows += [(100 + i, f"unique text number {i} with words") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.leakage_safe_split(df, "text", "doc_id", test_fraction=0.3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 50  # every row survives with its columns
+    for i in range(10):
+        a, b = by_id[i], by_id[100 + i]
+        assert a["group_key"] == b["group_key"] == i
+        assert a["split"] == b["split"]
+    sides = {r["split"] for r in out}
+    assert sides == {"train", "test"}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in dd.leakage_safe_split(
+            df, "text", "doc_id", test_fraction=0.3
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in out}
+
+    # pairs tier: 1-2-3 is a transitive near-dup chain; 4 pairs with 5;
+    # 6 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dd.leakage_safe_split(
+            docs, "text", "doc_id", test_fraction=0.5, pairs=pairs
+        ).collect()
+    }
+    assert got[1]["group_key"] == got[2]["group_key"] == got[3]["group_key"] == 1
+    assert got[1]["split"] == got[2]["split"] == got[3]["split"]
+    assert got[4]["group_key"] == got[5]["group_key"] == 4
+    assert got[4]["split"] == got[5]["split"]
+    assert got[6]["group_key"] == 6  # singleton keeps its own id
