@@ -491,3 +491,83 @@ def test_weighted_quantiles_match_python_reference_on_random_floats(spark):
     for q in qs:
         name = f"wq_{str(q).replace('.', '_')}"
         assert got[name] == manual(q), (q, got[name], manual(q))
+
+
+def test_leakage_safe_split_invariants_on_random_corpus(spark):
+    """Randomized leakage-split invariants in ONE Spark round-trip:
+    for a corpus with a random duplicate structure (each text assigned
+    to a random group; ids shuffled so group members are non-adjacent),
+    (a) every row survives with both columns, (b) all members of a
+    text-duplicate group share group_key AND side, (c) group_key is the
+    group's minimum id (exact_dedup's keeper convention), and (d) the
+    assignment is a pure function of the group key: re-running on a
+    REPARTITIONED input yields the identical mapping."""
+    import random
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    rng = random.Random(8)
+    n_groups, rows = 60, []
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    for i, doc_id in enumerate(ids[:300]):
+        g = rng.randrange(n_groups)
+        rows.append((doc_id, f"group {g} shared text body with words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.leakage_safe_split(df, "text", "doc_id", test_fraction=0.4).collect()
+    assert len(out) == 300
+    by_text: dict = {}
+    for r in out:
+        by_text.setdefault(r["text"], []).append(r)
+    for members in by_text.values():
+        keys = {m["group_key"] for m in members}
+        sides = {m["split"] for m in members}
+        assert len(keys) == 1 and len(sides) == 1
+        assert keys.pop() == min(m["doc_id"] for m in members)
+    again = {
+        r["doc_id"]: (r["group_key"], r["split"])
+        for r in dd.leakage_safe_split(
+            df.repartition(17), "text", "doc_id", test_fraction=0.4
+        ).collect()
+    }
+    assert again == {r["doc_id"]: (r["group_key"], r["split"]) for r in out}
+
+
+def test_contamination_overlap_matches_pure_python(spark):
+    """Randomized fractional-contamination parity: overlap_frac must
+    equal the pure-Python distinct-shingle computation for every doc,
+    including 0.0 rows (clean docs are certified, not omitted)."""
+    import random
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    rng = random.Random(88)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda k: " ".join(rng.choice(vocab) for _ in range(k))  # noqa: E731
+    train_rows = [(i, mk(rng.randrange(3, 15))) for i in range(80)]
+    bench_rows = [(1000 + i, mk(rng.randrange(3, 15))) for i in range(20)]
+    n = 2
+
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if len(toks) <= n - 1:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_vocab = set().union(*(shingles(t) for _, t in bench_rows))
+    expect = {}
+    for i, t in train_rows:
+        s = shingles(t)
+        expect[i] = (len(s), len(s & bench_vocab))
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dd.contamination_overlap_scores(
+            train, bench, "text", "doc_id", n=n
+        ).collect()
+    }
+    assert set(got) == set(expect)  # every train doc reported
+    for i, (ng, nh) in expect.items():
+        assert (got[i]["n_grams"], got[i]["n_hit"]) == (ng, nh), i
+        assert got[i]["overlap_frac"] == round(nh / ng, 6)
