@@ -2025,9 +2025,11 @@ def leakage_safe_split(
     """Train/test split that CANNOT leak duplicates across the
     boundary: rows are assigned by duplicate-GROUP key, never
     individually, so a document and all its (near-)duplicates land on
-    the same side. A random row split violates this silently — on any
-    corpus that still carries duplicates, test answers sit in the
-    training set and eval scores inflate; splitting by group is the
+    the same side. A random row split — the reference's
+    ``train_test_split`` call (乳腺癌预测.py:83) is exactly this
+    baseline — violates the property silently: on any corpus that
+    still carries duplicates, test answers sit in the training set and
+    eval scores inflate; splitting by group is the
     evaluation-integrity step a training-data pipeline runs INSTEAD of
     (or after) dedup.
 
