@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .index_store import commit_manifest, read_manifest
+from .relational import portable_hash32
 from .text import fingerprint
 
 # ---------------------------------------------------------------------------
@@ -1961,12 +1962,13 @@ def decontaminate(
 
 
 def contamination_overlap_scores(
-    train: DataFrame,
+    train: DataFrame | None,
     benchmark: DataFrame | None,
     text_col: str,
     id_col: str,
     n: int = 5,
     benchmark_grams: DataFrame | None = None,
+    train_grams: DataFrame | None = None,
 ) -> DataFrame:
     """FRACTIONAL contamination report: per training doc, the share of
     its DISTINCT word ``n``-grams that occur anywhere in the benchmark
@@ -1980,9 +1982,11 @@ def contamination_overlap_scores(
     overlap_frac 0.0 (a report that omits clean docs can't certify
     them).
 
-    ``benchmark_grams`` accepts a prebuilt ``gram_index`` frame (the
-    ``decontaminate`` reuse convention — one benchmark tokenize for
-    many shards).
+    ``benchmark_grams`` / ``train_grams`` accept prebuilt ``gram_index``
+    frames (the ``decontaminate`` / ``contamination_pairs_from_index``
+    reuse convention): when train and benchmark slice the SAME table,
+    build ONE gram index and pass both slices — the tokenize + shingle
+    explode is the expensive part and must not run twice.
 
     At 100 TB: train gram index LEFT-joins the benchmark's DISTINCT
     gram VOCABULARY (deduped to one row per gram, so the join never
@@ -1999,7 +2003,13 @@ def contamination_overlap_scores(
     bench_vocab = benchmark_grams.select("gram").distinct().withColumn(
         "__hit", F.lit(1)
     )
-    t = gram_index(train, text_col, id_col, n)
+    if train_grams is None:
+        if train is None:
+            raise ValueError(
+                "contamination_overlap_scores: pass train or train_grams"
+            )
+        train_grams = gram_index(train, text_col, id_col, n)
+    t = train_grams
     return (
         t.join(bench_vocab, "gram", "left")
         .groupBy(F.col("id").alias(id_col))
@@ -2037,9 +2047,19 @@ def leakage_safe_split(
     fingerprint; group key = lowest id bearing the text — one
     deterministic shuffle, engine-portable, exactly ``exact_dedup``'s
     keeper convention). Pass ``pairs`` (id_a, id_b) from ANY near-dup
-    tier (MinHash/SimHash/semantic) to group by connected components
-    instead — near-duplicates then also stay together; singletons keep
-    their own id as the group key.
+    tier (MinHash/SimHash/semantic) to ALSO group near-duplicates: the
+    exact-tier keeper edges are unioned into the pair set before the
+    connected-components resolve, so exact duplicates stay together
+    even where the pairs frame's candidate generation missed them (a
+    pre-filtered pair store, a dropped band) — the invariant never
+    degrades by adding a tier. Singletons keep their own id as the
+    group key.
+
+    Input contract (the shared increment precheck): ids unique and
+    non-null, text non-null — a NULL text has no fingerprint, and an
+    inner keeper join would otherwise DROP the row from both sides
+    silently (review r8), the one outcome a split must never produce.
+    Quality-filter the corpus first.
 
     The side decision is ``hash_sample``'s engine-portable bucket on
     the GROUP key: portable_hash32(seed, group_key) % buckets <
@@ -2049,20 +2069,27 @@ def leakage_safe_split(
     (group_key, split ∈ {'train','test'}).
 
     At 100 TB: exact tier = one fingerprint groupBy + one keeper join
-    (the exact_dedup shuffle budget); the pairs tier adds the CC
-    rounds. The split expression itself is pure codegen."""
-    from big_data_analysis_spark.operators.relational import portable_hash32
-
+    (the exact_dedup shuffle budget); the pairs tier adds the keeper
+    edge build and the CC rounds. The split expression itself is pure
+    codegen."""
+    _increment_precheck("leakage_safe_split", df, id_col, None, text_col)
+    fp = fingerprint(df, text_col, "__fp")
+    keepers = fp.groupBy("__fp").agg(F.min(id_col).alias("group_key"))
     if pairs is not None:
-        comp = connected_components(pairs)
+        keeper_edges = (
+            keepers.join(fp.select("__fp", F.col(id_col).alias("id_b")), "__fp")
+            .filter(F.col("group_key") != F.col("id_b"))
+            .select(F.col("group_key").alias("id_a"), "id_b")
+        )
+        comp = connected_components(
+            pairs.select("id_a", "id_b").unionByName(keeper_edges)
+        )
         grouped = df.join(
             comp.withColumnRenamed("id", id_col), id_col, "left"
         ).withColumn(
             "group_key", F.coalesce(F.col("component"), F.col(id_col))
         ).drop("component")
     else:
-        fp = fingerprint(df, text_col, "__fp")
-        keepers = fp.groupBy("__fp").agg(F.min(id_col).alias("group_key"))
         grouped = fp.join(keepers, "__fp").drop("__fp")
     bucket = portable_hash32(["group_key"], seed) % buckets
     return grouped.withColumn(

@@ -1100,16 +1100,18 @@ def q_contamination_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark's deduped gram vocabulary, and the overlap fraction a
     graded decontamination policy thresholds on (clean docs appear at
     0.0 — the report certifies them rather than omitting them). The
-    integer-ratio division is bit-identical across engines; the gram
-    index is built once and the benchmark side deduped to its
-    vocabulary before the join (no per-benchmark-doc fanout). See
+    integer-ratio division is bit-identical across engines; ONE gram
+    index feeds BOTH join sides (the contamination_pairs_docs
+    single-scan convention — the tokenize+shingle explode never runs
+    twice) and the benchmark side dedupes to its vocabulary before the
+    join (no per-benchmark-doc fanout). See
     operators.dedup.contamination_overlap_scores."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     grams = dd.gram_index(d, "text", "doc_id", n=5).localCheckpoint(eager=True)
-    bench_grams = grams.filter(F.col("id") % 10 == 0)
-    train = d.filter(F.col("doc_id") % 10 != 0)
     return dd.contamination_overlap_scores(
-        train, None, "text", "doc_id", n=5, benchmark_grams=bench_grams
+        None, None, "text", "doc_id", n=5,
+        benchmark_grams=grams.filter(F.col("id") % 10 == 0),
+        train_grams=grams.filter(F.col("id") % 10 != 0),
     )
 
 

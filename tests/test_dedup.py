@@ -1367,12 +1367,17 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     assert again == {r["doc_id"]: r["split"] for r in out}
 
     # pairs tier: 1-2-3 is a transitive near-dup chain; 4 pairs with 5;
-    # 6 is a singleton
+    # 6 is a singleton; 7 and 8 are EXACT duplicates the pairs frame
+    # MISSED (a pre-filtered pair store) — the exact-tier keeper edges
+    # are unioned in, so they must still co-side (review r8); and 8's
+    # near-dup pair with 6 chains all three into one group
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        [(1, 2), (2, 3), (4, 5), (6, 8)], "id_a long, id_b long"
     )
     docs = spark.createDataFrame(
-        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+        [(i, f"doc {i}") for i in range(1, 7)]
+        + [(7, "identical twin text"), (8, "identical twin text")],
+        "doc_id long, text string",
     )
     got = {
         r["doc_id"]: r
@@ -1384,4 +1389,16 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     assert got[1]["split"] == got[2]["split"] == got[3]["split"]
     assert got[4]["group_key"] == got[5]["group_key"] == 4
     assert got[4]["split"] == got[5]["split"]
-    assert got[6]["group_key"] == 6  # singleton keeps its own id
+    assert got[6]["group_key"] == got[7]["group_key"] == got[8]["group_key"] == 6
+    assert got[6]["split"] == got[7]["split"] == got[8]["split"]
+
+    # NULL text: an inner keeper join would silently DROP the row from
+    # both sides (the one outcome a split must never produce) — the
+    # shared precheck rejects it up front in both tiers
+    bad = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL text"):
+        dd.leakage_safe_split(bad, "text", "doc_id")
+    with pytest.raises(ValueError, match="NULL text"):
+        dd.leakage_safe_split(bad, "text", "doc_id", pairs=pairs)
