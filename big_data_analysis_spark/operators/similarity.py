@@ -1671,13 +1671,21 @@ def semantic_dedup_increment(
             "raw vectors; PQ codes are lossy)"
         )
     dim = manifest["dim"]
+    # ONE shard snapshot feeds the precheck, the payload check AND the
+    # skip-existing anti-join (ADVICE r8: running the precheck on the
+    # raw frame while the fresh count reads a later checkpoint lets a
+    # nondeterministic source show the aggregates different rows,
+    # corrupting skipped = n_shard - n_fresh). keep-list selected here
+    # so the snapshot already carries every column the append needs.
+    keep = list(dict.fromkeys([id_col, vec_col, *manifest["metadata_cols"]]))
+    shard = new_embeddings.select(*keep).localCheckpoint(eager=True)
     # the shared increment shard contract (unique non-null ids,
     # on_existing validation) + this tier's payload check: vectors
     # non-null, right-dimensioned, no null elements
     n_shard = _increment_precheck(
-        "semantic_dedup_increment", new_embeddings, id_col, on_existing
+        "semantic_dedup_increment", shard, id_col, on_existing
     )
-    n_bad = new_embeddings.agg(
+    n_bad = shard.agg(
         F.coalesce(
             F.sum(
                 (
@@ -1704,10 +1712,7 @@ def semantic_dedup_increment(
         id_col=id_col,
     ).select(id_col, "cell", vec_col)
 
-    keep = list(dict.fromkeys([id_col, vec_col, *manifest["metadata_cols"]]))
-    fresh = new_embeddings.select(*keep).join(
-        store.select(id_col), id_col, "left_anti"
-    )
+    fresh = shard.join(store.select(id_col), id_col, "left_anti")
     arrs = np.load(os.path.join(path, manifest["codebooks_file"]))
     bc_cents = spark.sparkContext.broadcast(
         np.asarray(arrs["centroids"], dtype=np.float64)
