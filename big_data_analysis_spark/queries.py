@@ -1166,6 +1166,283 @@ def q_leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "group_key", "split")
 
 
+# =========================================================================
+# Incremental leakage-safe split (dedup.leakage_split_increment): the
+# persisted split store assigns a NEW shard without moving any stored
+# row. FULL row-for-row hash oracle: the increment's assignment rule is
+# engine-portable (md5 fingerprint inheritance + min-shard-id fresh
+# groups + the portable md5 side bucket), so DuckDB re-derives every
+# shard row's (group_key, split, inherited) independently.
+# =========================================================================
+
+_SPLIT_INCR_ORACLE = """
+WITH c AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM documents WHERE doc_id % 10 <> 0
+), k AS (SELECT f, min(doc_id) AS gk FROM c GROUP BY f),
+shard AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 10000000, text FROM documents
+    WHERE doc_id < 50 AND doc_id % 10 <> 0
+), s AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM shard
+), inh AS (
+    SELECT s.doc_id, k.gk AS group_key, TRUE AS inherited
+    FROM s JOIN k USING (f)
+), freshk AS (
+    SELECT f, min(doc_id) AS gk FROM s
+    WHERE f NOT IN (SELECT f FROM k) GROUP BY f
+), fr AS (
+    SELECT s.doc_id, freshk.gk AS group_key, FALSE AS inherited
+    FROM s JOIN freshk USING (f)
+), allr AS (SELECT * FROM inh UNION ALL SELECT * FROM fr)
+SELECT doc_id, group_key,
+       CASE WHEN ('0x' || substr(md5('split-v1' || chr(31) ||
+                                     CAST(group_key AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split,
+       inherited
+FROM allr
+"""
+
+
+@query("leakage_split_incremental_docs", _SPLIT_INCR_ORACLE)
+def q_leakage_split_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental leakage-safe split, hash-verified row-for-row
+    (VERDICT r8 #2): the %10!=0 corpus is split and PERSISTED
+    (split_index_save); the arriving shard — the %10==0 docs plus
+    id-shifted copies of 50 indexed texts — is assigned by
+    leakage_split_increment: duplicate texts INHERIT the stored
+    group's side (the copies provably land where their originals
+    live), fresh texts group within the shard and assign once by the
+    portable md5 bucket. The oracle re-derives every row's group,
+    side and inherited flag independently, so the increment's rule is
+    SQL-pinned end to end. Stored rows are append-only — the
+    stability certificate is leakage_split_stability_docs. See
+    operators.dedup.leakage_split_increment."""
+    import os
+    import shutil
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    base = d.select("doc_id", "text")
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+    shard = base.filter(F.col("doc_id") % 10 == 0).unionByName(
+        base.filter((F.col("doc_id") < 50) & (F.col("doc_id") % 10 != 0)).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    path = f"/root/repo/.scratch/split-incr-q-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    dd.split_index_save(
+        corpus, "text", "doc_id", path, test_fraction=0.2, seed="split-v1"
+    )
+    out = dd.leakage_split_increment(spark, shard, "text", path).select(
+        "doc_id", "group_key", "split", "inherited"
+    )
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SPLIT_STABILITY_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM documents
+), c0 AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+a  AS (SELECT * FROM d WHERE doc_id % 3 = 1),
+b  AS (
+    SELECT doc_id, f FROM d WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 10000000, f FROM d WHERE doc_id < 50
+), k0 AS (SELECT f, min(doc_id) AS gk FROM c0 GROUP BY f),
+ka AS (
+    SELECT f, min(doc_id) AS gk FROM a
+    WHERE f NOT IN (SELECT f FROM k0) GROUP BY f
+), kb AS (
+    SELECT f, min(doc_id) AS gk FROM b
+    WHERE f NOT IN (SELECT f FROM k0) AND f NOT IN (SELECT f FROM ka)
+    GROUP BY f
+), assign AS (
+    SELECT u.doc_id, coalesce(k0.gk, ka.gk, kb.gk) AS gk
+    FROM (SELECT doc_id, f FROM c0 UNION ALL
+          SELECT doc_id, f FROM a UNION ALL
+          SELECT doc_id, f FROM b) u
+    LEFT JOIN k0 ON u.f = k0.f
+    LEFT JOIN ka ON u.f = ka.f
+    LEFT JOIN kb ON u.f = kb.f
+)
+SELECT (SELECT count(*) FROM c0) AS n_init,
+       (SELECT count(*) FROM a) AS inc_a_rows,
+       (SELECT count(*) FROM a WHERE f IN (SELECT f FROM k0)) AS inherited_a,
+       (SELECT count(*) FROM b) AS inc_b_rows,
+       (SELECT count(*) FROM b WHERE f IN (SELECT f FROM c0)
+                                  OR f IN (SELECT f FROM a)) AS inherited_b,
+       (SELECT count(*) FROM assign) AS store_rows_final,
+       (SELECT count(*) FROM assign
+        WHERE ('0x' || substr(md5('split-v1' || chr(31) ||
+                                  CAST(gk AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 < 250000) AS test_rows_final,
+       true AS zero_side_flips,
+       true AS no_rows_lost
+"""
+
+
+@query("leakage_split_stability_docs", _SPLIT_STABILITY_ORACLE)
+def q_leakage_split_stability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE stability certificate (VERDICT r8 #2 'Done' condition):
+    init the split store on a third of the corpus, run TWO increments
+    (the second carrying duplicate copies of 50 texts from every
+    cohort), reload the store around each, and certify that no stored
+    row's side EVER changed (zero_side_flips — compared between the
+    actual reloaded store states, not re-derived) and no row vanished.
+    SQL-exact anchors: per-increment inherited counts (fp-membership
+    against the store's content at that point), final store size, and
+    the final test-side row count re-derived from the cohort-precedence
+    group keys — a single wrong side anywhere flips the hash."""
+    import os
+    import shutil
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    base = d.select("doc_id", "text")
+    c0 = base.filter(F.col("doc_id") % 3 == 0)
+    a = base.filter(F.col("doc_id") % 3 == 1)
+    b = base.filter(F.col("doc_id") % 3 == 2).unionByName(
+        base.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    path = f"/root/repo/.scratch/split-stab-q-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    dd.split_index_save(
+        c0, "text", "doc_id", path, test_fraction=0.25, seed="split-v1"
+    )
+    n_init = dd.split_index_load(spark, path)[0].count()
+    _, st_a = dd.leakage_split_increment(
+        spark, a, "text", path, return_stats=True
+    )
+    rows_a = {
+        r["id"]: r["split"]
+        for r in dd.split_index_load(spark, path)[0].collect()
+    }
+    _, st_b = dd.leakage_split_increment(
+        spark, b, "text", path, return_stats=True
+    )
+    rows_b = {
+        r["id"]: (r["split"], r["group_key"])
+        for r in dd.split_index_load(spark, path)[0].collect()
+    }
+    shutil.rmtree(path, ignore_errors=True)
+    flips = sum(1 for i, s in rows_a.items() if rows_b[i][0] != s)
+    lost = sum(1 for i in rows_a if i not in rows_b)
+    return spark.createDataFrame(
+        [(
+            n_init,
+            st_a["shard_rows"], st_a["inherited"],
+            st_b["shard_rows"], st_b["inherited"],
+            len(rows_b),
+            sum(1 for s, _ in rows_b.values() if s == "test"),
+            flips == 0,
+            lost == 0,
+        )],
+        "n_init long, inc_a_rows long, inherited_a long, inc_b_rows long, "
+        "inherited_b long, store_rows_final long, test_rows_final long, "
+        "zero_side_flips boolean, no_rows_lost boolean",
+    )
+
+
+# =========================================================================
+# Pairs-tier leakage-safe split (VERDICT r8 #3): near-dup pairs union
+# exact keeper edges into connected components before the group-keyed
+# side assignment. FULL row-for-row hash oracle — DuckDB re-derives the
+# components with a recursive CTE (the entity_resolution pattern) over
+# the SAME edge set: fingerprint keeper edges plus the deterministic
+# synthetic near-dup pairs.
+# =========================================================================
+
+_SPLIT_PAIRS_ORACLE = """
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id + 20000000, text || ' extra tail variant' FROM documents
+    WHERE doc_id < 60
+), fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM corpus
+), k AS (SELECT f, min(doc_id) AS gk FROM fp GROUP BY f),
+kedges AS (
+    SELECT k.gk AS id_a, fp.doc_id AS id_b
+    FROM fp JOIN k USING (f) WHERE k.gk <> fp.doc_id
+), sp AS (
+    SELECT doc_id AS id_a, doc_id + 20000000 AS id_b FROM documents
+    WHERE doc_id < 60
+), allp AS (SELECT * FROM kedges UNION SELECT * FROM sp),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM allp
+    UNION SELECT id_b, id_a FROM allp
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+labeled AS (
+    SELECT fp.doc_id, coalesce(comp.component, fp.doc_id) AS group_key
+    FROM fp LEFT JOIN comp ON fp.doc_id = comp.id
+)
+SELECT doc_id, group_key,
+       CASE WHEN ('0x' || substr(md5('split-v1' || chr(31) ||
+                                     CAST(group_key AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM labeled
+"""
+
+
+@query("leakage_split_pairs_docs", _SPLIT_PAIRS_ORACLE)
+def q_leakage_split_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup PAIRS tier of leakage_safe_split, hash-verified
+    row-for-row (VERDICT r8 #3 — previously pytest-only): the corpus
+    carries exact copies (+10M of 40 texts) AND near-dup variants
+    (+20M of 60 texts, one appended phrase — different fingerprint, so
+    only the pairs frame can group them); the deterministic pair set
+    links each variant to its original, the operator unions the exact
+    keeper edges in, resolves connected components (Kiveris
+    alternating-star), and assigns sides by GROUP. The oracle
+    re-derives the components with a recursive CTE over the identical
+    edge set — every row's (group_key, split) is SQL-pinned, so a
+    group straddling the boundary or a dropped row anywhere flips the
+    hash. See operators.dedup.leakage_safe_split."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    base = d.select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail variant")).alias("text"),
+        )
+    )
+    pairs = base.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 20000000).alias("id_b"),
+    )
+    out = dd.leakage_safe_split(
+        corpus, "text", "doc_id", test_fraction=0.2, seed="split-v1",
+        pairs=pairs,
+    )
+    return out.select("doc_id", "group_key", "split")
+
+
 _REPETITION_ORACLE = """
 WITH m AS (
     SELECT source,
