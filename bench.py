@@ -158,6 +158,17 @@ EXTENDED_QUERIES = [
     # incremental tier (semantic dedup over the persisted IVFPQ store)
     "dedup_takedown_roundtrip_docs",
     "semantic_dedup_incremental_embeddings",
+    # round-9 (VERDICT r8 #6 + the round's additions): fractional
+    # contamination scoring (one gram index, vocab left-join + per-doc
+    # aggregate), the batch leakage-safe split (fingerprint groupBy +
+    # keeper join + codegen bucket), the incremental split against the
+    # persisted store (save + increment — the whole lifecycle, like
+    # the other *_incremental entries), and the image dHash near-dup
+    # pairs (mapInPandas decode+hash + Manku block join)
+    "contamination_overlap_docs",
+    "leakage_safe_split_docs",
+    "leakage_split_incremental_docs",
+    "image_near_dup_pairs",
 ]
 
 

@@ -2171,11 +2171,14 @@ def leakage_safe_split(
     )
 
 
-_SPLIT_PREFIXES = ("split-",)
+_SPLIT_PREFIXES = ("split-", "tombstones-")
 
 
 def _split_artifacts(manifest: dict) -> set:
-    return set(manifest.get("split_dirs", []))
+    arts = set(manifest.get("split_dirs", []))
+    if manifest.get("tombstones_file"):
+        arts.add(manifest["tombstones_file"])
+    return arts
 
 
 def _write_split_version(rows: DataFrame, path: str) -> str:
@@ -2248,19 +2251,63 @@ def split_index_save(
 def split_index_load(spark, path: str):
     """Load the persisted split assignment lazily: ``(rows, manifest)``
     where rows is (id, fp, group_key, split) — one row per document
-    ever split through this store."""
+    ever split through this store. Tombstoned ids
+    (``split_index_delete``) are masked per artifact-dir branch, the
+    shared store discipline."""
     import os
     from functools import reduce
 
     man = read_manifest(path, "split_index_load")
+    masked = _tombstone_masker(path, man, "id")
     rows = reduce(
         DataFrame.unionByName,
         [
-            spark.read.parquet(os.path.join(path, d))
-            for d in man["split_dirs"]
+            masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["split_dirs"])
         ],
     ).select("id", "fp", "group_key", "split")
     return rows, man
+
+
+def split_index_delete(spark, path: str, ids) -> None:
+    """Takedown path for the split store (the GDPR semantics every
+    other store already has): tombstone the given doc ids so they
+    vanish from masked loads — a deleted id no longer counts as
+    assigned (``on_existing`` sees it as new) and no longer anchors
+    fp inheritance. Group-side memory survives as long as ANY other
+    row bears the same fp; when the LAST bearer of a text is deleted,
+    a re-ingested identical text assigns FRESH (possibly the other
+    side) — correct, because the text fully left the corpus and its
+    historical side carries no eval-integrity obligation. The
+    ``group_key`` values remaining rows carry are opaque labels; a
+    deleted keeper id keeps labeling its group. Scoped like the other
+    stores; ``split_index_compact`` purges physically."""
+    _index_tombstone_delete(
+        path, ids, "split_index_delete", "split_dirs",
+        _SPLIT_PREFIXES, _split_artifacts,
+    )
+
+
+def split_index_compact(spark, path: str) -> None:
+    """Fold appended split versions into ONE dir, purging tombstoned
+    rows physically and dropping the tombstone file — the LSM
+    compaction half shared by every store. No-op when already compact
+    and tombstone-free; all-tombstoned stores keep the masked form
+    (the empty-parquet hazard)."""
+    man = read_manifest(path, "split_index_compact")
+    if len(man["split_dirs"]) <= 1 and not man.get("tombstones_file"):
+        return
+    rows, _ = split_index_load(spark, path)  # masked => purged
+    if rows.head() is None:
+        return
+    d = _write_split_version(rows, path)
+    new_man = dict(man)
+    new_man["split_dirs"] = [d]
+    new_man.pop("tombstones_file", None)
+    new_man.pop("retained", None)
+    commit_manifest(
+        path, new_man, prefixes=_SPLIT_PREFIXES, artifacts_fn=_split_artifacts,
+    )
 
 
 def leakage_split_increment(

@@ -1443,6 +1443,139 @@ def q_leakage_split_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "group_key", "split")
 
 
+_SPLIT_TAKEDOWN_ORACLE = """
+WITH c AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM documents WHERE doc_id < 200
+), corpus AS (
+    SELECT doc_id, f FROM c
+    UNION ALL
+    SELECT doc_id + 10000000, f FROM c WHERE doc_id < 30
+), redundant AS (
+    -- texts of docs < 15 that ALSO live on an undeleted doc in
+    -- [15, 200): their re-ingest after the full takedown still inherits
+    SELECT count(DISTINCT a.doc_id) AS n
+    FROM c a JOIN c b ON a.f = b.f AND b.doc_id >= 15
+    WHERE a.doc_id < 15
+)
+SELECT (SELECT count(*) FROM corpus) AS n0,
+       (SELECT count(*) FROM corpus) - 30 AS after_delete_twins,
+       (SELECT count(*) FROM c WHERE doc_id < 30) AS inherited_r1,
+       (SELECT n FROM redundant) AS inherited_r2,
+       (SELECT count(*) FROM corpus) - 15 AS store_rows_final,
+       true AS r1_sides_match_originals,
+       true AS deleted_never_visible,
+       true AS compact_single_dir_no_tombstones,
+       true AS compact_preserves_content
+"""
+
+
+@query("split_takedown_roundtrip_docs", _SPLIT_TAKEDOWN_ORACLE)
+def q_split_takedown_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown lifecycle of the SPLIT store (the GDPR semantics the
+    other three dedup stores certify via dedup_takedown_roundtrip):
+    save a split over docs < 200 plus twin copies of 30 texts; delete
+    every twin (the originals keep the group memory — re-ingested
+    copies must still INHERIT the original side, compared against the
+    actual pre-delete store rows); then fully take down texts < 15
+    (original + re-ingested copy) and re-ingest them again — only the
+    texts that ALSO live on an undeleted doc may inherit (the
+    SQL-exact redundant-text count; the rest assign fresh); compact
+    purges tombstones physically into one dir while preserving the
+    masked content and the manifest's split params. SQL-exact
+    population anchors at every step; the side comparisons and
+    compaction invariants are in-engine booleans the oracle pins.
+    See operators.dedup.split_index_delete / split_index_compact."""
+    import json
+    import os
+    import shutil
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    base = d.select("doc_id", "text").filter(F.col("doc_id") < 200)
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    path = f"/root/repo/.scratch/split-takedown-q-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    dd.split_index_save(
+        corpus, "text", "doc_id", path, test_fraction=0.3, seed="split-v1"
+    )
+    store0 = {
+        r["id"]: (r["group_key"], r["split"])
+        for r in dd.split_index_load(spark, path)[0].collect()
+    }
+    n0 = len(store0)
+
+    # 1. delete the 30 twin copies; re-ingest those texts under fresh
+    # ids — every one must inherit its ORIGINAL side (the original
+    # bearer is still indexed)
+    dd.split_index_delete(spark, path, [10000000 + i for i in range(30)])
+    after_d1 = dd.split_index_load(spark, path)[0].count()
+    r1 = dd.leakage_split_increment(
+        spark,
+        base.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+        ),
+        "text", path,
+    )
+    r1_rows = {r["doc_id"]: r for r in r1.collect()}
+    inherited_r1 = sum(1 for r in r1_rows.values() if r["inherited"])
+    r1_match = all(
+        (r["group_key"], r["split"]) == store0[doc - 20000000]
+        for doc, r in r1_rows.items() if r["inherited"]
+    ) and inherited_r1 == len(r1_rows)
+
+    # 2. full takedown of texts < 15 (original + re-ingested copy),
+    # then re-ingest once more: only redundant texts (also borne by an
+    # undeleted doc >= 15) may inherit
+    dd.split_index_delete(
+        spark, path,
+        [i for i in range(15)] + [20000000 + i for i in range(15)],
+    )
+    r2 = dd.leakage_split_increment(
+        spark,
+        base.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 21000000).alias("doc_id"), "text"
+        ),
+        "text", path,
+    )
+    inherited_r2 = sum(1 for r in r2.collect() if r["inherited"])
+
+    # 3. compact: one dir, no tombstone file, params preserved, masked
+    # content identical, deleted ids never visible
+    pre = dd.split_index_load(spark, path)[0]
+    pre_set = {tuple(r) for r in pre.collect()}
+    dd.split_index_compact(spark, path)
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    post_rows = dd.split_index_load(spark, path)[0].collect()
+    post_set = {tuple(r) for r in post_rows}
+    deleted = {10000000 + i for i in range(30)} | set(range(15)) | {
+        20000000 + i for i in range(15)
+    }
+    never_visible = not (deleted & {r["id"] for r in post_rows})
+    compact_ok = (
+        len(man["split_dirs"]) == 1
+        and "tombstones_file" not in man
+        and man["test_fraction"] == 0.3
+    )
+    n_final = len(post_set)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            n0, after_d1, inherited_r1, inherited_r2, n_final,
+            r1_match, never_visible, compact_ok, post_set == pre_set,
+        )],
+        "n0 long, after_delete_twins long, inherited_r1 long, "
+        "inherited_r2 long, store_rows_final long, "
+        "r1_sides_match_originals boolean, deleted_never_visible boolean, "
+        "compact_single_dir_no_tombstones boolean, "
+        "compact_preserves_content boolean",
+    )
+
+
 # =========================================================================
 # Image near-duplicate pairs (multimodal.image_dhash + the Manku hamming
 # block join — VERDICT r8 "What's missing" #3). FULL row-for-row hash
@@ -9375,85 +9508,73 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-8 window ---
-    # Composition is now MECHANICALLY AUDITED (VERDICT r7 #3):
-    # tests/window_audit.py maps every query to its transitive operator
-    # modules, reads last-green rounds from CORRECTNESS_r*.json, diffs
-    # modules against each round's boundary commit, and
-    # test_semantics.py::test_driver_window_rotates_transitively_stale_queries
-    # enforces that (b) is complete and (c)+(d) slots go to the STALEST
-    # module-changed queries first.
+    # --- round-9 window ---
+    # Composed per tests/window_audit.py (AUDIT_ROUND = 9): (a) 6
+    # never-driver-verified queries — the two r8 post-horizon
+    # registrations the VERDICT ordered to lead, plus this round's 4 —
+    # then (b) all 25 r8 greens whose transitive modules (dedup.py,
+    # similarity.py, multimodal.py) changed this round, then (c) 19 of
+    # the 24 stalest (last-green r4) module-changed queries. The
+    # remaining backlog (5 r4 + 41 r5 + 24 r6 + audio_decode_wav r7)
+    # drains next rounds, oldest first.
     #
-    # (a) round-8 additions — never driver-verified:
-    "dedup_takedown_roundtrip_docs",
-    "semantic_dedup_incremental_embeddings",
-    # (b) r7 greens whose modules changed THIS round (dedup.py,
-    # similarity.py, index_store.py: loud-overlap increments +
-    # duplicate-id guards, version_tag replay idempotence, the
-    # streaming refresh's fp-index cross-batch state, the
-    # _assign_to_cells factoring and keep_cols dedupe, uuid manifest
-    # tmp names) — re-verification mandatory, the audit computes this
-    # set as stale-since-r7:
-    "minhash_incremental_docs",
-    "simhash_incremental_docs",
-    "exact_dedup_incremental_docs",
-    "streaming_corpus_refresh",
-    "minhash_pairs",
-    "simhash_pairs",
-    "contamination_pairs_docs",
-    "bloom_decontaminate_docs",
-    "heavy_hitter_tokens",
-    "novelty_docs",
-    "ivfpq_persisted_ann_topk",
-    "ivfpq_incremental_append",
-    "ivfpq_tombstone_delete",
-    "knn_blas_batch",
-    "cosine_topk",
-    "embedding_near_dup_pairs",
-    "centroid_assignment_embeddings",
-    # (c)+(d) all 31 remaining slots: the STALEST module-changed
-    # queries, oldest last-green round first (the audit's ordering
-    # invariant). Every r2 and r3 green whose operator modules changed
-    # since its round (io/relational/text/timeseries/evaluation edits
-    # across r5-r7 never triggered an external re-check before this
-    # mechanism):
-    "corr_lineitem",
-    "cube_orders",
-    "describe_lineitem",
-    "hash_sample_docs",
-    "jaccard_pairs_docs",
-    "rollup_qty",
-    "sliding_window_events",
-    "span_dedup_docs",
-    "string_funcs_part",
-    "tfidf_top_terms_docs",
-    "tumbling_daily_events",
-    "word_freq_docs",
-    "chi2_orders",
-    "entropy_gain_events",
-    # ... then 17 of the 41 stale r4 greens (same round => any subset
-    # satisfies the ordering; picked to span module families: eval,
-    # multimodal/audio, graph, retrieval, text chunking, relational
-    # dedup/binning, ML contract, hybrid fusion, dq drift, the corpus
-    # pipeline, rolling/seasonal timeseries, quality gating, streaming
-    # parity, the flagship, CDC upsert):
-    "auc_orders",
+    # (a) additions — never driver-verified:
+    "contamination_overlap_docs",
+    "leakage_safe_split_docs",
+    "leakage_split_incremental_docs",
+    "leakage_split_stability_docs",
+    "leakage_split_pairs_docs",
+    "image_near_dup_pairs",
+    # (b) r8 greens, modules changed this round (snapshot-consistent
+    # increment prechecks, tagged-replay tombstone mask + tags ledger,
+    # split store, image dHash tier) — mandatory re-verification:
     "audio_spectral_peak_bands",
-    "bfs_hops_trade",
+    "bloom_decontaminate_docs",
     "bm25_search_docs",
-    "chunk_docs_overlap",
-    "dedup_keep_last",
-    "golden_predictions",
+    "centroid_assignment_embeddings",
+    "contamination_pairs_docs",
+    "cosine_topk",
+    "dedup_takedown_roundtrip_docs",
+    "embedding_near_dup_pairs",
+    "exact_dedup_incremental_docs",
+    "heavy_hitter_tokens",
     "hybrid_search_rrf",
-    "jsd_event_type_shift",
+    "ivfpq_incremental_append",
+    "ivfpq_persisted_ann_topk",
+    "ivfpq_tombstone_delete",
+    "jaccard_pairs_docs",
+    "knn_blas_batch",
     "llm_corpus_pipeline",
-    "qcut_price_deciles",
-    "rolling_corr_nation_monthly",
-    "seasonal_decompose_daily_events",
-    "source_quality_gate",
-    "streaming_tumbling_daily",
-    "trend_rules",
-    "upsert_orders",
+    "minhash_incremental_docs",
+    "minhash_pairs",
+    "novelty_docs",
+    "semantic_dedup_incremental_embeddings",
+    "simhash_incremental_docs",
+    "simhash_pairs",
+    "span_dedup_docs",
+    "streaming_corpus_refresh",
+    # (c) stalest-first drain: 19 of the 24 last-green-r4 queries whose
+    # modules changed since r4 (io/relational/text/timeseries churn
+    # across r5-r8), spanning module families:
+    "customer_order_distribution",
+    "discounted_revenue_brands",
+    "heavy_small_part_shippers",
+    "late_order_priority",
+    "market_share_region",
+    "new_vs_returning_users",
+    "pricing_summary",
+    "product_profit_nation_year",
+    "robust_scale_prices",
+    "sales_opportunity",
+    "seasonal_residual_anomalies",
+    "sessionize_events",
+    "shipping_lateness_buckets",
+    "top3_orders_per_customer",
+    "top_customers",
+    "top_supplier_quarter",
+    "video_frame_sample",
+    "volume_shipping_pairs",
+    "yoy_revenue_growth",
 ]
 
 def _apply_driver_order() -> None:

@@ -1727,3 +1727,72 @@ def test_leakage_split_increment_bridge_detection(spark, request):
         [(700, "yet another doc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="neither in the shard nor"):
         dd.leakage_split_increment(spark, shard3, "text", path, pairs=bad_pairs)
+
+
+def test_split_index_takedown_lifecycle(spark, request):
+    """The split store joins the uniform takedown lifecycle: delete ->
+    masked loads hide the rows, an increment treats the deleted id as
+    unassigned, fp inheritance survives while OTHER bearers of the
+    text remain and resets when the last bearer is gone; compact
+    purges physically, drops the tombstone file, and preserves the
+    manifest's split params."""
+    import json
+    import os
+    import shutil
+
+    path = f"/root/repo/.scratch/split-takedown-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+    corpus = spark.createDataFrame(
+        [(1, "shared twin text"), (2, "shared twin text"), (3, "solo text")],
+        "doc_id long, text string",
+    )
+    dd.split_index_save(corpus, "text", "doc_id", path, test_fraction=0.5)
+    before = {r["id"]: (r["group_key"], r["split"])
+              for r in dd.split_index_load(spark, path)[0].collect()}
+
+    # delete ONE twin: the other bearer keeps the group memory, so a
+    # re-ingested copy still inherits the ORIGINAL side
+    dd.split_index_delete(spark, path, [2])
+    rows = {r["id"] for r in dd.split_index_load(spark, path)[0].collect()}
+    assert rows == {1, 3}
+    out = {r["doc_id"]: r for r in dd.leakage_split_increment(
+        spark,
+        spark.createDataFrame([(20, "shared twin text")],
+                              "doc_id long, text string"),
+        "text", path,
+    ).collect()}
+    assert out[20]["inherited"] is True
+    assert (out[20]["group_key"], out[20]["split"]) == before[1]
+
+    # deleted id is re-usable (counts as unassigned)
+    out2 = {r["doc_id"]: r for r in dd.leakage_split_increment(
+        spark,
+        spark.createDataFrame([(2, "replacement text for id two")],
+                              "doc_id long, text string"),
+        "text", path,
+    ).collect()}
+    assert out2[2]["inherited"] is False
+
+    # delete the LAST bearer of 'solo text': group memory resets — a
+    # re-ingested copy assigns FRESH under its own keeper id
+    dd.split_index_delete(spark, path, [3])
+    out3 = {r["doc_id"]: r for r in dd.leakage_split_increment(
+        spark,
+        spark.createDataFrame([(30, "solo text")],
+                              "doc_id long, text string"),
+        "text", path,
+    ).collect()}
+    assert out3[30]["inherited"] is False and out3[30]["group_key"] == 30
+
+    # compact: one dir, tombstones gone, params preserved, content ==
+    # the masked pre-compact load
+    pre = {(r["id"], r["fp"], r["group_key"], r["split"])
+           for r in dd.split_index_load(spark, path)[0].collect()}
+    dd.split_index_compact(spark, path)
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert len(man["split_dirs"]) == 1 and "tombstones_file" not in man
+    assert man["test_fraction"] == 0.5 and man["seed"] == "split-v1"
+    post = {(r["id"], r["fp"], r["group_key"], r["split"])
+            for r in dd.split_index_load(spark, path)[0].collect()}
+    assert post == pre and {i for i, *_ in post} == {1, 20, 2, 30}

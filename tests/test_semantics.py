@@ -552,23 +552,30 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # (a) round-8 additions — never driver-verified
-        "dedup_takedown_roundtrip_docs",
-        "semantic_dedup_incremental_embeddings",
-        # (b) r7 greens whose operator modules changed this round
-        # (dedup/similarity/index_store: loud-overlap increments,
-        # version_tag replay, fp-index streaming state, keep_cols
-        # dedupe + _assign_to_cells factoring) — the mechanical audit
+        # (a) round-9 additions — never driver-verified (the two r8
+        # post-horizon registrations VERDICT r8 ordered to lead, plus
+        # this round's four)
+        "contamination_overlap_docs", "leakage_safe_split_docs",
+        "leakage_split_incremental_docs", "leakage_split_stability_docs",
+        "leakage_split_pairs_docs", "image_near_dup_pairs",
+        # (b) r8 greens whose operator modules changed this round
+        # (dedup/similarity/multimodal: snapshot-consistent increment
+        # prechecks, tagged-replay tombstone mask + tags ledger, the
+        # split store, the image dHash tier) — the mechanical audit
         # (test_driver_window_rotates_transitively_stale_queries)
-        # computes this same set as stale-since-r7
-        "minhash_incremental_docs", "simhash_incremental_docs",
-        "exact_dedup_incremental_docs", "streaming_corpus_refresh",
-        "minhash_pairs", "simhash_pairs", "contamination_pairs_docs",
-        "bloom_decontaminate_docs", "heavy_hitter_tokens",
-        "novelty_docs", "ivfpq_persisted_ann_topk",
-        "ivfpq_incremental_append", "ivfpq_tombstone_delete",
-        "knn_blas_batch", "cosine_topk", "embedding_near_dup_pairs",
-        "centroid_assignment_embeddings",
+        # computes this same set as stale-since-r8
+        "audio_spectral_peak_bands", "bloom_decontaminate_docs",
+        "bm25_search_docs", "centroid_assignment_embeddings",
+        "contamination_pairs_docs", "cosine_topk",
+        "dedup_takedown_roundtrip_docs", "embedding_near_dup_pairs",
+        "exact_dedup_incremental_docs", "heavy_hitter_tokens",
+        "hybrid_search_rrf", "ivfpq_incremental_append",
+        "ivfpq_persisted_ann_topk", "ivfpq_tombstone_delete",
+        "jaccard_pairs_docs", "knn_blas_batch", "llm_corpus_pipeline",
+        "minhash_incremental_docs", "minhash_pairs", "novelty_docs",
+        "semantic_dedup_incremental_embeddings",
+        "simhash_incremental_docs", "simhash_pairs", "span_dedup_docs",
+        "streaming_corpus_refresh",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -665,6 +672,25 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "gini_customer_revenue", "rfm_segments_customers",
     "minhash_incremental_docs", "streaming_corpus_refresh",
     "exact_dedup_incremental_docs", "simhash_incremental_docs",
+    # round-8 window (CORRECTNESS_r08.json: 50/50 full hash-match)
+    "auc_orders", "audio_spectral_peak_bands", "bfs_hops_trade",
+    "bloom_decontaminate_docs", "bm25_search_docs",
+    "centroid_assignment_embeddings", "chi2_orders", "chunk_docs_overlap",
+    "contamination_pairs_docs", "corr_lineitem", "cosine_topk", "cube_orders",
+    "dedup_keep_last", "dedup_takedown_roundtrip_docs", "describe_lineitem",
+    "embedding_near_dup_pairs", "entropy_gain_events",
+    "exact_dedup_incremental_docs", "golden_predictions", "hash_sample_docs",
+    "heavy_hitter_tokens", "hybrid_search_rrf", "ivfpq_incremental_append",
+    "ivfpq_persisted_ann_topk", "ivfpq_tombstone_delete",
+    "jaccard_pairs_docs", "jsd_event_type_shift", "knn_blas_batch",
+    "llm_corpus_pipeline", "minhash_incremental_docs", "minhash_pairs",
+    "novelty_docs", "qcut_price_deciles", "rolling_corr_nation_monthly",
+    "rollup_qty", "seasonal_decompose_daily_events",
+    "semantic_dedup_incremental_embeddings", "simhash_incremental_docs",
+    "simhash_pairs", "sliding_window_events", "source_quality_gate",
+    "span_dedup_docs", "streaming_corpus_refresh", "streaming_tumbling_daily",
+    "string_funcs_part", "tfidf_top_terms_docs", "trend_rules",
+    "tumbling_daily_events", "upsert_orders", "word_freq_docs",
 }
 
 
