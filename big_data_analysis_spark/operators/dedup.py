@@ -2096,6 +2096,7 @@ def leakage_safe_split(
     seed: str = "split-v1",
     pairs: DataFrame | None = None,
     buckets: int = 1_000_000,
+    _keep_fp: bool = False,
 ) -> DataFrame:
     """Train/test split that CANNOT leak duplicates across the
     boundary: rows are assigned by duplicate-GROUP key, never
@@ -2149,26 +2150,40 @@ def leakage_safe_split(
         comp = connected_components(
             pairs.select("id_a", "id_b").unionByName(keeper_edges)
         )
-        grouped = df.join(
+        grouped = fp.join(
             comp.withColumnRenamed("id", id_col), id_col, "left"
         ).withColumn(
             "group_key", F.coalesce(F.col("component"), F.col(id_col))
         ).drop("component")
     else:
-        grouped = fp.join(keepers, "__fp").drop("__fp")
+        grouped = fp.join(keepers, "__fp")
+    if not _keep_fp:
+        grouped = grouped.drop("__fp")
     bucket = portable_hash32(["group_key"], seed) % buckets
-    # int(round(...)): int() alone truncates binary-float error
-    # (0.3 * 1_000_000 -> 299999.99999999994 -> 299999), deviating by
-    # one bucket from the documented SQL re-derivation
-    # 'portable_hash32(seed, group_key) % buckets < test_fraction *
-    # buckets' computed exactly (ADVICE r8). round() makes the cutoff
-    # bit-stable for every fraction representable at bucket precision.
     return grouped.withColumn(
         "split",
         F.when(
-            bucket < int(round(test_fraction * buckets)), F.lit("test")
+            bucket < _split_threshold(test_fraction, buckets), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def _split_threshold(test_fraction: float, buckets: int) -> int:
+    """The integer cutoff equal to the documented exact SQL rule
+    'bucket < test_fraction * buckets' for every integer bucket: an
+    integer b satisfies b < x iff b < ceil(x) (x non-integer) or
+    b < x (x integer) — i.e. threshold = ceil(x) computed on the EXACT
+    product. int() truncates binary-float noise (0.3 * 1e6 ->
+    299999.99999999994 -> 299999; ADVICE r8) and round() banker-rounds
+    exact half-buckets the wrong way (0.25 * 10 = 2.5: the rule puts
+    bucket 2 in test, round gives 2 — review r9), so: ceil with a 1e-9
+    downward nudge, exact whenever the float product sits within 1e-9
+    of the true product (every practical fraction/buckets pair; a
+    fraction needing finer resolution than 1e-9 of a bucket is outside
+    the contract)."""
+    import math
+
+    return math.ceil(test_fraction * buckets - 1e-9)
 
 
 _SPLIT_PREFIXES = ("split-", "tombstones-")
@@ -2220,11 +2235,14 @@ def split_index_save(
     import os
 
     os.makedirs(path, exist_ok=True)
+    # _keep_fp: the split already fingerprints every row — reusing its
+    # __fp column halves the full-corpus text-normalization work
+    # (review r9) vs re-deriving it here
     assigned = leakage_safe_split(
         df, text_col, id_col, test_fraction=test_fraction, seed=seed,
-        buckets=buckets,
+        buckets=buckets, _keep_fp=True,
     )
-    rows = fingerprint(assigned, text_col, "__fp").select(
+    rows = assigned.select(
         F.col(id_col).alias("id"),
         F.col("__fp").alias("fp"),
         "group_key",
@@ -2369,7 +2387,7 @@ def leakage_split_increment(
     rows_idx, man = split_index_load(spark, path)
     id_col = man["id_col"]
     seed, buckets = man["seed"], man["buckets"]
-    test_threshold = int(round(man["test_fraction"] * buckets))
+    test_threshold = _split_threshold(man["test_fraction"], buckets)
     if on_bridge not in ("error", "resolve"):
         raise ValueError(
             f"leakage_split_increment: on_bridge must be 'error' or "
@@ -2419,22 +2437,43 @@ def leakage_split_increment(
         # node resolution: fresh shard id -> its fp candidate key;
         # inherited shard id -> stored group key; indexed id -> stored
         # group key. Unknown ids raise (a near-dup pair must reference
-        # known documents).
+        # known documents). Node ids live in TWO namespaces — shard
+        # candidate keys and stored group-key LABELS — and a label can
+        # numerically collide with a live shard id (split_index_delete
+        # documents that a deleted keeper both keeps labeling its
+        # group and frees its id for reuse; review r9 reproduced
+        # unrelated docs glued into the dead keeper's group). Encode
+        # disjointly: anchors at 2*gk, fresh candidates at 2*cand + 1;
+        # fresh-only component labels decode with one shift (min is
+        # monotone under 2c+1). Pair-graph ids must stay below 2^62.
+        endpoint = (
+            pairs.select(F.col("id_a").alias("__pid"))
+            .unionByName(pairs.select(F.col("id_b").alias("__pid")))
+            .distinct()
+        )
+        # every frame below is ENDPOINT-RESTRICTED first, so the node
+        # aggregates are pair-graph-sized, never store-sized (the
+        # 'CC rounds over the PAIRS graph only' contract)
         id_node = (
-            fresh_nodes.select(F.col(id_col).alias("__pid"),
-                               F.col("__cand").alias("__node"))
+            fresh_nodes.select(
+                F.col(id_col).alias("__pid"),
+                (F.col("__cand") * 2 + 1).alias("__node"),
+            )
             .unionByName(
                 resolved.filter(
                     F.col("__gk_id").isNotNull() | F.col("__gk_fp").isNotNull()
                 ).select(
                     F.col(id_col).alias("__pid"),
-                    F.coalesce("__gk_id", "__gk_fp").alias("__node"),
+                    (F.coalesce("__gk_id", "__gk_fp") * 2).alias("__node"),
                 )
             )
             .unionByName(
-                rows_idx.select(F.col("id").alias("__pid"),
-                                F.col("group_key").alias("__node"))
+                rows_idx.join(endpoint, rows_idx["id"] == endpoint["__pid"],
+                              "left_semi")
+                .select(F.col("id").alias("__pid"),
+                        (F.col("group_key") * 2).alias("__node"))
             )
+            .join(endpoint, "__pid", "left_semi")
             .groupBy("__pid")
             .agg(F.min("__node").alias("__node"))
         )
@@ -2459,16 +2498,18 @@ def leakage_split_increment(
         comp = connected_components(edges).select(
             F.col("id").alias("__node"), "component"
         )
-        # anchor = an existing group key (node present in the store)
+        # anchor = an existing group key whose encoded node is IN the
+        # pair graph (anchors outside it cannot share a component with
+        # anything — restricting keeps comp_info graph-sized)
         anchors = (
-            rows_idx.select(F.col("group_key").alias("__node"), "split")
+            rows_idx.select(F.col("group_key").alias("__gk"), "split")
             .distinct()
-            .join(comp, "__node", "left")
-            .withColumn("component", F.coalesce("component", "__node"))
+            .withColumn("__node", F.col("__gk") * 2)
+            .join(comp, "__node")
         )
         comp_info = anchors.groupBy("component").agg(
             F.count_distinct("split").alias("__n_sides"),
-            F.min(F.struct(F.col("__node").alias("k"),
+            F.min(F.struct(F.col("__gk").alias("k"),
                            F.col("split").alias("s"))).alias("__m"),
         ).localCheckpoint(eager=True)
         bridge_conflicts = comp_info.filter(F.col("__n_sides") >= 2).count()
@@ -2481,18 +2522,25 @@ def leakage_split_increment(
                 "review the bridged groups."
             )
         node_comp = (
-            fresh_nodes.select(F.col("__cand").alias("__node")).distinct()
+            fresh_nodes.select(
+                (F.col("__cand") * 2 + 1).alias("__node")
+            ).distinct()
             .join(comp, "__node", "left")
             .withColumn("component", F.coalesce("component", "__node"))
             .join(comp_info, "component", "left")
         )
+        # fresh-only components carry all-odd (2c+1) nodes, so their
+        # min-node label decodes to the min candidate key with a shift
         node_assign = node_comp.select(
             "__node",
-            F.coalesce(F.col("__m.k"), F.col("component")).alias("__agk"),
+            F.coalesce(
+                F.col("__m.k"), F.shiftright(F.col("component"), 1)
+            ).alias("__agk"),
             F.col("__m.s").alias("__asp"),
         )
         fresh_assigned = fresh_nodes.join(
-            node_assign, fresh_nodes["__cand"] == node_assign["__node"]
+            node_assign,
+            (fresh_nodes["__cand"] * 2 + 1) == node_assign["__node"],
         ).drop("__node")
         gk_fresh = F.col("__agk")
         sp_fresh = F.coalesce(

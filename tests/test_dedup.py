@@ -1796,3 +1796,93 @@ def test_split_index_takedown_lifecycle(spark, request):
     post = {(r["id"], r["fp"], r["group_key"], r["split"])
             for r in dd.split_index_load(spark, path)[0].collect()}
     assert post == pre and {i for i, *_ in post} == {1, 20, 2, 30}
+
+
+def test_split_increment_pairs_survive_reused_keeper_id(spark, request):
+    """Review r9 (confirmed bug): shard candidate keys and stored
+    group-key LABELS share one numeric space, and split_index_delete
+    documents that a deleted keeper both keeps labeling its group and
+    frees its id for reuse. Before the disjoint node encoding, a shard
+    reusing a dead keeper's id (a) glued unrelated fresh docs into the
+    old group and (b) raised a phantom bridge conflict for a pair
+    touching only ONE group."""
+    import os
+    import shutil
+
+    path = f"/root/repo/.scratch/split-reuse-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    # group {1, 2} keyed 1; singleton 7 — then keeper 1 is taken down
+    corpus = spark.createDataFrame(
+        [(1, "twin text"), (2, "twin text"), (7, "other text")],
+        "doc_id long, text string",
+    )
+    dd.split_index_save(corpus, "text", "doc_id", path, test_fraction=0.5)
+    store0 = {r["id"]: (r["group_key"], r["split"])
+              for r in dd.split_index_load(spark, path)[0].collect()}
+    dd.split_index_delete(spark, path, [1])
+
+    # (a) shard reuses id 1 with UNRELATED text, near-dup to fresh 50:
+    # the pair must form a fresh group {1, 50}, never alias stored
+    # group label 1 (doc 2's group)
+    shard = spark.createDataFrame(
+        [(1, "reused id brand new text"), (50, "another brand new text")],
+        "doc_id long, text string",
+    )
+    prs = spark.createDataFrame([(1, 50)], "id_a long, id_b long")
+    out, st = dd.leakage_split_increment(
+        spark, shard, "text", path, pairs=prs, return_stats=True
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert st["bridge_conflicts"] == 0, "phantom bridge conflict"
+    assert got[1]["group_key"] == got[50]["group_key"] == 1
+    assert got[1]["inherited"] is False and got[50]["inherited"] is False
+    # doc 2's stored assignment is untouched and its group side is NOT
+    # what doc 1/50 were forced to — they bucket on their own fresh key
+    rows = {r["id"]: (r["group_key"], r["split"])
+            for r in dd.split_index_load(spark, path)[0].collect()}
+    assert rows[2] == store0[2]
+
+    # (b) a pair from a reused dead-keeper id to a live group must
+    # resolve against that ONE group without a conflict
+    dd.split_index_delete(spark, path, [7])
+    shard2 = spark.createDataFrame(
+        [(7, "reused seven text")], "doc_id long, text string")
+    prs2 = spark.createDataFrame([(7, 2)], "id_a long, id_b long")
+    out2, st2 = dd.leakage_split_increment(
+        spark, shard2, "text", path, pairs=prs2, return_stats=True
+    )
+    g2 = {r["doc_id"]: r for r in out2.collect()}
+    assert st2["bridge_conflicts"] == 0
+    assert (g2[7]["group_key"], g2[7]["split"]) == store0[2]
+
+
+def test_split_threshold_half_bucket_matches_exact_rule(spark):
+    """Review r9: round() banker-rounds exact half-buckets away from
+    the documented rule 'bucket < test_fraction * buckets' (0.25 * 10
+    = 2.5: bucket 2 IS < 2.5, test). The ceil-with-epsilon threshold
+    pins bucket-2 groups to 'test' at fraction 0.25/buckets=10."""
+    import hashlib
+
+    from big_data_analysis_spark.operators.dedup import _split_threshold
+
+    assert _split_threshold(0.25, 10) == 3       # 2.5 -> bucket 2 in test
+    assert _split_threshold(0.3, 10) == 3        # float noise below
+    assert _split_threshold(0.3, 1_000_000) == 300000
+    assert _split_threshold(0.2, 1_000_000) == 200000
+    assert _split_threshold(0.0, 10) == 0
+    assert _split_threshold(1.0, 10) == 10
+
+    def bucket(gk: int) -> int:
+        h = hashlib.md5(f"split-v1\x1f{gk}".encode()).hexdigest()
+        return int(h[:8], 16) % 10
+
+    edge = [i for i in range(200) if bucket(i) == 2][:3]
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in edge], "doc_id long, text string"
+    )
+    out = dd.leakage_safe_split(
+        df, "text", "doc_id", test_fraction=0.25, buckets=10
+    ).collect()
+    assert all(r["split"] == "test" for r in out), out
