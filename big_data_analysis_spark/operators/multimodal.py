@@ -880,3 +880,231 @@ def synthesize_perturbed_pgms(
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         batches, schema="doc_id long, content binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted image-fingerprint index + incremental image dedup: the image
+# tier joins the incremental-refresh family (exact/MinHash/SimHash/
+# semantic — and now dHash), riding the SAME store protocol (versioned
+# artifacts, atomic manifest, tombstone masking) and the SAME Manku
+# hamming join as the text SimHash store.
+# ---------------------------------------------------------------------------
+
+_DHASH_IDX_PREFIXES = ("dhs-", "tombstones-")
+
+
+def _dhash_idx_artifacts(manifest: dict) -> set:
+    arts = set(manifest.get("dh_dirs", []))
+    if manifest.get("tombstones_file"):
+        arts.add(manifest["tombstones_file"])
+    return arts
+
+
+def _write_dhash_version(rows: DataFrame, path: str) -> str:
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+
+    d = f"dhs-{uuid.uuid4().hex[:12]}"
+    write_parquet(rows.select("id", "dhash"), os.path.join(path, d))
+    return d
+
+
+def _dhash_precheck(op: str, hashed: DataFrame, on_existing: str | None) -> int:
+    """The shared increment shard contract for (id, dhash) rows:
+    unique non-null ids, NON-NULL dhash (a decode-error row has no
+    fingerprint to index — filter ``dhash_error`` rows out first, the
+    corrupt-tolerance flow), on_existing in {'error','skip'}. One
+    aggregate; returns the shard row count."""
+    from .dedup import _increment_precheck
+
+    n = _increment_precheck(op, hashed, "id", on_existing)
+    n_null = hashed.agg(
+        F.coalesce(F.sum(F.col("dhash").isNull().cast("int")), F.lit(0))
+    ).head()[0]
+    if n_null:
+        raise ValueError(
+            f"{op}: {n_null} row(s) have NULL dhash — decode-error rows "
+            "carry no fingerprint; filter them out first"
+        )
+    return n
+
+
+def dhash_index_save(hashed: DataFrame, path: str, id_col: str = "id") -> None:
+    """Persist image perceptual fingerprints: one (id, dhash) row per
+    image (``image_dhash`` output — filter decode-error rows first;
+    NULL dhash raises). 16 bytes/image: a 10^10-image corpus indexes
+    in ~160 GB, and a shard refresh needs one fingerprint join instead
+    of re-decoding any archive image. Same versioned-artifact +
+    atomic-manifest discipline as the text stores."""
+    import os
+
+    from .index_store import commit_manifest
+
+    os.makedirs(path, exist_ok=True)
+    rows = hashed.select(F.col(id_col).alias("id"), "dhash")
+    _dhash_precheck("dhash_index_save", rows, None)
+    d = _write_dhash_version(rows, path)
+    commit_manifest(
+        path,
+        {
+            "format_version": 1,
+            "kind": "dhash",
+            "id_col": id_col,
+            "id_type": dict(hashed.dtypes)[id_col],
+            "dh_dirs": [d],
+        },
+        prefixes=_DHASH_IDX_PREFIXES,
+        artifacts_fn=_dhash_idx_artifacts,
+    )
+
+
+def dhash_index_load(spark, path: str):
+    """Load the persisted fingerprint index lazily: ``(rows, manifest)``
+    where rows is (id, dhash); tombstoned ids masked per dir branch."""
+    import os
+    from functools import reduce
+
+    from .dedup import _tombstone_masker
+    from .index_store import read_manifest
+
+    man = read_manifest(path, "dhash_index_load")
+    masked = _tombstone_masker(path, man, "id")
+    rows = reduce(
+        DataFrame.unionByName,
+        [
+            masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["dh_dirs"])
+        ],
+    ).select("id", "dhash")
+    return rows, man
+
+
+def dhash_index_delete(spark, path: str, ids) -> None:
+    """Takedown path for the image store (the uniform GDPR semantics):
+    tombstoned ids vanish from masked loads — they stop generating
+    near-dup pairs immediately and count as not-indexed for a later
+    increment. ``dhash_index_compact`` purges physically."""
+    from .dedup import _index_tombstone_delete
+
+    _index_tombstone_delete(
+        path, ids, "dhash_index_delete", "dh_dirs",
+        _DHASH_IDX_PREFIXES, _dhash_idx_artifacts,
+    )
+
+
+def dhash_index_compact(spark, path: str) -> None:
+    """Fold appended (id, dhash) versions into ONE dir, purging
+    tombstones physically; no-op when already compact, all-tombstoned
+    stores keep the masked form (the empty-parquet hazard)."""
+    from .index_store import commit_manifest, read_manifest
+
+    man = read_manifest(path, "dhash_index_compact")
+    if len(man["dh_dirs"]) <= 1 and not man.get("tombstones_file"):
+        return
+    rows, _ = dhash_index_load(spark, path)
+    if rows.head() is None:
+        return
+    d = _write_dhash_version(rows, path)
+    new_man = dict(man)
+    new_man["dh_dirs"] = [d]
+    new_man.pop("tombstones_file", None)
+    new_man.pop("retained", None)
+    commit_manifest(
+        path, new_man,
+        prefixes=_DHASH_IDX_PREFIXES, artifacts_fn=_dhash_idx_artifacts,
+    )
+
+
+def image_dedup_increment(
+    spark,
+    new_hashed: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    append: bool = True,
+    on_existing: str = "error",
+    return_stats: bool = False,
+):
+    """Image near-dup dedup of a NEW shard against the persisted
+    fingerprint store WITHOUT re-decoding any archive image: the shard
+    arrives as (id, dhash) rows (``image_dhash`` output — the decode
+    ran once, shard-side), candidates come from the shard self-join
+    plus the cross shard-vs-index Manku combo-key join
+    (``simhash_pairs_between`` — identical key derivation as the text
+    tier) — NEVER index-vs-index — and survive the exact hamming
+    filter. Returns (id_a, id_b, hamming): exactly the pairs of a
+    batch ``image_near_dup_pairs`` over store ∪ shard restricted to
+    pairs touching the shard (pair emission depends only on the two
+    hashes — incremental is an identity, pinned by the composition
+    test). ``max_hamming`` stays a query knob (combo keys derive at
+    probe time, the SimHash-store convention).
+
+    The shared increment contract: ONE localCheckpointed shard
+    snapshot feeds the precheck and the anti-join; already-indexed
+    shard ids raise by default (``on_existing='skip'`` opts in);
+    duplicate/NULL ids and NULL dhash raise up front;
+    ``return_stats=True`` returns ``(pairs, stats)``. With
+    ``append=True`` fresh fingerprints append as a new artifact
+    version, so successive increments compose.
+
+    At 100 TB: per-refresh cost is O(shard) hashing (done upstream) +
+    one scan of the 16-byte/image store bucketed on the combo keys;
+    AQE broadcasts the small shard side."""
+    from .dedup import (
+        _raise_already_indexed,
+        simhash_candidate_pairs,
+        simhash_pairs_between,
+    )
+    from .index_store import commit_manifest
+
+    idx, man = dhash_index_load(spark, path)
+    shard = new_hashed.select(
+        F.col(id_col).alias("id"), "dhash"
+    ).localCheckpoint(eager=True)
+    n_shard = _dhash_precheck("image_dedup_increment", shard, on_existing)
+    fresh = shard.join(idx.select("id"), "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_fresh = fresh.count()  # free: just checkpointed
+    skipped = n_shard - n_fresh
+    if skipped and on_existing == "error":
+        _raise_already_indexed("image_dedup_increment", skipped, n_shard)
+
+    fresh_fp = fresh.select("id", F.col("dhash").alias("simhash"))
+    idx_fp = idx.select("id", F.col("dhash").alias("simhash"))
+    nn = simhash_candidate_pairs(fresh_fp, max_hamming)
+    ni = simhash_pairs_between(fresh_fp, idx_fp, max_hamming)
+    cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
+        ni.select("id_a", "id_b", "h_a", "h_b")
+    )
+    if max_hamming <= 0:
+        pairs = cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
+    else:
+        pairs = (
+            cands.withColumn(
+                "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    appended = False
+    if append and n_fresh > 0:
+        d = _write_dhash_version(fresh, path)
+        new_man = dict(man)
+        new_man["dh_dirs"] = man["dh_dirs"] + [d]
+        new_man.pop("retained", None)
+        commit_manifest(
+            path, new_man,
+            prefixes=_DHASH_IDX_PREFIXES, artifacts_fn=_dhash_idx_artifacts,
+        )
+        appended = True
+    if return_stats:
+        return pairs, {
+            "shard_rows": n_shard,
+            "skipped_existing": skipped,
+            "indexed": n_fresh,
+            "appended": appended,
+        }
+    return pairs

@@ -1625,6 +1625,54 @@ def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMG_INCR_ORACLE = """
+WITH s AS (
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                           WHEN 3 THEN 3 ELSE 8 END AS lv
+    FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(abs(a.lv - b.lv) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE abs(a.lv - b.lv) <= 3 AND b.doc_id >= 100
+"""
+
+
+@query("image_dedup_incremental", _IMG_INCR_ORACLE)
+def q_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE near-dup dedup against the persisted dHash
+    store, hash-verified row-for-row: images < 100 are decoded+hashed
+    once and persisted (dhash_index_save, 16 bytes/image); the
+    arriving shard (ids 100-199) is hashed alone and
+    image_dedup_increment returns exactly the pairs of a batch run
+    over store ∪ shard RESTRICTED to pairs touching the shard — the
+    composition identity every incremental tier certifies, here
+    SQL-pinned per pair because the synthesized PGMs' nested flips
+    make hamming == |level_a - level_b| (id arithmetic). The archive
+    images are never re-decoded. See
+    operators.multimodal.image_dedup_increment."""
+    import os
+    import shutil
+
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    ids = d.select("doc_id").filter(F.col("doc_id") < 200)
+    hashed = mm.image_dhash(
+        mm.synthesize_perturbed_pgms(ids, "doc_id"), "content", "doc_id"
+    ).localCheckpoint(eager=True)
+    path = f"/root/repo/.scratch/dhash-incr-q-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    mm.dhash_index_save(hashed.filter(F.col("id") < 100), path)
+    out = mm.image_dedup_increment(
+        spark, hashed.filter(F.col("id") >= 100), path, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 _REPETITION_ORACLE = """
 WITH m AS (
     SELECT source,

@@ -400,3 +400,71 @@ def test_image_near_dup_pairs_matches_bruteforce(spark):
         for r in mm.image_near_dup_pairs(with_bad, max_hamming=3).collect()
     }
     assert got2 == set(brute)
+
+
+def test_image_dedup_increment_composes_with_batch(spark, request):
+    """The image store joins the incremental family contract:
+    incr(B) over index(A) == batch(A ∪ B) restricted to pairs touching
+    B; overlap is loud by default and 'skip' accounts it; takedown
+    masks pairs immediately; compact preserves content; NULL dhash
+    raises."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    path = f"/root/repo/.scratch/dhash-idx-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    ids_a = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    ids_b = spark.createDataFrame([(i,) for i in range(20, 35)], "doc_id long")
+    ha = mm.image_dhash(mm.synthesize_perturbed_pgms(ids_a, "doc_id"),
+                        "content", "doc_id").localCheckpoint(eager=True)
+    hb = mm.image_dhash(mm.synthesize_perturbed_pgms(ids_b, "doc_id"),
+                        "content", "doc_id").localCheckpoint(eager=True)
+    mm.dhash_index_save(ha, path)
+
+    got, st = mm.image_dedup_increment(
+        spark, hb, path, max_hamming=3, return_stats=True
+    )
+    got_set = {(r["id_a"], r["id_b"], r["hamming"]) for r in got.collect()}
+    batch = mm.image_near_dup_pairs(ha.unionByName(hb), max_hamming=3)
+    expect = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in batch.collect()
+        if r["id_a"] >= 20 or r["id_b"] >= 20
+    }
+    assert got_set == expect and len(expect) > 0
+    assert st == {"shard_rows": 15, "skipped_existing": 0, "indexed": 15,
+                  "appended": True}
+
+    # replay: loud by default, lossless accounting with 'skip'
+    with _pytest.raises(ValueError, match="already indexed"):
+        mm.image_dedup_increment(spark, hb, path)
+    _, st2 = mm.image_dedup_increment(
+        spark, hb, path, on_existing="skip", return_stats=True
+    )
+    assert st2["skipped_existing"] == 15 and st2["appended"] is False
+
+    # takedown: a deleted image stops pairing immediately; identical
+    # fingerprints re-ingest under a new id; compact preserves content
+    mm.dhash_index_delete(spark, path, [0])
+    shard3 = spark.createDataFrame(
+        [(100, int(ha.filter("id = 0").head()["dhash"]))], "id long, dhash long"
+    )
+    got3 = mm.image_dedup_increment(spark, shard3, path, max_hamming=0)
+    assert not any(
+        0 in (r["id_a"], r["id_b"]) for r in got3.collect()
+    ), "deleted id still pairing"
+    pre = {tuple(r) for r in mm.dhash_index_load(spark, path)[0].collect()}
+    mm.dhash_index_compact(spark, path)
+    post = {tuple(r) for r in mm.dhash_index_load(spark, path)[0].collect()}
+    assert post == pre and 0 not in {i for i, _ in post}
+
+    # NULL dhash rejected loudly in save and increment
+    bad = spark.createDataFrame([(200, None)], "id long, dhash long")
+    with _pytest.raises(ValueError, match="NULL dhash"):
+        mm.image_dedup_increment(spark, bad, path)
