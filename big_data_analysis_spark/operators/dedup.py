@@ -524,7 +524,7 @@ def _increment_precheck(
     if text_col is not None and pre["n_null_text"]:
         raise ValueError(
             f"{op}: {pre['n_null_text']} shard row(s) have NULL {text_col} "
-            "— a null text has no fingerprint; quality-filter the shard "
+            "— no fingerprint can be derived from it; filter the shard "
             "first"
         )
     return pre["n"]
@@ -2446,10 +2446,15 @@ def leakage_split_increment(
         # disjointly: anchors at 2*gk, fresh candidates at 2*cand + 1;
         # fresh-only component labels decode with one shift (min is
         # monotone under 2c+1). Pair-graph ids must stay below 2^62.
+        # eager: endpoint is referenced from BOTH id_node branches and
+        # the pairs frame is typically an expensive lazy near-dup
+        # generator — multi-referenced subtrees get no ReusedExchange
+        # (review r9; repo lesson 9)
         endpoint = (
             pairs.select(F.col("id_a").alias("__pid"))
             .unionByName(pairs.select(F.col("id_b").alias("__pid")))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         # every frame below is ENDPOINT-RESTRICTED first, so the node
         # aggregates are pair-graph-sized, never store-sized (the
@@ -2457,21 +2462,22 @@ def leakage_split_increment(
         id_node = (
             fresh_nodes.select(
                 F.col(id_col).alias("__pid"),
-                (F.col("__cand") * 2 + 1).alias("__node"),
+                (F.col("__cand").cast("long") * 2 + 1).alias("__node"),
             )
             .unionByName(
                 resolved.filter(
                     F.col("__gk_id").isNotNull() | F.col("__gk_fp").isNotNull()
                 ).select(
                     F.col(id_col).alias("__pid"),
-                    (F.coalesce("__gk_id", "__gk_fp") * 2).alias("__node"),
+                    (F.coalesce("__gk_id", "__gk_fp").cast("long") * 2
+                     ).alias("__node"),
                 )
             )
             .unionByName(
                 rows_idx.join(endpoint, rows_idx["id"] == endpoint["__pid"],
                               "left_semi")
                 .select(F.col("id").alias("__pid"),
-                        (F.col("group_key") * 2).alias("__node"))
+                        (F.col("group_key").cast("long") * 2).alias("__node"))
             )
             .join(endpoint, "__pid", "left_semi")
             .groupBy("__pid")
@@ -2504,7 +2510,7 @@ def leakage_split_increment(
         anchors = (
             rows_idx.select(F.col("group_key").alias("__gk"), "split")
             .distinct()
-            .withColumn("__node", F.col("__gk") * 2)
+            .withColumn("__node", F.col("__gk").cast("long") * 2)
             .join(comp, "__node")
         )
         comp_info = anchors.groupBy("component").agg(
@@ -2523,7 +2529,7 @@ def leakage_split_increment(
             )
         node_comp = (
             fresh_nodes.select(
-                (F.col("__cand") * 2 + 1).alias("__node")
+                (F.col("__cand").cast("long") * 2 + 1).alias("__node")
             ).distinct()
             .join(comp, "__node", "left")
             .withColumn("component", F.coalesce("component", "__node"))
@@ -2540,7 +2546,8 @@ def leakage_split_increment(
         )
         fresh_assigned = fresh_nodes.join(
             node_assign,
-            (fresh_nodes["__cand"] * 2 + 1) == node_assign["__node"],
+            (fresh_nodes["__cand"].cast("long") * 2 + 1)
+            == node_assign["__node"],
         ).drop("__node")
         gk_fresh = F.col("__agk")
         sp_fresh = F.coalesce(

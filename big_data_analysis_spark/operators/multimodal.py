@@ -915,20 +915,14 @@ def _dhash_precheck(op: str, hashed: DataFrame, on_existing: str | None) -> int:
     """The shared increment shard contract for (id, dhash) rows:
     unique non-null ids, NON-NULL dhash (a decode-error row has no
     fingerprint to index — filter ``dhash_error`` rows out first, the
-    corrupt-tolerance flow), on_existing in {'error','skip'}. One
-    aggregate; returns the shard row count."""
+    corrupt-tolerance flow), on_existing in {'error','skip'}. ONE
+    aggregate — ``_increment_precheck`` folds the null-payload count
+    in via its ``text_col`` slot (review r9: a separate count was a
+    second full pass over a possibly-lazy decode+hash frame); returns
+    the shard row count."""
     from .dedup import _increment_precheck
 
-    n = _increment_precheck(op, hashed, "id", on_existing)
-    n_null = hashed.agg(
-        F.coalesce(F.sum(F.col("dhash").isNull().cast("int")), F.lit(0))
-    ).head()[0]
-    if n_null:
-        raise ValueError(
-            f"{op}: {n_null} row(s) have NULL dhash — decode-error rows "
-            "carry no fingerprint; filter them out first"
-        )
-    return n
+    return _increment_precheck(op, hashed, "id", on_existing, "dhash")
 
 
 def dhash_index_save(hashed: DataFrame, path: str, id_col: str = "id") -> None:
@@ -944,7 +938,16 @@ def dhash_index_save(hashed: DataFrame, path: str, id_col: str = "id") -> None:
 
     os.makedirs(path, exist_ok=True)
     rows = hashed.select(F.col(id_col).alias("id"), "dhash")
-    _dhash_precheck("dhash_index_save", rows, None)
+    n = _dhash_precheck("dhash_index_save", rows, None)
+    if n == 0:
+        # writing a zero-row frame would publish a part-less,
+        # schema-less parquet dir and brick every later load (the
+        # fingerprint_index_init hazard) — start-from-zero pipelines
+        # bootstrap with dhash_index_init instead (review r9)
+        raise ValueError(
+            "dhash_index_save: empty input — bootstrap an empty store "
+            "with dhash_index_init and grow it by increments"
+        )
     d = _write_dhash_version(rows, path)
     commit_manifest(
         path,
@@ -954,6 +957,33 @@ def dhash_index_save(hashed: DataFrame, path: str, id_col: str = "id") -> None:
             "id_col": id_col,
             "id_type": dict(hashed.dtypes)[id_col],
             "dh_dirs": [d],
+        },
+        prefixes=_DHASH_IDX_PREFIXES,
+        artifacts_fn=_dhash_idx_artifacts,
+    )
+
+
+def dhash_index_init(
+    spark, path: str, id_col: str = "id", id_type: str = "bigint"
+) -> None:
+    """Commit an EMPTY image-fingerprint index (``dh_dirs: []``) — the
+    bootstrap for pipelines whose image corpus starts at zero and
+    grows by increments (the fingerprint_index_init discipline: the
+    empty state lives purely in the manifest; an empty parquet dir
+    would be unreadable)."""
+    import os
+
+    from .index_store import commit_manifest
+
+    os.makedirs(path, exist_ok=True)
+    commit_manifest(
+        path,
+        {
+            "format_version": 1,
+            "kind": "dhash",
+            "id_col": id_col,
+            "id_type": id_type,
+            "dh_dirs": [],
         },
         prefixes=_DHASH_IDX_PREFIXES,
         artifacts_fn=_dhash_idx_artifacts,
@@ -970,6 +1000,12 @@ def dhash_index_load(spark, path: str):
     from .index_store import read_manifest
 
     man = read_manifest(path, "dhash_index_load")
+    if not man["dh_dirs"]:
+        # dhash_index_init bootstrap: empty state lives in the manifest
+        rows = spark.createDataFrame(
+            [], f"id {man.get('id_type', 'bigint')}, dhash long"
+        )
+        return rows, man
     masked = _tombstone_masker(path, man, "id")
     rows = reduce(
         DataFrame.unionByName,
