@@ -571,3 +571,56 @@ def test_contamination_overlap_matches_pure_python(spark):
     for i, (ng, nh) in expect.items():
         assert (got[i]["n_grams"], got[i]["n_hit"]) == (ng, nh), i
         assert got[i]["overlap_frac"] == round(nh / ng, 6)
+
+
+def test_split_increment_composition_on_random_corpus(spark, request):
+    """Randomized composition property of the incremental split (one
+    Spark round-trip): with shard ids above corpus ids and no pairs,
+    save(A) then increment(B) assigns EXACTLY what the batch operator
+    assigns over A ∪ B — every group key and side identical — and the
+    union of store rows covers every id exactly once. Random corpora
+    carry injected duplicates both WITHIN the shard and ACROSS
+    corpus/shard so both inheritance and fresh grouping are exercised
+    on every example."""
+    import os
+    import random
+    import shutil
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    rng = random.Random(90210)
+    base = f"/root/repo/.scratch/split-prop-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    for case in range(3):
+        path = f"{base}/c{case}"
+        shutil.rmtree(path, ignore_errors=True)
+        n_a, n_b = rng.randint(5, 40), rng.randint(5, 40)
+        texts_a = [f"corpus {case} doc {i} {rng.randint(0, 6)}"
+                   for i in range(n_a)]
+        # shard: fresh texts + copies of corpus texts + within-shard dups
+        texts_b = []
+        for i in range(n_b):
+            kind = rng.random()
+            if kind < 0.3 and texts_a:
+                texts_b.append(rng.choice(texts_a))      # inherit
+            elif kind < 0.5 and texts_b:
+                texts_b.append(rng.choice(texts_b))      # within-shard dup
+            else:
+                texts_b.append(f"shard {case} fresh {i} {rng.randint(0, 6)}")
+        a = spark.createDataFrame(
+            list(enumerate(texts_a)), "doc_id long, text string")
+        b = spark.createDataFrame(
+            [(1000 + i, t) for i, t in enumerate(texts_b)],
+            "doc_id long, text string")
+        dd.split_index_save(a, "text", "doc_id", path, test_fraction=0.35)
+        inc = {r["doc_id"]: (r["group_key"], r["split"])
+               for r in dd.leakage_split_increment(
+                   spark, b, "text", path).collect()}
+        batch = {r["doc_id"]: (r["group_key"], r["split"])
+                 for r in dd.leakage_safe_split(
+                     a.unionByName(b), "text", "doc_id",
+                     test_fraction=0.35).collect()}
+        assert inc == {i: batch[i] for i in inc}, f"case {case} diverged"
+        store = {r["id"]: (r["group_key"], r["split"])
+                 for r in dd.split_index_load(spark, path)[0].collect()}
+        assert store == batch, f"case {case}: store != batch over A∪B"
