@@ -181,6 +181,122 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT similarity join: all pairs where
+    EITHER direction's containment C(A→B) = |G(A) ∩ G(B)| / |G(A)|
+    reaches ``threshold`` (id_a < id_b; both directions returned).
+    Containment is the asymmetric overlap measure the symmetric tiers
+    structurally miss: a short document quoted whole inside a much
+    longer one has containment 1.0 but Jaccard |A∩B|/|A∪B| ≈
+    |A|/|B| → arbitrarily small, hamming(simhash) large, and cosine
+    diluted — yet it is exactly the near-dup an LLM corpus must catch
+    (quotation farms, boilerplate-wrapped reposts; the exact-substring
+    dedup motivation of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", here at gram-set granularity).
+
+    Implementation (prefix_filter=True, the 100 TB path): the
+    one-sided filter-verify join. For the A→B direction, overlap ≥
+    ceil(t·|A|) forces A's PREFIX — its |A| − ceil(t·|A|) + 1 globally
+    rarest grams (``jaccard_prefix_index``; the bound is the same
+    expression) — to intersect B's FULL gram set, so candidates =
+    prefix(probe) ⋈ full(index), with the one admissible length
+    filter |B| ≥ t·|A| (overlap ≤ min(|A|,|B|)). Probing each side
+    once covers both directions; the union is deduped and verified
+    EXACTLY via array_intersect, so output is identical to the naive
+    join (the oracle holds either way) — only the candidate count
+    shrinks, and a stop-word-like gram falls out of most prefixes,
+    bounding the hot-bucket quadratic cost (full-side buckets stay,
+    but each pairs only against prefix rows, never full×full).
+
+    With prefix_filter=False: plain inverted-index join (the oracle's
+    shape). Returns (id_a, id_b, containment_a, containment_b,
+    common) where containment_a = common / |G(a)| rounded to 6dp
+    (integer-ratio division — engine-bit-identical)."""
+    shingled = df.select(
+        F.col(id_col).alias("id"), _token_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    if prefix_filter:
+        probe = jaccard_prefix_index(shingled, threshold)
+        full = shingled.select(
+            "id", "sh_size", F.explode("sh").alias("shingle")
+        )
+        # direction probe→full: overlap >= ceil(t*|probe|) needs a
+        # prefix-gram hit in the OTHER doc's full set and |other| >=
+        # t*|probe| (epsilon: float noise may only widen, never drop)
+        cands = (
+            probe.alias("a")
+            .join(
+                full.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") != F.col("b.id"))
+                & (
+                    F.col("b.sh_size")
+                    >= F.lit(threshold) * F.col("a.sh_size") - F.lit(1e-9)
+                ),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .distinct()
+        )
+        fa = shingled.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+            F.col("sh_size").alias("size_a"),
+        )
+        fb = shingled.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+            F.col("sh_size").alias("size_b"),
+        )
+        verified = (
+            cands.join(fa, "id_a")
+            .join(fb, "id_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+    else:
+        exploded = shingled.select("id", "sh_size", F.explode("sh").alias("shingle"))
+        verified = (
+            exploded.alias("a")
+            .join(
+                exploded.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh_size").alias("size_a"),
+                F.col("b.sh_size").alias("size_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    # the qualifying rule is INTEGER-exact — common >= ceil(t*size - eps)
+    # per direction — so the prefix and naive paths emit identical pair
+    # sets (a float-rounded ratio test would admit knife-edge pairs the
+    # prefix bound legitimately prunes); the fractions are display-only
+    qual_a = F.col("common") >= F.ceil(
+        F.lit(threshold) * F.col("size_a") - F.lit(1e-9)
+    )
+    qual_b = F.col("common") >= F.ceil(
+        F.lit(threshold) * F.col("size_b") - F.lit(1e-9)
+    )
+    return (
+        verified.filter(qual_a | qual_b)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("common") / F.col("size_a"), 6).alias("containment_a"),
+            F.round(F.col("common") / F.col("size_b"), 6).alias("containment_b"),
+            F.col("common").cast("long").alias("common"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash + LSH
 # ---------------------------------------------------------------------------

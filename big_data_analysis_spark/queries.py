@@ -1443,6 +1443,86 @@ def q_leakage_split_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "group_key", "split")
 
 
+# =========================================================================
+# N-gram containment pairs (dedup.ngram_containment_pairs): the
+# ASYMMETRIC overlap tier — a short doc quoted whole inside a longer one
+# (containment 1.0, Jaccard ~ |A|/|B|). FULL row-for-row hash oracle:
+# DuckDB re-derives every pair from the identical tokenization, and
+# synthesized composite docs (short doc || ' ' || another doc) keep the
+# containment-1.0 case live at every SF.
+# =========================================================================
+
+_CONTAINMENT_ORACLE = """
+WITH s AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id < 250
+      AND len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) >= 2
+), comp AS (
+    SELECT a.doc_id + 40000000 AS doc_id, a.text || ' ' || b.text AS text
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 100
+    WHERE a.doc_id < 40
+), corpus AS (SELECT * FROM s UNION ALL SELECT * FROM comp),
+toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM corpus
+), grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i + 1]
+                          FOR i IN generate_series(1, len(w) - 1)]) AS g
+    FROM toks
+), ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM grams),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+           count(*) AS c
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / sa, 6) AS containment_a,
+       round(c * 1.0 / sb, 6) AS containment_b,
+       CAST(c AS BIGINT) AS common
+FROM common
+WHERE c >= ceil(0.8 * sa - 0.000000001) OR c >= ceil(0.8 * sb - 0.000000001)
+"""
+
+
+@query("containment_pairs_docs", _CONTAINMENT_ORACLE)
+def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asymmetric near-dup tier, hash-verified row-for-row: over
+    the bounded doc slice plus composite docs built as one doc's text
+    concatenated after another's (so containment-1.0 quoted-inside
+    cases exist at every SF — every 2-gram of the quoted doc survives
+    verbatim in the composite), ngram_containment_pairs returns all
+    pairs where either direction's gram containment reaches 0.8, via
+    the one-sided prefix filter-verify join (output identical to the
+    naive join — the parity test pins it). The oracle recomputes every
+    pair with DuckDB's identical tokenization and the same
+    integer-exact qualifying rule; Jaccard at the same threshold
+    misses the quoted-inside pairs by construction. See
+    operators.dedup.ngram_containment_pairs (Lee et al. 2022
+    motivation)."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks_ok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
+    s = d.select("doc_id", "text").filter((F.col("doc_id") < 250) & toks_ok)
+    comp = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + 100,
+        )
+        .filter(F.col("a.doc_id") < 40)
+        .select(
+            (F.col("a.doc_id") + 40000000).alias("doc_id"),
+            F.concat(F.col("a.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    corpus = s.unionByName(comp)
+    return dd.ngram_containment_pairs(
+        corpus, "text", "doc_id", n=2, threshold=0.8
+    )
+
+
 _SPLIT_TAKEDOWN_ORACLE = """
 WITH c AS (
     SELECT doc_id,
@@ -9556,8 +9636,8 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered late in a round may deliberately sit PAST the
 # horizon (locally oracle-verified + pytest-covered only) and MUST then
 # lead the NEXT round's window as category-(a) additions. Post-horizon
-# this round: split_takedown_roundtrip_docs, image_dedup_incremental —
-# the r10 window leads. tests/test_semantics.py guards that the critical
+# this round: split_takedown_roundtrip_docs, image_dedup_incremental,
+# containment_pairs_docs — the r10 window leads. tests/test_semantics.py guards that the critical
 # set stays inside the first 50.
 # =========================================================================
 

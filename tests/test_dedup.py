@@ -1886,3 +1886,68 @@ def test_split_threshold_half_bucket_matches_exact_rule(spark):
         df, "text", "doc_id", test_fraction=0.25, buckets=10
     ).collect()
     assert all(r["split"] == "test" for r in out), out
+
+
+def test_containment_pairs_catch_what_jaccard_misses(spark):
+    """The defining property of the containment tier: a short doc
+    quoted whole inside a much longer one has containment 1.0 but tiny
+    Jaccard. Hand-built: doc 1 (4 distinct 2-grams) fully inside doc 2
+    (many grams): C(1→2) = 1.0, J ≈ 0.2 — Jaccard at 0.8 finds
+    nothing, containment at 0.8 finds the pair; prefix-filtered and
+    naive paths emit identical rows; directionality is reported both
+    ways; sub-threshold overlap excluded."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau"),
+            (3, "unrelated words entirely different content here"),
+            (4, "alpha beta zeta kappa pi sigma unrelated mixture"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.ngram_containment_pairs(
+            docs, "text", "doc_id", n=2, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["containment_a"] == 1.0
+    assert got[(1, 2)]["containment_b"] < 0.8
+    assert got[(1, 2)]["common"] == 4
+    # Jaccard at the same threshold structurally misses it
+    j = dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.8)
+    assert j.count() == 0
+    # prefix-filtered == naive, row for row
+    naive = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"], r["common"])
+        for r in dd.ngram_containment_pairs(
+            docs, "text", "doc_id", n=2, threshold=0.8, prefix_filter=False
+        ).collect()
+    }
+    pf = {(a, b): (r["containment_a"], r["containment_b"], r["common"])
+          for (a, b), r in got.items()}
+    assert pf == naive
+
+
+def test_containment_prefix_equals_naive_on_corpus(spark, docs):
+    """Filter-verify parity on real data: the prefix-filtered
+    containment join returns exactly the naive inverted-index join's
+    rows on the documents corpus slice, at a threshold low enough to
+    produce pairs."""
+    d = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    kw = dict(n=2, threshold=0.6)
+    pf = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in dd.ngram_containment_pairs(
+            d, "text", "doc_id", prefix_filter=True, **kw
+        ).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in dd.ngram_containment_pairs(
+            d, "text", "doc_id", prefix_filter=False, **kw
+        ).collect()
+    }
+    assert pf == naive and len(naive) > 0
