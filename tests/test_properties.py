@@ -624,3 +624,40 @@ def test_split_increment_composition_on_random_corpus(spark, request):
         store = {r["id"]: (r["group_key"], r["split"])
                  for r in dd.split_index_load(spark, path)[0].collect()}
         assert store == batch, f"case {case}: store != batch over A∪B"
+
+
+def test_containment_prefix_parity_on_random_corpora(spark):
+    """Randomized filter-verify parity for the containment join (one
+    Spark round-trip per case): on corpora with zipf-ish token draws —
+    hot tokens make hot gram buckets, the prefix filter's adversarial
+    case — the prefix-filtered join returns exactly the naive join's
+    rows, and every containment-1.0 planted pair (a doc's prefix of
+    another) is found."""
+    import random
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    rng = random.Random(424242)
+    vocab = [f"w{i}" for i in range(30)]
+    for case in range(2):
+        rows = []
+        for i in range(30):
+            k = rng.randint(4, 14)
+            # zipf-ish: low indices drawn often => hot grams
+            toks = [vocab[min(int(rng.expovariate(0.35)), 29)] for _ in range(k)]
+            rows.append((i, " ".join(toks)))
+        # plant quoted-inside cases: doc 100+i = first 4 tokens of doc i
+        for i in range(5):
+            rows.append((100 + i, " ".join(rows[i][1].split()[:4])))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(n=2, threshold=0.75)
+        pf = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+              for r in dd.ngram_containment_pairs(
+                  df, "text", "doc_id", prefix_filter=True, **kw).collect()}
+        naive = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+                 for r in dd.ngram_containment_pairs(
+                     df, "text", "doc_id", prefix_filter=False, **kw).collect()}
+        assert pf == naive, f"case {case}: prefix != naive"
+        for i in range(5):
+            assert (i, 100 + i) in pf, f"case {case}: planted pair {i} missed"
+            assert pf[(i, 100 + i)][1] == 1.0
