@@ -169,6 +169,14 @@ EXTENDED_QUERIES = [
     "leakage_safe_split_docs",
     "leakage_split_incremental_docs",
     "image_near_dup_pairs",
+    # round-9 post-horizon registrations (r10 window leads) — benched
+    # now so their longitudinal baseline starts this round: the split
+    # store's takedown certificate (lifecycle latency, bounded slice),
+    # the incremental image tier (store save + shard increment), and
+    # the asymmetric containment join (prefix filter-verify)
+    "split_takedown_roundtrip_docs",
+    "image_dedup_incremental",
+    "containment_pairs_docs",
 ]
 
 
