@@ -177,6 +177,14 @@ EXTENDED_QUERIES = [
     "split_takedown_roundtrip_docs",
     "image_dedup_incremental",
     "containment_pairs_docs",
+    # round-9 wave 2: the streaming image refresh (3 exactly-once
+    # micro-batches of decode+dhash+store-increment+publish — like the
+    # takedown entries this measures fixed per-batch lifecycle latency,
+    # ~5 driver actions per micro-batch, not corpus scale) and the
+    # incremental containment tier (store save + shard increment, the
+    # lifecycle shape of the other *_incremental entries)
+    "streaming_image_refresh",
+    "containment_incremental_docs",
 ]
 
 

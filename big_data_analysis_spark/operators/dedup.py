@@ -219,9 +219,47 @@ def ngram_containment_pairs(
     shape). Returns (id_a, id_b, containment_a, containment_b,
     common) where containment_a = common / |G(a)| rounded to 6dp
     (integer-ratio division — engine-bit-identical)."""
-    shingled = df.select(
+    shingled = _containment_shingled(df, text_col, id_col, n)
+    return _containment_pairs_from_shingled(shingled, threshold, prefix_filter)
+
+
+def _containment_shingled(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh: array<string>, sh_size) — the shingle frame every
+    containment path (batch, increment, store save) starts from."""
+    return df.select(
         F.col(id_col).alias("id"), _token_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
+
+
+def _containment_qualify(verified: DataFrame, threshold: float) -> DataFrame:
+    """The INTEGER-exact qualifying rule + display fractions, shared by
+    the batch and incremental paths (common >= ceil(t*size - eps) in
+    either direction — a float-rounded ratio test would admit
+    knife-edge pairs the prefix bound legitimately prunes)."""
+    qual_a = F.col("common") >= F.ceil(
+        F.lit(threshold) * F.col("size_a") - F.lit(1e-9)
+    )
+    qual_b = F.col("common") >= F.ceil(
+        F.lit(threshold) * F.col("size_b") - F.lit(1e-9)
+    )
+    return (
+        verified.filter(qual_a | qual_b)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("common") / F.col("size_a"), 6).alias("containment_a"),
+            F.round(F.col("common") / F.col("size_b"), 6).alias("containment_b"),
+            F.col("common").cast("long").alias("common"),
+        )
+    )
+
+
+def _containment_pairs_from_shingled(
+    shingled: DataFrame, threshold: float, prefix_filter: bool = True
+) -> DataFrame:
+    """``ngram_containment_pairs`` body over a prepared (id, sh,
+    sh_size) frame — also the shard-self pass of the incremental tier."""
     if prefix_filter:
         probe = jaccard_prefix_index(shingled, threshold)
         full = shingled.select(
@@ -276,25 +314,357 @@ def ngram_containment_pairs(
             )
             .agg(F.count(F.lit(1)).alias("common"))
         )
-    # the qualifying rule is INTEGER-exact — common >= ceil(t*size - eps)
-    # per direction — so the prefix and naive paths emit identical pair
-    # sets (a float-rounded ratio test would admit knife-edge pairs the
-    # prefix bound legitimately prunes); the fractions are display-only
-    qual_a = F.col("common") >= F.ceil(
-        F.lit(threshold) * F.col("size_a") - F.lit(1e-9)
-    )
-    qual_b = F.col("common") >= F.ceil(
-        F.lit(threshold) * F.col("size_b") - F.lit(1e-9)
+    return _containment_qualify(verified, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Persisted containment index + incremental containment dedup: the
+# ASYMMETRIC tier joins the incremental family (exact / MinHash / SimHash
+# / semantic / dHash — and now containment), riding the same versioned-
+# artifact + atomic-manifest + tombstone protocol. The store persists the
+# exploded gram rows WITH a per-doc prefix flag, so a shard refresh pays
+# the one-sided filter-verify join against stored grams instead of
+# re-shingling any archive text. This is the HEAVIEST store of the
+# family (rows ∝ corpus grams, like the decontamination gram index, vs
+# 16-48 bytes/doc for the hash tiers) — the price of exact asymmetric
+# overlap; prefer the hash tiers when symmetric similarity suffices.
+# ---------------------------------------------------------------------------
+
+_CONT_IDX_PREFIXES = ("cgs-", "tombstones-")
+
+
+def _containment_idx_artifacts(manifest: dict) -> set:
+    arts = set(manifest.get("cg_dirs", []))
+    if manifest.get("tombstones_file"):
+        arts.add(manifest["tombstones_file"])
+    return arts
+
+
+def _containment_gram_rows(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exploded (id, sh_size, shingle, is_prefix) rows. is_prefix marks
+    each doc's |G| − ceil(t·|G|) + 1 RAREST grams (document frequency
+    within this batch, shingle string tie-break). Prefix completeness
+    is order-free — ANY subset of that size must intersect a qualifying
+    partner's full gram set (pigeonhole: a partner with overlap ≥
+    ceil(t·|G|) misses at most |G| − ceil(t·|G|) grams) — so a prefix
+    chosen under the save-batch's frequency ordering stays VALID when
+    later shards shift global frequencies; rarity only tunes candidate
+    volume."""
+    exploded = shingled.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "shingle")
+    prefix_len = (
+        F.col("sh_size")
+        - F.ceil(F.lit(threshold) * F.col("sh_size") - F.lit(1e-9))
+        + 1
     )
     return (
-        verified.filter(qual_a | qual_b)
+        exploded.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
         .select(
-            "id_a", "id_b",
-            F.round(F.col("common") / F.col("size_a"), 6).alias("containment_a"),
-            F.round(F.col("common") / F.col("size_b"), 6).alias("containment_b"),
-            F.col("common").cast("long").alias("common"),
+            "id", "sh_size", "shingle",
+            (F.col("__rn") <= prefix_len).alias("is_prefix"),
         )
     )
+
+
+def _write_containment_version(rows: DataFrame, path: str) -> str:
+    import os
+    import uuid
+
+    from big_data_analysis_spark.io import write_parquet
+
+    d = f"cgs-{uuid.uuid4().hex[:12]}"
+    write_parquet(
+        rows.select("id", "sh_size", "shingle", "is_prefix"),
+        os.path.join(path, d),
+    )
+    return d
+
+
+def containment_index_save(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """Persist the containment gram index: exploded (id, sh_size,
+    shingle, is_prefix) rows, one version dir + atomic manifest. ``n``
+    and ``threshold`` are STORE parameters (the stored prefix length
+    depends on both), recorded in the manifest — increments validate
+    them, so a store can never silently mix gram sizes."""
+    import os
+
+    from .index_store import commit_manifest
+
+    os.makedirs(path, exist_ok=True)
+    # ONE snapshot feeds the precheck and the write (the ADVICE r8
+    # discipline: a nondeterministic source must not hand the precheck
+    # and the persisted artifact different rows)
+    docs = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).localCheckpoint(eager=True)
+    n_docs = _increment_precheck("containment_index_save", docs, "id", None, "__t")
+    if n_docs == 0:
+        raise ValueError(
+            "containment_index_save: empty input — bootstrap an empty "
+            "store with containment_index_init and grow it by increments"
+        )
+    shingled = _containment_shingled(docs, "__t", "id", n)
+    d = _write_containment_version(
+        _containment_gram_rows(shingled, threshold), path
+    )
+    commit_manifest(
+        path,
+        {
+            "format_version": 1,
+            "kind": "containment",
+            "id_col": id_col,
+            "id_type": dict(df.dtypes)[id_col],
+            "n": n,
+            "threshold": threshold,
+            "cg_dirs": [d],
+        },
+        prefixes=_CONT_IDX_PREFIXES,
+        artifacts_fn=_containment_idx_artifacts,
+    )
+
+
+def containment_index_init(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """Commit an EMPTY containment index (``cg_dirs: []``) — the
+    bootstrap for corpora that start at zero and grow by increments
+    (manifest-only empty state; an empty parquet dir is unreadable)."""
+    import os
+
+    from .index_store import commit_manifest
+
+    os.makedirs(path, exist_ok=True)
+    commit_manifest(
+        path,
+        {
+            "format_version": 1,
+            "kind": "containment",
+            "id_col": id_col,
+            "id_type": id_type,
+            "n": n,
+            "threshold": threshold,
+            "cg_dirs": [],
+        },
+        prefixes=_CONT_IDX_PREFIXES,
+        artifacts_fn=_containment_idx_artifacts,
+    )
+
+
+def containment_index_load(spark, path: str):
+    """Lazy ``(rows, manifest)`` where rows is (id, sh_size, shingle,
+    is_prefix); tombstoned ids masked per dir branch."""
+    import os
+    from functools import reduce
+
+    from .index_store import read_manifest
+
+    man = read_manifest(path, "containment_index_load")
+    if not man["cg_dirs"]:
+        rows = spark.createDataFrame(
+            [],
+            f"id {man.get('id_type', 'bigint')}, sh_size int, "
+            "shingle string, is_prefix boolean",
+        )
+        return rows, man
+    masked = _tombstone_masker(path, man, "id")
+    rows = reduce(
+        DataFrame.unionByName,
+        [
+            masked(spark.read.parquet(os.path.join(path, d)), i)
+            for i, d in enumerate(man["cg_dirs"])
+        ],
+    ).select("id", "sh_size", "shingle", "is_prefix")
+    return rows, man
+
+
+def containment_index_delete(spark, path: str, ids) -> None:
+    """Takedown path (uniform GDPR semantics): tombstoned ids vanish
+    from masked loads — they stop generating containment pairs
+    immediately and count as not-indexed for later increments;
+    ``containment_index_compact`` purges the gram rows physically."""
+    _index_tombstone_delete(
+        path, ids, "containment_index_delete", "cg_dirs",
+        _CONT_IDX_PREFIXES, _containment_idx_artifacts,
+    )
+
+
+def containment_index_compact(spark, path: str) -> None:
+    """Fold appended gram versions into ONE dir, purging tombstones
+    physically; no-op when already compact, all-tombstoned stores keep
+    the masked form (the empty-parquet hazard). Prefix flags are
+    per-doc facts (order-free validity) so folding preserves them."""
+    from .index_store import commit_manifest, read_manifest
+
+    man = read_manifest(path, "containment_index_compact")
+    if len(man["cg_dirs"]) <= 1 and not man.get("tombstones_file"):
+        return
+    rows, _ = containment_index_load(spark, path)
+    if rows.head() is None:
+        return
+    d = _write_containment_version(rows, path)
+    new_man = dict(man)
+    new_man["cg_dirs"] = [d]
+    new_man.pop("tombstones_file", None)
+    new_man.pop("retained", None)
+    commit_manifest(
+        path, new_man,
+        prefixes=_CONT_IDX_PREFIXES, artifacts_fn=_containment_idx_artifacts,
+    )
+
+
+def containment_dedup_increment(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    path: str,
+    id_col: str = "doc_id",
+    append: bool = True,
+    on_existing: str = "error",
+    return_stats: bool = False,
+):
+    """Containment dedup of a NEW shard against the persisted gram
+    index WITHOUT re-shingling any archive text: candidates =
+    shard-self (``_containment_pairs_from_shingled``) plus the cross
+    filter-verify join probed from BOTH sides' stored prefixes —
+    shard prefix ⋈ stored full grams (a new doc contained in an
+    archive doc needs only the new doc's prefix to hit) and stored
+    prefix ⋈ shard full grams (an archive doc quoted whole inside a
+    new long doc needs the ARCHIVE doc's prefix, which is why the
+    store persists is_prefix) — NEVER index-vs-index. Verification is
+    EXACT (per-pair distinct-gram counts on the exploded rows,
+    candidate-bounded), so output equals the batch
+    ``ngram_containment_pairs`` over store ∪ shard RESTRICTED to
+    pairs touching the shard — the composition identity every
+    incremental tier certifies. ``n``/``threshold`` come from the
+    store manifest (a mismatched prefix length would silently lose
+    pairs, so they are store parameters, not query knobs).
+
+    The shared increment contract: ONE localCheckpointed shard
+    snapshot feeds the precheck, the anti-join, and both pair passes;
+    already-indexed ids raise by default (``on_existing='skip'`` opts
+    in); duplicate/NULL ids and NULL text raise up front;
+    ``return_stats=True`` returns ``(pairs, stats)``; ``append=True``
+    appends the fresh gram rows as a new artifact version so
+    refreshes compose.
+
+    At 100 TB: per-refresh cost is O(shard grams) shingling + a
+    gram-bucketed join of the shard's prefix/full rows against the
+    stored rows — the store never self-joins, and a stop-word-like
+    gram falls out of most prefixes (the PPJoin bound). Returns
+    (id_a, id_b, containment_a, containment_b, common)."""
+    rows_idx, man = containment_index_load(spark, path)
+    if man.get("kind") != "containment":
+        raise ValueError(
+            f"containment_dedup_increment: {path} is a "
+            f"{man.get('kind')!r} store, not a containment index"
+        )
+    n, threshold = man["n"], man["threshold"]
+    shard_docs = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).localCheckpoint(eager=True)
+    n_shard = _increment_precheck(
+        "containment_dedup_increment", shard_docs, "id", on_existing, "__t"
+    )
+    fresh_docs = shard_docs.join(
+        rows_idx.select("id").distinct(), "id", "left_anti"
+    )
+    # ONE checkpointed shingle snapshot feeds the fresh count, the
+    # shard-self pass, the cross probes, and the append (the ADVICE r8
+    # snapshot-consistency discipline).
+    shingled = _containment_shingled(
+        fresh_docs, "__t", "id", n
+    ).localCheckpoint(eager=True)
+    n_fresh = shingled.count()  # free: just checkpointed
+    skipped = n_shard - n_fresh
+    if skipped and on_existing == "error":
+        _raise_already_indexed("containment_dedup_increment", skipped, n_shard)
+
+    shard_grams = _containment_gram_rows(shingled, threshold)
+    self_pairs = _containment_pairs_from_shingled(shingled, threshold)
+
+    eps = F.lit(1e-9)
+    # cross candidates, probed from each side's prefix (s=shard, x=index)
+    c1 = (
+        shard_grams.filter("is_prefix").alias("s")
+        .join(
+            rows_idx.alias("x"),
+            (F.col("s.shingle") == F.col("x.shingle"))
+            & (F.col("x.sh_size") >= F.lit(threshold) * F.col("s.sh_size") - eps),
+        )
+        .select(F.col("s.id").alias("sid"), F.col("x.id").alias("xid"))
+    )
+    c2 = (
+        rows_idx.filter("is_prefix").alias("x")
+        .join(
+            shard_grams.alias("s"),
+            (F.col("x.shingle") == F.col("s.shingle"))
+            & (F.col("s.sh_size") >= F.lit(threshold) * F.col("x.sh_size") - eps),
+        )
+        .select(F.col("s.id").alias("sid"), F.col("x.id").alias("xid"))
+    )
+    cands = c1.unionByName(c2).distinct()
+    # exact verify, candidate-bounded: pull ONLY candidate archive
+    # docs' gram rows, count shared distinct grams per pair
+    xg = rows_idx.join(
+        cands.select(F.col("xid").alias("id")).distinct(), "id", "left_semi"
+    )
+    common = (
+        shard_grams.alias("s")
+        .join(xg.alias("x"), F.col("s.shingle") == F.col("x.shingle"))
+        .groupBy(
+            F.col("s.id").alias("sid"), F.col("s.sh_size").alias("s_sz"),
+            F.col("x.id").alias("xid"), F.col("x.sh_size").alias("x_sz"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    flip = F.col("sid") > F.col("xid")
+    cross_verified = common.select(
+        F.when(flip, F.col("xid")).otherwise(F.col("sid")).alias("id_a"),
+        F.when(flip, F.col("sid")).otherwise(F.col("xid")).alias("id_b"),
+        F.when(flip, F.col("x_sz")).otherwise(F.col("s_sz")).alias("size_a"),
+        F.when(flip, F.col("s_sz")).otherwise(F.col("x_sz")).alias("size_b"),
+        "common",
+    )
+    pairs = self_pairs.unionByName(
+        _containment_qualify(cross_verified, threshold)
+    )
+
+    appended = False
+    if append and n_fresh > 0:
+        from .index_store import commit_manifest
+
+        d = _write_containment_version(shard_grams, path)
+        new_man = dict(man)
+        new_man["cg_dirs"] = man["cg_dirs"] + [d]
+        new_man.pop("retained", None)
+        commit_manifest(
+            path, new_man,
+            prefixes=_CONT_IDX_PREFIXES,
+            artifacts_fn=_containment_idx_artifacts,
+        )
+        appended = True
+    if return_stats:
+        return pairs, {
+            "shard_rows": n_shard,
+            "skipped_existing": skipped,
+            "indexed": n_fresh,
+            "appended": appended,
+        }
+    return pairs
 
 
 # ---------------------------------------------------------------------------

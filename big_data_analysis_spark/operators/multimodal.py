@@ -900,13 +900,13 @@ def _dhash_idx_artifacts(manifest: dict) -> set:
     return arts
 
 
-def _write_dhash_version(rows: DataFrame, path: str) -> str:
+def _write_dhash_version(rows: DataFrame, path: str, name: str | None = None) -> str:
     import os
     import uuid
 
     from big_data_analysis_spark.io import write_parquet
 
-    d = f"dhs-{uuid.uuid4().hex[:12]}"
+    d = name if name is not None else f"dhs-{uuid.uuid4().hex[:12]}"
     write_parquet(rows.select("id", "dhash"), os.path.join(path, d))
     return d
 
@@ -1062,6 +1062,7 @@ def image_dedup_increment(
     append: bool = True,
     on_existing: str = "error",
     return_stats: bool = False,
+    version_tag: str | None = None,
 ):
     """Image near-dup dedup of a NEW shard against the persisted
     fingerprint store WITHOUT re-decoding any archive image: the shard
@@ -1083,7 +1084,11 @@ def image_dedup_increment(
     duplicate/NULL ids and NULL dhash raise up front;
     ``return_stats=True`` returns ``(pairs, stats)``. With
     ``append=True`` fresh fingerprints append as a new artifact
-    version, so successive increments compose.
+    version, so successive increments compose. ``version_tag`` makes
+    the append replay-idempotent for exactly-once streaming callers
+    (the fp store's ``batch-{bid}`` discipline): a replayed tag skips
+    the append and re-emits the original pairs against the
+    reconstructed pre-append index state.
 
     At 100 TB: per-refresh cost is O(shard) hashing (done upstream) +
     one scan of the 16-byte/image store bucketed on the combo keys;
@@ -1100,6 +1105,60 @@ def image_dedup_increment(
         F.col(id_col).alias("id"), "dhash"
     ).localCheckpoint(eager=True)
     n_shard = _dhash_precheck("image_dedup_increment", shard, on_existing)
+
+    def _hamming_pairs(probe_fp: DataFrame, index_fp: DataFrame) -> DataFrame:
+        nn = simhash_candidate_pairs(probe_fp, max_hamming)
+        ni = simhash_pairs_between(probe_fp, index_fp, max_hamming)
+        cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
+            ni.select("id_a", "id_b", "h_a", "h_b")
+        )
+        if max_hamming <= 0:
+            return cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
+        return (
+            cands.withColumn(
+                "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+
+    def _result(pairs, skipped, n_fresh, appended, replayed=False):
+        if not return_stats:
+            return pairs
+        return pairs, {
+            "shard_rows": n_shard,
+            "skipped_existing": skipped,
+            "indexed": n_fresh,
+            "appended": appended,
+            "replayed": replayed,
+        }
+
+    tag_dir = None if version_tag is None else f"dhs-tag-{version_tag}"
+    if tag_dir is not None and (
+        version_tag in man.get("tags", ()) or tag_dir in man["dh_dirs"]
+    ):
+        # REPLAY (the fp store's version_tag discipline): a prior
+        # attempt of this exact shard already committed its tagged
+        # fingerprint version, then crashed before the caller's sink
+        # publish. Recomputing against the current index would pair
+        # every shard image with its own stored fingerprint at
+        # hamming 0 — so reconstruct the ORIGINAL index state by
+        # anti-joining the shard's ids out (valid under the
+        # exactly-once source contract: an id reaches the store only
+        # through this tagged append, wherever compaction has since
+        # folded its rows). Pair emission is a pure function of the
+        # two fingerprint sets, so the replay re-emits the original
+        # pairs — except pairs whose stored partner a takedown
+        # tombstoned inside the crash window, which the masked load
+        # already hides: takedown-wins, uniform with the fp store.
+        idx_replay = idx.join(shard.select("id"), "id", "left_anti")
+        pairs = _hamming_pairs(
+            shard.select("id", F.col("dhash").alias("simhash")),
+            idx_replay.select("id", F.col("dhash").alias("simhash")),
+        )
+        return _result(pairs, skipped=0, n_fresh=0, appended=False,
+                       replayed=True)
+
     fresh = shard.join(idx.select("id"), "id", "left_anti").localCheckpoint(
         eager=True
     )
@@ -1108,39 +1167,24 @@ def image_dedup_increment(
     if skipped and on_existing == "error":
         _raise_already_indexed("image_dedup_increment", skipped, n_shard)
 
-    fresh_fp = fresh.select("id", F.col("dhash").alias("simhash"))
-    idx_fp = idx.select("id", F.col("dhash").alias("simhash"))
-    nn = simhash_candidate_pairs(fresh_fp, max_hamming)
-    ni = simhash_pairs_between(fresh_fp, idx_fp, max_hamming)
-    cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
-        ni.select("id_a", "id_b", "h_a", "h_b")
+    pairs = _hamming_pairs(
+        fresh.select("id", F.col("dhash").alias("simhash")),
+        idx.select("id", F.col("dhash").alias("simhash")),
     )
-    if max_hamming <= 0:
-        pairs = cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
-    else:
-        pairs = (
-            cands.withColumn(
-                "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
-        )
     appended = False
     if append and n_fresh > 0:
-        d = _write_dhash_version(fresh, path)
+        d = _write_dhash_version(fresh, path, name=tag_dir)
         new_man = dict(man)
         new_man["dh_dirs"] = man["dh_dirs"] + [d]
+        if version_tag is not None:
+            # replay ledger — dhash_index_compact's dict(man) copy
+            # preserves it, so a compaction landing between a crashed
+            # tagged increment and its replay cannot blind detection
+            new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
         new_man.pop("retained", None)
         commit_manifest(
             path, new_man,
             prefixes=_DHASH_IDX_PREFIXES, artifacts_fn=_dhash_idx_artifacts,
         )
         appended = True
-    if return_stats:
-        return pairs, {
-            "shard_rows": n_shard,
-            "skipped_existing": skipped,
-            "indexed": n_fresh,
-            "appended": appended,
-        }
-    return pairs
+    return _result(pairs, skipped, n_fresh, appended)

@@ -1523,6 +1523,87 @@ def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_INCR_ORACLE = """
+WITH s AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id < 250
+      AND len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) >= 2
+), comp AS (
+    SELECT a.doc_id + 40000000 AS doc_id, a.text || ' ' || b.text AS text
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 100
+    WHERE a.doc_id < 40
+), corpus AS (SELECT * FROM s UNION ALL SELECT * FROM comp),
+toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM corpus
+), grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i + 1]
+                          FOR i IN generate_series(1, len(w) - 1)]) AS g
+    FROM toks
+), ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM grams),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+           count(*) AS c
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / sa, 6) AS containment_a,
+       round(c * 1.0 / sb, 6) AS containment_b,
+       CAST(c AS BIGINT) AS common
+FROM common
+WHERE (c >= ceil(0.8 * sa - 0.000000001) OR c >= ceil(0.8 * sb - 0.000000001))
+  AND id_b >= 150  -- pairs touching the shard (shard ids are >= 150;
+                   -- id_a < id_b, so the later endpoint decides)
+"""
+
+
+@query("containment_incremental_docs", _CONT_INCR_ORACLE)
+def q_containment_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asymmetric tier's INCREMENTAL form, hash-verified
+    row-for-row: docs < 150 are shingled once and persisted
+    (containment_index_save — exploded gram rows WITH per-doc prefix
+    flags, n/threshold recorded in the manifest), then the arriving
+    shard (docs 150-249 plus the quoted-inside composites) runs
+    containment_dedup_increment — shard-self filter-verify plus the
+    cross join probed from BOTH sides' prefixes (a stored short doc
+    quoted whole inside a new long doc is caught by the STORED
+    prefix, which is why the store persists is_prefix) — and returns
+    exactly the batch ngram_containment_pairs over store ∪ shard
+    restricted to pairs touching the shard. The oracle recomputes
+    every pair with DuckDB's identical tokenization and the same
+    integer-exact qualifying rule; no archive text is re-shingled.
+    See operators.dedup.containment_dedup_increment."""
+    import os
+    import shutil
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks_ok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
+    s = d.select("doc_id", "text").filter((F.col("doc_id") < 250) & toks_ok)
+    comp = (
+        s.alias("a")
+        .join(s.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 100)
+        .filter(F.col("a.doc_id") < 40)
+        .select(
+            (F.col("a.doc_id") + 40000000).alias("doc_id"),
+            F.concat(F.col("a.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    path = f"/root/repo/.scratch/cont-incr-q-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    dd.containment_index_save(
+        s.filter(F.col("doc_id") < 150), "text", "doc_id", path,
+        n=2, threshold=0.8,
+    )
+    shard = s.filter(F.col("doc_id") >= 150).unionByName(comp)
+    out = dd.containment_dedup_increment(spark, shard, "text", path)
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 _SPLIT_TAKEDOWN_ORACLE = """
 WITH c AS (
     SELECT doc_id,
@@ -8843,6 +8924,238 @@ def q_streaming_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(fp_path, ignore_errors=True)
     return spark.createDataFrame(rows, digest.schema)
+
+
+# =========================================================================
+# Streaming IMAGE corpus refresh: the multimodal twin of
+# streaming_corpus_refresh. A stream of image payloads drains in 3
+# micro-batches; each batch is REALLY decoded + perceptually hashed
+# (image_dhash over synthesized P5 PGMs with closed-form dHash geometry),
+# deduped against the persisted dHash store (image_dedup_increment —
+# archive images are NEVER re-decoded; the 16-byte/image store IS the
+# cross-batch state), and every image's verdict publishes through the
+# exactly-once manifest sink. Both persistent effects are replay-keyed by
+# the batch id (dhash version_tag + sink batch_id). Because the fixture's
+# nested flips make hamming == |level_a - level_b|, the ENTIRE per-image
+# verdict table is re-derived by DuckDB from id arithmetic — a FULL
+# row-for-row hash oracle over a streaming multimodal pipeline.
+# =========================================================================
+
+#: Perturbation levels for the streamed PGMs: clusters of diameter <= 2
+#: ({0,1,2}, {10,11,12}, {20,21,22}, {30,31}) separated by gaps >= 8, so
+#: at max_hamming=3 two images pair iff they share a cluster — and the
+#: first arrival of each cluster is the one kept image (no chain
+#: ambiguity: within a cluster everything pairs with everything).
+_IMG_STREAM_LEVELS = (0, 1, 2, 10, 11, 12, 20, 21, 22, 30, 31)
+#: 300 images in 3 batches of 100. The fixture family has at most 33
+#: distinct hashes (32 disjoint flip slots), so corpus size scales the
+#: quadratic PAIR OUTPUT (every pair genuinely exists), not pipeline
+#: signal — 300 keeps every stage live (~11k pairs) without the pair
+#: materialization drowning the decode/hash/store timings; and each
+#: micro-batch costs a fixed ~5 actions (precheck, two checkpoints,
+#: append, publish), so batch COUNT, not batch size, is the latency.
+_IMG_STREAM_ROWS = 300
+_IMG_STREAM_BATCHES = 3
+
+_IMG_STREAM_ORACLE = f"""
+WITH lv AS (
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(list_value{_IMG_STREAM_LEVELS}[CAST(i % 11 AS INTEGER) + 1]
+                AS BIGINT) AS level
+    FROM range({_IMG_STREAM_ROWS}) t(i)
+), prior AS (
+    SELECT b.doc_id,
+           CAST(count(a.doc_id) AS BIGINT) AS n_prior_dups
+    FROM lv b LEFT JOIN lv a
+      ON a.doc_id < b.doc_id AND abs(a.level - b.level) <= 3
+    GROUP BY b.doc_id
+)
+SELECT lv.doc_id, lv.level, p.n_prior_dups,
+       p.n_prior_dups = 0 AS kept,
+       CAST({_IMG_STREAM_BATCHES} AS BIGINT) AS n_batch_manifests,
+       CAST({_IMG_STREAM_ROWS} AS BIGINT) AS store_rows,
+       true AS stream_equals_batch
+FROM lv JOIN prior p USING (doc_id)
+"""
+
+
+def _img_stream_level(id_col: str = "doc_id"):
+    """The fixture's level mapping as a codegen expression — mirrored
+    exactly by the oracle's list_value lookup."""
+    return F.element_at(
+        F.array(*[F.lit(x) for x in _IMG_STREAM_LEVELS]),
+        (F.col(id_col) % len(_IMG_STREAM_LEVELS)).cast("int") + 1,
+    ).cast("long")
+
+
+def _img_stream_verdicts(spark, fps: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-image dedup verdict for a shard: n_prior_dups = pairs in
+    which the image is the LATER member (id_a < id_b always, the store
+    holds only earlier arrivals, so the later member is exactly id_b);
+    kept iff zero prior duplicates — keep-first, which equals
+    keep-lowest-id because arrival order is doc_id order."""
+    prior = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_prior_dups")
+    )
+    return (
+        fps.join(prior, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "dhash",
+            _img_stream_level("id").alias("level"),
+            F.coalesce(F.col("n_prior_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_prior_dups"),
+            (F.coalesce(F.col("n_prior_dups"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+def _stream_image_batch_body(
+    spark: SparkSession,
+    bdf: DataFrame,
+    bid: int,
+    out: str,
+    dh_path: str,
+    fault_hook=None,
+) -> None:
+    """One micro-batch of the streaming image refresh, shared with the
+    crash-restart test: synthesize the batch's PGM payloads (the
+    deterministic stand-in for fetching them — byte output depends only
+    on the id, so a replayed batch re-decodes identical images) ->
+    REAL decode + 64-bit dHash (image_dhash) -> image_dedup_increment
+    against the persisted store (version_tag=f"batch-{{bid}}": a replay
+    skips the append and re-emits the original pairs) -> per-image
+    verdict rows publish via the batch-id-keyed atomic manifest.
+    ``fault_hook`` is the test's injection point BETWEEN the two
+    commits. The store is consulted as 16-byte fingerprints only —
+    no archive image is ever re-decoded (pinned by
+    tests/test_streaming.py::test_stream_image_refresh_decodes_each_image_once)."""
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    ids = bdf.select("doc_id")
+    imgs = mm.synthesize_perturbed_pgms(ids, "doc_id", levels=_IMG_STREAM_LEVELS)
+    hashed = mm.image_dhash(imgs, "content", "doc_id")
+    fps = (
+        hashed.filter(F.col("dhash_error").isNull())
+        .select("id", "dhash")
+        .localCheckpoint(eager=True)
+    )
+    pairs = mm.image_dedup_increment(
+        spark, fps, dh_path, max_hamming=3, version_tag=f"batch-{bid}"
+    )
+    if fault_hook is not None:
+        fault_hook(bid)
+    (
+        _img_stream_verdicts(spark, fps, pairs)
+        .write.format("manifest_jsonl")
+        .option("path", out)
+        .option("batch_id", str(bid))
+        .mode("append")
+        .save()
+    )
+
+
+def _stream_image_batch_twin(spark: SparkSession, ids: DataFrame) -> DataFrame:
+    """The SAME pipeline as one batch DAG — the parity target: pairs
+    over ALL images at once (image_near_dup_pairs), per-image verdicts
+    from the identical later-member rule."""
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    imgs = mm.synthesize_perturbed_pgms(ids, "doc_id", levels=_IMG_STREAM_LEVELS)
+    hashed = mm.image_dhash(imgs, "content", "doc_id")
+    fps = hashed.filter(F.col("dhash_error").isNull()).select("id", "dhash")
+    pairs = mm.image_near_dup_pairs(hashed, max_hamming=3)
+    return _img_stream_verdicts(spark, fps, pairs)
+
+
+@query("streaming_image_refresh", _IMG_STREAM_ORACLE)
+def q_streaming_image_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTIMODAL ingestion end-to-end, hash-verified per
+    image: 300 synthetic P5 PGMs arrive in 3 exactly-once
+    micro-batches; each batch is really decoded and perceptually
+    hashed, near-dup-deduped against the persisted dHash store (the
+    cross-batch state — one 16-byte row per image ever seen, archive
+    images never re-decoded), and publishes per-image verdicts
+    (doc_id, level, prior-duplicate count, kept) through the atomic
+    per-batch manifest sink. Replays are idempotent end to end: the
+    store append is version_tag-keyed, the sink batch_id-keyed (crash
+    interleaving pinned by
+    tests/test_streaming.py::test_stream_image_refresh_crash_replay).
+    The fixture's nested disjoint bit flips give closed-form hamming
+    == |level_a - level_b|, so DuckDB re-derives EVERY verdict row
+    from id arithmetic — plus the manifest count, the store
+    population, and a stream==batch parity boolean vs the one-DAG
+    twin. At 100 TB each micro-batch costs O(batch) decode+hash plus
+    one fingerprint-store scan bucketed on the Manku combo keys."""
+    import glob
+    import os
+    import shutil
+
+    from big_data_analysis_spark.operators import multimodal as mm
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    out = f"/root/repo/.scratch/stream-img-refresh-{os.getpid()}"
+    ckpt = f"{out}-ckpt"
+    dh_path = f"{out}-dhidx"
+    for p in (out, ckpt, dh_path):
+        shutil.rmtree(p, ignore_errors=True)
+    mm.dhash_index_init(spark, dh_path, id_col="id", id_type="bigint")
+
+    def _process_batch(bdf: DataFrame, bid: int) -> None:
+        _stream_image_batch_body(spark, bdf, bid, out, dh_path)
+
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", _IMG_STREAM_ROWS)
+        .option("partitions", 8)
+        .option("rows_per_batch", _IMG_STREAM_ROWS // _IMG_STREAM_BATCHES)
+        .load()
+    )
+    sq = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    back_schema = (
+        "doc_id bigint, dhash bigint, level bigint, "
+        "n_prior_dups bigint, kept boolean"
+    )
+    back = read_manifest_jsonl_stream(spark, out, back_schema)
+    n_manifests = len(glob.glob(os.path.join(out, "_BATCH_*.json")))
+    store_rows = mm.dhash_index_load(spark, dh_path)[0].count()
+
+    twin = _stream_image_batch_twin(
+        spark, spark.range(_IMG_STREAM_ROWS).select(F.col("id").alias("doc_id"))
+    )
+    par = _multiset_mismatch(
+        back, twin, ["doc_id", "dhash", "level", "n_prior_dups", "kept"]
+    )
+    result = back.crossJoin(F.broadcast(par)).select(
+        "doc_id",
+        "level",
+        "n_prior_dups",
+        "kept",
+        F.lit(n_manifests).cast("long").alias("n_batch_manifests"),
+        F.lit(store_rows).cast("long").alias("store_rows"),
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+    )
+    rows = result.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(dh_path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 # =========================================================================

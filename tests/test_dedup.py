@@ -1951,3 +1951,96 @@ def test_containment_prefix_equals_naive_on_corpus(spark, docs):
         ).collect()
     }
     assert pf == naive and len(naive) > 0
+
+
+def test_containment_increment_composes_with_batch(spark, request):
+    """The asymmetric tier's incremental contract: successive
+    increments against the persisted gram index emit exactly the batch
+    ngram_containment_pairs over the union RESTRICTED to shard-touching
+    pairs — including the quoted-inside direction caught only by the
+    STORED doc's prefix — plus the uniform lifecycle (loud overlap,
+    lossless skip, takedown masking, physical compaction)."""
+    import os
+
+    path = f"/root/repo/.scratch/cont-idx-{os.getpid()}"
+    request.addfinalizer(lambda: __import__("shutil").rmtree(path, ignore_errors=True))
+    __import__("shutil").rmtree(path, ignore_errors=True)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a completely different document about spark and parquet files"),
+        # contains 0 whole (store->shard: needs the STORED prefix)
+        (2, "the quick brown fox jumps over the lazy dog and then some extra words follow here"),
+        (3, "spark and parquet files"),  # contained in 1 (shard->store)
+        (4, "unrelated text with nothing shared at all whatsoever"),
+        (5, "spark and parquet files plus trailing content"),  # pairs 3 (shard2 vs shard1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["id_a"], r["id_b"], r["containment_a"],
+                     r["containment_b"], r["common"])
+
+    dd.containment_index_save(
+        df.filter("doc_id < 2"), "text", "doc_id", path, n=2, threshold=0.8
+    )
+    p1 = dd.containment_dedup_increment(
+        spark, df.filter("doc_id in (2, 3)"), "text", path
+    )
+    p2 = dd.containment_dedup_increment(
+        spark, df.filter("doc_id in (4, 5)"), "text", path
+    )
+    got = {key(r) for r in p1.collect()} | {key(r) for r in p2.collect()}
+    batch = dd.ngram_containment_pairs(df, "text", "doc_id", n=2, threshold=0.8)
+    expect = {key(r) for r in batch.collect() if r["id_a"] >= 2 or r["id_b"] >= 2}
+    assert got == expect and len(expect) >= 3
+    # both asymmetric directions crossed the store boundary
+    assert any(a == 0 and b == 2 for a, b, *_ in got)  # stored-prefix hit
+    assert any(a == 1 and b == 3 for a, b, *_ in got)  # shard-prefix hit
+
+    # loud overlap by default; 'skip' is a lossless no-op with accounting
+    with pytest.raises(ValueError, match="already indexed"):
+        dd.containment_dedup_increment(spark, df.filter("doc_id = 2"), "text", path)
+    p3, st = dd.containment_dedup_increment(
+        spark, df.filter("doc_id in (2, 3)"), "text", path,
+        on_existing="skip", return_stats=True,
+    )
+    assert st == {"shard_rows": 2, "skipped_existing": 2, "indexed": 0,
+                  "appended": False}
+    assert p3.count() == 0
+
+    # takedown: deleted text stops pairing immediately; identical text
+    # re-ingests under a new id; compact purges physically
+    dd.containment_index_delete(spark, path, [0])
+    p4 = dd.containment_dedup_increment(
+        spark, spark.createDataFrame([(10, rows[0][1])], "doc_id long, text string"),
+        "text", path,
+    )
+    got4 = {(r["id_a"], r["id_b"]) for r in p4.collect()}
+    assert (0, 10) not in got4 and (2, 10) in got4
+    dd.containment_index_compact(spark, path)
+    idx, man = dd.containment_index_load(spark, path)
+    assert idx.filter("id = 0").count() == 0
+    assert len(man["cg_dirs"]) == 1 and "tombstones_file" not in man
+    assert idx.select("id").distinct().count() == 6  # 1..5 + 10
+
+    # start-from-zero bootstrap: init commits a manifest-only empty
+    # store; the first increment sees no cross pairs, only shard-self
+    path2 = path + "-boot"
+    request.addfinalizer(
+        lambda: __import__("shutil").rmtree(path2, ignore_errors=True)
+    )
+    dd.containment_index_init(spark, path2, n=2, threshold=0.8)
+    pb = dd.containment_dedup_increment(
+        spark, df.filter("doc_id in (1, 3)"), "text", path2
+    )
+    got_b = {key(r) for r in pb.collect()}
+    expect_b = {
+        key(r)
+        for r in dd.ngram_containment_pairs(
+            df.filter("doc_id in (1, 3)"), "text", "doc_id", n=2, threshold=0.8
+        ).collect()
+    }
+    assert got_b == expect_b and len(got_b) == 1
+    # empty-store save stays loud (the empty-parquet hazard)
+    with pytest.raises(ValueError, match="empty input"):
+        dd.containment_index_save(
+            df.filter("doc_id < 0"), "text", "doc_id", path2 + "-x"
+        )

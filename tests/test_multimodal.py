@@ -439,7 +439,7 @@ def test_image_dedup_increment_composes_with_batch(spark, request):
     }
     assert got_set == expect and len(expect) > 0
     assert st == {"shard_rows": 15, "skipped_existing": 0, "indexed": 15,
-                  "appended": True}
+                  "appended": True, "replayed": False}
 
     # replay: loud by default, lossless accounting with 'skip'
     with _pytest.raises(ValueError, match="already indexed"):
@@ -468,3 +468,52 @@ def test_image_dedup_increment_composes_with_batch(spark, request):
     bad = spark.createDataFrame([(200, None)], "id long, dhash long")
     with _pytest.raises(ValueError, match="NULL dhash"):
         mm.image_dedup_increment(spark, bad, path)
+
+
+def test_image_increment_version_tag_replay(spark):
+    """The dhash store's replay discipline (the fp store's version_tag
+    contract at the image tier): a re-run of a tagged increment —
+    before OR after a compaction folded the tagged dir away — re-emits
+    the ORIGINAL pairs, appends nothing, and reports replayed=True."""
+    path = os.path.join(SCRATCH, f"dh-tag-{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ids_a = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    ids_b = spark.range(20, 35).withColumnRenamed("id", "doc_id")
+    ha = mm.image_dhash(mm.synthesize_perturbed_pgms(ids_a, "doc_id"),
+                        "content", "doc_id").localCheckpoint(eager=True)
+    hb = mm.image_dhash(mm.synthesize_perturbed_pgms(ids_b, "doc_id"),
+                        "content", "doc_id").localCheckpoint(eager=True)
+    mm.dhash_index_save(ha.select("id", "dhash"), path)
+
+    p1, s1 = mm.image_dedup_increment(
+        spark, hb.select("id", "dhash"), path,
+        max_hamming=3, return_stats=True, version_tag="batch-1",
+    )
+    set1 = {(r.id_a, r.id_b, r.hamming) for r in p1.collect()}
+    assert s1["appended"] and not s1["replayed"] and len(set1) > 0
+
+    # replay with the tagged dir still present
+    p2, s2 = mm.image_dedup_increment(
+        spark, hb.select("id", "dhash"), path,
+        max_hamming=3, return_stats=True, version_tag="batch-1",
+    )
+    assert {(r.id_a, r.id_b, r.hamming) for r in p2.collect()} == set1
+    assert s2 == {"shard_rows": 15, "skipped_existing": 0, "indexed": 0,
+                  "appended": False, "replayed": True}
+
+    # a compaction between crash and replay must not blind detection:
+    # the tags ledger survives, and the replay re-derives identical
+    # pairs from the compacted store minus the shard's own ids
+    mm.dhash_index_compact(spark, path)
+    import json
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert man["tags"] == ["batch-1"] and len(man["dh_dirs"]) == 1
+    p3, s3 = mm.image_dedup_increment(
+        spark, hb.select("id", "dhash"), path,
+        max_hamming=3, return_stats=True, version_tag="batch-1",
+    )
+    assert {(r.id_a, r.id_b, r.hamming) for r in p3.collect()} == set1
+    assert s3["replayed"] and not s3["appended"]
+    idx, _ = mm.dhash_index_load(spark, path)
+    assert idx.count() == 35  # nothing double-appended anywhere
+    shutil.rmtree(path, ignore_errors=True)
