@@ -185,6 +185,10 @@ EXTENDED_QUERIES = [
     # lifecycle shape of the other *_incremental entries)
     "streaming_image_refresh",
     "containment_incremental_docs",
+    # round-9 wave 3: the streaming semantic refresh (seed IVFPQ build
+    # + 3 exactly-once micro-batches of assign+dedup+append+publish —
+    # per-batch lifecycle latency like its text/image siblings)
+    "streaming_semantic_refresh",
 ]
 
 

@@ -1173,6 +1173,7 @@ def ivfpq_append(
     new_embeddings: DataFrame,
     vec_col: str = "embedding",
     skip_existing: bool = True,
+    version_tag: str | None = None,
 ) -> None:
     """Incrementally add vectors to a PERSISTED IVFADC index — the
     serving-lifecycle step a 100 TB corpus actually needs (a nightly
@@ -1199,7 +1200,11 @@ def ivfpq_append(
     id-column scan of the store per append, so disable it when the
     caller guarantees fresh ids). ``new_embeddings`` must carry the
     manifest's id_col, ``vec_col``, and every recorded metadata
-    column."""
+    column. ``version_tag`` records the append in the manifest's
+    ``tags`` replay ledger (atomically, same commit) — the fp/dhash
+    store discipline that lets ``semantic_dedup_increment`` detect a
+    replayed exactly-once micro-batch even after a compaction folds
+    the tagged delta dir away."""
     import os
     import uuid
 
@@ -1303,7 +1308,10 @@ def ivfpq_append(
         id_col, "cell", "pq_code", *manifest["metadata_cols"]
     )
     ver = uuid.uuid4().hex[:12]
-    delta_dir = f"encoded-{ver}"
+    delta_dir = (
+        f"encoded-tag-{version_tag}" if version_tag is not None
+        else f"encoded-{ver}"
+    )
     try:
         write_parquet(delta, os.path.join(path, delta_dir), partition_by=["cell"])
     finally:
@@ -1316,6 +1324,8 @@ def ivfpq_append(
         "version": ver,
         "encoded_dirs": [*manifest["encoded_dirs"], delta_dir],
     }
+    if version_tag is not None:
+        manifest["tags"] = [*manifest.get("tags", []), str(version_tag)]
     _commit_index_manifest(path, manifest)
 
 
@@ -1605,6 +1615,45 @@ def _enforce_cell_cap(
     return assigned
 
 
+def _sem_incr_pairs(
+    assigned: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shard-self + shard-vs-stored-members candidate pairs within
+    cells, exact-cosine verified — shared by the live increment and
+    the version_tag replay path (pair emission is a pure function of
+    the two vector sets)."""
+    sa = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    sb = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    nn = sa.join(sb, "cell").filter(F.col("id_a") < F.col("id_b"))
+    ni = sa.join(
+        store.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+        ),
+        "cell",
+    )
+    sim = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        nn.unionByName(ni)
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cosine_sim",
+        )
+    )
+
+
 def semantic_dedup_increment(
     spark,
     path: str,
@@ -1614,6 +1663,7 @@ def semantic_dedup_increment(
     append: bool = True,
     on_existing: str = "error",
     return_stats: bool = False,
+    version_tag: str | None = None,
 ):
     """Incremental SemDeDup over the PERSISTED IVFPQ store — the fourth
     tier of the incremental-refresh family (exact / MinHash / SimHash /
@@ -1650,6 +1700,11 @@ def semantic_dedup_increment(
     refresh N sees shards 1..N-1 as stored members. Tombstoned ids
     (``ivfpq_delete``) are invisible both as members and for the
     skip-existing check — the takedown semantics all four tiers share.
+    ``version_tag`` makes the append replay-idempotent for
+    exactly-once streaming callers (the fp/dhash ``batch-{bid}``
+    discipline): a replayed tag skips the append and re-emits the
+    original pairs against the reconstructed pre-append store state,
+    valid even after compaction (the manifest ``tags`` ledger).
 
     At 100 TB: per-refresh cost is O(shard · dim) assignment + one
     cell-bucketed join against the stored members of ONLY the cells
@@ -1711,12 +1766,43 @@ def semantic_dedup_increment(
         tombstones=_read_tombstones(spark, path, manifest),
         id_col=id_col,
     ).select(id_col, "cell", vec_col)
-
-    fresh = shard.join(store.select(id_col), id_col, "left_anti")
     arrs = np.load(os.path.join(path, manifest["codebooks_file"]))
     bc_cents = spark.sparkContext.broadcast(
         np.asarray(arrs["centroids"], dtype=np.float64)
     )
+
+    if version_tag is not None and version_tag in manifest.get("tags", ()):
+        # REPLAY (the fp/dhash store discipline): a prior attempt of
+        # this exact shard already committed its tagged delta, then
+        # crashed before the caller's sink publish. Recomputing against
+        # the current store would pair every shard vector with its own
+        # stored copy at cosine 1.0 — reconstruct the ORIGINAL store
+        # state by anti-joining the shard's ids out (valid under the
+        # exactly-once source contract: these ids reached the store
+        # only through the tagged append, wherever compaction has since
+        # folded their rows). Pair emission is a pure function of the
+        # two vector sets, so the replay re-emits the original pairs —
+        # minus pairs whose stored partner a takedown tombstoned inside
+        # the crash window (masked load): takedown-wins, uniform.
+        try:
+            assigned = _assign_to_cells(shard, vec_col, bc_cents).localCheckpoint(
+                eager=True
+            )
+        finally:
+            bc_cents.destroy()
+        store_replay = store.join(shard.select(id_col), id_col, "left_anti")
+        pairs = _sem_incr_pairs(assigned, store_replay, id_col, vec_col, threshold)
+        if return_stats:
+            return pairs, {
+                "shard_rows": n_shard,
+                "skipped_existing": 0,
+                "indexed": 0,
+                "appended": False,
+                "replayed": True,
+            }
+        return pairs
+
+    fresh = shard.join(store.select(id_col), id_col, "left_anti")
     try:
         # ONE eager materialization of the assigned shard, carrying
         # every store column: the candidate joins, the stats count AND
@@ -1737,32 +1823,7 @@ def semantic_dedup_increment(
     if skipped and on_existing == "error":
         _raise_already_indexed("semantic_dedup_increment", skipped, n_shard)
 
-    sa = assigned.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    sb = assigned.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    nn = sa.join(sb, "cell").filter(F.col("id_a") < F.col("id_b"))
-    ni = sa.join(
-        store.select(
-            F.col("cell").cast("int").alias("cell"),
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vb"),
-        ),
-        "cell",
-    )
-    sim = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-    pairs = (
-        nn.unionByName(ni)
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "cosine_sim",
-        )
-    )
+    pairs = _sem_incr_pairs(assigned, store, id_col, vec_col, threshold)
 
     appended = False
     if append and n_fresh > 0:
@@ -1774,7 +1835,8 @@ def semantic_dedup_increment(
         # pass, so its assignment can never drift from the store's
         # conventions)
         ivfpq_append(
-            spark, path, assigned, vec_col=vec_col, skip_existing=False
+            spark, path, assigned, vec_col=vec_col, skip_existing=False,
+            version_tag=version_tag,
         )
         appended = True
     if return_stats:
@@ -1783,6 +1845,7 @@ def semantic_dedup_increment(
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,
+            "replayed": False,
         }
     return pairs
 

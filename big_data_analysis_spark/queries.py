@@ -9159,6 +9159,263 @@ def q_streaming_image_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Streaming SEMANTIC corpus refresh: the embedding-tier twin — the third
+# member of the streaming-refresh family (text-exact / image / semantic).
+# Embeddings arrive in 3 exactly-once micro-batches; each batch runs
+# semantic_dedup_increment against the persisted IVFPQ store (map-side
+# cell assignment + within-cell exact cosine; the store IS the
+# cross-batch state) with version_tag-keyed appends, and per-vector
+# verdicts publish through the batch-id-keyed manifest sink. The vectors
+# are SYNTHESIZED with closed-form geometry: 4 orthogonal group bases +
+# tiny jitter, plus a 'novel' kind on a far direction — every cosine is
+# either >= 0.99 (same group & kind) or <= 0.69 (anything else), so at
+# threshold 0.9 the emitted pair set is EXACTLY id-arithmetic-derivable
+# and float noise cannot flip a pair. DuckDB re-derives every verdict
+# row. Cross-cell novel-novel dups (different groups) are missed BY
+# DESIGN — the tier's certified recall profile; the oracle encodes the
+# same cell-bounded rule.
+# =========================================================================
+
+_SEM_STREAM_ROWS = 240
+_SEM_STREAM_BATCHES = 3
+
+_SEM_STREAM_ORACLE = f"""
+WITH seed AS (
+    SELECT CAST(i AS BIGINT) AS id FROM range(40) t(i)
+    WHERE (i // 4) % 4 <> 3
+), streamed AS (
+    SELECT CAST(i + 1000 AS BIGINT) AS id FROM range({_SEM_STREAM_ROWS}) t(i)
+), corpus AS (SELECT id FROM seed UNION ALL SELECT id FROM streamed),
+feat AS (
+    SELECT id, id % 4 AS grp, ((id // 4) % 4 = 3) AS novel FROM corpus
+), prior AS (
+    SELECT b.id AS vec_id, b.grp, b.novel,
+           CAST(count(a.id) AS BIGINT) AS n_prior_dups
+    FROM feat b LEFT JOIN feat a
+      ON a.id < b.id AND a.grp = b.grp AND a.novel = b.novel
+    WHERE b.id >= 1000
+    GROUP BY 1, 2, 3
+)
+SELECT vec_id, CAST(grp AS BIGINT) AS grp, novel, n_prior_dups,
+       n_prior_dups = 0 AS kept,
+       CAST({_SEM_STREAM_BATCHES} AS BIGINT) AS n_batch_manifests,
+       CAST({32 + _SEM_STREAM_ROWS} AS BIGINT) AS store_rows,
+       true AS stream_equals_batch
+FROM prior
+"""
+
+
+def _sem_stream_vec(id_col: str):
+    """Closed-form 8-dim embedding from the id — mirrored by the
+    oracle's (grp, novel) arithmetic. Normal rows (jj != 3):
+    e_grp + 0.1·e_{4+jj}; novel rows: 1.5·e_7 + 0.1·e_grp. Margins:
+    same group & kind cosine >= 0.990, every other cosine <= 0.692 —
+    a >= 0.2 buffer on both sides of the 0.9 threshold, so the exact
+    pair set is immune to float accumulation order."""
+    g = (F.col(id_col) % 4).cast("int")
+    jj = (F.floor(F.col(id_col) / 4) % 4).cast("int")
+    novel = jj == F.lit(3)
+    comps = []
+    for k in range(8):
+        normal_c = F.when(g == k, F.lit(1.0)).otherwise(F.lit(0.0)) + F.when(
+            jj + 4 == k, F.lit(0.1)
+        ).otherwise(F.lit(0.0))
+        novel_c = F.when(F.lit(k == 7), F.lit(1.5)).otherwise(
+            F.lit(0.0)
+        ) + F.when(g == k, F.lit(0.1)).otherwise(F.lit(0.0))
+        comps.append(
+            F.when(novel, novel_c).otherwise(normal_c).cast("double")
+        )
+    return F.array(*comps)
+
+
+def _sem_stream_verdicts(vecs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-vector dedup verdict: n_prior_dups = pairs where the vector
+    is the LATER member (seed ids < streamed ids and batches ascend,
+    so the later member is exactly id_b); kept iff zero."""
+    prior = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_prior_dups")
+    )
+    jj = (F.floor(F.col("vec_id") / 4) % 4).cast("int")
+    return (
+        vecs.select("vec_id").join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % 4).cast("long").alias("grp"),
+            (jj == 3).alias("novel"),
+            F.coalesce(F.col("n_prior_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_prior_dups"),
+            (F.coalesce(F.col("n_prior_dups"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+def _stream_sem_batch_body(
+    spark: SparkSession,
+    bdf: DataFrame,
+    bid: int,
+    out: str,
+    store_path: str,
+    fault_hook=None,
+) -> None:
+    """One micro-batch of the streaming semantic refresh, shared with
+    the replay tests: derive the batch's embeddings (deterministic from
+    the id — a replayed batch re-derives identical vectors) ->
+    semantic_dedup_increment against the persisted IVFPQ store
+    (version_tag=f"batch-{{bid}}": a replayed tag skips the append and
+    re-emits the original pairs) -> per-vector verdicts publish via the
+    batch-id-keyed atomic manifest. The store is consulted as encoded
+    members + metadata vectors only — no k-means rerun, no corpus
+    re-scan."""
+    from big_data_analysis_spark.operators import similarity as sim
+
+    vecs = bdf.select(
+        (F.col("doc_id") + 1000).alias("vec_id")
+    ).withColumn("embedding", _sem_stream_vec("vec_id"))
+    pairs = sim.semantic_dedup_increment(
+        spark, store_path, vecs, threshold=0.9, vec_col="embedding",
+        version_tag=f"batch-{bid}",
+    )
+    if fault_hook is not None:
+        fault_hook(bid)
+    (
+        _sem_stream_verdicts(vecs, pairs)
+        .write.format("manifest_jsonl")
+        .option("path", out)
+        .option("batch_id", str(bid))
+        .mode("append")
+        .save()
+    )
+
+
+@query("streaming_semantic_refresh", _SEM_STREAM_ORACLE)
+def q_streaming_semantic_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC ingestion end-to-end, hash-verified per
+    vector: a seed corpus (32 normal vectors in 4 orthogonal groups)
+    trains and persists the IVFPQ store once (the realistic
+    deployment — k-means/PQ train on the seed, the stream only ever
+    appends); 240 embeddings then arrive in 3 exactly-once
+    micro-batches, each assigned map-side to the EXISTING cells,
+    exact-cosine deduped against the store (the cross-batch state),
+    appended with a version_tag-keyed delta, and published as
+    per-vector verdicts through the atomic per-batch manifest sink.
+    The synthetic geometry makes every cosine either >= 0.99 (same
+    group & kind — a duplicate) or <= 0.692 (not), so DuckDB
+    re-derives EVERY verdict row from id arithmetic, including the 4
+    kept rows: the first 'novel' arrival per group (the seed holds no
+    novels). Cross-group novel-novel dups land in different cells and
+    are missed BY DESIGN — the tier's certified recall profile, which
+    the oracle's same-group rule encodes exactly. Also certified: the
+    manifest count, the final store population, and a stream==batch
+    parity boolean vs the post-stream store's own frozen-cell
+    self-join. At 100 TB each micro-batch costs O(batch·dim)
+    assignment + one cell-bucketed scan of only the touched cells."""
+    import glob
+    import os
+    import shutil
+
+    from big_data_analysis_spark.operators import similarity as sim
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    out = f"/root/repo/.scratch/stream-sem-refresh-{os.getpid()}"
+    ckpt = f"{out}-ckpt"
+    store = f"{out}-ivfpq"
+    for p in (out, ckpt, store):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # seed store: ids 0..39 minus the novel slots (jj == 3, ids 12-15
+    # and 28-31) -> 32 normal vectors; k-means k=4 finds the 4
+    # orthogonal groups
+    seed = (
+        spark.range(40)
+        .select(F.col("id").alias("vec_id"))
+        .filter((F.floor(F.col("vec_id") / 4) % 4) != 3)
+        .withColumn("embedding", _sem_stream_vec("vec_id"))
+    )
+    encoded, cents, books = sim.ivfpq_build(
+        seed, n_cells=4, m=4, k=8, max_iter=8, keep_cols=["embedding"]
+    )
+    sim.ivfpq_save(encoded, cents, books, store)
+
+    def _process_batch(bdf: DataFrame, bid: int) -> None:
+        _stream_sem_batch_body(spark, bdf, bid, out, store)
+
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", _SEM_STREAM_ROWS)
+        .option("partitions", 8)
+        .option("rows_per_batch", _SEM_STREAM_ROWS // _SEM_STREAM_BATCHES)
+        .load()
+    )
+    sq = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    back_schema = (
+        "vec_id bigint, grp bigint, novel boolean, "
+        "n_prior_dups bigint, kept boolean"
+    )
+    back = read_manifest_jsonl_stream(spark, out, back_schema)
+    n_manifests = len(glob.glob(os.path.join(out, "_BATCH_*.json")))
+
+    # batch twin: the post-stream store's own frozen-cell self-join,
+    # restricted to pairs whose later member is streamed (id >= 1000)
+    enc2, _, _ = sim.ivfpq_load(spark, store)
+    members = enc2.select("vec_id", "cell", "embedding")
+    store_rows = members.count()
+    ma = members.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    mb = members.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    csim = sim.cosine(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    twin_pairs = (
+        ma.join(mb, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", csim.alias("cosine_sim"))
+        .filter((F.col("cosine_sim") >= 0.9) & (F.col("id_b") >= 1000))
+    )
+    streamed_ids = spark.range(_SEM_STREAM_ROWS).select(
+        (F.col("id") + 1000).alias("vec_id")
+    )
+    twin = _sem_stream_verdicts(streamed_ids, twin_pairs)
+    par = _multiset_mismatch(
+        back, twin, ["vec_id", "grp", "novel", "n_prior_dups", "kept"]
+    )
+    result = back.crossJoin(F.broadcast(par)).select(
+        "vec_id",
+        "grp",
+        "novel",
+        "n_prior_dups",
+        "kept",
+        F.lit(n_manifests).cast("long").alias("n_batch_manifests"),
+        F.lit(store_rows).cast("long").alias("store_rows"),
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+    )
+    rows = result.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+# =========================================================================
 # Exact token-budget domain mixing (relational.budget_prefix_sample): the
 # deterministic "at most N tokens per source" assembly step. Oracle is
 # the definitional per-group cumulative sum in portable-md5-hash order —

@@ -661,3 +661,80 @@ def test_containment_prefix_parity_on_random_corpora(spark):
         for i in range(5):
             assert (i, 100 + i) in pf, f"case {case}: planted pair {i} missed"
             assert pf[(i, 100 + i)][1] == 1.0
+
+
+def test_containment_increment_composition_on_random_corpus(spark, request):
+    """Randomized composition property of the incremental containment
+    tier: save(A) then increment(B) against the persisted gram index
+    emits EXACTLY the batch ngram_containment_pairs over A ∪ B
+    restricted to shard-touching pairs — on zipf-ish corpora with
+    planted quoted-inside cases in BOTH directions (a stored doc's
+    prefix arriving as a new short doc, and a new long doc quoting a
+    stored doc whole), the adversarial cases for the two stored-prefix
+    probes."""
+    import os
+    import random
+    import shutil
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    rng = random.Random(31337)
+    base = f"/root/repo/.scratch/cont-prop-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    vocab = [f"w{i}" for i in range(30)]
+
+    def rand_text():
+        k = rng.randint(4, 14)
+        return " ".join(
+            vocab[min(int(rng.expovariate(0.35)), 29)] for _ in range(k)
+        )
+
+    for case in range(2):
+        path = f"{base}/c{case}"
+        shutil.rmtree(path, ignore_errors=True)
+        store_rows = [(i, rand_text()) for i in range(25)]
+        shard_rows = [(100 + i, rand_text()) for i in range(20)]
+        # plant: shard doc = prefix of a stored doc (shard-in-store);
+        # shard doc = stored doc + padding (store-in-shard)
+        for i in range(3):
+            shard_rows.append(
+                (200 + i, " ".join(store_rows[i][1].split()[:4]))
+            )
+            shard_rows.append(
+                (300 + i, store_rows[i][1] + " " + rand_text())
+            )
+        df = spark.createDataFrame(
+            store_rows + shard_rows, "doc_id long, text string"
+        )
+        key = lambda r: (r["id_a"], r["id_b"], r["containment_a"],
+                         r["containment_b"], r["common"])
+        dd.containment_index_save(
+            df.filter("doc_id < 100"), "text", "doc_id", path,
+            n=2, threshold=0.75,
+        )
+        inc = {
+            key(r)
+            for r in dd.containment_dedup_increment(
+                spark,
+                df.filter("doc_id >= 100"), "text", path,
+            ).collect()
+        }
+        batch = {
+            key(r)
+            for r in dd.ngram_containment_pairs(
+                df, "text", "doc_id", n=2, threshold=0.75
+            ).collect()
+            if r["id_a"] >= 100 or r["id_b"] >= 100
+        }
+        assert inc == batch, f"case {case}: increment != batch-touching"
+        # planted pairs in both directions were found: a short shard
+        # doc inside a stored doc rides the SHARD prefix probe; a
+        # stored doc quoted whole inside a new long doc rides the
+        # STORED prefix probe
+        for i in range(3):
+            assert any(a == i and b == 200 + i for a, b, *_ in inc), (
+                f"case {case}: shard-prefix probe missed {(i, 200 + i)}"
+            )
+            assert any(a == i and b == 300 + i for a, b, *_ in inc), (
+                f"case {case}: stored-prefix probe missed {(i, 300 + i)}"
+            )

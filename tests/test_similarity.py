@@ -1127,3 +1127,65 @@ def test_semantic_dedup_increment_composes(spark, emb, request):
     sim.ivfpq_save(enc_b, cents_b, books_b, bare)
     with pytest.raises(ValueError, match="keep_cols"):
         sim.semantic_dedup_increment(spark, bare, b, threshold=0.2)
+
+
+def test_semantic_increment_version_tag_replay(spark, emb, request):
+    """The IVFPQ store's replay discipline (the fp/dhash version_tag
+    contract at the semantic tier): a re-run of a tagged increment —
+    before AND after a compaction folded the tagged delta away —
+    re-emits the ORIGINAL pairs, appends nothing, and reports
+    replayed=True; the tags ledger survives both the append commit and
+    the compaction commit."""
+    import json
+    import os
+    import shutil
+
+    sub = emb.filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    a = sub.filter(F.col("vec_id") % 3 != 0)
+    b = sub.filter(F.col("vec_id") % 3 == 0)
+    path = f"/root/repo/.scratch/sem-tag-replay-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+    encoded, cents, books = sim.ivfpq_build(
+        a, n_cells=4, m=8, k=32, max_iter=8, keep_cols=["embedding"]
+    )
+    sim.ivfpq_save(encoded, cents, books, path)
+
+    def pairset(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["cosine_sim"], 9))
+            for r in df.collect()
+        }
+
+    p1, s1 = sim.semantic_dedup_increment(
+        spark, path, b, threshold=0.2, vec_col="embedding",
+        return_stats=True, version_tag="batch-7",
+    )
+    set1 = pairset(p1)
+    assert s1["appended"] and not s1["replayed"] and len(set1) > 0
+    man = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert man["tags"] == ["batch-7"]
+    assert any(d == "encoded-tag-batch-7" for d in man["encoded_dirs"])
+    n_store = sim.ivfpq_load(spark, path)[0].count()
+
+    # replay with the tagged delta still present
+    p2, s2 = sim.semantic_dedup_increment(
+        spark, path, b, threshold=0.2, vec_col="embedding",
+        return_stats=True, version_tag="batch-7",
+    )
+    assert pairset(p2) == set1
+    assert s2 == {"shard_rows": s1["shard_rows"], "skipped_existing": 0,
+                  "indexed": 0, "appended": False, "replayed": True}
+
+    # compaction folds the tagged delta; the tags ledger must survive
+    # and the replay must still re-derive identical pairs
+    sim.ivfpq_compact(spark, path)
+    man2 = json.load(open(os.path.join(path, "_INDEX.json")))
+    assert man2["tags"] == ["batch-7"] and len(man2["encoded_dirs"]) == 1
+    p3, s3 = sim.semantic_dedup_increment(
+        spark, path, b, threshold=0.2, vec_col="embedding",
+        return_stats=True, version_tag="batch-7",
+    )
+    assert pairset(p3) == set1
+    assert s3["replayed"] and not s3["appended"]
+    assert sim.ivfpq_load(spark, path)[0].count() == n_store  # no double append
