@@ -187,8 +187,11 @@ EXTENDED_QUERIES = [
     "containment_incremental_docs",
     # round-9 wave 3: the streaming semantic refresh (seed IVFPQ build
     # + 3 exactly-once micro-batches of assign+dedup+append+publish —
-    # per-batch lifecycle latency like its text/image siblings)
+    # per-batch lifecycle latency like its text/image siblings) and the
+    # takedown certificate of the two new stores (bounded slices,
+    # lifecycle latency)
     "streaming_semantic_refresh",
+    "media_containment_takedown",
 ]
 
 

@@ -399,7 +399,6 @@ def containment_index_save(
 
     from .index_store import commit_manifest
 
-    os.makedirs(path, exist_ok=True)
     # ONE snapshot feeds the precheck and the write (the ADVICE r8
     # discipline: a nondeterministic source must not hand the precheck
     # and the persisted artifact different rows)
@@ -412,6 +411,7 @@ def containment_index_save(
             "containment_index_save: empty input — bootstrap an empty "
             "store with containment_index_init and grow it by increments"
         )
+    os.makedirs(path, exist_ok=True)  # a refused save leaves nothing
     shingled = _containment_shingled(docs, "__t", "id", n)
     d = _write_containment_version(
         _containment_gram_rows(shingled, threshold), path

@@ -1604,6 +1604,194 @@ def q_containment_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(rows, out.schema)
 
 
+# =========================================================================
+# Takedown lifecycle of the round's two NEW stores — dHash (image) and
+# containment (gram index) — completing driver-certified GDPR symmetry
+# across every persisted store family (fp/minhash/simhash via
+# dedup_takedown_roundtrip, split via split_takedown_roundtrip, ivfpq via
+# ivfpq_tombstone_delete). Lean by construction: bounded fixtures (40
+# images, docs < 80), one certificate row, SQL-exact population and
+# pair-count anchors from id arithmetic / the gram CTE.
+# =========================================================================
+
+_MEDIA_TAKEDOWN_ORACLE = """
+WITH img AS (
+    SELECT i AS id,
+           CASE i % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                      WHEN 3 THEN 3 ELSE 8 END AS lv
+    FROM range(40) t(i)
+), s AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id < 80
+      AND len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) >= 2
+), comp AS (
+    -- composites quoting each to-be-deleted text whole: the UNDELETED
+    -- twins that keep the re-ingest pair path live
+    SELECT a.doc_id + 40000 AS doc_id, a.text || ' ' || b.text AS text
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 8
+    WHERE a.doc_id < 8
+), stored AS (
+    SELECT doc_id, text FROM s UNION ALL SELECT doc_id, text FROM comp
+), corpus AS (
+    SELECT doc_id, text FROM stored WHERE doc_id >= 8
+    UNION ALL
+    SELECT doc_id + 50000, text FROM s WHERE doc_id < 8
+), toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM corpus
+), grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i + 1]
+                          FOR i IN generate_series(1, len(w) - 1)]) AS g
+    FROM toks
+), ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM grams),
+cpair AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+           count(*) AS c
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), ctouch AS (
+    SELECT * FROM cpair
+    WHERE (c >= ceil(0.8 * sa - 0.000000001) OR c >= ceil(0.8 * sb - 0.000000001))
+      AND id_b >= 50000
+)
+SELECT CAST(40 AS BIGINT) AS dh_store0,
+       -- shard image 100 has level 0; pairs = undeleted store images
+       -- within hamming 3 (levels 0..3), ids 0 and 1 tombstoned
+       CAST((SELECT count(*) FROM img
+             WHERE lv <= 3 AND id NOT IN (0, 1)) AS BIGINT)
+         AS dh_pairs_after_delete,
+       true AS dh_deleted_never_paired,
+       CAST(39 AS BIGINT) AS dh_store_final,
+       true AS dh_compact_single_dir,
+       CAST((SELECT count(*) FROM stored) AS BIGINT) AS ct_store0,
+       CAST((SELECT count(*) FROM ctouch) AS BIGINT) AS ct_pairs_reingest,
+       true AS ct_deleted_never_paired,
+       CAST((SELECT count(*) FROM corpus) AS BIGINT) AS ct_store_final,
+       true AS ct_compact_single_dir,
+       -- the pair path is live: every re-ingested text pairs with its
+       -- undeleted quoting composite at containment 1.0
+       (SELECT count(*) FROM ctouch) >=
+         (SELECT count(*) FROM comp) AS ct_reingest_pairs_live
+"""
+
+
+@query("media_containment_takedown", _MEDIA_TAKEDOWN_ORACLE)
+def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR takedown roundtrip of the dHash and containment stores —
+    the two store families added this round, certified with the same
+    delete -> masked increment -> compact-purge sequence the other
+    five stores carry. Image half: 40 closed-form PGMs persist; ids
+    0-1 are taken down; a re-ingested level-0 image pairs with exactly
+    the undeleted hamming<=3 population (SQL-exact from id arithmetic)
+    and NEVER with a tombstoned id; compaction folds to one dir
+    holding 39 fingerprints. Containment half: docs < 80 persist plus
+    composites quoting each to-be-deleted text whole (the undeleted
+    twins that keep the pair path live); the texts of docs < 8 are
+    taken down and re-ingested under fresh ids — the increment's pairs
+    equal the batch gram SQL over undeleted ∪ re-ingested (each
+    re-ingest pairs with its quoting composite at containment 1.0;
+    deleted ids never appear), and compaction's surviving population
+    is SQL-exact. Lifecycle mechanics on bounded slices —
+    the stores' SCALE costs are measured by their *_incremental
+    entries. See multimodal.dhash_index_delete/compact,
+    dedup.containment_index_delete/compact."""
+    import json
+    import os
+    import shutil
+
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    base = f"/root/repo/.scratch/media-takedown-q-{os.getpid()}"
+    dh_path, ct_path = f"{base}/dh", f"{base}/ct"
+    shutil.rmtree(base, ignore_errors=True)
+
+    # ---- image half ----
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    ha = mm.image_dhash(
+        mm.synthesize_perturbed_pgms(ids, "doc_id"), "content", "doc_id"
+    ).localCheckpoint(eager=True)
+    mm.dhash_index_save(ha.select("id", "dhash"), dh_path)
+    dh0 = 40  # save's precheck counted and enforced it
+    mm.dhash_index_delete(spark, dh_path, [0, 1])
+    shard = mm.image_dhash(
+        mm.synthesize_perturbed_pgms(
+            spark.range(100, 101).select(F.col("id").alias("doc_id")), "doc_id"
+        ),
+        "content", "doc_id",
+    ).select("id", "dhash")
+    dh_pairs = mm.image_dedup_increment(spark, shard, dh_path, max_hamming=3)
+    dh_cert = dh_pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.col("id_a").isin(0, 1) | F.col("id_b").isin(0, 1)).cast("int")),
+            F.lit(0),
+        ).alias("n_deleted"),
+    ).head()
+    mm.dhash_index_compact(spark, dh_path)
+    dh_man = json.load(open(os.path.join(dh_path, "_INDEX.json")))
+    dh_final = mm.dhash_index_load(spark, dh_path)[0].count()
+
+    # ---- containment half ----
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks_ok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
+    s = d.select("doc_id", "text").filter((F.col("doc_id") < 80) & toks_ok)
+    comp = (
+        s.alias("a")
+        .join(s.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 8)
+        .filter(F.col("a.doc_id") < 8)
+        .select(
+            (F.col("a.doc_id") + 40000).alias("doc_id"),
+            F.concat(F.col("a.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    stored = s.unionByName(comp)
+    dd.containment_index_save(
+        stored, "text", "doc_id", ct_path, n=2, threshold=0.8
+    )
+    ct0 = dd.containment_index_load(spark, ct_path)[0].select(
+        "id"
+    ).distinct().count()
+    n_comp = comp.count()
+    del_ids = [r["doc_id"] for r in s.filter(F.col("doc_id") < 8).collect()]
+    dd.containment_index_delete(spark, ct_path, del_ids)
+    reingest = s.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    ct_pairs = dd.containment_dedup_increment(spark, reingest, "text", ct_path)
+    hits_deleted = (
+        (F.col("id_a").isin(del_ids) | F.col("id_b").isin(del_ids))
+        if del_ids else F.lit(False)
+    )
+    ct_cert = ct_pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(hits_deleted.cast("int")), F.lit(0)).alias("n_deleted"),
+    ).head()
+    dd.containment_index_compact(spark, ct_path)
+    ct_man = json.load(open(os.path.join(ct_path, "_INDEX.json")))
+    ct_final = dd.containment_index_load(spark, ct_path)[0].select(
+        "id"
+    ).distinct().count()
+
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            dh0, dh_cert["n"], dh_cert["n_deleted"] == 0, dh_final,
+            len(dh_man["dh_dirs"]) == 1 and "tombstones_file" not in dh_man,
+            ct0, ct_cert["n"], ct_cert["n_deleted"] == 0, ct_final,
+            len(ct_man["cg_dirs"]) == 1 and "tombstones_file" not in ct_man,
+            ct_cert["n"] >= n_comp,
+        )],
+        "dh_store0 long, dh_pairs_after_delete long, "
+        "dh_deleted_never_paired boolean, dh_store_final long, "
+        "dh_compact_single_dir boolean, ct_store0 long, "
+        "ct_pairs_reingest long, ct_deleted_never_paired boolean, "
+        "ct_store_final long, ct_compact_single_dir boolean, "
+        "ct_reingest_pairs_live boolean",
+    )
+
+
 _SPLIT_TAKEDOWN_ORACLE = """
 WITH c AS (
     SELECT doc_id,
