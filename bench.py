@@ -192,6 +192,9 @@ EXTENDED_QUERIES = [
     # lifecycle latency)
     "streaming_semantic_refresh",
     "media_containment_takedown",
+    # round-9 wave 4: the multimodal end-to-end pipeline (gate ->
+    # decode+hash -> exact dedup -> shard export, one composed DAG)
+    "multimodal_corpus_pipeline",
 ]
 
 

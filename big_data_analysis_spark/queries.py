@@ -1792,6 +1792,122 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Multimodal end-to-end corpus pipeline — the IMAGE twin of
+# llm_corpus_pipeline: metadata quality gate -> decode + perceptual hash
+# (only gated images are ever decoded) -> exact image dedup (keep-first)
+# -> deterministic training-shard export, as one composed pipeline. FULL
+# row hash: the fixture's closed-form dHash geometry (33 distinct
+# levels) makes the dedup keep-set and per-keeper duplicate counts pure
+# id arithmetic, the quality gate re-derives from the documents table,
+# and the shard assignment is the engine-portable md5 bucket. The
+# per-row order_ok boolean pins the export's deterministic within-file
+# order via the parquet row_index.
+# =========================================================================
+
+_MM_PIPELINE_ORACLE = """
+WITH gated AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+    FROM documents
+    WHERE doc_id < 200
+      AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+), lv AS (
+    SELECT doc_id, n_tok, doc_id % 33 AS level FROM gated
+), keep AS (
+    SELECT level, min(doc_id) AS keeper FROM lv GROUP BY 1
+), kept AS (
+    SELECT l.doc_id, l.n_tok,
+           (SELECT count(*) FROM lv x WHERE x.level = l.level) - 1 AS n_dups
+    FROM lv l JOIN keep k ON l.doc_id = k.keeper
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_dups AS BIGINT) AS n_dups,
+       CAST(('0x' || substr(md5('mm1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+            AS INT) AS shard,
+       true AS order_ok
+FROM kept
+"""
+
+
+@query("multimodal_corpus_pipeline", _MM_PIPELINE_ORACLE)
+def q_multimodal_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal corpus pipeline end-to-end, hash-verified per
+    exported image: 200 image payloads carry companion document
+    metadata; the quality gate (>= 5 tokens of caption text) runs
+    FIRST so only gated images are ever decoded; the survivors are
+    really decoded and perceptually hashed (image_dhash, 33 distinct
+    closed-form hashes); exact image dedup (hamming 0 via the Manku
+    join) keeps the first bearer of each fingerprint and counts its
+    duplicates; the keepers export through write_training_shards (4
+    deterministic md5-bucket shards, fixed within-file order). DuckDB
+    re-derives EVERY output row — keeper set, duplicate count, token
+    count, shard id — from the documents table and id arithmetic, and
+    the per-row order_ok boolean pins the parquet row_index against
+    the deterministic (hash, key) rank. One composed DAG with two
+    materialization barriers (the fingerprint checkpoint and the shard
+    write), the shape a production image-corpus refresh runs at 100 TB
+    — where the gate's selectivity directly saves decode compute. See
+    multimodal.image_dhash / image_near_dup_pairs,
+    io.write_training_shards."""
+    import os
+    import shutil
+
+    from big_data_analysis_spark.io import write_training_shards
+    from big_data_analysis_spark.operators import multimodal as mm
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    gated = (
+        d.select("doc_id", n_tok.alias("n_tok"))
+        .filter((F.col("doc_id") < 200) & (F.col("n_tok") >= 5))
+    )
+    # decode + hash ONLY the gated ids (levels 0..32: 33 distinct
+    # closed-form fingerprints)
+    hashed = mm.image_dhash(
+        mm.synthesize_perturbed_pgms(
+            gated.select("doc_id"), "doc_id", levels=tuple(range(33))
+        ),
+        "content", "doc_id",
+    ).filter(F.col("dhash_error").isNull()).localCheckpoint(eager=True)
+    pairs = mm.image_near_dup_pairs(hashed, max_hamming=0)
+    dup_counts = pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    kept = (
+        hashed.select(F.col("id").alias("doc_id"))
+        .join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+              "doc_id", "left_anti")
+        .join(dup_counts, "doc_id", "left")
+        .join(gated, "doc_id")
+        .select(
+            "doc_id", "n_tok",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+        )
+    )
+    path = f"/root/repo/.scratch/mm-pipeline-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_training_shards(kept, path, 4, ["doc_id"], seed="mm1")
+    back = spark.read.parquet(path).select(
+        "doc_id", "n_tok", "n_dups", "shard",
+        F.col("_metadata.row_index").alias("__ri"),
+        F.col("_metadata.file_path").alias("__fp"),
+    )
+    h = rel.portable_hash32(["doc_id"], "mm1")
+    w = Window.partitionBy("__fp").orderBy(h.asc(), F.col("doc_id").asc())
+    out = back.withColumn("__rn", F.row_number().over(w) - 1).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "n_dups",
+        "shard",
+        (F.col("__rn") == F.col("__ri")).alias("order_ok"),
+    )
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 _SPLIT_TAKEDOWN_ORACLE = """
 WITH c AS (
     SELECT doc_id,
