@@ -526,73 +526,14 @@ def containment_index_compact(spark, path: str) -> None:
     )
 
 
-def containment_dedup_increment(
-    spark,
-    new_docs: DataFrame,
-    text_col: str,
-    path: str,
-    id_col: str = "doc_id",
-    append: bool = True,
-    on_existing: str = "error",
-    return_stats: bool = False,
+def _containment_incr_pairs(
+    shingled: DataFrame, rows_idx: DataFrame, threshold: float
 ):
-    """Containment dedup of a NEW shard against the persisted gram
-    index WITHOUT re-shingling any archive text: candidates =
-    shard-self (``_containment_pairs_from_shingled``) plus the cross
-    filter-verify join probed from BOTH sides' stored prefixes —
-    shard prefix ⋈ stored full grams (a new doc contained in an
-    archive doc needs only the new doc's prefix to hit) and stored
-    prefix ⋈ shard full grams (an archive doc quoted whole inside a
-    new long doc needs the ARCHIVE doc's prefix, which is why the
-    store persists is_prefix) — NEVER index-vs-index. Verification is
-    EXACT (per-pair distinct-gram counts on the exploded rows,
-    candidate-bounded), so output equals the batch
-    ``ngram_containment_pairs`` over store ∪ shard RESTRICTED to
-    pairs touching the shard — the composition identity every
-    incremental tier certifies. ``n``/``threshold`` come from the
-    store manifest (a mismatched prefix length would silently lose
-    pairs, so they are store parameters, not query knobs).
-
-    The shared increment contract: ONE localCheckpointed shard
-    snapshot feeds the precheck, the anti-join, and both pair passes;
-    already-indexed ids raise by default (``on_existing='skip'`` opts
-    in); duplicate/NULL ids and NULL text raise up front;
-    ``return_stats=True`` returns ``(pairs, stats)``; ``append=True``
-    appends the fresh gram rows as a new artifact version so
-    refreshes compose.
-
-    At 100 TB: per-refresh cost is O(shard grams) shingling + a
-    gram-bucketed join of the shard's prefix/full rows against the
-    stored rows — the store never self-joins, and a stop-word-like
-    gram falls out of most prefixes (the PPJoin bound). Returns
-    (id_a, id_b, containment_a, containment_b, common)."""
-    rows_idx, man = containment_index_load(spark, path)
-    if man.get("kind") != "containment":
-        raise ValueError(
-            f"containment_dedup_increment: {path} is a "
-            f"{man.get('kind')!r} store, not a containment index"
-        )
-    n, threshold = man["n"], man["threshold"]
-    shard_docs = new_docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    ).localCheckpoint(eager=True)
-    n_shard = _increment_precheck(
-        "containment_dedup_increment", shard_docs, "id", on_existing, "__t"
-    )
-    fresh_docs = shard_docs.join(
-        rows_idx.select("id").distinct(), "id", "left_anti"
-    )
-    # ONE checkpointed shingle snapshot feeds the fresh count, the
-    # shard-self pass, the cross probes, and the append (the ADVICE r8
-    # snapshot-consistency discipline).
-    shingled = _containment_shingled(
-        fresh_docs, "__t", "id", n
-    ).localCheckpoint(eager=True)
-    n_fresh = shingled.count()  # free: just checkpointed
-    skipped = n_shard - n_fresh
-    if skipped and on_existing == "error":
-        _raise_already_indexed("containment_dedup_increment", skipped, n_shard)
-
+    """Shard-self pass + the cross filter-verify join probed from BOTH
+    sides' prefixes, exact candidate-bounded verify — shared by the
+    live increment and the version_tag replay path (pair emission is a
+    pure function of the two gram sets). Returns (pairs, shard_grams)
+    — the append persists shard_grams."""
     shard_grams = _containment_gram_rows(shingled, threshold)
     self_pairs = _containment_pairs_from_shingled(shingled, threshold)
 
@@ -642,6 +583,102 @@ def containment_dedup_increment(
     pairs = self_pairs.unionByName(
         _containment_qualify(cross_verified, threshold)
     )
+    return pairs, shard_grams
+
+
+def containment_dedup_increment(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    path: str,
+    id_col: str = "doc_id",
+    append: bool = True,
+    on_existing: str = "error",
+    return_stats: bool = False,
+    version_tag: str | None = None,
+):
+    """Containment dedup of a NEW shard against the persisted gram
+    index WITHOUT re-shingling any archive text: candidates =
+    shard-self (``_containment_pairs_from_shingled``) plus the cross
+    filter-verify join probed from BOTH sides' stored prefixes —
+    shard prefix ⋈ stored full grams (a new doc contained in an
+    archive doc needs only the new doc's prefix to hit) and stored
+    prefix ⋈ shard full grams (an archive doc quoted whole inside a
+    new long doc needs the ARCHIVE doc's prefix, which is why the
+    store persists is_prefix) — NEVER index-vs-index. Verification is
+    EXACT (per-pair distinct-gram counts on the exploded rows,
+    candidate-bounded), so output equals the batch
+    ``ngram_containment_pairs`` over store ∪ shard RESTRICTED to
+    pairs touching the shard — the composition identity every
+    incremental tier certifies. ``n``/``threshold`` come from the
+    store manifest (a mismatched prefix length would silently lose
+    pairs, so they are store parameters, not query knobs).
+
+    The shared increment contract: ONE localCheckpointed shard
+    snapshot feeds the precheck, the anti-join, and both pair passes;
+    already-indexed ids raise by default (``on_existing='skip'`` opts
+    in); duplicate/NULL ids and NULL text raise up front;
+    ``return_stats=True`` returns ``(pairs, stats)``; ``append=True``
+    appends the fresh gram rows as a new artifact version so
+    refreshes compose; ``version_tag``: the shared replay-idempotence
+    discipline (see minhash_dedup_increment).
+
+    At 100 TB: per-refresh cost is O(shard grams) shingling + a
+    gram-bucketed join of the shard's prefix/full rows against the
+    stored rows — the store never self-joins, and a stop-word-like
+    gram falls out of most prefixes (the PPJoin bound). Returns
+    (id_a, id_b, containment_a, containment_b, common)."""
+    rows_idx, man = containment_index_load(spark, path)
+    if man.get("kind") != "containment":
+        raise ValueError(
+            f"containment_dedup_increment: {path} is a "
+            f"{man.get('kind')!r} store, not a containment index"
+        )
+    n, threshold = man["n"], man["threshold"]
+    shard_docs = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).localCheckpoint(eager=True)
+    n_shard = _increment_precheck(
+        "containment_dedup_increment", shard_docs, "id", on_existing, "__t"
+    )
+    if version_tag is not None and version_tag in man.get("tags", ()):
+        # REPLAY (the shared version_tag discipline): re-shingle the
+        # full shard and pair it against the index MINUS the shard's
+        # own gram rows — gram determinism re-emits the original
+        # pairs; partners tombstoned inside the crash window are
+        # already masked.
+        shingled = _containment_shingled(
+            shard_docs, "__t", "id", n
+        ).localCheckpoint(eager=True)
+        idx_replay = rows_idx.join(
+            shard_docs.select("id"), "id", "left_anti"
+        )
+        pairs, _ = _containment_incr_pairs(shingled, idx_replay, threshold)
+        if return_stats:
+            return pairs, {
+                "shard_rows": n_shard,
+                "skipped_existing": 0,
+                "indexed": 0,
+                "appended": False,
+                "replayed": True,
+            }
+        return pairs
+
+    fresh_docs = shard_docs.join(
+        rows_idx.select("id").distinct(), "id", "left_anti"
+    )
+    # ONE checkpointed shingle snapshot feeds the fresh count, the
+    # shard-self pass, the cross probes, and the append (the ADVICE r8
+    # snapshot-consistency discipline).
+    shingled = _containment_shingled(
+        fresh_docs, "__t", "id", n
+    ).localCheckpoint(eager=True)
+    n_fresh = shingled.count()  # free: just checkpointed
+    skipped = n_shard - n_fresh
+    if skipped and on_existing == "error":
+        _raise_already_indexed("containment_dedup_increment", skipped, n_shard)
+
+    pairs, shard_grams = _containment_incr_pairs(shingled, rows_idx, threshold)
 
     appended = False
     if append and n_fresh > 0:
@@ -650,6 +687,9 @@ def containment_dedup_increment(
         d = _write_containment_version(shard_grams, path)
         new_man = dict(man)
         new_man["cg_dirs"] = man["cg_dirs"] + [d]
+        if version_tag is not None:
+            # replay ledger — compaction's dict(man) copy preserves it
+            new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
         new_man.pop("retained", None)
         commit_manifest(
             path, new_man,
@@ -663,6 +703,7 @@ def containment_dedup_increment(
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,
+            "replayed": False,
         }
     return pairs
 
@@ -1025,96 +1066,17 @@ def _raise_already_indexed(op: str, skipped: int, n: int) -> None:
     )
 
 
-def minhash_dedup_increment(
-    spark,
-    new_docs: DataFrame,
-    text_col: str,
-    path: str,
-    threshold: float = 0.7,
-    append: bool = True,
-    on_existing: str = "error",
-    return_stats: bool = False,
-):
-    """Dedup a NEW shard against a persisted corpus index without
-    re-signing the corpus: signatures are computed for the shard only,
-    candidates come from new-vs-new (shard band self-join) plus
-    new-vs-index (shard bands ⋈ stored bands) — NEVER index-vs-index,
-    so per-refresh cost is O(shard) + one scan of the stored band/sig
-    tables, not O(corpus text). Returns (id_a, id_b, est_jaccard):
-    exactly the pairs of a full batch ``minhash_dedup_pairs`` run on
-    corpus ∪ shard RESTRICTED to pairs touching the shard (signature
-    determinism makes this an identity, not an approximation — pinned
-    by the oracle certificate and the two-appends-equal-one-batch
-    test). Column/id conventions match the batch operator (id_a <
-    id_b, est_jaccard = signature agreement rate).
-
-    Shard ids already present in the index can only be SKIPPED (the
-    ivfpq_append discipline: an id is indexed once; the colliding
-    shard row's TEXT is never compared) — and because a silent skip
-    would hide a pipeline bug that replays an old shard with
-    unshifted ids (VERDICT r7 "What's wrong" #2), overlap is LOUD by
-    default: ``on_existing='error'`` (default) raises when any shard
-    id is already indexed; pass ``on_existing='skip'`` to opt in to
-    dropping them (an orchestrator retry of a committed shard then
-    becomes a no-op). ``return_stats=True`` returns ``(pairs, stats)``
-    with the exact shard/skip/index counts either way. Shard ids must
-    be unique and non-null — two texts under one id would merge into
-    one corrupt signature, so duplicates always raise. With
-    ``append=True`` (default) the fresh shard's signatures and band
-    keys are appended as a new artifact version and the manifest
-    repointed, so successive increments compose: refresh N sees
-    shards 1..N-1 as part of the corpus.
-
-    At 100 TB: the shard band table is small — AQE demotes the
-    new-vs-index join to broadcast; the stored band scan is
-    band-partitioned and never shuffles the corpus side on anything
-    but the (band_idx, band_hash) bucket key."""
-    # ONE manifest read: params and artifact dirs must come from the
-    # SAME manifest generation (a compaction committing between two
-    # reads could pair one generation's params with another's dirs).
-    # Params come from the manifest, never from caller args: stored
-    # and fresh signatures must use the same family or the agreement
-    # rate is meaningless.
-    sigs_idx, bands_idx, man_probe = minhash_index_load(spark, path)
-    nh = man_probe["num_hashes"]
-    nb = man_probe["num_bands"]
-    rpb = man_probe["rows_per_band"]
-    sn = man_probe["shingle_n"]
-    id_col = man_probe["id_col"]
-
-    # ONE shard snapshot feeds the precheck aggregate AND the
-    # skip-existing anti-join (ADVICE r8: prechecking the raw frame
-    # while counting fresh rows off a later checkpoint lets a
-    # nondeterministic source — a limit() without ordering, a
-    # sample() — show each aggregate DIFFERENT rows, making
-    # skipped = n_shard - n_fresh wrong: a spurious overlap raise or
-    # wrong stats). The exact tier already prechecks its checkpointed
-    # fp_new; this is the same discipline for the signature tiers.
-    shard = new_docs.select(id_col, text_col).localCheckpoint(eager=True)
-    n_shard = _increment_precheck(
-        "minhash_dedup_increment", shard, id_col, on_existing, text_col
-    )
-    # Skip already-indexed ids BEFORE signing: the anti-join is on ids
-    # only, so a re-submitted/overlapping shard never pays the
-    # shingle-explode + 64-way min-aggregate for docs that will be
-    # thrown away anyway. Shard signatures: localCheckpoint —
-    # referenced by the candidate join, the verify join AND the append
-    # write; blocks release when the caller drops the result (the CC
-    # discipline).
-    fresh_docs = shard.join(
-        sigs_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
-    )
-    new_sigs = minhash_signature(
-        fresh_docs, text_col, id_col, nh, sn
-    ).localCheckpoint(eager=True)
-    n_fresh = new_sigs.count()  # free: just checkpointed
-    # exact: with null text rejected up front, the id anti-join is the
-    # only row-dropper between new_docs and new_sigs
-    skipped = n_shard - n_fresh
-    if skipped and on_existing == "error":
-        _raise_already_indexed("minhash_dedup_increment", skipped, n_shard)
-    new_bands = minhash_bands(new_sigs, nb, rpb)
-
+def _minhash_incr_pairs(
+    new_sigs: DataFrame,
+    new_bands: DataFrame,
+    sigs_idx: DataFrame,
+    bands_idx: DataFrame,
+    nh: int,
+    threshold: float,
+) -> DataFrame:
+    """Shard-self + shard-vs-index band candidates, signature-verified
+    — shared by the live increment and the version_tag replay path
+    (pair emission is a pure function of the two signature sets)."""
     nn = (
         new_bands.alias("a")
         .join(
@@ -1149,12 +1111,145 @@ def minhash_dedup_increment(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    pairs = (
+    return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", agree / F.lit(nh))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup_increment(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    path: str,
+    threshold: float = 0.7,
+    append: bool = True,
+    on_existing: str = "error",
+    return_stats: bool = False,
+    version_tag: str | None = None,
+):
+    """Dedup a NEW shard against a persisted corpus index without
+    re-signing the corpus: signatures are computed for the shard only,
+    candidates come from new-vs-new (shard band self-join) plus
+    new-vs-index (shard bands ⋈ stored bands) — NEVER index-vs-index,
+    so per-refresh cost is O(shard) + one scan of the stored band/sig
+    tables, not O(corpus text). Returns (id_a, id_b, est_jaccard):
+    exactly the pairs of a full batch ``minhash_dedup_pairs`` run on
+    corpus ∪ shard RESTRICTED to pairs touching the shard (signature
+    determinism makes this an identity, not an approximation — pinned
+    by the oracle certificate and the two-appends-equal-one-batch
+    test). Column/id conventions match the batch operator (id_a <
+    id_b, est_jaccard = signature agreement rate).
+
+    Shard ids already present in the index can only be SKIPPED (the
+    ivfpq_append discipline: an id is indexed once; the colliding
+    shard row's TEXT is never compared) — and because a silent skip
+    would hide a pipeline bug that replays an old shard with
+    unshifted ids (VERDICT r7 "What's wrong" #2), overlap is LOUD by
+    default: ``on_existing='error'`` (default) raises when any shard
+    id is already indexed; pass ``on_existing='skip'`` to opt in to
+    dropping them (an orchestrator retry of a committed shard then
+    becomes a no-op). ``return_stats=True`` returns ``(pairs, stats)``
+    with the exact shard/skip/index counts either way. Shard ids must
+    be unique and non-null — two texts under one id would merge into
+    one corrupt signature, so duplicates always raise. With
+    ``append=True`` (default) the fresh shard's signatures and band
+    keys are appended as a new artifact version and the manifest
+    repointed, so successive increments compose: refresh N sees
+    shards 1..N-1 as part of the corpus. ``version_tag`` makes the
+    append replay-idempotent for exactly-once streaming callers (the
+    shared ``batch-{bid}`` discipline): a replayed tag skips the
+    append and re-emits the original pairs against the reconstructed
+    pre-append index state, detected via the manifest's
+    compaction-surviving ``tags`` ledger.
+
+    At 100 TB: the shard band table is small — AQE demotes the
+    new-vs-index join to broadcast; the stored band scan is
+    band-partitioned and never shuffles the corpus side on anything
+    but the (band_idx, band_hash) bucket key."""
+    # ONE manifest read: params and artifact dirs must come from the
+    # SAME manifest generation (a compaction committing between two
+    # reads could pair one generation's params with another's dirs).
+    # Params come from the manifest, never from caller args: stored
+    # and fresh signatures must use the same family or the agreement
+    # rate is meaningless.
+    sigs_idx, bands_idx, man_probe = minhash_index_load(spark, path)
+    nh = man_probe["num_hashes"]
+    nb = man_probe["num_bands"]
+    rpb = man_probe["rows_per_band"]
+    sn = man_probe["shingle_n"]
+    id_col = man_probe["id_col"]
+
+    # ONE shard snapshot feeds the precheck aggregate AND the
+    # skip-existing anti-join (ADVICE r8: prechecking the raw frame
+    # while counting fresh rows off a later checkpoint lets a
+    # nondeterministic source — a limit() without ordering, a
+    # sample() — show each aggregate DIFFERENT rows, making
+    # skipped = n_shard - n_fresh wrong: a spurious overlap raise or
+    # wrong stats). The exact tier already prechecks its checkpointed
+    # fp_new; this is the same discipline for the signature tiers.
+    shard = new_docs.select(id_col, text_col).localCheckpoint(eager=True)
+    n_shard = _increment_precheck(
+        "minhash_dedup_increment", shard, id_col, on_existing, text_col
+    )
+
+    if version_tag is not None and version_tag in man_probe.get("tags", ()):
+        # REPLAY (the fp/dhash/ivfpq version_tag discipline): a prior
+        # attempt of this exact shard already committed its tagged
+        # signature version, then crashed before the caller's sink
+        # publish. Re-sign the full shard and pair it against the
+        # index MINUS the shard's own ids (valid under the
+        # exactly-once source contract) — signature determinism makes
+        # the replay re-emit the original pairs; stored partners a
+        # takedown tombstoned inside the crash window are already
+        # masked (takedown-wins, uniform).
+        shard_ids = shard.select(F.col(id_col).alias("id"))
+        new_sigs = minhash_signature(
+            shard, text_col, id_col, nh, sn
+        ).localCheckpoint(eager=True)
+        pairs = _minhash_incr_pairs(
+            new_sigs,
+            minhash_bands(new_sigs, nb, rpb),
+            sigs_idx.join(shard_ids, "id", "left_anti"),
+            bands_idx.join(shard_ids, "id", "left_anti"),
+            nh,
+            threshold,
+        )
+        if return_stats:
+            return pairs, {
+                "shard_rows": n_shard,
+                "skipped_existing": 0,
+                "indexed": 0,
+                "appended": False,
+                "replayed": True,
+            }
+        return pairs
+
+    # Skip already-indexed ids BEFORE signing: the anti-join is on ids
+    # only, so a re-submitted/overlapping shard never pays the
+    # shingle-explode + 64-way min-aggregate for docs that will be
+    # thrown away anyway. Shard signatures: localCheckpoint —
+    # referenced by the candidate join, the verify join AND the append
+    # write; blocks release when the caller drops the result (the CC
+    # discipline).
+    fresh_docs = shard.join(
+        sigs_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    new_sigs = minhash_signature(
+        fresh_docs, text_col, id_col, nh, sn
+    ).localCheckpoint(eager=True)
+    n_fresh = new_sigs.count()  # free: just checkpointed
+    # exact: with null text rejected up front, the id anti-join is the
+    # only row-dropper between new_docs and new_sigs
+    skipped = n_shard - n_fresh
+    if skipped and on_existing == "error":
+        _raise_already_indexed("minhash_dedup_increment", skipped, n_shard)
+    pairs = _minhash_incr_pairs(
+        new_sigs, minhash_bands(new_sigs, nb, rpb),
+        sigs_idx, bands_idx, nh, threshold,
     )
 
     appended = False
@@ -1164,6 +1259,9 @@ def minhash_dedup_increment(
         man = dict(man_probe)
         man["sig_dirs"] = man_probe["sig_dirs"] + [sig_dir]
         man["band_dirs"] = man_probe["band_dirs"] + [band_dir]
+        if version_tag is not None:
+            # replay ledger — compaction's dict(man) copy preserves it
+            man["tags"] = list(man_probe.get("tags", [])) + [str(version_tag)]
         man.pop("retained", None)
         commit_manifest(
             path,
@@ -1178,6 +1276,7 @@ def minhash_dedup_increment(
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,
+            "replayed": False,
         }
     return pairs
 
@@ -1287,6 +1386,28 @@ def simhash_index_compact(spark, path: str) -> None:
     )
 
 
+def _simhash_incr_pairs(
+    new_hashed: DataFrame, hashed_idx: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Shard-self + shard-vs-index combo-key candidates, exact-hamming
+    verified — shared by the live increment and the version_tag replay
+    path (pair emission is a pure function of the two hash sets)."""
+    nn = simhash_candidate_pairs(new_hashed, max_hamming)
+    ni = simhash_pairs_between(new_hashed, hashed_idx, max_hamming)
+    cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
+        ni.select("id_a", "id_b", "h_a", "h_b")
+    )
+    if max_hamming <= 0:
+        return cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dedup_increment(
     spark,
     new_docs: DataFrame,
@@ -1296,6 +1417,7 @@ def simhash_dedup_increment(
     append: bool = True,
     on_existing: str = "error",
     return_stats: bool = False,
+    version_tag: str | None = None,
 ):
     """SimHash-dedup a NEW shard against the persisted fingerprint
     store without re-hashing the corpus text: the shard is simhashed
@@ -1317,7 +1439,8 @@ def simhash_dedup_increment(
     ``'skip'`` opts in to dropping those rows; ``return_stats=True``
     returns ``(pairs, stats)`` with the exact counts. Duplicate or
     NULL shard ids always raise (two texts under one id would merge
-    into one corrupt fingerprint)."""
+    into one corrupt fingerprint). ``version_tag``: the shared
+    replay-idempotence discipline (see minhash_dedup_increment)."""
 
     hashed_idx, man = simhash_index_load(spark, path)
     id_col = man["id_col"]
@@ -1329,6 +1452,32 @@ def simhash_dedup_increment(
     n_shard = _increment_precheck(
         "simhash_dedup_increment", shard, id_col, on_existing, text_col
     )
+
+    if version_tag is not None and version_tag in man.get("tags", ()):
+        # REPLAY (the shared version_tag discipline): re-hash the full
+        # shard and pair it against the index MINUS the shard's own
+        # ids — hash determinism re-emits the original pairs; partners
+        # tombstoned inside the crash window are already masked.
+        new_hashed = simhash(shard, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+        pairs = _simhash_incr_pairs(
+            new_hashed,
+            hashed_idx.join(
+                shard.select(F.col(id_col).alias("id")), "id", "left_anti"
+            ),
+            max_hamming,
+        )
+        if return_stats:
+            return pairs, {
+                "shard_rows": n_shard,
+                "skipped_existing": 0,
+                "indexed": 0,
+                "appended": False,
+                "replayed": True,
+            }
+        return pairs
+
     fresh_docs = shard.join(
         hashed_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
@@ -1340,26 +1489,15 @@ def simhash_dedup_increment(
     skipped = n_shard - n_fresh
     if skipped and on_existing == "error":
         _raise_already_indexed("simhash_dedup_increment", skipped, n_shard)
-    nn = simhash_candidate_pairs(new_hashed, max_hamming)
-    ni = simhash_pairs_between(new_hashed, hashed_idx, max_hamming)
-    cands = nn.select("id_a", "id_b", "h_a", "h_b").unionByName(
-        ni.select("id_a", "id_b", "h_a", "h_b")
-    )
-    if max_hamming <= 0:
-        pairs = cands.select("id_a", "id_b", F.lit(0).alias("hamming"))
-    else:
-        pairs = (
-            cands.withColumn(
-                "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
-        )
+    pairs = _simhash_incr_pairs(new_hashed, hashed_idx, max_hamming)
     appended = False
     if append and n_fresh > 0:
         sh_dir = _write_simhash_version(new_hashed, path)
         new_man = dict(man)
         new_man["sh_dirs"] = man["sh_dirs"] + [sh_dir]
+        if version_tag is not None:
+            # replay ledger — compaction's dict(man) copy preserves it
+            new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
         new_man.pop("retained", None)
         commit_manifest(
             path,
@@ -1374,6 +1512,7 @@ def simhash_dedup_increment(
             "skipped_existing": skipped,
             "indexed": n_fresh,
             "appended": appended,
+            "replayed": False,
         }
     return pairs
 

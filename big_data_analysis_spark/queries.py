@@ -9604,13 +9604,16 @@ def q_streaming_semantic_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine deduped against the store (the cross-batch state),
     appended with a version_tag-keyed delta, and published as
     per-vector verdicts through the atomic per-batch manifest sink.
-    The synthetic geometry makes every cosine either >= 0.99 (same
-    group & kind — a duplicate) or <= 0.692 (not), so DuckDB
-    re-derives EVERY verdict row from id arithmetic, including the 4
-    kept rows: the first 'novel' arrival per group (the seed holds no
-    novels). Cross-group novel-novel dups land in different cells and
-    are missed BY DESIGN — the tier's certified recall profile, which
-    the oracle's same-group rule encodes exactly. Also certified: the
+    The synthetic geometry keeps every cosine >= 0.2 away from the
+    0.9 threshold (same group & kind >= 0.99; cross-group novel-novel
+    >= 0.99 but in DIFFERENT cells; everything else <= 0.692 — pinned
+    by tests/test_properties.py::test_sem_stream_geometry_margins),
+    so DuckDB re-derives EVERY verdict row from id arithmetic,
+    including the 4 kept rows: the first 'novel' arrival per group
+    (the seed holds no novels). Cross-group novel-novel dups land in
+    different cells and are missed BY DESIGN — the tier's certified
+    recall profile, which the oracle's same-group rule encodes
+    exactly. Also certified: the
     manifest count, the final store population, and a stream==batch
     parity boolean vs the post-stream store's own frozen-cell
     self-join. At 100 TB each micro-batch costs O(batch·dim)

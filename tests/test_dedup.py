@@ -2003,7 +2003,7 @@ def test_containment_increment_composes_with_batch(spark, request):
         on_existing="skip", return_stats=True,
     )
     assert st == {"shard_rows": 2, "skipped_existing": 2, "indexed": 0,
-                  "appended": False}
+                  "appended": False, "replayed": False}
     assert p3.count() == 0
 
     # takedown: deleted text stops pairing immediately; identical text
@@ -2044,3 +2044,70 @@ def test_containment_increment_composes_with_batch(spark, request):
         dd.containment_index_save(
             df.filter("doc_id < 0"), "text", "doc_id", path2 + "-x"
         )
+
+
+def test_text_tier_version_tag_replay(spark, request):
+    """Every text signature tier now shares the version_tag replay
+    discipline (previously fp-only): for minhash, simhash AND
+    containment, a re-run of a tagged increment — before and after a
+    compaction folds the tagged version away — re-emits the ORIGINAL
+    pairs, appends nothing, and reports replayed=True; the tags ledger
+    survives both commits."""
+    import json
+    import os
+    import shutil
+
+    base = f"/root/repo/.scratch/text-tag-replay-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    rows = [(i, f"tok{i % 6} alpha beta gamma delta {i % 3} common tail "
+                f"{'x' * (i % 4)}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, shard = df.filter("doc_id < 20"), df.filter("doc_id >= 20")
+
+    tiers = [
+        (
+            "mh",
+            lambda p: dd.minhash_index_save(corpus, "text", "doc_id", p,
+                                            num_hashes=32, num_bands=8),
+            lambda p, **kw: dd.minhash_dedup_increment(
+                spark, shard, "text", p, threshold=0.2, **kw),
+            dd.minhash_index_compact,
+        ),
+        (
+            "sh",
+            lambda p: dd.simhash_index_save(corpus, "text", "doc_id", p),
+            lambda p, **kw: dd.simhash_dedup_increment(
+                spark, shard, "text", p, max_hamming=10, **kw),
+            dd.simhash_index_compact,
+        ),
+        (
+            "ct",
+            lambda p: dd.containment_index_save(corpus, "text", "doc_id", p,
+                                                n=2, threshold=0.5),
+            lambda p, **kw: dd.containment_dedup_increment(
+                spark, shard, "text", p, **kw),
+            dd.containment_index_compact,
+        ),
+    ]
+    for name, save, incr, compact in tiers:
+        path = f"{base}/{name}"
+        save(path)
+        p1, s1 = incr(path, return_stats=True, version_tag="batch-3")
+        set1 = {tuple(r) for r in p1.collect()}
+        assert s1["appended"] and not s1["replayed"], name
+        assert len(set1) > 0, f"{name}: fixture produced no pairs"
+        man = json.load(open(os.path.join(path, "_INDEX.json")))
+        assert man["tags"] == ["batch-3"], name
+
+        p2, s2 = incr(path, return_stats=True, version_tag="batch-3")
+        assert {tuple(r) for r in p2.collect()} == set1, name
+        assert s2["replayed"] and not s2["appended"], name
+        assert s2["indexed"] == 0 and s2["skipped_existing"] == 0, name
+
+        compact(spark, path)
+        man2 = json.load(open(os.path.join(path, "_INDEX.json")))
+        assert man2["tags"] == ["batch-3"], f"{name}: ledger lost in compact"
+        p3, s3 = incr(path, return_stats=True, version_tag="batch-3")
+        assert {tuple(r) for r in p3.collect()} == set1, name
+        assert s3["replayed"] and not s3["appended"], name

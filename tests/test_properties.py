@@ -738,3 +738,38 @@ def test_containment_increment_composition_on_random_corpus(spark, request):
             assert any(a == i and b == 300 + i for a, b, *_ in inc), (
                 f"case {case}: stored-prefix probe missed {(i, 300 + i)}"
             )
+
+
+def test_sem_stream_geometry_margins(spark):
+    """The streaming-semantic fixture's load-bearing geometry, verified
+    with numpy over the full seed ∪ streamed id range: same group &
+    kind -> cosine >= 0.99 (a duplicate the tier finds); novel-novel
+    across groups -> >= 0.99 too, but those sit in DIFFERENT cells and
+    are missed by the tier BY DESIGN (the oracle's same-group rule
+    encodes exactly that); every other combination -> <= 0.692. No
+    pair sits near the 0.9 threshold, so float order can't flip one."""
+    import numpy as np
+
+    from big_data_analysis_spark.queries import _sem_stream_vec
+
+    ids = list(range(40)) + [1000 + i for i in range(60)]
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "vec_id long"
+    ).withColumn("embedding", _sem_stream_vec("vec_id"))
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+
+    def kind(i):
+        return (i % 4, (i // 4) % 4 == 3)
+
+    lo, hi = 0.0, 1.0
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            a, b = vecs[i], vecs[j]
+            c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            both_novel = kind(i)[1] and kind(j)[1]
+            if kind(i) == kind(j) or both_novel:
+                assert c >= 0.99, (i, j, c)
+            else:
+                assert c <= 0.692, (i, j, c)
