@@ -194,7 +194,10 @@ EXTENDED_QUERIES = [
     "media_containment_takedown",
     # round-9 wave 4: the multimodal end-to-end pipeline (gate ->
     # decode+hash -> exact dedup -> shard export, one composed DAG)
+    # and the fourth streaming tier (containment refresh — per-batch
+    # lifecycle latency like its three siblings)
     "multimodal_corpus_pipeline",
+    "streaming_containment_refresh",
 ]
 
 

@@ -9723,6 +9723,204 @@ def q_streaming_semantic_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Streaming CONTAINMENT corpus refresh: the fourth streaming tier
+# (text-exact / image / semantic / containment). Docs arrive in 3
+# exactly-once micro-batches; each batch runs containment_dedup_increment
+# against the persisted gram index (the cross-batch state) with
+# version_tag-keyed appends, publishing per-doc verdicts through the
+# batch-id-keyed manifest sink. The fixture gives closed-form
+# containment: every doc's text is a PREFIX of its group's canonical
+# token stream, so same-group gram sets are nested (containment of the
+# shorter side = 1.0 exactly) and cross-group gram sets are disjoint
+# (0.0) — the qualifying pair set is pure id arithmetic at any
+# threshold, and DuckDB re-derives every verdict row.
+# =========================================================================
+
+_CT_STREAM_ROWS = 240
+_CT_STREAM_BATCHES = 3
+_CT_STREAM_GROUPS = 24
+
+_CT_STREAM_ORACLE = f"""
+WITH ids AS (
+    SELECT CAST(i AS BIGINT) AS doc_id FROM range({_CT_STREAM_ROWS}) t(i)
+), feat AS (
+    SELECT doc_id, doc_id % {_CT_STREAM_GROUPS} AS grp FROM ids
+), prior AS (
+    SELECT b.doc_id, b.grp,
+           CAST(count(a.doc_id) AS BIGINT) AS n_prior_dups
+    FROM feat b LEFT JOIN feat a
+      ON a.doc_id < b.doc_id AND a.grp = b.grp
+    GROUP BY 1, 2
+)
+SELECT doc_id, CAST(grp AS BIGINT) AS grp, n_prior_dups,
+       n_prior_dups = 0 AS kept,
+       CAST({_CT_STREAM_BATCHES} AS BIGINT) AS n_batch_manifests,
+       CAST({_CT_STREAM_ROWS} AS BIGINT) AS store_docs,
+       true AS stream_equals_batch
+FROM prior
+"""
+
+
+def _ct_stream_text(id_col: str):
+    """Closed-form doc text: the first 5 + (doc_id // groups) % 7
+    tokens of group g's canonical stream 'g<g>t0 g<g>t1 ...'. Same
+    group => nested gram sets (shorter side containment exactly 1.0);
+    different groups => disjoint tokens (containment 0.0). Every doc
+    has >= 4 distinct 2-grams, so thresholds never sit near a
+    boundary."""
+    g = F.col(id_col) % _CT_STREAM_GROUPS
+    n_tok = F.lit(5) + (F.floor(F.col(id_col) / _CT_STREAM_GROUPS) % 7)
+    toks = F.transform(
+        F.sequence(F.lit(0), (n_tok - 1).cast("int")),
+        lambda j: F.concat(F.lit("g"), g.cast("string"), F.lit("t"),
+                           j.cast("string")),
+    )
+    return F.array_join(toks, " ")
+
+
+def _ct_stream_verdicts(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-doc verdict: n_prior_dups = qualifying pairs in which the
+    doc is the LATER member (store ids < batch ids, arrival in id
+    order); kept iff zero."""
+    prior = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_prior_dups")
+    )
+    return (
+        docs.select("doc_id").join(prior, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _CT_STREAM_GROUPS).cast("long").alias("grp"),
+            F.coalesce(F.col("n_prior_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_prior_dups"),
+            (F.coalesce(F.col("n_prior_dups"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+def _stream_ct_batch_body(
+    spark: SparkSession,
+    bdf: DataFrame,
+    bid: int,
+    out: str,
+    ct_path: str,
+    fault_hook=None,
+) -> None:
+    """One micro-batch of the streaming containment refresh: derive
+    the batch's texts (deterministic from the id) ->
+    containment_dedup_increment against the persisted gram index
+    (version_tag=f"batch-{{bid}}": a replayed tag skips the append and
+    re-emits the original pairs) -> per-doc verdicts publish via the
+    batch-id-keyed atomic manifest. No archive text is ever
+    re-shingled — the gram index IS the cross-batch state."""
+    docs = bdf.select("doc_id").withColumn("text", _ct_stream_text("doc_id"))
+    pairs = dd.containment_dedup_increment(
+        spark, docs, "text", ct_path, version_tag=f"batch-{bid}"
+    )
+    if fault_hook is not None:
+        fault_hook(bid)
+    (
+        _ct_stream_verdicts(docs, pairs)
+        .write.format("manifest_jsonl")
+        .option("path", out)
+        .option("batch_id", str(bid))
+        .mode("append")
+        .save()
+    )
+
+
+@query("streaming_containment_refresh", _CT_STREAM_ORACLE)
+def q_streaming_containment_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ASYMMETRIC-overlap ingestion end-to-end, hash-verified
+    per document — the fourth streaming tier (exact / image / semantic
+    / containment all now stream with exactly-once refresh): 240 docs
+    arrive in 3 micro-batches; each batch shingles ONLY its own texts,
+    runs the prefix filter-verify join against the persisted gram
+    index (bootstrapped EMPTY — containment_index_init — and grown by
+    version_tag-keyed appends), and publishes per-doc verdicts through
+    the atomic per-batch manifest. The fixture's prefix-nested texts
+    make same-group containment exactly 1.0 and cross-group exactly
+    0.0, so DuckDB re-derives EVERY verdict row from id arithmetic —
+    the 24 kept rows are each group's first arrival. Also certified:
+    the manifest count, the final store population, and a
+    stream==batch parity boolean vs the one-DAG batch twin. At 100 TB
+    each micro-batch costs O(batch grams) shingling + one gram-
+    bucketed scan of the stored rows."""
+    import glob
+    import os
+    import shutil
+
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    out = f"/root/repo/.scratch/stream-ct-refresh-{os.getpid()}"
+    ckpt = f"{out}-ckpt"
+    ct_path = f"{out}-ctidx"
+    for p in (out, ckpt, ct_path):
+        shutil.rmtree(p, ignore_errors=True)
+    dd.containment_index_init(
+        spark, ct_path, id_col="doc_id", id_type="bigint", n=2, threshold=0.8
+    )
+
+    def _process_batch(bdf: DataFrame, bid: int) -> None:
+        _stream_ct_batch_body(spark, bdf, bid, out, ct_path)
+
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", _CT_STREAM_ROWS)
+        .option("partitions", 8)
+        .option("rows_per_batch", _CT_STREAM_ROWS // _CT_STREAM_BATCHES)
+        .load()
+    )
+    sq = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    back_schema = "doc_id bigint, grp bigint, n_prior_dups bigint, kept boolean"
+    back = read_manifest_jsonl_stream(spark, out, back_schema)
+    n_manifests = len(glob.glob(os.path.join(out, "_BATCH_*.json")))
+    store_docs = (
+        dd.containment_index_load(spark, ct_path)[0]
+        .select("id").distinct().count()
+    )
+
+    # batch twin: the SAME pipeline as one DAG over all 240 docs
+    all_docs = spark.range(_CT_STREAM_ROWS).select(
+        F.col("id").alias("doc_id")
+    ).withColumn("text", _ct_stream_text("doc_id"))
+    twin_pairs = dd.ngram_containment_pairs(
+        all_docs, "text", "doc_id", n=2, threshold=0.8
+    )
+    twin = _ct_stream_verdicts(all_docs, twin_pairs)
+    par = _multiset_mismatch(back, twin, ["doc_id", "grp", "n_prior_dups", "kept"])
+    result = back.crossJoin(F.broadcast(par)).select(
+        "doc_id",
+        "grp",
+        "n_prior_dups",
+        "kept",
+        F.lit(n_manifests).cast("long").alias("n_batch_manifests"),
+        F.lit(store_docs).cast("long").alias("store_docs"),
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+    )
+    rows = result.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ct_path, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+# =========================================================================
 # Exact token-budget domain mixing (relational.budget_prefix_sample): the
 # deterministic "at most N tokens per source" assembly step. Oracle is
 # the definitional per-group cumulative sum in portable-md5-hash order —
