@@ -9292,7 +9292,7 @@ def _img_stream_level(id_col: str = "doc_id"):
     ).cast("long")
 
 
-def _img_stream_verdicts(spark, fps: DataFrame, pairs: DataFrame) -> DataFrame:
+def _img_stream_verdicts(fps: DataFrame, pairs: DataFrame) -> DataFrame:
     """Per-image dedup verdict for a shard: n_prior_dups = pairs in
     which the image is the LATER member (id_a < id_b always, the store
     holds only earlier arrivals, so the later member is exactly id_b);
@@ -9351,7 +9351,7 @@ def _stream_image_batch_body(
     if fault_hook is not None:
         fault_hook(bid)
     (
-        _img_stream_verdicts(spark, fps, pairs)
+        _img_stream_verdicts(fps, pairs)
         .write.format("manifest_jsonl")
         .option("path", out)
         .option("batch_id", str(bid))
@@ -9370,7 +9370,7 @@ def _stream_image_batch_twin(spark: SparkSession, ids: DataFrame) -> DataFrame:
     hashed = mm.image_dhash(imgs, "content", "doc_id")
     fps = hashed.filter(F.col("dhash_error").isNull()).select("id", "dhash")
     pairs = mm.image_near_dup_pairs(hashed, max_hamming=3)
-    return _img_stream_verdicts(spark, fps, pairs)
+    return _img_stream_verdicts(fps, pairs)
 
 
 @query("streaming_image_refresh", _IMG_STREAM_ORACLE)
