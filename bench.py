@@ -198,6 +198,9 @@ EXTENDED_QUERIES = [
     # lifecycle latency like its three siblings)
     "multimodal_corpus_pipeline",
     "streaming_containment_refresh",
+    # round-9 wave 5: the dedup-cascade selection report (three exact
+    # tiers + marginal-yield anti-joins on one shared gram frame)
+    "dedup_tier_yield_docs",
 ]
 
 

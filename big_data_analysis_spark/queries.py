@@ -1605,6 +1605,181 @@ def q_containment_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # =========================================================================
+# Dedup tier-yield report: the threshold-selection analysis a data team
+# runs before committing to a dedup cascade — per tier (exact -> n-gram
+# Jaccard -> containment), how many duplicate pairs it finds and how
+# many are NEW beyond every cheaper tier. All three tiers here are
+# EXACT operators (fingerprint equality, exact gram Jaccard, exact gram
+# containment), so the whole report is SQL-re-derivable row for row —
+# planted variant classes (verbatim copy / suffix-padded / quoted-
+# inside) keep each tier's marginal yield nonzero at every SF.
+# =========================================================================
+
+_TIER_YIELD_ORACLE = """
+WITH s AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id < 120
+      AND len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) >= 2
+), corpus AS (
+    SELECT doc_id, text FROM s
+    UNION ALL  -- verbatim copies: the exact tier's class
+    SELECT doc_id + 60000000, text FROM s WHERE doc_id < 20
+    UNION ALL  -- suffix-padded variants: high Jaccard, not identical
+    SELECT doc_id + 61000000, text || ' pad1 pad2' FROM s WHERE doc_id < 20
+    UNION ALL  -- quoted-inside composites: containment's class
+    SELECT a.doc_id + 62000000, a.text || ' ' || b.text
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 40 WHERE a.doc_id < 20
+), fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM corpus
+), exact_pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+), toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM corpus
+), grams AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i + 1]
+                          FOR i IN generate_series(1, len(w) - 1)]) AS g
+    FROM toks
+), ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM grams),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+           count(*) AS c
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+), jac_pairs AS (
+    SELECT id_a, id_b FROM common
+    WHERE c * 1.0 / (sa + sb - c) >= 0.8
+), cont_pairs AS (
+    SELECT id_a, id_b FROM common
+    WHERE c >= ceil(0.8 * sa - 0.000000001) OR c >= ceil(0.8 * sb - 0.000000001)
+), t1 AS (SELECT count(*) AS n FROM exact_pairs),
+t2 AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN e.id_a IS NULL THEN 1 ELSE 0 END) AS n_new
+    FROM jac_pairs j LEFT JOIN exact_pairs e USING (id_a, id_b)
+), t3 AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN e.id_a IS NULL AND j.id_a IS NULL
+                    THEN 1 ELSE 0 END) AS n_new
+    FROM cont_pairs c
+    LEFT JOIN exact_pairs e USING (id_a, id_b)
+    LEFT JOIN jac_pairs j USING (id_a, id_b)
+)
+SELECT * FROM (
+    SELECT 1 AS tier_rank, 'exact' AS tier,
+           CAST((SELECT n FROM t1) AS BIGINT) AS n_pairs,
+           CAST((SELECT n FROM t1) AS BIGINT) AS n_new
+    UNION ALL
+    SELECT 2, 'jaccard_0.8',
+           CAST((SELECT n FROM t2) AS BIGINT),
+           CAST((SELECT n_new FROM t2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'containment_0.8',
+           CAST((SELECT n FROM t3) AS BIGINT),
+           CAST((SELECT n_new FROM t3) AS BIGINT)
+)
+"""
+
+
+@query("dedup_tier_yield_docs", _TIER_YIELD_ORACLE)
+def q_dedup_tier_yield_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-cascade SELECTION report, hash-verified row for row:
+    over the bounded doc slice plus three planted variant classes
+    (verbatim copies, suffix-padded high-Jaccard variants,
+    quoted-inside composites), each EXACT tier's pair count and its
+    MARGINAL yield beyond every cheaper tier — exact fingerprint
+    pairs, then 2-gram Jaccard >= 0.8 (catches the padded variants),
+    then 2-gram containment >= 0.8 (catches the quoted-inside class
+    the symmetric measures structurally miss). This is the number a
+    pipeline owner reads to decide which tiers are worth their cost;
+    all three tiers are exact operators, so DuckDB recomputes the
+    whole cascade. Spark side: ONE shared shingle/gram frame feeds
+    both gram tiers; marginal yields are anti-joins of bounded pair
+    sets. See operators.dedup.exact_dedup / ngram_jaccard_pairs /
+    ngram_containment_pairs."""
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks_ok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
+    s = d.select("doc_id", "text").filter((F.col("doc_id") < 120) & toks_ok)
+    head = s.filter(F.col("doc_id") < 20)
+    corpus = (
+        s.unionByName(
+            head.select((F.col("doc_id") + 60000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            head.select(
+                (F.col("doc_id") + 61000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" pad1 pad2")).alias("text"),
+            )
+        )
+        .unionByName(
+            s.alias("a")
+            .join(s.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 40)
+            .filter(F.col("a.doc_id") < 20)
+            .select(
+                (F.col("a.doc_id") + 62000000).alias("doc_id"),
+                F.concat(F.col("a.text"), F.lit(" "), F.col("b.text")).alias("text"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    # exact tier: same normalized-md5 fingerprint (the exact_dedup rule)
+    fpd = dd.fingerprint(corpus, "text", "__f").select("doc_id", "__f")
+    exact_pairs = (
+        fpd.alias("a")
+        .join(
+            fpd.alias("b"),
+            (F.col("a.__f") == F.col("b.__f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    jac = dd.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=2, threshold=0.8
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    cont = dd.ngram_containment_pairs(
+        corpus, "text", "doc_id", n=2, threshold=0.8
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+
+    keys = ["id_a", "id_b"]
+    t1 = exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).select(
+        F.lit(1).alias("tier_rank"), F.lit("exact").alias("tier"),
+        "n_pairs", F.col("n_pairs").alias("n_new"),
+    )
+    t2 = (
+        jac.join(exact_pairs.withColumn("__e", F.lit(1)), keys, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(F.sum((F.col("__e").isNull()).cast("long")), F.lit(0))
+            .cast("long").alias("n_new"),
+        )
+        .select(F.lit(2).alias("tier_rank"), F.lit("jaccard_0.8").alias("tier"),
+                "n_pairs", "n_new")
+    )
+    t3 = (
+        cont.join(exact_pairs.withColumn("__e", F.lit(1)), keys, "left")
+        .join(jac.withColumn("__j", F.lit(1)), keys, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("__e").isNull() & F.col("__j").isNull()).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("n_new"),
+        )
+        .select(F.lit(3).alias("tier_rank"),
+                F.lit("containment_0.8").alias("tier"), "n_pairs", "n_new")
+    )
+    return t1.unionByName(t2).unionByName(t3)
+
+
+# =========================================================================
 # Takedown lifecycle of the round's two NEW stores — dHash (image) and
 # containment (gram index) — completing driver-certified GDPR symmetry
 # across every persisted store family (fp/minhash/simhash via
@@ -9334,7 +9509,12 @@ def _stream_image_batch_body(
     ``fault_hook`` is the test's injection point BETWEEN the two
     commits. The store is consulted as 16-byte fingerprints only —
     no archive image is ever re-decoded (pinned by
-    tests/test_streaming.py::test_stream_image_refresh_decodes_each_image_once)."""
+    tests/test_streaming.py::test_stream_image_refresh_decodes_each_image_once).
+    Decode-ERROR rows are excluded from both the store and the
+    verdicts (they have no fingerprint to dedup on — the
+    corrupt-tolerance flow routes them to a quarantine sink in a real
+    deployment); the deterministic fixture produces none, which the
+    oracle's exact 300-row population pins."""
     from big_data_analysis_spark.operators import multimodal as mm
 
     ids = bdf.select("doc_id")
