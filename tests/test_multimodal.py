@@ -517,3 +517,30 @@ def test_image_increment_version_tag_replay(spark):
     idx, _ = mm.dhash_index_load(spark, path)
     assert idx.count() == 35  # nothing double-appended anywhere
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_multimodal_pipeline_gates_before_decode(spark, monkeypatch):
+    """The pipeline's decode-compute claim: image_dhash (the only
+    decode path) is called once and hashes EXACTLY the quality-gated
+    population — never the full 200-image catalog — so the gate's
+    selectivity is decode compute saved."""
+    from big_data_analysis_spark.io import load_tables
+    from big_data_analysis_spark.queries import QUERIES
+
+    real = mm.image_dhash
+    hashed_rows = []
+
+    def counting(df, content_col="content", id_col="doc_id", hash_size=8):
+        hashed_rows.append(df.count())
+        return real(df, content_col, id_col, hash_size)
+
+    monkeypatch.setattr(mm, "image_dhash", counting)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out = QUERIES["multimodal_corpus_pipeline"](spark, sf_dir)
+    n_exported = out.count()
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_gated = d.filter((F.col("doc_id") < 200) & (n_tok >= 5)).count()
+    assert hashed_rows == [n_gated], (hashed_rows, n_gated)
+    assert 0 < n_exported <= 33  # one keeper per distinct fingerprint
