@@ -544,3 +544,161 @@ def test_multimodal_pipeline_gates_before_decode(spark, monkeypatch):
     n_gated = d.filter((F.col("doc_id") < 200) & (n_tok >= 5)).count()
     assert hashed_rows == [n_gated], (hashed_rows, n_gated)
     assert 0 < n_exported <= 33  # one keeper per distinct fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate tier (VERDICT r9 Next-round #2): the image tier's
+# test battery on the spectral-contour fingerprint + the shared fp store.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_monotone_under_perturbation(spark):
+    """The spectral-fingerprint property the audio near-dup tier rides
+    on: the landmark fixture's nested disjoint bit flips make
+    hamming == |level_a - level_b| EXACTLY through the REAL wave
+    decode + STFT path — and a corrupt payload yields an afp_error
+    row, never a job failure."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    wavs = mm.synthesize_landmark_wavs(ids, "doc_id")  # levels 0,1,2,3,8
+    hashed = {
+        r["id"]: r
+        for r in mm.audio_fingerprint(wavs, "content", "doc_id").collect()
+    }
+    assert all(r["afp_error"] is None for r in hashed.values())
+    assert all(r["sample_rate"] == 8000 for r in hashed.values())
+    levels = {i: (0, 1, 2, 3, 8)[i % 5] for i in range(10)}
+
+    def ham(a, b):
+        return bin(
+            (hashed[a]["afp"] ^ hashed[b]["afp"]) & ((1 << 64) - 1)
+        ).count("1")
+
+    for a in range(10):
+        for b in range(a + 1, 10):
+            assert ham(a, b) == abs(levels[a] - levels[b]), (a, b)
+    # monotone: strictly wider perturbation from the same base => more
+    # flipped bits
+    assert ham(0, 1) < ham(0, 2) < ham(0, 3) < ham(0, 4)
+    # closed-form bit positions: level L sets exactly bits {2j: j < L}
+    for i, r in hashed.items():
+        exp = sum(1 << (2 * j) for j in range(levels[i]))
+        exp = exp - (1 << 64) if exp >= 1 << 63 else exp
+        assert r["afp"] == exp, (i, levels[i])
+
+    # corrupt payloads: non-WAV bytes and NULL both surface as
+    # afp_error rows
+    bad = spark.createDataFrame(
+        [(100, bytearray(b"JUNKBYTES")), (101, None)],
+        "doc_id long, content binary",
+    )
+    got = {
+        r["id"]: r
+        for r in mm.audio_fingerprint(bad, "content", "doc_id").collect()
+    }
+    assert got[100]["afp"] is None and got[100]["afp_error"]
+    assert got[101]["afp"] is None and got[101]["afp_error"]
+
+
+def test_audio_near_dup_pairs_matches_bruteforce(spark):
+    """Blocking completeness on audio: the Manku banded join finds
+    exactly the pairs a brute-force all-pairs hamming join finds, and
+    decode-error rows are excluded rather than crashing the join."""
+    ids = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    hashed = mm.audio_fingerprint(
+        mm.synthesize_landmark_wavs(ids, "doc_id"), "content", "doc_id"
+    ).localCheckpoint(eager=True)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.audio_near_dup_pairs(hashed, max_hamming=3).collect()
+    }
+    rows = {r["id"]: r["afp"] for r in hashed.collect()}
+    brute = {}
+    for a in rows:
+        for b in rows:
+            if a < b:
+                h = bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    brute[(a, b)] = h
+    assert got == brute and len(brute) > 0
+    # an error row must simply drop out of pair generation
+    with_bad = hashed.unionByName(
+        spark.createDataFrame(
+            [(999, None, None, None, "ValueError: x")], hashed.schema
+        )
+    )
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in mm.audio_near_dup_pairs(with_bad, max_hamming=3).collect()
+    }
+    assert got2 == set(brute)
+
+
+def test_audio_dedup_increment_composes_with_batch(spark, request):
+    """The audio store rides the shared fp-store contract:
+    incr(B) over index(A) == batch(A ∪ B) restricted to pairs touching
+    B; overlap is loud by default and 'skip' accounts it; takedown
+    masks pairs immediately; compact preserves content; NULL afp
+    raises; a version_tag replay re-emits the original pairs without
+    appending; and the kind guard refuses to open an audio store as an
+    image store (or vice versa)."""
+    path = f"/root/repo/.scratch/afp-idx-{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    request.addfinalizer(lambda: shutil.rmtree(path, ignore_errors=True))
+
+    ids_a = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    ids_b = spark.createDataFrame([(i,) for i in range(20, 35)], "doc_id long")
+    ha = mm.audio_fingerprint(mm.synthesize_landmark_wavs(ids_a, "doc_id"),
+                              "content", "doc_id").localCheckpoint(eager=True)
+    hb = mm.audio_fingerprint(mm.synthesize_landmark_wavs(ids_b, "doc_id"),
+                              "content", "doc_id").localCheckpoint(eager=True)
+    mm.audio_fp_index_save(ha, path)
+
+    got, st = mm.audio_dedup_increment(
+        spark, hb, path, max_hamming=3, return_stats=True
+    )
+    got_set = {(r["id_a"], r["id_b"], r["hamming"]) for r in got.collect()}
+    batch = mm.audio_near_dup_pairs(ha.unionByName(hb), max_hamming=3)
+    expect = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in batch.collect()
+        if r["id_a"] >= 20 or r["id_b"] >= 20
+    }
+    assert got_set == expect and len(expect) > 0
+    assert st == {"shard_rows": 15, "skipped_existing": 0, "indexed": 15,
+                  "appended": True, "replayed": False}
+
+    # replay: loud by default; version_tag replay is idempotent
+    with pytest.raises(ValueError, match="already indexed"):
+        mm.audio_dedup_increment(spark, hb, path)
+    ids_c = spark.createDataFrame([(i,) for i in range(35, 45)], "doc_id long")
+    hc = mm.audio_fingerprint(mm.synthesize_landmark_wavs(ids_c, "doc_id"),
+                              "content", "doc_id").localCheckpoint(eager=True)
+    p1 = {tuple(r) for r in mm.audio_dedup_increment(
+        spark, hc, path, max_hamming=3, version_tag="b7").collect()}
+    p2, st2 = mm.audio_dedup_increment(
+        spark, hc, path, max_hamming=3, version_tag="b7", return_stats=True)
+    assert {tuple(r) for r in p2.collect()} == p1
+    assert st2["replayed"] is True and st2["appended"] is False
+    assert mm.audio_fp_index_load(spark, path)[0].count() == 45
+
+    # takedown: a deleted clip stops pairing immediately; identical
+    # fingerprints re-ingest under a new id; compact preserves content
+    mm.audio_fp_index_delete(spark, path, [0])
+    shard3 = spark.createDataFrame(
+        [(100, int(ha.filter("id = 0").head()["afp"]))], "id long, afp long"
+    )
+    got3 = mm.audio_dedup_increment(spark, shard3, path, max_hamming=0)
+    assert not any(
+        0 in (r["id_a"], r["id_b"]) for r in got3.collect()
+    ), "deleted id still pairing"
+    pre = {tuple(r) for r in mm.audio_fp_index_load(spark, path)[0].collect()}
+    mm.audio_fp_index_compact(spark, path)
+    post = {tuple(r) for r in mm.audio_fp_index_load(spark, path)[0].collect()}
+    assert post == pre and 0 not in {i for i, _ in post}
+
+    # NULL afp rejected loudly; kind guard both directions
+    bad = spark.createDataFrame([(200, None)], "id long, afp long")
+    with pytest.raises(ValueError, match="NULL afp"):
+        mm.audio_dedup_increment(spark, bad, path)
+    with pytest.raises(ValueError, match="kind"):
+        mm.dhash_index_load(spark, path)
