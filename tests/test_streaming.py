@@ -859,3 +859,92 @@ def test_stream_image_refresh_crash_replay(spark, request):
     # the replayed batch genuinely published verdicts
     b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
     assert b1["total_rows"] == 40
+
+
+def test_stream_audio_refresh_crash_replay(spark, request):
+    """The audio twin of the image crash test: crash BETWEEN the audio
+    store's tagged append and the sink publish — on restart the
+    replayed batch must re-emit its ORIGINAL verdicts (the version_tag
+    replay path reconstructs the pre-append index state; a naive rerun
+    would pair every clip with its own stored fingerprint and publish
+    an all-duplicate batch), append nothing twice, and the drained
+    verdict table must equal the one-DAG batch twin row-for-row."""
+    import glob
+    import json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_analysis_spark.operators import multimodal as mm
+    from big_data_analysis_spark.queries import (
+        _stream_audio_batch_body,
+        _stream_audio_batch_twin,
+    )
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    base = os.path.join(SCRATCH, f"afp-crash-{os.getpid()}")
+    out, ckpt, afp = f"{base}/out", f"{base}/ckpt", f"{base}/afp"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    mm.audio_fp_index_init(spark, afp, id_col="id", id_type="bigint")
+
+    def crash_on_1(bid):
+        if bid == 1:
+            raise RuntimeError("injected crash after afp append")
+
+    def start(fault):
+        def body(bdf, bid):
+            _stream_audio_batch_body(
+                spark, bdf, bid, out, afp, fault_hook=fault
+            )
+
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("rows", 120).option("partitions", 4)
+            .option("rows_per_batch", 40).load()
+        )
+        return (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    sq = start(crash_on_1)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        sq.processAllAvailable()
+        sq.awaitTermination()
+    sq.stop()
+    # crash point: batch 1's tagged afp version committed, sink absent
+    man_mid = json.load(open(os.path.join(afp, "_INDEX.json")))
+    assert "afp-tag-batch-1" in man_mid["afp_dirs"]
+    assert not os.path.exists(os.path.join(out, "_BATCH_1.json"))
+
+    sq2 = start(None)  # restart: batch 1 replays
+    try:
+        sq2.processAllAvailable()
+    finally:
+        sq2.stop()
+
+    assert len(glob.glob(os.path.join(out, "_BATCH_*.json"))) == 3
+    man_end = json.load(open(os.path.join(afp, "_INDEX.json")))
+    assert man_end["afp_dirs"].count("afp-tag-batch-1") == 1  # no re-append
+    assert man_end["tags"].count("batch-1") == 1
+    idx, _ = mm.audio_fp_index_load(spark, afp)
+    assert idx.count() == 120  # every clip fingerprinted exactly once
+    back = read_manifest_jsonl_stream(
+        spark, out,
+        "doc_id bigint, afp bigint, level bigint, "
+        "n_prior_dups bigint, kept boolean",
+    )
+    twin = _stream_audio_batch_twin(
+        spark, spark.range(120).select(F.col("id").alias("doc_id"))
+    )
+    cols = ["doc_id", "afp", "level", "n_prior_dups", "kept"]
+    assert _sorted_rows(back, cols) == _sorted_rows(twin, cols)
+    # the replayed batch genuinely published verdicts
+    b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
+    assert b1["total_rows"] == 40
