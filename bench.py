@@ -202,12 +202,15 @@ EXTENDED_QUERIES = [
     # tiers + marginal-yield anti-joins on one shared gram frame)
     "dedup_tier_yield_docs",
     # round-10: the audio near-dup tier (wave decode + STFT + spectral
-    # fingerprint + Manku join), its incremental store lifecycle, and
-    # the fifth streaming refresh (per-batch lifecycle latency like its
-    # four siblings)
+    # fingerprint + Manku join), its incremental store lifecycle, the
+    # fifth streaming refresh (per-batch lifecycle latency like its
+    # four siblings), and the four-store cascade increment (4 saves +
+    # 4 survivor-flow increments — the *_incremental lifecycle shape,
+    # composed)
     "audio_near_dup_pairs",
     "audio_dedup_incremental",
     "streaming_audio_refresh",
+    "cascade_dedup_increment_docs",
 ]
 
 #: Entry classification (VERDICT r9 "What's wrong" #2): "latency"
@@ -267,8 +270,10 @@ def _ambient_probe(spark) -> float:
     times = []
     for _ in range(3):
         start = time.perf_counter()
+        # pmod keeps the running sum < 1e14 — ANSI mode (Spark 4
+        # default) makes a raw xxhash64 sum a long-overflow error
         spark.range(100_000_000).selectExpr(
-            "sum(xxhash64(id)) as s"
+            "sum(pmod(xxhash64(id), 1000003)) as s"
         ).collect()
         times.append(time.perf_counter() - start)
     return round(min(times), 3)

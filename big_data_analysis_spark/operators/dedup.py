@@ -730,6 +730,196 @@ def containment_dedup_increment(
 
 
 # ---------------------------------------------------------------------------
+# Cascade increment (VERDICT r9 Next-round #7): one operator running the
+# exact -> MinHash -> SimHash -> containment increments against all four
+# persisted stores for one arriving shard, with SURVIVORS FLOWING DOWN —
+# each tier sees only what every earlier (cheaper / higher-precision)
+# tier missed, which is the marginal-yield structure the tier-yield
+# report quantifies. The shard text is scanned ONCE into a checkpointed
+# snapshot that feeds every tier; each tier re-derives its own features
+# from that in-memory snapshot (true gram sharing across tiers is not
+# even well-defined when the stores' shingle params differ, e.g.
+# MinHash shingle_n=3 vs containment n=2 — the scan, not the
+# featurization, is the shared cost that matters at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def _cascade_caught_ids(pairs: DataFrame, shard_ids: DataFrame) -> DataFrame:
+    """Shard ids CAUGHT by a near-dup tier's pair set: a shard doc is a
+    duplicate iff it pairs with a PRIOR doc — a store member (exactly
+    one side of a cross pair is in the shard; the stores never
+    self-join) or a smaller-id shard doc (id_a < id_b on shard-shard
+    pairs). This is the streaming-refresh verdict convention; canonical
+    keeper chains are the split/CC family's job, not the cascade's."""
+    s = shard_ids.select(F.col("id").alias("__sid"))
+    flagged = (
+        pairs.select("id_a", "id_b")
+        .join(s.withColumnRenamed("__sid", "id_a").withColumn(
+            "__a_in", F.lit(True)), "id_a", "left")
+        .join(s.withColumnRenamed("__sid", "id_b").withColumn(
+            "__b_in", F.lit(True)), "id_b", "left")
+    )
+    a_in = F.coalesce(F.col("__a_in"), F.lit(False))
+    b_in = F.coalesce(F.col("__b_in"), F.lit(False))
+    later_b = flagged.filter(b_in).select(F.col("id_b").alias("id"))
+    store_a = flagged.filter(a_in & ~b_in).select(F.col("id_a").alias("id"))
+    return later_b.unionByName(store_a).distinct()
+
+
+def dedup_cascade_increment(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    fp_path: str,
+    mh_path: str,
+    sh_path: str,
+    ct_path: str | None = None,
+    id_col: str = "doc_id",
+    mh_threshold: float = 0.7,
+    sh_max_hamming: int = 3,
+    on_existing: str = "error",
+    return_stats: bool = False,
+    version_tag: str | None = None,
+):
+    """Run the full dedup CASCADE for one arriving shard against the
+    persisted stores: exact fingerprint -> MinHash Jaccard -> SimHash
+    hamming -> (optional) n-gram containment, each tier's increment
+    probing only the docs every earlier tier kept. Returns a per-doc
+    verdict frame (id, tier, kept) where tier ∈ {'exact', 'jaccard',
+    'simhash', 'containment', 'kept'} names the FIRST tier that caught
+    the doc — the corpus-refresh decision table a pipeline owner acts
+    on (drop vs admit), with the tier label carrying the why.
+
+    Store-indexing policy (the standard cascade recall profile): the
+    fingerprint store indexes EVERY fresh distinct text (exact identity
+    must always catch, even future copies of a dropped near-dup); each
+    near-dup store indexes its tier's INPUT — the docs every EARLIER
+    tier kept (each tier's increment indexes its own shard, the
+    single-tier contract). A future doc similar only to a doc an
+    earlier tier dropped (and not to its kept partner) can thus be
+    missed by the later tiers — the same profile as keep-first
+    streaming dedup, certified per tier by the *_incremental queries.
+
+    The shared increment contract, composed: ONE localCheckpointed
+    (id, text) snapshot feeds every tier (the shard source is scanned
+    once); duplicate/NULL ids and NULL text raise up front via the
+    exact tier's precheck; ``on_existing`` forwards to the near tiers;
+    ``return_stats=True`` returns ``(verdicts, stats)`` with per-tier
+    caught counts and each tier's own stats dict. ``version_tag``
+    forwards to every tier — each store's tags ledger makes its append
+    replay-idempotent independently, so a crash ANYWHERE inside the
+    cascade replays cleanly: already-committed tiers re-emit their
+    original pairs, uncommitted tiers run fresh (pair emission is a
+    pure function of the snapshot and the store states).
+
+    At 100 TB: cost is the sum of the tiers' O(shard)-probe costs —
+    which is the point: the cascade shares the one expensive shard
+    scan and lets each doc exit at the cheapest tier that can reject
+    it, so the heavy containment join sees only the residue. Tier
+    composition parity is pinned by
+    tests/test_dedup.py::test_cascade_increment_equals_composed_tiers."""
+    # keep the caller's id column NAME: each tier's increment resolves
+    # its id column from its own store manifest, so the cascade's
+    # stores must all have been saved over this same id column
+    shard = new_docs.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).localCheckpoint(eager=True)
+
+    def ids_of(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col).alias("id"))
+
+    # tier 1: exact — survivors keep all original (renamed) columns
+    surv1, fp_st = exact_dedup_increment(
+        spark, shard, "__t", fp_path, version_tag=version_tag,
+        return_stats=True,
+    )
+    surv1 = surv1.localCheckpoint(eager=True)
+
+    # tier 2: MinHash
+    mh_pairs, mh_st = minhash_dedup_increment(
+        spark, surv1, "__t", mh_path, threshold=mh_threshold,
+        on_existing=on_existing, return_stats=True,
+        version_tag=version_tag,
+    )
+    caught_mh = _cascade_caught_ids(
+        mh_pairs, ids_of(surv1)
+    ).localCheckpoint(eager=True)
+    surv2 = surv1.join(
+        caught_mh.withColumnRenamed("id", id_col), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+
+    # tier 3: SimHash
+    sh_pairs, sh_st = simhash_dedup_increment(
+        spark, surv2, "__t", sh_path, max_hamming=sh_max_hamming,
+        on_existing=on_existing, return_stats=True,
+        version_tag=version_tag,
+    )
+    caught_sh = _cascade_caught_ids(
+        sh_pairs, ids_of(surv2)
+    ).localCheckpoint(eager=True)
+    surv3 = surv2.join(
+        caught_sh.withColumnRenamed("id", id_col), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+
+    # tier 4: containment (optional — the heaviest store)
+    caught_ct = None
+    ct_st = None
+    if ct_path is not None:
+        ct_pairs, ct_st = containment_dedup_increment(
+            spark, surv3, "__t", ct_path, id_col=id_col,
+            on_existing=on_existing, return_stats=True,
+            version_tag=version_tag,
+        )
+        caught_ct = _cascade_caught_ids(
+            ct_pairs, ids_of(surv3)
+        ).localCheckpoint(eager=True)
+
+    tier = (
+        F.when(F.col("__s1").isNull(), F.lit("exact"))
+        .when(F.col("__mh").isNotNull(), F.lit("jaccard"))
+        .when(F.col("__sh").isNotNull(), F.lit("simhash"))
+    )
+    if caught_ct is not None:
+        tier = tier.when(F.col("__ct").isNotNull(), F.lit("containment"))
+    tier = tier.otherwise(F.lit("kept"))
+
+    def mark(ids: DataFrame, flag: str) -> DataFrame:
+        return ids.withColumnRenamed("id", id_col).withColumn(
+            flag, F.lit(True)
+        )
+
+    verdicts = (
+        shard.select(id_col)
+        .join(mark(ids_of(surv1), "__s1"), id_col, "left")
+        .join(mark(caught_mh, "__mh"), id_col, "left")
+        .join(mark(caught_sh, "__sh"), id_col, "left")
+    )
+    if caught_ct is not None:
+        verdicts = verdicts.join(mark(caught_ct, "__ct"), id_col, "left")
+    verdicts = verdicts.select(
+        id_col, tier.alias("tier"), (tier == "kept").alias("kept")
+    )
+    if not return_stats:
+        return verdicts
+    stats = {
+        "shard_rows": fp_st["shard_rows"],
+        "caught_exact": fp_st["shard_rows"] - fp_st["survivors"],
+        "caught_jaccard": caught_mh.count(),
+        "caught_simhash": caught_sh.count(),
+        "caught_containment": 0 if caught_ct is None else caught_ct.count(),
+        "exact": fp_st,
+        "minhash": mh_st,
+        "simhash": sh_st,
+        "containment": ct_st,
+    }
+    stats["kept"] = stats["shard_rows"] - (
+        stats["caught_exact"] + stats["caught_jaccard"]
+        + stats["caught_simhash"] + stats["caught_containment"]
+    )
+    return verdicts, stats
+
+
+# ---------------------------------------------------------------------------
 # 3. MinHash + LSH
 # ---------------------------------------------------------------------------
 

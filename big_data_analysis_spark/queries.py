@@ -2313,6 +2313,168 @@ def q_split_takedown_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # =========================================================================
+# Cascade dedup increment (VERDICT r9 Next-round #7): ONE operator runs
+# the exact -> MinHash -> SimHash -> containment increments against all
+# four persisted stores, survivors flowing down. FULL row-for-row hash
+# oracle: the shard plants one class per tier with margins that make
+# every verdict closed-form — exact copies (fp in store, SQL-exact),
+# one-appended-token variants restricted to docs with >= 20 distinct
+# trigrams (3-gram J >= 20/22 — MinHash banding + estimate both catch
+# with overwhelming margin), pad-diluted composites (J < 0.34 — MinHash
+# verify rejects; containment C(seed->comp) = 1.0 — exact emission),
+# and all-novel-token docs (kept). The exact-tier rule (fp in seed fps
+# OR a smaller shard id with the same fp) is replicated literally in
+# DuckDB, so organic duplicate texts in the corpus cannot desync the
+# expected verdicts.
+# =========================================================================
+
+_CASCADE_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents WHERE doc_id < 300
+), seeds AS (
+    SELECT doc_id, text, w, len(w) AS L FROM tok WHERE len(w) >= 3
+), tri AS (
+    SELECT doc_id,
+           len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN generate_series(1, L - 2)])) AS g
+    FROM seeds
+), shard AS (
+    SELECT doc_id + 1000000 AS id, text AS full_text, 'E' AS cls
+    FROM seeds WHERE doc_id < 60
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' qq7xz', 'J'
+    FROM seeds JOIN tri USING (doc_id)
+    WHERE doc_id >= 60 AND doc_id < 120 AND g >= 20
+    UNION ALL
+    SELECT doc_id + 3000000,
+           text || ' ' || array_to_string(
+               list_transform(generate_series(1, 2 * L),
+                              j -> 'pz' || doc_id || 'x' || j), ' '),
+           'C'
+    FROM seeds WHERE doc_id >= 120 AND doc_id < 160
+    UNION ALL
+    SELECT 4000000 + i,
+           array_to_string(
+               list_transform(generate_series(0, 29),
+                              j -> 'nv' || i || 'x' || j), ' '),
+           'K'
+    FROM range(40) t(i)
+), fps AS (
+    SELECT id, cls,
+           md5(lower(regexp_replace(trim(full_text), '\\s+', ' ', 'g'))) AS f
+    FROM shard
+), seedfps AS (
+    SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM seeds
+), ex AS (
+    SELECT id, cls,
+           f IN (SELECT f FROM seedfps)
+           OR EXISTS (SELECT 1 FROM fps p WHERE p.f = fps.f AND p.id < fps.id)
+               AS is_exact
+    FROM fps
+), tiers AS (
+    SELECT id AS doc_id,
+           CASE WHEN is_exact OR cls = 'E' THEN 'exact'
+                WHEN cls = 'J' THEN 'jaccard'
+                WHEN cls = 'C' THEN 'containment'
+                ELSE 'kept' END AS tier
+    FROM ex
+)
+SELECT doc_id, tier, tier = 'kept' AS kept FROM tiers
+"""
+
+
+@query("cascade_dedup_increment_docs", _CASCADE_ORACLE)
+def q_cascade_dedup_increment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE as one operator, hash-verified per doc: the
+    four stores (fingerprint / MinHash / SimHash / containment) seed
+    from docs < 300, then dedup_cascade_increment processes one shard
+    of four planted classes and must name, for EVERY doc, the exact
+    tier that caught it — 'exact' for copies (and any organic
+    fp-collision the oracle's literal fp rule also derives), 'jaccard'
+    for one-appended-token variants (>= 20 distinct trigrams => 3-gram
+    J >= 0.9: banding certain, estimate >= 0.7 at ~10 sigma),
+    'containment' for pad-diluted composites (J < 0.34 so the MinHash
+    verify rejects at >= 6 sigma; the quoted seed's gram set is wholly
+    contained, so the exact containment join MUST emit), 'kept' for
+    all-novel-token docs. Survivors flow down; each tier's store
+    indexes its input (pinned structurally in
+    tests/test_dedup.py::test_cascade_increment_equals_composed_tiers).
+    See operators.dedup.dedup_cascade_increment."""
+    import os
+    import shutil
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = d.select("doc_id", "text").filter(
+        (F.col("doc_id") < 300) & (F.size(toks) >= 3)
+    )
+    seeds = base.localCheckpoint(eager=True)
+    paths = f"/root/repo/.scratch/cascade-q-{os.getpid()}"
+    shutil.rmtree(paths, ignore_errors=True)
+    fp, mh, sh, ct = (f"{paths}/{p}" for p in ("fp", "mh", "sh", "ct"))
+    dd.fingerprint_index_save(seeds, "text", "doc_id", fp)
+    dd.minhash_index_save(
+        seeds, "text", "doc_id", mh, num_hashes=64, num_bands=16, shingle_n=3
+    )
+    dd.simhash_index_save(seeds, "text", "doc_id", sh)
+    dd.containment_index_save(seeds, "text", "doc_id", ct, n=2, threshold=0.8)
+
+    tri_g = F.size(dd._token_shingles(F.col("text"), 3))
+    e_cls = seeds.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    j_cls = (
+        seeds.filter(
+            (F.col("doc_id") >= 60) & (F.col("doc_id") < 120) & (tri_g >= 20)
+        )
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq7xz")).alias("text"),
+        )
+    )
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), 2 * F.size(toks)),
+            lambda j: F.concat(
+                F.lit("pz"), F.col("doc_id").cast("string"),
+                F.lit("x"), j.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    c_cls = (
+        seeds.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 160))
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), pad).alias("text"),
+        )
+    )
+    k_cls = spark.range(40).select(
+        (F.col("id") + 4000000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("nv"), F.col("id").cast("string"),
+                    F.lit("x"), j.cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    shard = e_cls.unionByName(j_cls).unionByName(c_cls).unionByName(k_cls)
+    verdicts = dd.dedup_cascade_increment(
+        spark, shard, "text", fp, mh, sh, ct_path=ct
+    )
+    rows = verdicts.collect()
+    shutil.rmtree(paths, ignore_errors=True)
+    return spark.createDataFrame(rows, verdicts.schema)
+
+
+# =========================================================================
 # Image near-duplicate pairs (multimodal.image_dhash + the Manku hamming
 # block join — VERDICT r8 "What's missing" #3). FULL row-for-row hash
 # oracle: the synthesized P5 PGMs have closed-form dHash geometry

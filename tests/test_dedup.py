@@ -2111,3 +2111,118 @@ def test_text_tier_version_tag_replay(spark, request):
         p3, s3 = incr(path, return_stats=True, version_tag="batch-3")
         assert {tuple(r) for r in p3.collect()} == set1, name
         assert s3["replayed"] and not s3["appended"], name
+
+
+def test_cascade_increment_equals_composed_tiers(spark, request):
+    """The cascade operator's contract: per-doc verdicts name the FIRST
+    tier that catches each doc, survivors flow down (a doc a tier
+    catches never reaches a later tier's store), the fp store indexes
+    every fresh distinct text, and a version_tag replay re-emits
+    identical verdicts. The fixture plants one class per tier with
+    margins that make the expected verdict closed-form: exact copies,
+    one-appended-token variants (3-gram J ~ 28/29 — certain MinHash
+    catch), pad-diluted containment composites (J ~ 1/3 — certain
+    MinHash miss, containment 1.0), and all-novel-token docs (kept)."""
+    import os
+    import random
+    import shutil
+
+    base = f"/root/repo/.scratch/cascade-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    fp, mh, sh, ct = (os.path.join(base, p) for p in ("fp", "mh", "sh", "ct"))
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = {i: " ".join(rng.sample(vocab, 30)) for i in range(40)}
+    seed = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    dd.fingerprint_index_save(seed, "text", "doc_id", fp)
+    dd.minhash_index_save(seed, "text", "doc_id", mh,
+                          num_hashes=64, num_bands=16, shingle_n=3)
+    dd.simhash_index_save(seed, "text", "doc_id", sh)
+    dd.containment_index_save(seed, "text", "doc_id", ct, n=2, threshold=0.8)
+
+    rows = [(1000000 + s, texts[s]) for s in range(10)]
+    rows += [(2000000 + s, texts[s] + " qq7xz") for s in range(10, 20)]
+    rows += [
+        (3000000 + s,
+         texts[s] + " " + " ".join(f"pz{s}x{j}" for j in range(60)))
+        for s in range(20, 30)
+    ]
+    rows += [
+        (4000000 + k, " ".join(f"nv{k}x{j}" for j in range(30)))
+        for k in range(10)
+    ]
+    shard = spark.createDataFrame(rows, "doc_id long, text string")
+
+    verdicts, st = dd.dedup_cascade_increment(
+        spark, shard, "text", fp, mh, sh, ct_path=ct, return_stats=True
+    )
+    got = {r["doc_id"]: (r["tier"], r["kept"]) for r in verdicts.collect()}
+    exp = {1000000 + s: ("exact", False) for s in range(10)}
+    exp |= {2000000 + s: ("jaccard", False) for s in range(10, 20)}
+    exp |= {3000000 + s: ("containment", False) for s in range(20, 30)}
+    exp |= {4000000 + k: ("kept", True) for k in range(10)}
+    assert got == exp
+    assert st["caught_exact"] == 10 and st["caught_jaccard"] == 10
+    assert st["caught_simhash"] == 0 and st["caught_containment"] == 10
+    assert st["kept"] == 10
+
+    # survivor flow is visible in the STORES: fp indexed all 30 fresh
+    # texts; mh indexed the 30 exact-survivors; sh and ct only the 20
+    # docs the jaccard tier kept
+    assert dd.fingerprint_index_load(spark, fp)[0].count() == 40 + 30
+    mh_ids = {r["id"] for r in
+              dd.minhash_index_load(spark, mh)[0].select("id").distinct().collect()}
+    assert {i for i in mh_ids if i >= 1000000} == {
+        i for i in exp if exp[i][0] != "exact"
+    }
+    sh_ids = {r["id"] for r in
+              dd.simhash_index_load(spark, sh)[0].select("id").distinct().collect()}
+    assert {i for i in sh_ids if i >= 1000000} == {
+        i for i in exp if exp[i][0] in ("containment", "kept", "simhash")
+    }
+    ct_ids = {r["id"] for r in
+              dd.containment_index_load(spark, ct)[0].select("id").distinct().collect()}
+    assert {i for i in ct_ids if i >= 1000000} == {
+        i for i in exp if exp[i][0] in ("containment", "kept")
+    }
+
+    # a second cascade: exact copies of the KEPT docs are caught at the
+    # exact tier (the fp store indexed every fresh distinct text)
+    shard2 = spark.createDataFrame(
+        [(5000000 + k, " ".join(f"nv{k}x{j}" for j in range(30)))
+         for k in range(10)],
+        "doc_id long, text string")
+    v2 = dd.dedup_cascade_increment(spark, shard2, "text", fp, mh, sh,
+                                    ct_path=ct)
+    assert all(r["tier"] == "exact" for r in v2.collect())
+
+    # version_tag replay: identical verdicts, every store's tags ledger
+    # fires independently
+    shard3 = spark.createDataFrame(
+        [(6000000, texts[30]),
+         (6000001, " ".join(f"xv{j}q" for j in range(30)))],
+        "doc_id long, text string")
+    va = dd.dedup_cascade_increment(
+        spark, shard3, "text", fp, mh, sh, ct_path=ct, version_tag="cb1")
+    sa = {tuple(r) for r in va.collect()}
+    vb = dd.dedup_cascade_increment(
+        spark, shard3, "text", fp, mh, sh, ct_path=ct, version_tag="cb1")
+    assert {tuple(r) for r in vb.collect()} == sa
+    assert sa == {(6000000, "exact", False), (6000001, "kept", True)}
+
+    # the containment tier is optional: without it the composite class
+    # flows through as kept (nothing else can catch 1/3-Jaccard)
+    shutil.rmtree(base, ignore_errors=True)
+    dd.fingerprint_index_save(seed, "text", "doc_id", fp)
+    dd.minhash_index_save(seed, "text", "doc_id", mh,
+                          num_hashes=64, num_bands=16, shingle_n=3)
+    dd.simhash_index_save(seed, "text", "doc_id", sh)
+    v3 = dd.dedup_cascade_increment(spark, shard, "text", fp, mh, sh)
+    got3 = {r["doc_id"]: r["tier"] for r in v3.collect()}
+    assert {i for i, t in got3.items() if t == "kept"} == (
+        {3000000 + s for s in range(20, 30)} | {4000000 + k for k in range(10)}
+    )
