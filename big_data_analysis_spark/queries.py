@@ -11511,30 +11511,39 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-9 window ---
-    # Composed per tests/window_audit.py (AUDIT_ROUND = 9): (a) 6
-    # never-driver-verified queries — the two r8 post-horizon
-    # registrations the VERDICT ordered to lead, plus this round's 4 —
-    # then (b) all 25 r8 greens whose transitive modules (dedup.py,
-    # similarity.py, multimodal.py) changed this round, then (c) 19 of
-    # the 24 stalest (last-green r4) module-changed queries. The
-    # remaining backlog (5 r4 + 41 r5 + 24 r6 + audio_decode_wav r7)
-    # drains next rounds, oldest first.
+    # --- round-10 window ---
+    # Composed per tests/window_audit.py (AUDIT_ROUND = 10): (a) 14
+    # never-driver-verified queries — the ten r9 post-horizon
+    # registrations VERDICT r9 ordered to lead, plus this round's
+    # audio tier (3) and the cascade increment — then (b) all 32 r9
+    # greens whose transitive modules (dedup.py: hashed containment
+    # grams + cascade; multimodal.py: shared fp store + audio tier)
+    # changed this round, then (c) 4 of the 5 stalest (last-green r4)
+    # queries. The remaining backlog (1 r4 + 41 r5 + 24 r6 +
+    # audio_decode_wav r7) drains next rounds, oldest first.
     #
     # (a) additions — never driver-verified:
-    "contamination_overlap_docs",
-    "leakage_safe_split_docs",
-    "leakage_split_incremental_docs",
-    "leakage_split_stability_docs",
-    "leakage_split_pairs_docs",
-    "image_near_dup_pairs",
-    # (b) r8 greens, modules changed this round (snapshot-consistent
-    # increment prechecks, tagged-replay tombstone mask + tags ledger,
-    # split store, image dHash tier) — mandatory re-verification:
+    "containment_pairs_docs",
+    "containment_incremental_docs",
+    "dedup_tier_yield_docs",
+    "media_containment_takedown",
+    "multimodal_corpus_pipeline",
+    "split_takedown_roundtrip_docs",
+    "image_dedup_incremental",
+    "streaming_image_refresh",
+    "streaming_semantic_refresh",
+    "streaming_containment_refresh",
+    "audio_near_dup_pairs",
+    "audio_dedup_incremental",
+    "streaming_audio_refresh",
+    "cascade_dedup_increment_docs",
+    # (b) r9 greens, modules changed this round — mandatory
+    # re-verification:
     "audio_spectral_peak_bands",
     "bloom_decontaminate_docs",
     "bm25_search_docs",
     "centroid_assignment_embeddings",
+    "contamination_overlap_docs",
     "contamination_pairs_docs",
     "cosine_topk",
     "dedup_takedown_roundtrip_docs",
@@ -11542,11 +11551,16 @@ _DRIVER_PRIORITY: list[str] = [
     "exact_dedup_incremental_docs",
     "heavy_hitter_tokens",
     "hybrid_search_rrf",
+    "image_near_dup_pairs",
     "ivfpq_incremental_append",
     "ivfpq_persisted_ann_topk",
     "ivfpq_tombstone_delete",
     "jaccard_pairs_docs",
     "knn_blas_batch",
+    "leakage_safe_split_docs",
+    "leakage_split_incremental_docs",
+    "leakage_split_pairs_docs",
+    "leakage_split_stability_docs",
     "llm_corpus_pipeline",
     "minhash_incremental_docs",
     "minhash_pairs",
@@ -11556,28 +11570,14 @@ _DRIVER_PRIORITY: list[str] = [
     "simhash_pairs",
     "span_dedup_docs",
     "streaming_corpus_refresh",
-    # (c) stalest-first drain: 19 of the 24 last-green-r4 queries whose
-    # modules changed since r4 (io/relational/text/timeseries churn
-    # across r5-r8), spanning module families:
-    "customer_order_distribution",
-    "discounted_revenue_brands",
-    "heavy_small_part_shippers",
-    "late_order_priority",
-    "market_share_region",
-    "new_vs_returning_users",
-    "pricing_summary",
-    "product_profit_nation_year",
-    "robust_scale_prices",
-    "sales_opportunity",
-    "seasonal_residual_anomalies",
-    "sessionize_events",
-    "shipping_lateness_buckets",
-    "top3_orders_per_customer",
-    "top_customers",
-    "top_supplier_quarter",
     "video_frame_sample",
-    "volume_shipping_pairs",
-    "yoy_revenue_growth",
+    # (c) stalest-first drain: 4 of the 5 last-green-r4 queries
+    # (supplier_count_by_part_attrs ties at r4 and waits — round
+    # granularity, ties broken freely per the audit contract):
+    "forecast_revenue_delta",
+    "important_part_value",
+    "min_cost_supplier",
+    "sole_late_shipper",
 ]
 
 def _apply_driver_order() -> None:

@@ -552,30 +552,37 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # (a) round-9 additions — never driver-verified (the two r8
-        # post-horizon registrations VERDICT r8 ordered to lead, plus
-        # this round's four)
-        "contamination_overlap_docs", "leakage_safe_split_docs",
-        "leakage_split_incremental_docs", "leakage_split_stability_docs",
-        "leakage_split_pairs_docs", "image_near_dup_pairs",
-        # (b) r8 greens whose operator modules changed this round
-        # (dedup/similarity/multimodal: snapshot-consistent increment
-        # prechecks, tagged-replay tombstone mask + tags ledger, the
-        # split store, the image dHash tier) — the mechanical audit
-        # (test_driver_window_rotates_transitively_stale_queries)
-        # computes this same set as stale-since-r8
+        # (a) round-10 additions — never driver-verified (the ten r9
+        # post-horizon registrations VERDICT r9 ordered to lead, plus
+        # this round's audio tier and the cascade increment)
+        "containment_pairs_docs", "containment_incremental_docs",
+        "dedup_tier_yield_docs", "media_containment_takedown",
+        "multimodal_corpus_pipeline", "split_takedown_roundtrip_docs",
+        "image_dedup_incremental", "streaming_image_refresh",
+        "streaming_semantic_refresh", "streaming_containment_refresh",
+        "audio_near_dup_pairs", "audio_dedup_incremental",
+        "streaming_audio_refresh", "cascade_dedup_increment_docs",
+        # (b) r9 greens whose operator modules changed this round
+        # (dedup: hashed containment grams + cascade increment;
+        # multimodal: shared fp store + audio tier) — the mechanical
+        # audit (test_driver_window_rotates_transitively_stale_queries)
+        # computes this same set as stale-since-r9
         "audio_spectral_peak_bands", "bloom_decontaminate_docs",
         "bm25_search_docs", "centroid_assignment_embeddings",
-        "contamination_pairs_docs", "cosine_topk",
-        "dedup_takedown_roundtrip_docs", "embedding_near_dup_pairs",
-        "exact_dedup_incremental_docs", "heavy_hitter_tokens",
-        "hybrid_search_rrf", "ivfpq_incremental_append",
+        "contamination_overlap_docs", "contamination_pairs_docs",
+        "cosine_topk", "dedup_takedown_roundtrip_docs",
+        "embedding_near_dup_pairs", "exact_dedup_incremental_docs",
+        "heavy_hitter_tokens", "hybrid_search_rrf",
+        "image_near_dup_pairs", "ivfpq_incremental_append",
         "ivfpq_persisted_ann_topk", "ivfpq_tombstone_delete",
-        "jaccard_pairs_docs", "knn_blas_batch", "llm_corpus_pipeline",
-        "minhash_incremental_docs", "minhash_pairs", "novelty_docs",
+        "jaccard_pairs_docs", "knn_blas_batch",
+        "leakage_safe_split_docs", "leakage_split_incremental_docs",
+        "leakage_split_pairs_docs", "leakage_split_stability_docs",
+        "llm_corpus_pipeline", "minhash_incremental_docs",
+        "minhash_pairs", "novelty_docs",
         "semantic_dedup_incremental_embeddings",
         "simhash_incremental_docs", "simhash_pairs", "span_dedup_docs",
-        "streaming_corpus_refresh",
+        "streaming_corpus_refresh", "video_frame_sample",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -691,6 +698,29 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "span_dedup_docs", "streaming_corpus_refresh", "streaming_tumbling_daily",
     "string_funcs_part", "tfidf_top_terms_docs", "trend_rules",
     "tumbling_daily_events", "upsert_orders", "word_freq_docs",
+    # round-9 window (CORRECTNESS_r09.json: 50/50 full hash-match)
+    "contamination_overlap_docs", "leakage_safe_split_docs",
+    "leakage_split_incremental_docs", "leakage_split_stability_docs",
+    "leakage_split_pairs_docs", "image_near_dup_pairs",
+    "audio_spectral_peak_bands", "bloom_decontaminate_docs",
+    "bm25_search_docs", "centroid_assignment_embeddings",
+    "contamination_pairs_docs", "cosine_topk",
+    "dedup_takedown_roundtrip_docs", "embedding_near_dup_pairs",
+    "exact_dedup_incremental_docs", "heavy_hitter_tokens",
+    "hybrid_search_rrf", "ivfpq_incremental_append",
+    "ivfpq_persisted_ann_topk", "ivfpq_tombstone_delete",
+    "jaccard_pairs_docs", "knn_blas_batch", "llm_corpus_pipeline",
+    "minhash_incremental_docs", "minhash_pairs", "novelty_docs",
+    "semantic_dedup_incremental_embeddings", "simhash_incremental_docs",
+    "simhash_pairs", "span_dedup_docs", "streaming_corpus_refresh",
+    "customer_order_distribution", "discounted_revenue_brands",
+    "heavy_small_part_shippers", "late_order_priority",
+    "market_share_region", "new_vs_returning_users", "pricing_summary",
+    "product_profit_nation_year", "robust_scale_prices",
+    "sales_opportunity", "seasonal_residual_anomalies",
+    "sessionize_events", "shipping_lateness_buckets",
+    "top3_orders_per_customer", "top_customers", "top_supplier_quarter",
+    "video_frame_sample", "volume_shipping_pairs", "yoy_revenue_growth",
 }
 
 
