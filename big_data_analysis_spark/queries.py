@@ -11500,14 +11500,14 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Keep _apply_driver_order() as the LAST statement in this module; new
 # queries must be registered above it and added to _DRIVER_PRIORITY to
-# enter the window. EXCEPTION — the post-horizon convention (r7/r8/r9):
+# enter the window. EXCEPTION — the post-horizon convention (r7-r9):
 # when the 50 slots are already spent on mandatory re-verification,
 # queries registered late in a round may deliberately sit PAST the
 # horizon (locally oracle-verified + pytest-covered only) and MUST then
-# lead the NEXT round's window as category-(a) additions. Post-horizon
-# this round: split_takedown_roundtrip_docs, image_dedup_incremental,
-# containment_pairs_docs — the r10 window leads. tests/test_semantics.py guards that the critical
-# set stays inside the first 50.
+# lead the NEXT round's window as category-(a) additions. Round 10 has
+# NO post-horizon debt: all ten r9 post-horizon registrations plus the
+# four r10 additions fit inside the window. tests/test_semantics.py
+# guards that the critical set stays inside the first 50.
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [

@@ -702,3 +702,20 @@ def test_audio_dedup_increment_composes_with_batch(spark, request):
         mm.audio_dedup_increment(spark, bad, path)
     with pytest.raises(ValueError, match="kind"):
         mm.dhash_index_load(spark, path)
+
+
+def test_audio_fp_bits_gain_invariant():
+    """The fingerprint's robustness claim: the margin is RELATIVE
+    (alpha * max bin), so a global gain change — the most common
+    benign audio transform — scales every comparison uniformly and
+    flips no bit. Pure numpy over random spectra; no Spark needed."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        spec = rng.gamma(shape=1.5, scale=1.0, size=129)
+        base = mm.audio_fp_bits(spec)
+        for gain in (1e-3, 0.5, 7.0, 1e4):
+            assert mm.audio_fp_bits(spec * gain) == base
+    # and silence is the all-zero fingerprint (strict > on equal zeros)
+    assert mm.audio_fp_bits(np.zeros(129)) == 0
