@@ -231,6 +231,10 @@ LATENCY_ENTRIES = {
     "streaming_audio_refresh",
     "multimodal_corpus_pipeline",
     "dedup_tier_yield_docs",
+    # 4 store saves + 4 increments on a bounded docs<300 fixture —
+    # SF-independent lifecycle latency, unlike the *_incremental
+    # entries whose index save scales with the corpus
+    "cascade_dedup_increment_docs",
 }
 
 

@@ -1869,16 +1869,31 @@ SELECT CAST(40 AS BIGINT) AS dh_store0,
        -- the pair path is live: every re-ingested text pairs with its
        -- undeleted quoting composite at containment 1.0
        (SELECT count(*) FROM ctouch) >=
-         (SELECT count(*) FROM comp) AS ct_reingest_pairs_live
+         (SELECT count(*) FROM comp) AS ct_reingest_pairs_live,
+       -- audio half (r10): the landmark-WAV fixture shares the image
+       -- fixture's level geometry, so the same id arithmetic applies
+       CAST(40 AS BIGINT) AS af_store0,
+       CAST((SELECT count(*) FROM img
+             WHERE lv <= 3 AND id NOT IN (0, 1)) AS BIGINT)
+         AS af_pairs_after_delete,
+       true AS af_deleted_never_paired,
+       CAST(39 AS BIGINT) AS af_store_final,
+       true AS af_compact_single_dir
 """
 
 
 @query("media_containment_takedown", _MEDIA_TAKEDOWN_ORACLE)
 def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDPR takedown roundtrip of the dHash and containment stores —
-    the two store families added this round, certified with the same
-    delete -> masked increment -> compact-purge sequence the other
-    five stores carry. Image half: 40 closed-form PGMs persist; ids
+    """GDPR takedown roundtrip of the dHash, containment, and (r10)
+    audio-fingerprint stores, certified with the same delete -> masked
+    increment -> compact-purge sequence the other store families carry
+    — takedown symmetry now spans every persisted store (fp/mh/sh,
+    split, ivfpq, dhash, containment, audiofp). Audio half: 40
+    landmark WAVs persist; ids 0-1 are taken down; a re-ingested
+    level-0 clip pairs with exactly the undeleted hamming<=3
+    population (the image fixture's id arithmetic — identical level
+    geometry) and NEVER with a tombstoned id; compaction folds to one
+    dir holding 39 fingerprints. Image half: 40 closed-form PGMs persist; ids
     0-1 are taken down; a re-ingested level-0 image pairs with exactly
     the undeleted hamming<=3 population (SQL-exact from id arithmetic)
     and NEVER with a tombstoned id; compaction folds to one dir
@@ -1900,7 +1915,7 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_analysis_spark.operators import multimodal as mm
 
     base = f"/root/repo/.scratch/media-takedown-q-{os.getpid()}"
-    dh_path, ct_path = f"{base}/dh", f"{base}/ct"
+    dh_path, ct_path, af_path = f"{base}/dh", f"{base}/ct", f"{base}/af"
     shutil.rmtree(base, ignore_errors=True)
 
     # ---- image half ----
@@ -1918,6 +1933,24 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content", "doc_id",
     ).select("id", "dhash")
     dh_pairs = mm.image_dedup_increment(spark, shard, dh_path, max_hamming=3)
+
+    # ---- audio half (r10): the same roundtrip on the audio store,
+    # riding the landmark-WAV fixture's identical level geometry ----
+    a_ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    af = mm.audio_fingerprint(
+        mm.synthesize_landmark_wavs(a_ids, "doc_id"), "content", "doc_id"
+    ).localCheckpoint(eager=True)
+    mm.audio_fp_index_save(af.select("id", "afp"), af_path)
+    af0 = 40  # save's precheck counted and enforced it
+    mm.audio_fp_index_delete(spark, af_path, [0, 1])
+    a_shard = mm.audio_fingerprint(
+        mm.synthesize_landmark_wavs(
+            spark.range(100, 101).select(F.col("id").alias("doc_id")),
+            "doc_id",
+        ),
+        "content", "doc_id",
+    ).select("id", "afp")
+    af_pairs = mm.audio_dedup_increment(spark, a_shard, af_path, max_hamming=3)
 
     # ---- containment half ----
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
@@ -1976,14 +2009,27 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ct_n_deleted"
             ),
         )))
+        .crossJoin(F.broadcast(af_pairs.agg(
+            F.count(F.lit(1)).alias("af_n"),
+            F.coalesce(
+                F.sum(
+                    (F.col("id_a").isin(0, 1) | F.col("id_b").isin(0, 1))
+                    .cast("int")
+                ),
+                F.lit(0),
+            ).alias("af_n_deleted"),
+        )))
         .head()
     )
     dh_cert = {"n": cert["dh_n"], "n_deleted": cert["dh_n_deleted"]}
     ct_cert = {"n": cert["ct_n"], "n_deleted": cert["ct_n_deleted"]}
+    af_cert = {"n": cert["af_n"], "n_deleted": cert["af_n_deleted"]}
     mm.dhash_index_compact(spark, dh_path)
     dd.containment_index_compact(spark, ct_path)
+    mm.audio_fp_index_compact(spark, af_path)
     dh_man = json.load(open(os.path.join(dh_path, "_INDEX.json")))
     ct_man = json.load(open(os.path.join(ct_path, "_INDEX.json")))
+    af_man = json.load(open(os.path.join(af_path, "_INDEX.json")))
     finals = (
         mm.dhash_index_load(spark, dh_path)[0]
         .agg(F.count(F.lit(1)).alias("dh_final"))
@@ -1992,9 +2038,14 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id").distinct()
             .agg(F.count(F.lit(1)).alias("ct_final"))
         ))
+        .crossJoin(F.broadcast(
+            mm.audio_fp_index_load(spark, af_path)[0]
+            .agg(F.count(F.lit(1)).alias("af_final"))
+        ))
         .head()
     )
     dh_final, ct_final = finals["dh_final"], finals["ct_final"]
+    af_final = finals["af_final"]
 
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
@@ -2004,13 +2055,17 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ct0, ct_cert["n"], ct_cert["n_deleted"] == 0, ct_final,
             len(ct_man["cg_dirs"]) == 1 and "tombstones_file" not in ct_man,
             ct_cert["n"] >= n_comp,
+            af0, af_cert["n"], af_cert["n_deleted"] == 0, af_final,
+            len(af_man["afp_dirs"]) == 1 and "tombstones_file" not in af_man,
         )],
         "dh_store0 long, dh_pairs_after_delete long, "
         "dh_deleted_never_paired boolean, dh_store_final long, "
         "dh_compact_single_dir boolean, ct_store0 long, "
         "ct_pairs_reingest long, ct_deleted_never_paired boolean, "
         "ct_store_final long, ct_compact_single_dir boolean, "
-        "ct_reingest_pairs_live boolean",
+        "ct_reingest_pairs_live boolean, af_store0 long, "
+        "af_pairs_after_delete long, af_deleted_never_paired boolean, "
+        "af_store_final long, af_compact_single_dir boolean",
     )
 
 
