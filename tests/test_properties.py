@@ -773,3 +773,98 @@ def test_sem_stream_geometry_margins(spark):
                 assert c >= 0.99, (i, j, c)
             else:
                 assert c <= 0.692, (i, j, c)
+
+
+def test_cascade_invariants_on_random_corpus(spark, request):
+    """Randomized invariants of the cascade increment that hold for ANY
+    corpus, independent of which near-dup tier catches what: (1) every
+    shard doc gets exactly ONE verdict and kept <=> tier='kept';
+    (2) the exact tier's verdicts equal an independent
+    normalized-md5 re-derivation (fp in seed fps, or a smaller shard
+    id bearing the same fp); (3) stats match the verdict table;
+    (4) survivor flow is structural — the MinHash store indexes
+    exactly the exact-survivors, the SimHash store exactly the
+    jaccard-survivors, the containment store exactly the
+    simhash-survivors. Zipf-ish token draws force ORGANIC duplicates
+    and near-duplicates across the seed/shard boundary."""
+    import hashlib
+    import os
+    import random
+    import re as _re
+    import shutil
+
+    from big_data_analysis_spark.operators import dedup as dd
+
+    rng = random.Random(99991)
+    vocab = [f"w{i}" for i in range(25)]
+
+    def doc():
+        k = rng.randint(3, 12)
+        return " ".join(
+            vocab[min(int(rng.expovariate(0.3)), 24)] for _ in range(k)
+        )
+
+    seed_rows = [(i, doc()) for i in range(60)]
+    shard_rows = [(1000 + i, doc()) for i in range(40)]
+    # force cross-boundary exact dups and within-shard dups
+    shard_rows += [(2000 + i, seed_rows[i][1]) for i in range(5)]
+    shard_rows += [(3000 + i, shard_rows[i][1]) for i in range(5)]
+
+    base = f"/root/repo/.scratch/cascade-prop-{os.getpid()}"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    fp, mh, sh, ct = (os.path.join(base, p) for p in ("fp", "mh", "sh", "ct"))
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    dd.fingerprint_index_save(seed, "text", "doc_id", fp)
+    dd.minhash_index_save(seed, "text", "doc_id", mh,
+                          num_hashes=64, num_bands=16, shingle_n=3)
+    dd.simhash_index_save(seed, "text", "doc_id", sh)
+    dd.containment_index_save(seed, "text", "doc_id", ct, n=2, threshold=0.8)
+
+    shard = spark.createDataFrame(shard_rows, "doc_id long, text string")
+    verdicts, st = dd.dedup_cascade_increment(
+        spark, shard, "text", fp, mh, sh, ct_path=ct, return_stats=True
+    )
+    got = {r["doc_id"]: (r["tier"], r["kept"]) for r in verdicts.collect()}
+
+    # (1) exactly one verdict per shard doc; kept <=> tier='kept'
+    assert set(got) == {i for i, _ in shard_rows}
+    assert all(k == (t == "kept") for t, k in got.values())
+
+    # (2) the exact tier vs an independent fp re-derivation
+    def norm_fp(text):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", text.strip()).lower().encode()
+        ).hexdigest()
+
+    seed_fps = {norm_fp(t) for _, t in seed_rows}
+    shard_fp = {i: norm_fp(t) for i, t in shard_rows}
+    expect_exact = {
+        i for i, f in shard_fp.items()
+        if f in seed_fps or any(
+            j < i and shard_fp[j] == f for j in shard_fp
+        )
+    }
+    assert {i for i, (t, _) in got.items() if t == "exact"} == expect_exact
+
+    # (3) stats match the verdict table
+    from collections import Counter
+    by_tier = Counter(t for t, _ in got.values())
+    assert st["shard_rows"] == len(shard_rows)
+    assert st["caught_exact"] == by_tier["exact"]
+    assert st["caught_jaccard"] == by_tier["jaccard"]
+    assert st["caught_simhash"] == by_tier["simhash"]
+    assert st["caught_containment"] == by_tier["containment"]
+    assert st["kept"] == by_tier["kept"]
+
+    # (4) survivor flow via the store populations
+    def new_ids(load):
+        return {r["id"] for r in load.select("id").distinct().collect()
+                if r["id"] >= 1000}
+
+    non_exact = set(got) - expect_exact
+    assert new_ids(dd.minhash_index_load(spark, mh)[0]) == non_exact
+    after_j = {i for i in non_exact if got[i][0] != "jaccard"}
+    assert new_ids(dd.simhash_index_load(spark, sh)[0]) == after_j
+    after_s = {i for i in after_j if got[i][0] != "simhash"}
+    assert new_ids(dd.containment_index_load(spark, ct)[0]) == after_s
