@@ -211,6 +211,11 @@ EXTENDED_QUERIES = [
     "audio_dedup_incremental",
     "streaming_audio_refresh",
     "cascade_dedup_increment_docs",
+    # r10 post-horizon (leads the r11 window; benched now so its
+    # longitudinal baseline starts this round): the cascade as the
+    # streaming consumer — per batch, four tier increments + the
+    # manifest publish; parity twin reruns the one-call cascade
+    "streaming_cascade_refresh",
 ]
 
 #: Entry classification (VERDICT r9 "What's wrong" #2): "latency"
@@ -235,6 +240,7 @@ LATENCY_ENTRIES = {
     # SF-independent lifecycle latency, unlike the *_incremental
     # entries whose index save scales with the corpus
     "cascade_dedup_increment_docs",
+    "streaming_cascade_refresh",
 }
 
 

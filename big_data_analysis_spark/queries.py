@@ -10770,6 +10770,237 @@ def q_streaming_containment_refresh(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # =========================================================================
+# Streaming CASCADE refresh (r10, post-horizon -> leads the r11 window):
+# the cascade increment as the streaming consumer — each exactly-once
+# micro-batch runs dedup_cascade_increment against ALL FOUR persisted
+# stores (exact -> MinHash -> SimHash -> containment, survivors flowing
+# down) with ONE version_tag fanned out to every store's replay ledger,
+# and publishes per-doc verdicts through the batch-id-keyed manifest.
+# FULL row-for-row hash oracle: every streamed doc's class is id % 4
+# over UNIQUE-TOKEN bases (no organic cross-talk is possible), so the
+# catching tier is pure id arithmetic.
+# =========================================================================
+
+_CASC_STREAM_ROWS = 240
+_CASC_STREAM_BATCHES = 3
+
+_CASC_STREAM_ORACLE = f"""
+WITH ids AS (
+    SELECT CAST(i AS BIGINT) AS doc_id FROM range({_CASC_STREAM_ROWS}) t(i)
+), v AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'exact' WHEN 1 THEN 'jaccard'
+                WHEN 2 THEN 'containment' ELSE 'kept' END AS tier
+    FROM ids
+)
+SELECT doc_id, tier, tier = 'kept' AS kept,
+       CAST({_CASC_STREAM_BATCHES} AS BIGINT) AS n_batch_manifests,
+       CAST({_CASC_STREAM_ROWS + (_CASC_STREAM_ROWS // 4) * 3} AS BIGINT)
+           AS fp_store_rows,
+       CAST({_CASC_STREAM_ROWS + (_CASC_STREAM_ROWS // 4) * 2} AS BIGINT)
+           AS ct_store_docs,
+       true AS stream_equals_batch
+FROM v
+"""
+
+
+def _casc_stream_base(i):
+    """Base text for id ``i``: 30 tokens unique to this id — distinct
+    bases share NO token, so Jaccard/SimHash/containment between
+    different ids' texts are all exactly zero and the only possible
+    catches are the planted ones."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.concat(
+                F.lit("b"), i.cast("string"), F.lit("t"), j.cast("string")
+            ),
+        ),
+        " ",
+    )
+
+
+def _casc_stream_text(id_col: str):
+    """Closed-form streamed text by class = id % 4: (0) an exact copy
+    of the seeded base — fp catch; (1) base + one appended rare token —
+    3-gram J = 28/29, certain MinHash catch; (2) base + 60 unique pad
+    tokens — J ~ 0.32 (MinHash verify rejects), containment
+    C(base->text) = 1.0 (exact emission); (3) 30 novel tokens — kept."""
+    i = F.col(id_col)
+    cls = (i % 4).cast("int")
+    base = _casc_stream_base(i)
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda j: F.concat(
+                F.lit("pz"), i.cast("string"), F.lit("x"), j.cast("string")
+            ),
+        ),
+        " ",
+    )
+    novel = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.concat(
+                F.lit("nv"), i.cast("string"), F.lit("x"), j.cast("string")
+            ),
+        ),
+        " ",
+    )
+    return (
+        F.when(cls == 0, base)
+        .when(cls == 1, F.concat(base, F.lit(" qq7xz")))
+        .when(cls == 2, F.concat(base, F.lit(" "), pad))
+        .otherwise(novel)
+    )
+
+
+def _casc_stream_seed_stores(spark: SparkSession, base: str) -> tuple:
+    """Seed all four stores with base(i) for every streamable id — the
+    archive the cascade refreshes against."""
+    fp, mh, sh, ct = (f"{base}/{p}" for p in ("fp", "mh", "sh", "ct"))
+    seed = spark.range(_CASC_STREAM_ROWS).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        _casc_stream_base(F.col("id")).alias("text"),
+    )
+    dd.fingerprint_index_save(seed, "text", "doc_id", fp)
+    dd.minhash_index_save(
+        seed, "text", "doc_id", mh, num_hashes=64, num_bands=16, shingle_n=3
+    )
+    dd.simhash_index_save(seed, "text", "doc_id", sh)
+    dd.containment_index_save(seed, "text", "doc_id", ct, n=2, threshold=0.8)
+    return fp, mh, sh, ct
+
+
+def _stream_cascade_batch_body(
+    spark: SparkSession,
+    bdf: DataFrame,
+    bid: int,
+    out: str,
+    paths: tuple,
+    fault_hook=None,
+) -> None:
+    """One micro-batch of the streaming cascade refresh, shared with
+    the crash-restart test: derive the batch's texts (deterministic
+    from the id) -> dedup_cascade_increment against all four persisted
+    stores with version_tag=f"batch-{{bid}}" fanned out to EVERY
+    store's replay ledger (a crash between any two store commits
+    replays cleanly: committed tiers re-emit their original pairs,
+    uncommitted tiers run fresh) -> per-doc verdicts publish via the
+    batch-id-keyed atomic manifest."""
+    fp, mh, sh, ct = paths
+    docs = bdf.select("doc_id").withColumn(
+        "text", _casc_stream_text("doc_id")
+    )
+    verdicts = dd.dedup_cascade_increment(
+        spark, docs, "text", fp, mh, sh, ct_path=ct,
+        version_tag=f"batch-{bid}",
+    )
+    if fault_hook is not None:
+        fault_hook(bid)
+    (
+        verdicts.write.format("manifest_jsonl")
+        .option("path", out)
+        .option("batch_id", str(bid))
+        .mode("append")
+        .save()
+    )
+
+
+@query("streaming_cascade_refresh", _CASC_STREAM_ORACLE)
+def q_streaming_cascade_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CASCADE as the streaming consumer, hash-verified per doc:
+    all four stores seed from 240 unique-token bases, then 240 docs
+    arrive in 3 exactly-once micro-batches — each batch runs
+    dedup_cascade_increment (exact -> MinHash -> SimHash ->
+    containment, survivors flowing down, one shard scan) with a single
+    version_tag fanned out to every store's replay ledger, and
+    publishes per-doc (tier, kept) verdicts through the atomic
+    per-batch manifest. Because the fixture's bases share no token
+    across ids, the catching tier is pure id arithmetic (class =
+    id % 4) and DuckDB re-derives EVERY verdict row — plus the
+    manifest count, the fp and containment store populations, and a
+    stream==batch parity boolean vs a one-call cascade twin over
+    freshly seeded twin stores. At 100 TB each micro-batch costs the
+    sum of the four tiers' O(batch)-probe costs, with the heavy
+    containment join probed only by each batch's residue. See
+    operators.dedup.dedup_cascade_increment;
+    tests/test_streaming.py::test_stream_cascade_refresh_crash_replay."""
+    import glob
+    import os
+    import shutil
+
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    base = f"/root/repo/.scratch/stream-cascade-{os.getpid()}"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    paths = _casc_stream_seed_stores(spark, base)
+
+    def _process_batch(bdf: DataFrame, bid: int) -> None:
+        _stream_cascade_batch_body(spark, bdf, bid, out, paths)
+
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows", _CASC_STREAM_ROWS)
+        .option("partitions", 8)
+        .option("rows_per_batch", _CASC_STREAM_ROWS // _CASC_STREAM_BATCHES)
+        .load()
+    )
+    sq = (
+        stream.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    back = read_manifest_jsonl_stream(
+        spark, out, "doc_id bigint, tier string, kept boolean"
+    )
+    n_manifests = len(glob.glob(os.path.join(out, "_BATCH_*.json")))
+    fp_rows = dd.fingerprint_index_load(spark, paths[0])[0].count()
+    ct_docs = (
+        dd.containment_index_load(spark, paths[3])[0]
+        .select("id").distinct().count()
+    )
+
+    # batch twin: ONE cascade call over all 240 docs against freshly
+    # seeded twin stores — the one-DAG parity target
+    twin_paths = _casc_stream_seed_stores(spark, f"{base}/twin")
+    all_docs = spark.range(_CASC_STREAM_ROWS).select(
+        F.col("id").alias("doc_id")
+    ).withColumn("text", _casc_stream_text("doc_id"))
+    twin = dd.dedup_cascade_increment(
+        spark, all_docs, "text", twin_paths[0], twin_paths[1],
+        twin_paths[2], ct_path=twin_paths[3],
+    )
+    par = _multiset_mismatch(back, twin, ["doc_id", "tier", "kept"])
+    result = back.crossJoin(F.broadcast(par)).select(
+        "doc_id",
+        "tier",
+        "kept",
+        F.lit(n_manifests).cast("long").alias("n_batch_manifests"),
+        F.lit(fp_rows).cast("long").alias("fp_store_rows"),
+        F.lit(ct_docs).cast("long").alias("ct_store_docs"),
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+# =========================================================================
 # Exact token-budget domain mixing (relational.budget_prefix_sample): the
 # deterministic "at most N tokens per source" assembly step. Oracle is
 # the definitional per-group cumulative sum in portable-md5-hash order —
@@ -11559,10 +11790,11 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # when the 50 slots are already spent on mandatory re-verification,
 # queries registered late in a round may deliberately sit PAST the
 # horizon (locally oracle-verified + pytest-covered only) and MUST then
-# lead the NEXT round's window as category-(a) additions. Round 10 has
-# NO post-horizon debt: all ten r9 post-horizon registrations plus the
-# four r10 additions fit inside the window. tests/test_semantics.py
-# guards that the critical set stays inside the first 50.
+# lead the NEXT round's window as category-(a) additions. Post-horizon
+# this round: streaming_cascade_refresh (registered after the 50 slots
+# were spent; locally oracle-verified + crash-replay-tested) — the r11
+# window leads with it. tests/test_semantics.py guards that the
+# critical set stays inside the first 50.
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [

@@ -948,3 +948,98 @@ def test_stream_audio_refresh_crash_replay(spark, request):
     # the replayed batch genuinely published verdicts
     b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
     assert b1["total_rows"] == 40
+
+
+def test_stream_cascade_refresh_crash_replay(spark, request):
+    """Crash BETWEEN the cascade's four store appends and the sink
+    publish: on restart the replayed batch must re-emit its ORIGINAL
+    per-doc verdicts — every tier's version_tag ledger fires
+    independently, so no store double-appends and the exact tier does
+    not suddenly catch the batch's own fingerprints — and the drained
+    verdict table must equal the one-call cascade twin row-for-row."""
+    import glob
+    import json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_analysis_spark.operators import dedup as dd
+    from big_data_analysis_spark.queries import (
+        _CASC_STREAM_ROWS,
+        _casc_stream_seed_stores,
+        _casc_stream_text,
+        _stream_cascade_batch_body,
+    )
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    base = os.path.join(SCRATCH, f"casc-crash-{os.getpid()}")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    paths = _casc_stream_seed_stores(spark, base)
+
+    def crash_on_1(bid):
+        if bid == 1:
+            raise RuntimeError("injected crash after cascade appends")
+
+    def start(fault):
+        def body(bdf, bid):
+            _stream_cascade_batch_body(
+                spark, bdf, bid, out, paths, fault_hook=fault
+            )
+
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("rows", _CASC_STREAM_ROWS).option("partitions", 4)
+            .option("rows_per_batch", _CASC_STREAM_ROWS // 3).load()
+        )
+        return (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    sq = start(crash_on_1)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        sq.processAllAvailable()
+        sq.awaitTermination()
+    sq.stop()
+    # crash point: batch 1 committed in every store's ledger, sink absent
+    for p, dirs_key in zip(paths, ("fp_dirs", "mh_dirs", "sh_dirs", "cg_dirs")):
+        man = json.load(open(os.path.join(p, "_INDEX.json")))
+        assert "batch-1" in man.get("tags", ()), (p, dirs_key)
+    assert not os.path.exists(os.path.join(out, "_BATCH_1.json"))
+
+    sq2 = start(None)  # restart: batch 1 replays through every tier
+    try:
+        sq2.processAllAvailable()
+    finally:
+        sq2.stop()
+
+    assert len(glob.glob(os.path.join(out, "_BATCH_*.json"))) == 3
+    for p in paths:
+        man = json.load(open(os.path.join(p, "_INDEX.json")))
+        assert man["tags"].count("batch-1") == 1, p  # no double-append
+    # fp store: seed 240 + one fresh fp per non-exact streamed doc
+    fp_rows = dd.fingerprint_index_load(spark, paths[0])[0].count()
+    assert fp_rows == _CASC_STREAM_ROWS + (_CASC_STREAM_ROWS // 4) * 3
+
+    back = read_manifest_jsonl_stream(
+        spark, out, "doc_id bigint, tier string, kept boolean"
+    )
+    twin_paths = _casc_stream_seed_stores(spark, f"{base}/twin")
+    all_docs = spark.range(_CASC_STREAM_ROWS).select(
+        F.col("id").alias("doc_id")
+    ).withColumn("text", _casc_stream_text("doc_id"))
+    twin = dd.dedup_cascade_increment(
+        spark, all_docs, "text", twin_paths[0], twin_paths[1],
+        twin_paths[2], ct_path=twin_paths[3],
+    )
+    cols = ["doc_id", "tier", "kept"]
+    assert _sorted_rows(back, cols) == _sorted_rows(twin, cols)
+    b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
+    assert b1["total_rows"] == _CASC_STREAM_ROWS // 3
