@@ -216,6 +216,19 @@ EXTENDED_QUERIES = [
     # streaming consumer — per batch, four tier increments + the
     # manifest publish; parity twin reruns the one-call cascade
     "streaming_cascade_refresh",
+    # round-11: the video near-dup tier (y4m decode + per-frame dHash +
+    # temporal-majority fingerprint + Manku join) and its incremental
+    # store lifecycle — the two SCALE entries of the new modality —
+    # plus four latency certificates: the video takedown roundtrip,
+    # the sixth streaming refresh, the cascade recall comparison (two
+    # policy arms over twin stores), and the mixed-modality cascade
+    # (seven stores, one call + composed parity twin)
+    "video_near_dup_pairs",
+    "video_dedup_incremental",
+    "video_takedown_roundtrip",
+    "streaming_video_refresh",
+    "cascade_recall_docs",
+    "media_cascade_increment_docs",
 ]
 
 #: Entry classification (VERDICT r9 "What's wrong" #2): "latency"
@@ -241,6 +254,15 @@ LATENCY_ENTRIES = {
     # entries whose index save scales with the corpus
     "cascade_dedup_increment_docs",
     "streaming_cascade_refresh",
+    # r11 lifecycle certificates, all on bounded SF-independent
+    # fixtures: video takedown (delete -> masked increment -> compact),
+    # the sixth streaming refresh, the two-policy recall comparison
+    # (seed-once + copytree twin), and the seven-store mixed cascade
+    # with its composed parity twin
+    "video_takedown_roundtrip",
+    "streaming_video_refresh",
+    "cascade_recall_docs",
+    "media_cascade_increment_docs",
 }
 
 

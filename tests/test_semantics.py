@@ -552,37 +552,19 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # (a) round-10 additions — never driver-verified (the ten r9
-        # post-horizon registrations VERDICT r9 ordered to lead, plus
-        # this round's audio tier and the cascade increment)
-        "containment_pairs_docs", "containment_incremental_docs",
-        "dedup_tier_yield_docs", "media_containment_takedown",
-        "multimodal_corpus_pipeline", "split_takedown_roundtrip_docs",
-        "image_dedup_incremental", "streaming_image_refresh",
-        "streaming_semantic_refresh", "streaming_containment_refresh",
-        "audio_near_dup_pairs", "audio_dedup_incremental",
-        "streaming_audio_refresh", "cascade_dedup_increment_docs",
-        # (b) r9 greens whose operator modules changed this round
-        # (dedup: hashed containment grams + cascade increment;
-        # multimodal: shared fp store + audio tier) — the mechanical
+        # (a) round-11 additions — never driver-verified:
+        # streaming_cascade_refresh (the r10 post-horizon registration
+        # VERDICT r10 ordered to lead) plus this round's video tier,
+        # the cascade recall certificate, and the mixed-modality
+        # cascade. Category (b) is EMPTY this round — all new operator
+        # code lives in NEW modules (video / cascade_audit /
+        # media_cascade), so no r10 green restaled; the mechanical
         # audit (test_driver_window_rotates_transitively_stale_queries)
-        # computes this same set as stale-since-r9
-        "audio_spectral_peak_bands", "bloom_decontaminate_docs",
-        "bm25_search_docs", "centroid_assignment_embeddings",
-        "contamination_overlap_docs", "contamination_pairs_docs",
-        "cosine_topk", "dedup_takedown_roundtrip_docs",
-        "embedding_near_dup_pairs", "exact_dedup_incremental_docs",
-        "heavy_hitter_tokens", "hybrid_search_rrf",
-        "image_near_dup_pairs", "ivfpq_incremental_append",
-        "ivfpq_persisted_ann_topk", "ivfpq_tombstone_delete",
-        "jaccard_pairs_docs", "knn_blas_batch",
-        "leakage_safe_split_docs", "leakage_split_incremental_docs",
-        "leakage_split_pairs_docs", "leakage_split_stability_docs",
-        "llm_corpus_pipeline", "minhash_incremental_docs",
-        "minhash_pairs", "novelty_docs",
-        "semantic_dedup_incremental_embeddings",
-        "simhash_incremental_docs", "simhash_pairs", "span_dedup_docs",
-        "streaming_corpus_refresh", "video_frame_sample",
+        # verifies that and pins the 43 stalest-first backlog picks.
+        "streaming_cascade_refresh",
+        "video_near_dup_pairs", "video_dedup_incremental",
+        "video_takedown_roundtrip", "streaming_video_refresh",
+        "cascade_recall_docs", "media_cascade_increment_docs",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -721,6 +703,30 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "sessionize_events", "shipping_lateness_buckets",
     "top3_orders_per_customer", "top_customers", "top_supplier_quarter",
     "video_frame_sample", "volume_shipping_pairs", "yoy_revenue_growth",
+    # round-10 window (CORRECTNESS_r10.json: 50/50 full hash-match)
+    "containment_pairs_docs", "containment_incremental_docs",
+    "dedup_tier_yield_docs", "media_containment_takedown",
+    "multimodal_corpus_pipeline", "split_takedown_roundtrip_docs",
+    "image_dedup_incremental", "streaming_image_refresh",
+    "streaming_semantic_refresh", "streaming_containment_refresh",
+    "audio_near_dup_pairs", "audio_dedup_incremental",
+    "streaming_audio_refresh", "cascade_dedup_increment_docs",
+    "audio_spectral_peak_bands", "bloom_decontaminate_docs",
+    "bm25_search_docs", "centroid_assignment_embeddings",
+    "contamination_overlap_docs", "contamination_pairs_docs",
+    "cosine_topk", "dedup_takedown_roundtrip_docs",
+    "embedding_near_dup_pairs", "exact_dedup_incremental_docs",
+    "heavy_hitter_tokens", "hybrid_search_rrf", "image_near_dup_pairs",
+    "ivfpq_incremental_append", "ivfpq_persisted_ann_topk",
+    "ivfpq_tombstone_delete", "jaccard_pairs_docs", "knn_blas_batch",
+    "leakage_safe_split_docs", "leakage_split_incremental_docs",
+    "leakage_split_pairs_docs", "leakage_split_stability_docs",
+    "llm_corpus_pipeline", "minhash_incremental_docs", "minhash_pairs",
+    "novelty_docs", "semantic_dedup_incremental_embeddings",
+    "simhash_incremental_docs", "simhash_pairs", "span_dedup_docs",
+    "streaming_corpus_refresh", "video_frame_sample",
+    "forecast_revenue_delta", "important_part_value",
+    "min_cost_supplier", "sole_late_shipper",
 }
 
 

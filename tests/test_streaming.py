@@ -1043,3 +1043,92 @@ def test_stream_cascade_refresh_crash_replay(spark, request):
     assert _sorted_rows(back, cols) == _sorted_rows(twin, cols)
     b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
     assert b1["total_rows"] == _CASC_STREAM_ROWS // 3
+
+
+def test_stream_video_refresh_crash_replay(spark, request):
+    """The video twin of the image/audio crash tests: crash BETWEEN the
+    video store's tagged append and the sink publish — on restart the
+    replayed batch must re-emit its ORIGINAL verdicts (the version_tag
+    replay path reconstructs the pre-append index state; a naive rerun
+    would pair every clip with its own stored fingerprint and publish
+    an all-duplicate batch), append nothing twice, and the drained
+    verdict table must equal the one-DAG batch twin row-for-row."""
+    import glob
+    import json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_analysis_spark.operators import video as vd
+    from big_data_analysis_spark.queries import (
+        _stream_video_batch_body,
+        _stream_video_batch_twin,
+    )
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    base = os.path.join(SCRATCH, f"vfp-crash-{os.getpid()}")
+    out, ckpt, vfp = f"{base}/out", f"{base}/ckpt", f"{base}/vfp"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    vd.video_fp_index_init(spark, vfp, id_col="id", id_type="bigint")
+
+    def crash_on_1(bid):
+        if bid == 1:
+            raise RuntimeError("injected crash after vfp append")
+
+    def start(fault):
+        def body(bdf, bid):
+            _stream_video_batch_body(
+                spark, bdf, bid, out, vfp, fault_hook=fault
+            )
+
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("rows", 120).option("partitions", 4)
+            .option("rows_per_batch", 40).load()
+        )
+        return (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    sq = start(crash_on_1)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        sq.processAllAvailable()
+        sq.awaitTermination()
+    sq.stop()
+    # crash point: batch 1's tagged vfp version committed, sink absent
+    man_mid = json.load(open(os.path.join(vfp, "_INDEX.json")))
+    assert "vfp-tag-batch-1" in man_mid["vfp_dirs"]
+    assert not os.path.exists(os.path.join(out, "_BATCH_1.json"))
+
+    sq2 = start(None)  # restart: batch 1 replays
+    try:
+        sq2.processAllAvailable()
+    finally:
+        sq2.stop()
+
+    assert len(glob.glob(os.path.join(out, "_BATCH_*.json"))) == 3
+    man_end = json.load(open(os.path.join(vfp, "_INDEX.json")))
+    assert man_end["vfp_dirs"].count("vfp-tag-batch-1") == 1  # no re-append
+    assert man_end["tags"].count("batch-1") == 1
+    idx, _ = vd.video_fp_index_load(spark, vfp)
+    assert idx.count() == 120  # every clip fingerprinted exactly once
+    back = read_manifest_jsonl_stream(
+        spark, out,
+        "doc_id bigint, vfp bigint, level bigint, "
+        "n_prior_dups bigint, kept boolean",
+    )
+    twin = _stream_video_batch_twin(
+        spark, spark.range(120).select(F.col("id").alias("doc_id"))
+    )
+    cols = ["doc_id", "vfp", "level", "n_prior_dups", "kept"]
+    assert _sorted_rows(back, cols) == _sorted_rows(twin, cols)
+    # the replayed batch genuinely published verdicts
+    b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
+    assert b1["total_rows"] == 40
