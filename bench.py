@@ -229,6 +229,12 @@ EXTENDED_QUERIES = [
     "streaming_video_refresh",
     "cascade_recall_docs",
     "media_cascade_increment_docs",
+    # r11 post-horizon (leads the r12 window; benched now so its
+    # longitudinal baseline starts this round): the mixed-modality
+    # cascade as the streaming consumer — per batch, the text cascade
+    # + three media fingerprint increments + the manifest publish;
+    # parity twin reruns the one-call mixed cascade on copied stores
+    "streaming_media_refresh",
 ]
 
 #: Entry classification (VERDICT r9 "What's wrong" #2): "latency"
@@ -263,6 +269,7 @@ LATENCY_ENTRIES = {
     "streaming_video_refresh",
     "cascade_recall_docs",
     "media_cascade_increment_docs",
+    "streaming_media_refresh",
 }
 
 

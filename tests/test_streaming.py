@@ -1132,3 +1132,100 @@ def test_stream_video_refresh_crash_replay(spark, request):
     # the replayed batch genuinely published verdicts
     b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
     assert b1["total_rows"] == 40
+
+
+def test_stream_media_refresh_crash_replay(spark, request):
+    """Crash BETWEEN the mixed-modality cascade's SEVEN store appends
+    and the sink publish: on restart the replayed batch must re-emit
+    its ORIGINAL verdicts for every kind — each store's version_tag
+    ledger fires independently (text fp/mh/sh/ct AND the three media
+    fingerprint stores), so nothing double-appends and the drained
+    verdict table equals the one-call mixed cascade twin row-for-row."""
+    import glob
+    import json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_analysis_spark.operators import dedup as dd
+    from big_data_analysis_spark.queries import (
+        _media_stream_increment,
+        _media_stream_seed_stores,
+        _media_stream_shard,
+        _stream_media_batch_body,
+    )
+    from big_data_analysis_spark.sources import (
+        read_manifest_jsonl_stream,
+        register_manifest_jsonl,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    register_manifest_jsonl(spark)
+    base = os.path.join(SCRATCH, f"media-crash-{os.getpid()}")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    request.addfinalizer(lambda: shutil.rmtree(base, ignore_errors=True))
+    shutil.rmtree(base, ignore_errors=True)
+    paths = _media_stream_seed_stores(spark, base)
+    twin_paths = {n: f"{base}/twin/{n}" for n in paths}
+    for n in paths:
+        shutil.copytree(paths[n], twin_paths[n])
+
+    def crash_on_1(bid):
+        if bid == 1:
+            raise RuntimeError("injected crash after media-cascade appends")
+
+    def start(fault):
+        def body(bdf, bid):
+            _stream_media_batch_body(
+                spark, bdf, bid, out, paths, fault_hook=fault
+            )
+
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("rows", 240).option("partitions", 4)
+            .option("rows_per_batch", 80).load()
+        )
+        return (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    sq = start(crash_on_1)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        sq.processAllAvailable()
+        sq.awaitTermination()
+    sq.stop()
+    # crash point: batch 1 committed in EVERY store's ledger, sink absent
+    for n in paths:
+        man = json.load(open(os.path.join(paths[n], "_INDEX.json")))
+        assert "batch-1" in man.get("tags", ()), n
+    assert not os.path.exists(os.path.join(out, "_BATCH_1.json"))
+
+    sq2 = start(None)  # restart: batch 1 replays through every store
+    try:
+        sq2.processAllAvailable()
+    finally:
+        sq2.stop()
+
+    assert len(glob.glob(os.path.join(out, "_BATCH_*.json"))) == 3
+    for n in paths:
+        man = json.load(open(os.path.join(paths[n], "_INDEX.json")))
+        assert man["tags"].count("batch-1") == 1, n  # no double-append
+    # fp store: seed 60 + one fresh fp per non-exact streamed text doc
+    fp_rows = dd.fingerprint_index_load(spark, paths["fp"])[0].count()
+    assert fp_rows == 60 + 45
+
+    back = read_manifest_jsonl_stream(
+        spark, out, "doc_id bigint, kind string, tier string, kept boolean"
+    )
+    twin = _media_stream_increment(
+        spark,
+        _media_stream_shard(
+            spark, spark.range(240).select(F.col("id").alias("doc_id"))
+        ),
+        twin_paths,
+    )
+    cols = ["doc_id", "kind", "tier", "kept"]
+    assert _sorted_rows(back, cols) == _sorted_rows(twin, cols)
+    b1 = json.load(open(os.path.join(out, "_BATCH_1.json")))
+    assert b1["total_rows"] == 80
