@@ -868,3 +868,73 @@ def test_cascade_invariants_on_random_corpus(spark, request):
     assert new_ids(dd.simhash_index_load(spark, sh)[0]) == after_j
     after_s = {i for i in after_j if got[i][0] != "simhash"}
     assert new_ids(dd.containment_index_load(spark, ct)[0]) == after_s
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        min_size=1, max_size=15,
+    ),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_video_majority_fingerprint_invariants(hashes, data):
+    """video_fp_bits contract on random frame-hash lists: (1) the
+    fingerprint of n copies of one hash is that hash; (2) replacing a
+    STRICT MINORITY of frames with arbitrary hashes never changes the
+    fingerprint when the remaining majority is unanimous; (3) the
+    result is order-invariant (majority is a multiset property)."""
+    import random
+
+    from big_data_analysis_spark.operators.video import video_fp_bits
+
+    base = hashes[0]
+    n = len(hashes)
+    assert video_fp_bits([base] * n) == base
+
+    # unanimous majority + arbitrary strict minority -> majority wins
+    k_min = (n - 1) // 2  # strict minority size
+    minority = hashes[1 : 1 + k_min]
+    combined = [base] * (n - len(minority)) + list(minority)
+    assert video_fp_bits(combined) == base
+
+    shuffled = list(hashes)
+    data.draw(st.randoms(use_true_random=False)).shuffle(shuffled)
+    assert video_fp_bits(shuffled) == video_fp_bits(hashes)
+
+
+@given(
+    st.integers(min_value=1, max_value=4),   # n_frames
+    st.integers(min_value=2, max_value=12),  # width
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=0, max_value=2 ** 31 - 1),  # pixel seed
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_on_random_frames(n_frames, w, h, seed):
+    """The stdlib y4m parser re-derives EXACTLY the luma matrices the
+    synthesizer wrote, for arbitrary geometry and pixel content — the
+    decode is a real codec, not a fixture-shaped one."""
+    import numpy as np
+    import pytest
+
+    from big_data_analysis_spark.operators.video import (
+        _y4m_frame_offsets,
+        _y4m_luma_frame,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    payload = b"".join(
+        [b"YUV4MPEG2 W%d H%d F30:1 Cmono\n" % (w, h)]
+        + [b"FRAME\n" + f.tobytes() for f in frames]
+    )
+    pw, ph, ysize, offs = _y4m_frame_offsets(payload)
+    assert (pw, ph, ysize, len(offs)) == (w, h, w * h, n_frames)
+    for off, f in zip(offs, frames):
+        assert (_y4m_luma_frame(payload, off, pw, ph) == f).all()
+    # truncating the last raster byte must raise, never mis-frame
+    with pytest.raises(ValueError):
+        _y4m_frame_offsets(payload[:-1])
