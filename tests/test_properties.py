@@ -884,8 +884,6 @@ def test_video_majority_fingerprint_invariants(hashes, data):
     STRICT MINORITY of frames with arbitrary hashes never changes the
     fingerprint when the remaining majority is unanimous; (3) the
     result is order-invariant (majority is a multiset property)."""
-    import random
-
     from big_data_analysis_spark.operators.video import video_fp_bits
 
     base = hashes[0]
