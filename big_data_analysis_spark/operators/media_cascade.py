@@ -102,7 +102,10 @@ def media_cascade_increment(
     media rows through their modality's decode + fingerprint +
     store increment. Returns one uniform verdict frame
     (id_col, kind, tier, kept); ``return_stats=True`` adds a dict with
-    per-kind row counts and per-kind caught counts.
+    per-kind row counts, per-(kind, tier) caught counts (genuine dedup
+    catches only), and per-kind decode_error counts under their own
+    ``decode_errors`` key. A zero-row shard returns an empty verdict
+    frame (a legal streaming no-op), not an error.
 
     The contract pieces, inherited not re-implemented: the shard is
     ONE localCheckpointed snapshot; each store's increment enforces its
@@ -139,6 +142,22 @@ def media_cascade_increment(
 
     frames, stats = [], {"shard_rows": int(sum(counts.values())),
                          "by_kind": dict(counts)}
+
+    if not counts:
+        # A zero-row shard is a legal no-op (streaming consumers see
+        # empty micro-batches): return an empty verdict frame with the
+        # contract schema — id dtype inherited from the shard — rather
+        # than letting reduce() over zero frames raise a bare TypeError.
+        empty = snap.select(
+            F.col(id_col),
+            F.lit("").alias("kind"),
+            F.lit("").alias("tier"),
+            F.lit(True).alias("kept"),
+        ).limit(0).localCheckpoint(eager=True)
+        if not return_stats:
+            return empty
+        stats.update(caught={}, kept=0, decode_errors={})
+        return empty, stats
 
     if counts.get("text"):
         t_verdicts = dd.dedup_cascade_increment(
@@ -195,8 +214,15 @@ def media_cascade_increment(
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
+    # decode failures are NOT dedup catches — report them under their
+    # own key so stats["caught"] counts only genuine tier catches
     stats["caught"] = {
-        f"{k}:{t}": n for (k, t), n in sorted(caught.items()) if t != "kept"
+        f"{k}:{t}": n
+        for (k, t), n in sorted(caught.items())
+        if t not in ("kept", "decode_error")
+    }
+    stats["decode_errors"] = {
+        k: n for (k, t), n in sorted(caught.items()) if t == "decode_error"
     }
     stats["kept"] = int(sum(n for (_, t), n in caught.items() if t == "kept"))
     return out, stats

@@ -35,6 +35,7 @@ queries of unchanged modules stay green).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -94,6 +95,23 @@ def _y4m_header(content: bytes):
             cs = val.decode("ascii", "replace")
     if w is None or h is None or w <= 0 or h <= 0:
         raise ValueError(f"y4m header missing/invalid W or H ({w}x{h})")
+    # Reject >8-bit variants (C420p10, C422p12, Cmono10, ...) and
+    # C444alpha EXPLICITLY: their planes are 2 bytes/sample (or carry
+    # an extra alpha plane), so sizing them as 8-bit would mis-align
+    # frame stepping and surface as a misleading "expected FRAME
+    # marker" error instead of naming the real cause.
+    depth = re.fullmatch(r"(?:420|422|444)\w*p(\d+)", cs) or re.fullmatch(
+        r"mono(\d+)", cs
+    )
+    if depth and int(depth.group(1)) != 8:
+        raise ValueError(
+            f"unsupported y4m colorspace C{cs}: {depth.group(1)}-bit "
+            "planes (only 8-bit samples are supported)"
+        )
+    if cs.startswith("444alpha"):
+        raise ValueError(
+            f"unsupported y4m colorspace C{cs}: alpha plane not supported"
+        )
     if cs.startswith("mono"):
         chroma = 0
     elif cs.startswith("420"):
@@ -373,14 +391,18 @@ def synthesize_landmark_y4ms(
     and row i's perturbation level ``L = levels[i % len(levels)]``
     raises the left cell of comparisons 0..L-1 by 30 (nested flips on
     disjoint even-column pairs — the PGM fixture's exact geometry), so
-    a perturbed frame's dHash sets exactly bits {0..L-1}.
+    a perturbed frame's dHash sets exactly the L nested flip bits
+    {8*(k//4) + 2*(k%4) : k < L} (level 3 -> 0b10101 — bits 0, 2, 4;
+    comparison k sits at row k//4, column 2*(k%4) of the 8x8 bit grid,
+    NOT at bit k).
 
     The TEMPORAL dimension exercises the majority vote for real: every
     ``cut_every``-th frame (j % cut_every == 0) is an unperturbed
     "scene-cut" frame at level 0, the rest carry level L. With the
     defaults (9 frames, cuts at j = 0, 4, 8) the perturbed frames hold
-    a 6-of-9 strict majority, so the clip fingerprint is EXACTLY bits
-    {0..L-1} — the cut frames are genuinely outvoted, not absent — and
+    a 6-of-9 strict majority, so the clip fingerprint is EXACTLY the
+    same L-bit nested flip set — the cut frames are genuinely
+    outvoted, not absent — and because the flip sets nest,
     hamming(vfp(a), vfp(b)) == |level_a - level_b| exactly: an external
     oracle re-derives every pair's hamming from id arithmetic alone.
     Byte output depends only on the id — task-retry identical."""

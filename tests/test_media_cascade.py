@@ -155,15 +155,38 @@ def test_decode_error_rows_and_loud_contracts(spark, request):
         "video",
     )
     cols = ["doc_id", "kind", "text", "content"]
-    got = mc.media_cascade_increment(
+    got, st = mc.media_cascade_increment(
         spark, good.select(cols).unionByName(bad.select(cols)),
         text_paths, image_path=media["image"], audio_path=media["audio"],
-        video_path=media["video"],
+        video_path=media["video"], return_stats=True,
     )
     rows = {r["doc_id"]: (r["tier"], r["kept"]) for r in got.collect()}
     assert rows[33999] == ("decode_error", False)
     assert rows[33110] == ("video", False)   # archive covers level idx 0
     assert rows[33111] == ("video", False)
+    # decode failures are accounted under their own stats key — NOT
+    # folded into the genuine dedup catches (ADVICE r11)
+    assert st["caught"] == {"video:video": 2}
+    assert st["decode_errors"] == {"video": 1}
+    assert st["kept"] == 0
+
+    # a ZERO-ROW shard is a legal streaming no-op: an empty verdict
+    # frame with the contract schema comes back, never a bare
+    # TypeError from reducing zero frames (ADVICE r11)
+    none = spark.createDataFrame(
+        [], "doc_id long, kind string, text string, content binary"
+    )
+    empty, est = mc.media_cascade_increment(
+        spark, none, text_paths, image_path=media["image"],
+        audio_path=media["audio"], video_path=media["video"],
+        return_stats=True,
+    )
+    assert empty.columns == ["doc_id", "kind", "tier", "kept"]
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["doc_id"] == "bigint"
+    assert est["shard_rows"] == 0 and est["by_kind"] == {}
+    assert est["caught"] == {} and est["decode_errors"] == {}
+    assert est["kept"] == 0
 
     # unknown kind and missing store path both raise up front
     weird = spark.createDataFrame(

@@ -60,6 +60,26 @@ def test_y4m_decode_is_real():
         with pytest.raises(ValueError):
             vd._y4m_frame_offsets(bad)
 
+    # >8-bit variants and 444alpha are rejected BY NAME — sizing their
+    # 2-byte (or 4-plane) rasters as 8-bit would mis-align frame
+    # stepping and surface as a misleading "expected FRAME marker"
+    # error instead of the real cause (ADVICE r11)
+    for cs in (b"C420p10", b"C422p12", b"C444p16", b"Cmono10", b"Cmono12"):
+        deep = b"YUV4MPEG2 W9 H8 %s\nFRAME\n" % cs + b"x" * 288
+        with pytest.raises(ValueError, match="bit"):
+            vd._y4m_frame_offsets(deep)
+    alpha = b"YUV4MPEG2 W9 H8 C444alpha\nFRAME\n" + b"x" * 288
+    with pytest.raises(ValueError, match="alpha"):
+        vd._y4m_frame_offsets(alpha)
+    # ...but legitimate 8-bit names that merely CONTAIN 'p' still parse
+    # (420paldv is a real spec value, not a bit-depth suffix)
+    pal = _manual_y4m(
+        [np.arange(80, dtype=np.uint8).reshape(8, 10)],
+        colorspace=b"C420paldv", w=10, h=8,
+        chroma_bytes=(10 // 2) * (8 // 2) * 2,
+    )
+    assert len(vd._y4m_frame_offsets(pal)[3]) == 1
+
 
 def test_video_fp_bits_majority():
     """Strict-majority semantics, pure function: 2-of-3 sets a bit,
