@@ -2861,6 +2861,234 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # =========================================================================
+# MIXED-MODALITY recall certificate (operators/media_recall.py — VERDICT
+# r11 next-round #5: cascade_policy_comparison prices only the TEXT
+# cascade; inside a mixed corpus the one-call cascade's text arm
+# inherits the survivor-flow blind spot while the media stores index
+# every fingerprinted doc). The planted fixture is the cascade-recall
+# text geometry (family f: K base kept / D MinHash-dropped in shard 0;
+# M the 9-bigram dropped-only probe / E exact copy of K / N novel in
+# shard 1) PLUS 11 docs per media kind at nested-flip levels split
+# across the shards (archive covers level indices 0..5) — the text
+# probes are the EXACT disagreement set, every media verdict matches
+# across the arms, and the summary columns price both: text recall
+# 20/30, media misses 0 of 27.
+# =========================================================================
+
+_MEDIA_RECALL_ORACLE = """
+WITH f AS (SELECT CAST(i AS BIGINT) AS fam FROM range(10) t(i)),
+lv AS (
+    SELECT CAST(j AS BIGINT) AS idx,
+           CAST(list_value(0, 1, 2, 10, 11, 12, 20, 21, 22, 30, 31)
+                [CAST(j AS INTEGER) + 1] AS BIGINT) AS lv
+    FROM range(11) t(j)
+), kinds AS (
+    SELECT * FROM (VALUES (11000, 'image'), (22000, 'audio'),
+                          (33000, 'video')) m(base, kind)
+), arch AS (
+    SELECT k.kind, l.lv FROM kinds k, range(6) t(i) JOIN lv l ON l.idx = i
+), shardm AS (
+    SELECT CAST(k.base + 110 + j AS BIGINT) AS doc_id, k.kind, l.lv,
+           CAST(CASE WHEN j < 6 THEN 0 ELSE 1 END AS BIGINT) AS shard
+    FROM kinds k, range(11) t(j) JOIN lv l ON l.idx = j
+), media AS (
+    SELECT s.doc_id, s.kind, s.shard,
+           CASE WHEN EXISTS (SELECT 1 FROM arch a
+                             WHERE a.kind = s.kind
+                               AND abs(a.lv - s.lv) <= 3)
+                  OR EXISTS (SELECT 1 FROM shardm p
+                             WHERE p.kind = s.kind
+                               AND p.doc_id < s.doc_id
+                               AND abs(p.lv - s.lv) <= 3)
+                THEN s.kind ELSE 'kept' END AS tier
+    FROM shardm s
+), v AS (
+    SELECT 1000 + fam AS doc_id, 'text' AS kind, CAST(0 AS BIGINT) AS shard,
+           'kept' AS tier_cascade, true AS kept_cascade,
+           'kept' AS tier_full, true AS kept_full
+    FROM f
+    UNION ALL
+    SELECT 2000 + fam, 'text', 0, 'jaccard', false, 'jaccard', false FROM f
+    UNION ALL
+    SELECT 3000 + fam, 'text', 1, 'kept', true, 'containment', false FROM f
+    UNION ALL
+    SELECT 4000 + fam, 'text', 1, 'exact', false, 'exact', false FROM f
+    UNION ALL
+    SELECT 5000 + fam, 'text', 1, 'kept', true, 'kept', true FROM f
+    UNION ALL
+    SELECT doc_id, kind, shard, tier, tier = 'kept', tier, tier = 'kept'
+    FROM media
+)
+SELECT doc_id, kind, shard, tier_cascade, kept_cascade, tier_full,
+       kept_full, kept_cascade = kept_full AS policies_agree,
+       CAST(30 AS BIGINT) AS n_text_true_dups,
+       CAST(10 AS BIGINT) AS n_text_missed,
+       round(20.0 / 30.0, 6) AS text_recall,
+       CAST(27 AS BIGINT) AS n_media_true_dups,
+       CAST(0 AS BIGINT) AS n_media_missed
+FROM v
+"""
+
+
+@query("media_recall_docs", _MEDIA_RECALL_ORACLE)
+def q_media_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXED-modality recall certificate, hash-verified per doc
+    (VERDICT r11 next-round #5): the same mixed shard sequence replays
+    through the one-call media cascade and a full-policy twin — text
+    rows through the index-everything arm, media rows over
+    byte-identical twin stores — and the verdict comparison must
+    disagree on EXACTLY the planted text blind-spot probes (each M is
+    containment-similar ONLY to a doc the MinHash tier dropped) while
+    EVERY media row agrees: the media stores index every fingerprinted
+    doc, so the survivor-flow gap is a text-arm property even inside a
+    mixed corpus, and the summary columns price both sides — text
+    recall 20/30, media misses 0 of 27 true media duplicates. See
+    operators.media_recall.media_policy_comparison;
+    operators.cascade_audit.cascade_policy_comparison for the text-only
+    certificate this extends."""
+    import os
+    import shutil
+
+    from big_data_analysis_spark.operators import media_recall as mrc
+    from big_data_analysis_spark.operators import multimodal as mm
+    from big_data_analysis_spark.operators import video as vdo
+
+    base = f"/root/repo/.scratch/media-recall-q-{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    levels = _MEDIA_CASC_LEVELS
+    fams = spark.range(10).select(F.col("id").alias("fam"))
+
+    def tok_arr(prefix: str, count: int, start: int = 0, mid: str = "t"):
+        return F.transform(
+            F.sequence(F.lit(start), F.lit(start + count - 1)),
+            lambda j: F.concat(
+                F.lit(prefix), F.col("fam").cast("string"),
+                F.lit(mid), j.cast("string"),
+            ),
+        )
+
+    def text_rows(df):
+        return df.withColumn("kind", F.lit("text")).withColumn(
+            "content", F.lit(None).cast("binary")
+        )
+
+    base_txt = F.array_join(tok_arr("b", 60), " ")
+    ext_txt = F.array_join(tok_arr("e", 8, mid="x"), " ")
+    k_cls = text_rows(fams.select(
+        (F.col("fam") + 1000).alias("doc_id"), base_txt.alias("text")
+    ))
+    d_cls = text_rows(fams.select(
+        (F.col("fam") + 2000).alias("doc_id"),
+        F.concat(base_txt, F.lit(" "), ext_txt).alias("text"),
+    ))
+    m_cls = text_rows(fams.select(
+        (F.col("fam") + 3000).alias("doc_id"),
+        F.concat(
+            F.array_join(tok_arr("b", 2, start=58), " "),
+            F.lit(" "), ext_txt,
+        ).alias("text"),
+    ))
+    e_cls = text_rows(fams.select(
+        (F.col("fam") + 4000).alias("doc_id"), base_txt.alias("text")
+    ))
+    n_cls = text_rows(fams.select(
+        (F.col("fam") + 5000).alias("doc_id"),
+        F.array_join(tok_arr("nv", 30, mid="x"), " ").alias("text"),
+    ))
+    text_seed = spark.range(5).select(
+        (F.col("id") + 90000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("sd"), F.col("id").cast("string"),
+                    F.lit("x"), j.cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+    media_defs = (
+        ("image", 11000, mm.synthesize_perturbed_pgms),
+        ("audio", 22000, mm.synthesize_landmark_wavs),
+        ("video", 33000, vdo.synthesize_landmark_y4ms),
+    )
+    media_seeds = {
+        kind: synth(
+            spark.range(x, x + 6).select(F.col("id").alias("doc_id")),
+            "doc_id", levels=levels,
+        )
+        for kind, x, synth in media_defs
+    }
+
+    def media_rows(lo: int, hi: int):
+        parts = []
+        for kind, x, synth in media_defs:
+            ids = spark.range(x + 110 + lo, x + 110 + hi).select(
+                F.col("id").alias("doc_id")
+            )
+            parts.append(
+                synth(ids, "doc_id", levels=levels)
+                .withColumn("kind", F.lit(kind))
+                .withColumn("text", F.lit(None).cast("string"))
+            )
+        return parts
+
+    cols = ["doc_id", "kind", "text", "content"]
+
+    def stack(parts):
+        out = parts[0].select(cols)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(cols))
+        return out
+
+    shard0 = stack([k_cls, d_cls] + media_rows(0, 6))
+    shard1 = stack([m_cls, e_cls, n_cls] + media_rows(6, 11))
+
+    cmp_df = mrc.media_policy_comparison(
+        spark, text_seed, media_seeds, [shard0, shard1], base
+    )
+    is_text = F.col("kind") == "text"
+    summ = (
+        cmp_df.agg(
+            F.sum((is_text & ~F.col("kept_full")).cast("long")).alias(
+                "n_text_true_dups"
+            ),
+            F.sum(
+                (is_text & F.col("kept_cascade") & ~F.col("kept_full"))
+                .cast("long")
+            ).alias("n_text_missed"),
+            F.sum((~is_text & ~F.col("kept_full")).cast("long")).alias(
+                "n_media_true_dups"
+            ),
+            F.sum(
+                (~is_text & F.col("kept_cascade") & ~F.col("kept_full"))
+                .cast("long")
+            ).alias("n_media_missed"),
+        )
+        .withColumn(
+            "text_recall",
+            F.round(
+                F.try_divide(
+                    F.col("n_text_true_dups") - F.col("n_text_missed"),
+                    F.col("n_text_true_dups"),
+                ),
+                6,
+            ),
+        )
+        .select(
+            "n_text_true_dups", "n_text_missed", "text_recall",
+            "n_media_true_dups", "n_media_missed",
+        )
+    )
+    result = cmp_df.crossJoin(F.broadcast(summ))
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+# =========================================================================
 # Image near-duplicate pairs (multimodal.image_dhash + the Manku hamming
 # block join — VERDICT r8 "What's missing" #3). FULL row-for-row hash
 # oracle: the synthesized P5 PGMs have closed-form dHash geometry
