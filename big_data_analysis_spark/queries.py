@@ -13057,80 +13057,84 @@ def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered late in a round may deliberately sit PAST the
 # horizon (locally oracle-verified + pytest-covered only) and MUST then
 # lead the NEXT round's window as category-(a) additions. Post-horizon
-# this round: streaming_media_refresh (registered after the r11 window's
-# 50 slots were composed; locally oracle-verified + crash-replay-tested)
-# — the r12 window leads with it. tests/test_semantics.py guards that
-# the critical set stays inside the first 50.
+# this round: NONE — the r12 window leads with streaming_media_refresh
+# (r11's post-horizon debt) and both r12 registrations sit inside the
+# 50. tests/test_semantics.py guards that the critical set stays
+# inside the first 50.
 # =========================================================================
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-11 window ---
-    # Composed per tests/window_audit.py (AUDIT_ROUND = 11): (a) 7
-    # never-driver-verified queries — streaming_cascade_refresh leads
-    # (the r10 post-horizon registration VERDICT r10 ordered to lead),
-    # then this round's video tier (4), the cascade recall
-    # certificate, and the mixed-modality cascade — then (b) is EMPTY:
-    # all round-11 operator code lives in NEW modules
-    # (video/cascade_audit/media_cascade), so zero r10 greens restaled
-    # (VERDICT r10 next-round #1) — then (c) all 43 remaining slots
-    # drain the stale backlog stalest-first: the last r4 green, ALL 41
-    # r5 greens, and one r6 green (alphabetical tie-break). Backlog
-    # after this window: 23 r6 + audio_decode_wav (r7).
+    # --- round-12 window ---
+    # Composed per tests/window_audit.py (AUDIT_ROUND = 12):
+    # (a) 2 never-driver-verified queries — streaming_media_refresh
+    # LEADS (the r11 post-horizon registration VERDICT r11 ordered to
+    # lead) followed by this round's mixed-modality recall certificate
+    # (media_recall_docs, VERDICT r11 next-round #5, new module
+    # media_recall.py) — then (b) the 5 r11 greens restaled by this
+    # round's ADVICE-r11 fixes in video.py (bit-depth colorspace
+    # rejection) and media_cascade.py (empty-shard guard, decode_error
+    # stats separation) — then (c) the ENTIRE remaining stale backlog
+    # (23 r6 greens + audio_decode_wav, r7), draining the backlog to
+    # ZERO (VERDICT r11 next-round #1) — then the 19 leftover slots =
+    # re-verification depth on the stalest NON-stale greens: the first
+    # 19 of the 25 r8 greens (alphabetical tie-break).
     #
     # (a) additions — never driver-verified:
-    "streaming_cascade_refresh",
-    "video_near_dup_pairs",
-    "video_dedup_incremental",
-    "video_takedown_roundtrip",
-    "streaming_video_refresh",
-    "cascade_recall_docs",
+    "streaming_media_refresh",
+    "media_recall_docs",
+    # (b) r11 greens whose modules changed this round (mandatory):
     "media_cascade_increment_docs",
-    # (c) stalest-first drain — the r4 green, then all 41 r5 greens:
-    "supplier_count_by_part_attrs",
-    "asof_purchase_view",
-    "calibration_orders",
-    "click_attribution_window",
-    "cohort_retention_orders",
-    "corr_matrix_lineitem",
-    "distribution_ranks_orders",
-    "dq_audit",
-    "ewma_daily_orders",
-    "funnel_events",
-    "fuzzy_name_pairs",
-    "gains_orders",
-    "gap_fill_daily_revenue",
-    "histogram_retailprice",
-    "holt_forecast_monthly_orders",
-    "iqr_filter_price",
-    "kmeans_embeddings",
-    "local_supplier_volume",
-    "lsh_ann_topk",
-    "mad_outlier_events",
-    "markov_event_transitions",
-    "melt_part_metrics",
-    "pack_sequences_docs",
-    "pii_redaction_docs",
-    "promo_revenue_monthly",
-    "psi_drift_events",
-    "rank_orders_by_nation",
-    "real_bpe_token_counts",
-    "returned_items",
-    "rolling_median_revenue",
-    "scd2_user_event_history",
-    "shipping_priority",
-    "sketch_profile_events",
-    "skew_salted_revenue",
-    "small_qty_order_revenue",
-    "snapshot_diff_orders",
-    "streaming_psi_daily",
-    "synthdocs_scan",
-    "variant_props_stats",
-    "volume_customers",
-    "winsorize_prices",
-    "zscore_outlier_events",
-    # (c) continued — one r6 green fills slot 50 (alphabetical
-    # tie-break among the 24 r6 greens):
-    "acf_monthly_revenue",
+    "streaming_video_refresh",
+    "video_dedup_incremental",
+    "video_near_dup_pairs",
+    "video_takedown_roundtrip",
+    # (c) the full stale backlog — 23 r6 greens, stalest-first:
+    "dedup_exact_docs",
+    "dedup_groups_docs",
+    "dedup_keep_best_docs",
+    "dsir_selection_docs",
+    "embedding_dedup_groups",
+    "embedding_outliers_topk",
+    "entity_resolution_customers",
+    "filtered_ann_topk",
+    "incremental_quantile_orders",
+    "ivf_ann_topk",
+    "ivfpq_ann_topk",
+    "k_anonymity_customers",
+    "kcore_copurchase",
+    "lang_id_docs",
+    "pq_ann_topk",
+    "quality_docs",
+    "quantile_state_read_orders",
+    "semantic_dedup_pairs_docs",
+    "sssp_trade_latency",
+    "stream_sink_manifest_docs",
+    "synthdocs_stream_scan",
+    "token_stats_docs",
+    "zipf_corpus_fit_docs",
+    # (c) continued — the one r7 green (audio_decode_wav closes the
+    # backlog to zero):
+    "audio_decode_wav",
+    # re-verification depth — first 19 r8 greens (alphabetical):
+    "auc_orders",
+    "bfs_hops_trade",
+    "chi2_orders",
+    "chunk_docs_overlap",
+    "corr_lineitem",
+    "cube_orders",
+    "dedup_keep_last",
+    "describe_lineitem",
+    "entropy_gain_events",
+    "golden_predictions",
+    "hash_sample_docs",
+    "jsd_event_type_shift",
+    "qcut_price_deciles",
+    "rolling_corr_nation_monthly",
+    "rollup_qty",
+    "seasonal_decompose_daily_events",
+    "sliding_window_events",
+    "source_quality_gate",
+    "streaming_tumbling_daily",
 ]
 
 def _apply_driver_order() -> None:

@@ -552,19 +552,19 @@ def test_driver_window_covers_critical_queries():
 
     window = list(QUERIES)[:50]
     critical = {
-        # (a) round-11 additions — never driver-verified:
-        # streaming_cascade_refresh (the r10 post-horizon registration
-        # VERDICT r10 ordered to lead) plus this round's video tier,
-        # the cascade recall certificate, and the mixed-modality
-        # cascade. Category (b) is EMPTY this round — all new operator
-        # code lives in NEW modules (video / cascade_audit /
-        # media_cascade), so no r10 green restaled; the mechanical
-        # audit (test_driver_window_rotates_transitively_stale_queries)
-        # verifies that and pins the 43 stalest-first backlog picks.
-        "streaming_cascade_refresh",
-        "video_near_dup_pairs", "video_dedup_incremental",
-        "video_takedown_roundtrip", "streaming_video_refresh",
-        "cascade_recall_docs", "media_cascade_increment_docs",
+        # (a) round-12 additions — never driver-verified:
+        # streaming_media_refresh (the r11 post-horizon registration
+        # VERDICT r11 ordered to lead) plus the mixed-modality recall
+        # certificate (new module media_recall.py). Category (b): the
+        # 5 r11 greens restaled by the ADVICE-r11 fixes in video.py /
+        # media_cascade.py — the mechanical audit
+        # (test_driver_window_rotates_transitively_stale_queries)
+        # verifies those are in-window and pins the 24-query backlog
+        # drain (to ZERO) plus the 19 r8 re-verification fills.
+        "streaming_media_refresh", "media_recall_docs",
+        "media_cascade_increment_docs", "streaming_video_refresh",
+        "video_dedup_incremental", "video_near_dup_pairs",
+        "video_takedown_roundtrip",
     }
     missing = critical - set(window)
     assert not missing, f"critical queries outside driver window: {missing}"
@@ -727,6 +727,28 @@ _DRIVER_VERIFIED_PAST_ROUNDS = {
     "streaming_corpus_refresh", "video_frame_sample",
     "forecast_revenue_delta", "important_part_value",
     "min_cost_supplier", "sole_late_shipper",
+    # round-11 window (CORRECTNESS_r11.json: 50/50 full hash-match)
+    "acf_monthly_revenue", "asof_purchase_view", "calibration_orders",
+    "cascade_recall_docs", "click_attribution_window",
+    "cohort_retention_orders", "corr_matrix_lineitem",
+    "distribution_ranks_orders", "dq_audit", "ewma_daily_orders",
+    "funnel_events", "fuzzy_name_pairs", "gains_orders",
+    "gap_fill_daily_revenue", "histogram_retailprice",
+    "holt_forecast_monthly_orders", "iqr_filter_price",
+    "kmeans_embeddings", "local_supplier_volume", "lsh_ann_topk",
+    "mad_outlier_events", "markov_event_transitions",
+    "media_cascade_increment_docs", "melt_part_metrics",
+    "pack_sequences_docs", "pii_redaction_docs",
+    "promo_revenue_monthly", "psi_drift_events",
+    "rank_orders_by_nation", "real_bpe_token_counts", "returned_items",
+    "rolling_median_revenue", "scd2_user_event_history",
+    "shipping_priority", "sketch_profile_events", "skew_salted_revenue",
+    "small_qty_order_revenue", "snapshot_diff_orders",
+    "streaming_cascade_refresh", "streaming_psi_daily",
+    "streaming_video_refresh", "supplier_count_by_part_attrs",
+    "synthdocs_scan", "variant_props_stats", "video_dedup_incremental",
+    "video_near_dup_pairs", "video_takedown_roundtrip",
+    "volume_customers", "winsorize_prices", "zscore_outlier_events",
 }
 
 

@@ -52,7 +52,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: The round currently being built. Rotation procedure per round N:
 #: rewrite _DRIVER_PRIORITY, update the critical set and
 #: _DRIVER_VERIFIED_PAST_ROUNDS in test_semantics.py, bump this to N.
-AUDIT_ROUND = 11
+AUDIT_ROUND = 12
 
 
 def _module_files() -> dict[str, str]:
