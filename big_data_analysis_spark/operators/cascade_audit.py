@@ -39,6 +39,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_analysis_spark.concurrency import run_jobs
 from big_data_analysis_spark.operators import dedup as dd
 
 _TIERS = ("fp", "mh", "sh", "ct")
@@ -52,16 +53,22 @@ def _seed_stores(
     ct_n: int,
     ct_threshold: float,
 ) -> tuple:
-    """Save the seed corpus into one four-store set under ``base``."""
+    """Save the seed corpus into one four-store set under ``base``.
+    The four saves write DISJOINT store directories from the same seed
+    frame — independent jobs, overlapped on driver threads (guide
+    §2.6) instead of paying four sequential write+manifest latencies."""
     fp, mh, sh, ct = (f"{base}/{p}" for p in _TIERS)
-    dd.fingerprint_index_save(seed, text_col, id_col, fp)
-    dd.minhash_index_save(
-        seed, text_col, id_col, mh, num_hashes=64, num_bands=16, shingle_n=3
-    )
-    dd.simhash_index_save(seed, text_col, id_col, sh)
-    dd.containment_index_save(
-        seed, text_col, id_col, ct, n=ct_n, threshold=ct_threshold
-    )
+    run_jobs([
+        lambda: dd.fingerprint_index_save(seed, text_col, id_col, fp),
+        lambda: dd.minhash_index_save(
+            seed, text_col, id_col, mh, num_hashes=64, num_bands=16,
+            shingle_n=3,
+        ),
+        lambda: dd.simhash_index_save(seed, text_col, id_col, sh),
+        lambda: dd.containment_index_save(
+            seed, text_col, id_col, ct, n=ct_n, threshold=ct_threshold
+        ),
+    ])
     return fp, mh, sh, ct
 
 
@@ -88,21 +95,29 @@ def _index_everything_increment(
     ).localCheckpoint(eager=True)
     ids = snap.select(F.col(id_col).alias("id"))
 
-    surv = dd.exact_dedup_increment(spark, snap, "__t", fp)
+    # Under index-everything, every tier's increment sees the FULL
+    # shard — the four tiers are independent of each other (disjoint
+    # stores, same checkpointed snapshot), unlike the cascade's
+    # survivor flow. Overlap their lifecycle actions on driver threads
+    # (guide §2.6); each tier computes exactly what it computed
+    # sequentially.
+    surv, mh_pairs, sh_pairs, ct_pairs = run_jobs([
+        lambda: dd.exact_dedup_increment(spark, snap, "__t", fp),
+        lambda: dd.minhash_dedup_increment(
+            spark, snap, "__t", mh, threshold=mh_threshold
+        ),
+        lambda: dd.simhash_dedup_increment(
+            spark, snap, "__t", sh, max_hamming=sh_max_hamming
+        ),
+        lambda: dd.containment_dedup_increment(
+            spark, snap, "__t", ct, id_col=id_col
+        ),
+    ])
     caught_ex = ids.join(
         surv.select(F.col(id_col).alias("id")), "id", "left_anti"
     )
-    mh_pairs = dd.minhash_dedup_increment(
-        spark, snap, "__t", mh, threshold=mh_threshold
-    )
     caught_mh = dd._cascade_caught_ids(mh_pairs, ids)
-    sh_pairs = dd.simhash_dedup_increment(
-        spark, snap, "__t", sh, max_hamming=sh_max_hamming
-    )
     caught_sh = dd._cascade_caught_ids(sh_pairs, ids)
-    ct_pairs = dd.containment_dedup_increment(
-        spark, snap, "__t", ct, id_col=id_col
-    )
     caught_ct = dd._cascade_caught_ids(ct_pairs, ids)
 
     def mark(caught: DataFrame, flag: str) -> DataFrame:
@@ -174,15 +189,21 @@ def cascade_policy_comparison(
 
     frames = []
     for si, shard_df in enumerate(shards):
-        v_casc = dd.dedup_cascade_increment(
-            spark, shard_df, text_col, casc[0], casc[1], casc[2],
-            ct_path=casc[3], id_col=id_col, mh_threshold=mh_threshold,
-            sh_max_hamming=sh_max_hamming,
-        )
-        v_full = _index_everything_increment(
-            spark, shard_df, text_col, id_col, full,
-            mh_threshold, sh_max_hamming,
-        )
+        # The two policy arms mutate DISJOINT twin store sets from the
+        # same shard — independent job chains, overlapped on driver
+        # threads (guide §2.6). Shard ORDER stays sequential: each
+        # arm's next increment depends on its own store appends.
+        v_casc, v_full = run_jobs([
+            lambda: dd.dedup_cascade_increment(
+                spark, shard_df, text_col, casc[0], casc[1], casc[2],
+                ct_path=casc[3], id_col=id_col, mh_threshold=mh_threshold,
+                sh_max_hamming=sh_max_hamming,
+            ),
+            lambda: _index_everything_increment(
+                spark, shard_df, text_col, id_col, full,
+                mh_threshold, sh_max_hamming,
+            ),
+        ])
         frames.append(
             v_casc.select(
                 id_col,

@@ -41,6 +41,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_analysis_spark.concurrency import run_jobs
 from big_data_analysis_spark.operators import dedup as dd
 from big_data_analysis_spark.operators import multimodal as mm
 from big_data_analysis_spark.operators import video as vd
@@ -159,7 +160,7 @@ def media_cascade_increment(
         stats.update(caught={}, kept=0, decode_errors={})
         return empty, stats
 
-    if counts.get("text"):
+    def _text_branch() -> DataFrame:
         t_verdicts = dd.dedup_cascade_increment(
             spark,
             snap.filter(F.col("__kind") == "text").select(id_col, "__text"),
@@ -168,11 +169,9 @@ def media_cascade_increment(
             sh_max_hamming=sh_max_hamming, on_existing=on_existing,
             version_tag=version_tag,
         )
-        frames.append(
-            t_verdicts.select(
-                F.col(id_col).alias("id"), "tier", "kept"
-            ).withColumn("kind", F.lit("text"))
-        )
+        return t_verdicts.select(
+            F.col(id_col).alias("id"), "tier", "kept"
+        ).withColumn("kind", F.lit("text"))
 
     media_fns = {
         "image": (mm.image_dhash, "dhash", "dhash_error",
@@ -182,9 +181,8 @@ def media_cascade_increment(
         "video": (vd.video_fingerprint, "vfp", "vfp_error",
                   vd.video_dedup_increment),
     }
-    for kind in MEDIA_KINDS:
-        if not counts.get(kind):
-            continue
+
+    def _media_branch(kind: str) -> DataFrame:
         fingerprint, fp_col, err_col, incr = media_fns[kind]
         hashed = fingerprint(
             snap.filter(F.col("__kind") == kind).select(id_col, "__content"),
@@ -197,9 +195,23 @@ def media_cascade_increment(
                 on_existing=on_existing, version_tag=version_tag,
             )
 
-        frames.append(
-            _media_verdicts(kind, hashed, fp_col, err_col, pairs_of)
-        )
+        return _media_verdicts(kind, hashed, fp_col, err_col, pairs_of)
+
+    # The four modality branches are independent DAGs over disjoint row
+    # sets and DISJOINT stores (the shard snapshot above is the one
+    # shared — and already checkpointed — input), so their driver-side
+    # lifecycle actions (decode, precheck, store append, manifest
+    # commit) overlap on driver threads instead of paying k sequential
+    # scheduling latencies (optimization guide §2.6). Verdict content
+    # is unchanged: each branch computes exactly what the sequential
+    # loop computed, in the same deterministic frame order.
+    thunks = []
+    if counts.get("text"):
+        thunks.append(_text_branch)
+    for kind in MEDIA_KINDS:
+        if counts.get(kind):
+            thunks.append(lambda k=kind: _media_branch(k))
+    frames = run_jobs(thunks)
 
     out = (
         reduce(DataFrame.unionByName, frames)

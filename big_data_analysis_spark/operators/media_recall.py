@@ -42,6 +42,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_analysis_spark.concurrency import run_jobs
 from big_data_analysis_spark.operators import cascade_audit as ca
 from big_data_analysis_spark.operators import media_cascade as mc
 from big_data_analysis_spark.operators import multimodal as mm
@@ -102,23 +103,33 @@ def media_policy_comparison(
     100 TB default despite the measured gap."""
     import shutil
 
-    casc_txt = ca._seed_stores(
-        text_seed, text_col, id_col, f"{base_path}/casc/txt",
-        ct_n, ct_threshold,
-    )
+    # Seeding: the four text stores (internally overlapped by
+    # ca._seed_stores) and each media store write DISJOINT directories
+    # from independent seed frames — one more level of §2.6 overlap
+    # across the text/media groups collapses the seeding wall clock to
+    # ~max(store) instead of the sum.
+    casc_media, full_media = {}, {}
+    seed_thunks = [
+        lambda: ca._seed_stores(
+            text_seed, text_col, id_col, f"{base_path}/casc/txt",
+            ct_n, ct_threshold,
+        )
+    ]
+    seeded_kinds = [k for k in mc.MEDIA_KINDS if k in media_seeds]
+    for kind in seeded_kinds:
+        casc_media[kind] = f"{base_path}/casc/{kind}"
+        full_media[kind] = f"{base_path}/full/{kind}"
+        seed_thunks.append(
+            lambda k=kind: _seed_media_store(
+                k, media_seeds[k], f"{base_path}/casc/{k}",
+                content_col, id_col,
+            )
+        )
+    casc_txt = run_jobs(seed_thunks)[0]
     full_txt = tuple(f"{base_path}/full/txt/{p}" for p in ca._TIERS)
     for src, dst in zip(casc_txt, full_txt):
         shutil.copytree(src, dst)
-
-    casc_media, full_media = {}, {}
-    for kind in mc.MEDIA_KINDS:
-        if kind not in media_seeds:
-            continue
-        casc_media[kind] = f"{base_path}/casc/{kind}"
-        full_media[kind] = f"{base_path}/full/{kind}"
-        _seed_media_store(
-            kind, media_seeds[kind], casc_media[kind], content_col, id_col
-        )
+    for kind in seeded_kinds:
         shutil.copytree(casc_media[kind], full_media[kind])
 
     def _paths(media: dict) -> dict:
@@ -130,35 +141,37 @@ def media_policy_comparison(
             id_col, kind_col, text_col, content_col
         ).localCheckpoint(eager=True)
 
-        v_casc = mc.media_cascade_increment(
-            spark, snap, casc_txt, id_col=id_col, kind_col=kind_col,
-            text_col=text_col, content_col=content_col,
-            mh_threshold=mh_threshold, sh_max_hamming=sh_max_hamming,
-            media_max_hamming=media_max_hamming, **_paths(casc_media),
-        )
-
-        # full arm, text: every tier's increment sees the full text
-        # sub-shard (the index-everything policy)
+        # The cascade arm, the full arm's text part, and the full arm's
+        # media part mutate three DISJOINT store groups from the same
+        # checkpointed snapshot — independent job chains, overlapped on
+        # driver threads (guide §2.6). Shard ORDER stays sequential:
+        # each arm's next increment depends on its own store appends.
         text_sub = snap.filter(F.col(kind_col) == "text")
-        full_parts = [
-            ca._index_everything_increment(
+        media_sub = snap.filter(F.col(kind_col) != "text")
+        v_casc, full_text, full_media_v = run_jobs([
+            lambda: mc.media_cascade_increment(
+                spark, snap, casc_txt, id_col=id_col, kind_col=kind_col,
+                text_col=text_col, content_col=content_col,
+                mh_threshold=mh_threshold, sh_max_hamming=sh_max_hamming,
+                media_max_hamming=media_max_hamming, **_paths(casc_media),
+            ),
+            # full arm, text: every tier's increment sees the full text
+            # sub-shard (the index-everything policy)
+            lambda: ca._index_everything_increment(
                 spark, text_sub.select(id_col, text_col), text_col,
                 id_col, full_txt, mh_threshold, sh_max_hamming,
-            ).withColumn("kind", F.lit("text"))
-        ]
-        # full arm, media: the SAME mixed-cascade increment over the
-        # byte-identical twin stores — media has no survivor flow to
-        # disable, which is the asymmetry this certificate verifies
-        media_sub = snap.filter(F.col(kind_col) != "text")
-        full_parts.append(
-            mc.media_cascade_increment(
+            ).withColumn("kind", F.lit("text")),
+            # full arm, media: the SAME mixed-cascade increment over the
+            # byte-identical twin stores — media has no survivor flow to
+            # disable, which is the asymmetry this certificate verifies
+            lambda: mc.media_cascade_increment(
                 spark, media_sub, full_txt, id_col=id_col,
                 kind_col=kind_col, text_col=text_col,
                 content_col=content_col,
                 media_max_hamming=media_max_hamming, **_paths(full_media),
-            ).select(id_col, "tier", "kept", "kind")
-        )
-        v_full = reduce(DataFrame.unionByName, full_parts)
+            ).select(id_col, "tier", "kept", "kind"),
+        ])
+        v_full = reduce(DataFrame.unionByName, [full_text, full_media_v])
 
         frames.append(
             v_casc.select(

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from big_data_analysis_spark.concurrency import run_jobs
 from big_data_analysis_spark.io import load_tables, spread
 from big_data_analysis_spark.operators import dedup as dd
 from big_data_analysis_spark.operators import mining, similarity
@@ -1725,7 +1726,9 @@ def q_dedup_tier_yield_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_containment_pairs."""
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks_ok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
-    s = d.select("doc_id", "text").filter((F.col("doc_id") < 120) & toks_ok)
+    s = d.select("doc_id", "text").filter(
+        (F.col("doc_id") < 120) & toks_ok
+    ).coalesce(4)  # bounded slice: see _fixture_range
     head = s.filter(F.col("doc_id") < 20)
     corpus = (
         s.unionByName(
@@ -1919,7 +1922,7 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
 
     # ---- image half ----
-    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    ids = _fixture_range(spark, 40).select(F.col("id").alias("doc_id"))
     ha = mm.image_dhash(
         mm.synthesize_perturbed_pgms(ids, "doc_id"), "content", "doc_id"
     ).localCheckpoint(eager=True)
@@ -1928,7 +1931,7 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm.dhash_index_delete(spark, dh_path, [0, 1])
     shard = mm.image_dhash(
         mm.synthesize_perturbed_pgms(
-            spark.range(100, 101).select(F.col("id").alias("doc_id")), "doc_id"
+            _fixture_range(spark, 100, 101).select(F.col("id").alias("doc_id")), "doc_id"
         ),
         "content", "doc_id",
     ).select("id", "dhash")
@@ -1936,7 +1939,7 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- audio half (r10): the same roundtrip on the audio store,
     # riding the landmark-WAV fixture's identical level geometry ----
-    a_ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    a_ids = _fixture_range(spark, 40).select(F.col("id").alias("doc_id"))
     af = mm.audio_fingerprint(
         mm.synthesize_landmark_wavs(a_ids, "doc_id"), "content", "doc_id"
     ).localCheckpoint(eager=True)
@@ -1945,7 +1948,7 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm.audio_fp_index_delete(spark, af_path, [0, 1])
     a_shard = mm.audio_fingerprint(
         mm.synthesize_landmark_wavs(
-            spark.range(100, 101).select(F.col("id").alias("doc_id")),
+            _fixture_range(spark, 100, 101).select(F.col("id").alias("doc_id")),
             "doc_id",
         ),
         "content", "doc_id",
@@ -1955,7 +1958,9 @@ def q_media_containment_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- containment half ----
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks_ok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
-    s = d.select("doc_id", "text").filter((F.col("doc_id") < 80) & toks_ok)
+    s = d.select("doc_id", "text").filter(
+        (F.col("doc_id") < 80) & toks_ok
+    ).coalesce(4)  # bounded slice: see _fixture_range
     comp = (
         s.alias("a")
         .join(s.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 8)
@@ -2139,6 +2144,7 @@ def q_multimodal_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         d.select("doc_id", n_tok.alias("n_tok"))
         .filter((F.col("doc_id") < 200) & (F.col("n_tok") >= 5))
+        .coalesce(4)  # bounded slice: see _fixture_range
     )
     # decode + hash ONLY the gated ids (levels 0..32: 33 distinct
     # closed-form fingerprints)
@@ -2234,7 +2240,9 @@ def q_split_takedown_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
 
     d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
-    base = d.select("doc_id", "text").filter(F.col("doc_id") < 200)
+    base = d.select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    ).coalesce(4)  # bounded slice: see _fixture_range
     corpus = base.unionByName(
         base.filter(F.col("doc_id") < 30).select(
             (F.col("doc_id") + 10000000).alias("doc_id"), "text"
@@ -2466,16 +2474,27 @@ def q_cascade_dedup_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
     base = d.select("doc_id", "text").filter(
         (F.col("doc_id") < 300) & (F.size(toks) >= 3)
     )
-    seeds = base.localCheckpoint(eager=True)
+    # bounded fixture slice (~300 rows): a few partitions, not the
+    # scan/spread parallelism — every downstream lifecycle stage pays
+    # per-task launch latency (see _fixture_range)
+    seeds = base.coalesce(4).localCheckpoint(eager=True)
     paths = f"/root/repo/.scratch/cascade-q-{os.getpid()}"
     shutil.rmtree(paths, ignore_errors=True)
     fp, mh, sh, ct = (f"{paths}/{p}" for p in ("fp", "mh", "sh", "ct"))
-    dd.fingerprint_index_save(seeds, "text", "doc_id", fp)
-    dd.minhash_index_save(
-        seeds, "text", "doc_id", mh, num_hashes=64, num_bands=16, shingle_n=3
-    )
-    dd.simhash_index_save(seeds, "text", "doc_id", sh)
-    dd.containment_index_save(seeds, "text", "doc_id", ct, n=2, threshold=0.8)
+    # the four stores are disjoint directories built from the same
+    # checkpointed seed — independent save jobs, overlapped on driver
+    # threads (optimization guide §2.6)
+    run_jobs([
+        lambda: dd.fingerprint_index_save(seeds, "text", "doc_id", fp),
+        lambda: dd.minhash_index_save(
+            seeds, "text", "doc_id", mh, num_hashes=64, num_bands=16,
+            shingle_n=3,
+        ),
+        lambda: dd.simhash_index_save(seeds, "text", "doc_id", sh),
+        lambda: dd.containment_index_save(
+            seeds, "text", "doc_id", ct, n=2, threshold=0.8
+        ),
+    ])
 
     tri_g = F.size(dd._token_shingles(F.col("text"), 3))
     e_cls = seeds.filter(F.col("doc_id") < 60).select(
@@ -2507,7 +2526,7 @@ def q_cascade_dedup_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
             F.concat(F.col("text"), F.lit(" "), pad).alias("text"),
         )
     )
-    k_cls = spark.range(40).select(
+    k_cls = _fixture_range(spark, 40).select(
         (F.col("id") + 4000000).alias("doc_id"),
         F.array_join(
             F.transform(
@@ -2594,7 +2613,7 @@ def q_cascade_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/root/repo/.scratch/cascade-recall-q-{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
-    fams = spark.range(30).select(F.col("id").alias("fam"))
+    fams = _fixture_range(spark, 30).select(F.col("id").alias("fam"))
 
     def tok_arr(prefix: str, count: int, start: int = 0, mid: str = "t"):
         return F.transform(
@@ -2628,7 +2647,7 @@ def q_cascade_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fam") + 5000).alias("doc_id"),
         F.array_join(tok_arr("nv", 30, mid="x"), " ").alias("text"),
     )
-    seed = spark.range(5).select(
+    seed = _fixture_range(spark, 5).select(
         (F.col("id") + 90000).alias("doc_id"),
         F.array_join(
             F.transform(
@@ -2727,6 +2746,24 @@ FROM v
 """
 
 
+def _fixture_range(spark: SparkSession, start: int, end: int | None = None, parts: int = 4):
+    """``spark.range`` for BOUNDED certificate fixtures (≤ a few hundred
+    rows by construction, SF-independent): a FEW partitions instead of
+    defaultParallelism. The certificate queries chain dozens of small
+    stages (localCheckpoints, decodes, store writes, broadcast builds)
+    over these frames; at defaultParallelism every such stage launches
+    one near-empty task per core (measured: 16,886 tasks / 475 stages
+    for the 113-row mixed-cascade certificate), and task-launch latency
+    — not compute — dominates the entry. Four partitions is the
+    scale-correct layout for a bounded fixture on ANY cluster size;
+    full-corpus operators keep their scan/spread parallelism untouched
+    (guide §2.2: fewer, larger tasks for the stages feeding shuffles).
+    """
+    if end is None:
+        start, end = 0, start
+    return spark.range(start, end, 1, parts)
+
+
 @query("media_cascade_increment_docs", _MEDIA_CASC_ORACLE)
 def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call MIXED-MODALITY corpus refresh, hash-verified per
@@ -2757,18 +2794,9 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
     # ---- seed: text stores over unique-token bases; media stores over
     # archive clips covering cluster indices 0..5 ----
     fp, mh, sh, ct = (f"{base}/txt/{p}" for p in ("fp", "mh", "sh", "ct"))
-    seed_txt = spark.range(80).select(
+    seed_txt = _fixture_range(spark, 80).select(
         (F.col("id") + 100000).alias("doc_id"),
         _casc_stream_base(F.col("id")).alias("text"),
-    )
-    dd.fingerprint_index_save(seed_txt, "text", "doc_id", fp)
-    dd.minhash_index_save(
-        seed_txt, "text", "doc_id", mh, num_hashes=64, num_bands=16,
-        shingle_n=3,
-    )
-    dd.simhash_index_save(seed_txt, "text", "doc_id", sh)
-    dd.containment_index_save(
-        seed_txt, "text", "doc_id", ct, n=2, threshold=0.8
     )
     media_defs = (
         ("image", 11000, mm.synthesize_perturbed_pgms, mm.image_dhash,
@@ -2778,16 +2806,36 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
         ("video", 33000, vdo.synthesize_landmark_y4ms, vdo.video_fingerprint,
          vdo.video_fp_index_save, vdo.video_dedup_increment),
     )
-    media_paths = {}
-    for kind, x, synth, fpr, save, _incr in media_defs:
-        ids = spark.range(x, x + 6).select(F.col("id").alias("doc_id"))
+    media_paths = {kind: f"{base}/{kind}" for kind, *_ in media_defs}
+
+    def _seed_media(kind, x, synth, fpr, save):
+        ids = _fixture_range(spark, x, x + 6).select(F.col("id").alias("doc_id"))
         hashed = fpr(
             synth(ids, "doc_id", levels=_MEDIA_CASC_LEVELS),
             "content", "doc_id",
         )
-        media_paths[kind] = f"{base}/{kind}"
         save(hashed.filter(F.col(hashed.columns[-1]).isNull()),
              media_paths[kind])
+
+    # all seven seed stores are disjoint directories — independent save
+    # jobs, overlapped on driver threads (optimization guide §2.6)
+    run_jobs([
+        lambda: dd.fingerprint_index_save(seed_txt, "text", "doc_id", fp),
+        lambda: dd.minhash_index_save(
+            seed_txt, "text", "doc_id", mh, num_hashes=64, num_bands=16,
+            shingle_n=3,
+        ),
+        lambda: dd.simhash_index_save(seed_txt, "text", "doc_id", sh),
+        lambda: dd.containment_index_save(
+            seed_txt, "text", "doc_id", ct, n=2, threshold=0.8
+        ),
+        *[
+            lambda k=kind, x=x, s=synth, f=fpr, sv=save: _seed_media(
+                k, x, s, f, sv
+            )
+            for kind, x, synth, fpr, save, _incr in media_defs
+        ],
+    ])
 
     # ---- byte-identical twin stores for the composed-parity arm ----
     twin = {}
@@ -2799,7 +2847,7 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
     # ---- the mixed shard ----
     cols = ["doc_id", "kind", "text", "content"]
     t_rows = (
-        spark.range(80).select(F.col("id").alias("doc_id"))
+        _fixture_range(spark, 80).select(F.col("id").alias("doc_id"))
         .withColumn("text", _casc_stream_text("doc_id"))
         .withColumn("kind", F.lit("text"))
         .withColumn("content", F.lit(None).cast("binary"))
@@ -2808,7 +2856,7 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
     shard = t_rows
     media_shards = {}
     for kind, x, synth, _fpr, _save, _incr in media_defs:
-        ids = spark.range(x + 110, x + 121).select(F.col("id").alias("doc_id"))
+        ids = _fixture_range(spark, x + 110, x + 121).select(F.col("id").alias("doc_id"))
         clips = synth(ids, "doc_id", levels=_MEDIA_CASC_LEVELS)
         media_shards[kind] = clips
         shard = shard.unionByName(
@@ -2817,20 +2865,13 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
             .select(cols)
         )
 
-    verdicts = mcx.media_cascade_increment(
-        spark, shard, (fp, mh, sh, ct),
-        image_path=media_paths["image"], audio_path=media_paths["audio"],
-        video_path=media_paths["video"],
-    )
-
-    # ---- composed arm over the twin: the text cascade + each media
-    # increment called directly, caught = later-member rule (store ids
-    # are all smaller here, so caught == distinct id_b) ----
-    composed = dd.dedup_cascade_increment(
-        spark, t_rows.select("doc_id", "text"), "text",
-        twin["fp"], twin["mh"], twin["sh"], ct_path=twin["ct"],
-    ).withColumn("kind", F.lit("text"))
-    for kind, _x, _synth, fpr, _save, incr in media_defs:
+    # ---- the one-call arm and the composed arm run over DISJOINT
+    # store sets (main vs byte-identical twin), and the composed arm's
+    # text cascade + three media increments touch disjoint twin stores
+    # too — five independent job chains, overlapped on driver threads
+    # (optimization guide §2.6); each computes exactly what the
+    # sequential version computed ----
+    def _composed_media(kind, fpr, incr):
         hashed = fpr(media_shards[kind], "content", "doc_id")
         good = hashed.filter(
             F.col(hashed.columns[-1]).isNull()
@@ -2841,13 +2882,33 @@ def q_media_cascade_increment_docs(spark: SparkSession, sf_dir: str) -> DataFram
         tier = F.when(
             F.col("__hit").isNotNull(), F.lit(kind)
         ).otherwise(F.lit("kept"))
-        composed = composed.unionByName(
-            good.join(caught, "id", "left").select(
-                F.col("id").alias("doc_id"),
-                tier.alias("tier"), (tier == "kept").alias("kept"),
-                F.lit(kind).alias("kind"),
-            )
+        return good.join(caught, "id", "left").select(
+            F.col("id").alias("doc_id"),
+            tier.alias("tier"), (tier == "kept").alias("kept"),
+            F.lit(kind).alias("kind"),
         )
+
+    verdicts, composed, *composed_media = run_jobs([
+        lambda: mcx.media_cascade_increment(
+            spark, shard, (fp, mh, sh, ct),
+            image_path=media_paths["image"],
+            audio_path=media_paths["audio"],
+            video_path=media_paths["video"],
+        ),
+        # composed arm over the twin: the text cascade + each media
+        # increment called directly, caught = later-member rule (store
+        # ids are all smaller here, so caught == distinct id_b)
+        lambda: dd.dedup_cascade_increment(
+            spark, t_rows.select("doc_id", "text"), "text",
+            twin["fp"], twin["mh"], twin["sh"], ct_path=twin["ct"],
+        ).withColumn("kind", F.lit("text")),
+        *[
+            lambda k=kind, f=fpr, i=incr: _composed_media(k, f, i)
+            for kind, _x, _synth, fpr, _save, incr in media_defs
+        ],
+    ])
+    for part in composed_media:
+        composed = composed.unionByName(part)
     par = _multiset_mismatch(
         verdicts, composed, ["doc_id", "kind", "tier", "kept"]
     )
@@ -2956,7 +3017,7 @@ def q_media_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/root/repo/.scratch/media-recall-q-{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     levels = _MEDIA_CASC_LEVELS
-    fams = spark.range(10).select(F.col("id").alias("fam"))
+    fams = _fixture_range(spark, 10).select(F.col("id").alias("fam"))
 
     def tok_arr(prefix: str, count: int, start: int = 0, mid: str = "t"):
         return F.transform(
@@ -2995,7 +3056,7 @@ def q_media_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fam") + 5000).alias("doc_id"),
         F.array_join(tok_arr("nv", 30, mid="x"), " ").alias("text"),
     ))
-    text_seed = spark.range(5).select(
+    text_seed = _fixture_range(spark, 5).select(
         (F.col("id") + 90000).alias("doc_id"),
         F.array_join(
             F.transform(
@@ -3016,7 +3077,7 @@ def q_media_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media_seeds = {
         kind: synth(
-            spark.range(x, x + 6).select(F.col("id").alias("doc_id")),
+            _fixture_range(spark, x, x + 6).select(F.col("id").alias("doc_id")),
             "doc_id", levels=levels,
         )
         for kind, x, synth in media_defs
@@ -3025,7 +3086,7 @@ def q_media_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def media_rows(lo: int, hi: int):
         parts = []
         for kind, x, synth in media_defs:
-            ids = spark.range(x + 110 + lo, x + 110 + hi).select(
+            ids = _fixture_range(spark, x + 110 + lo, x + 110 + hi).select(
                 F.col("id").alias("doc_id")
             )
             parts.append(
@@ -3428,7 +3489,7 @@ def q_video_takedown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/root/repo/.scratch/video-takedown-q-{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
 
-    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    ids = _fixture_range(spark, 40).select(F.col("id").alias("doc_id"))
     hv = vd.video_fingerprint(
         vd.synthesize_landmark_y4ms(ids, "doc_id"), "content", "doc_id"
     ).localCheckpoint(eager=True)
@@ -3437,7 +3498,7 @@ def q_video_takedown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vd.video_fp_index_delete(spark, path, [0, 1])
     shard = vd.video_fingerprint(
         vd.synthesize_landmark_y4ms(
-            spark.range(100, 101).select(F.col("id").alias("doc_id")),
+            _fixture_range(spark, 100, 101).select(F.col("id").alias("doc_id")),
             "doc_id",
         ),
         "content", "doc_id",
@@ -5071,6 +5132,10 @@ def q_dedup_takedown_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFra
     slice_ = (
         d.filter(F.col("doc_id") < 600)
         .select("doc_id", "text")
+        # bounded slice (~600 rows): a few partitions, not the spread
+        # parallelism — the ~15 lifecycle stages below each pay
+        # per-task launch latency (see _fixture_range)
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
     corpus = slice_.filter(F.col("doc_id") % 10 != 0)
@@ -5079,57 +5144,77 @@ def q_dedup_takedown_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFra
     base = f"/root/repo/.scratch/takedown-{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
 
-    # ---- fingerprint store ------------------------------------------------
-    fpp = f"{base}/fp"
-    dd.fingerprint_index_save(corpus, "text", "doc_id", fpp)
-    dd.fingerprint_index_delete(spark, fpp, takedown)
-    fp_visible_after_delete = dd.fingerprint_index_load(spark, fpp)[0].count()
-    readd = slice_.filter(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
-    )
-    fp_readmitted = dd.exact_dedup_increment(spark, readd, "text", fpp).count()
-    replay = slice_.filter(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + 20000000).alias("doc_id"), "text"
-    )
-    fp_replay_blocked = (
-        dd.exact_dedup_increment(spark, replay, "text", fpp, append=False).count()
-        == 0
-    )
-    dd.fingerprint_index_compact(spark, fpp)
-    fp_man = json.load(open(os.path.join(fpp, "_INDEX.json")))
+    fpp, mhp, shp = f"{base}/fp", f"{base}/mh", f"{base}/sh"
 
-    # ---- minhash store ----------------------------------------------------
-    mhp = f"{base}/mh"
-    dd.minhash_index_save(
-        corpus, "text", "doc_id", mhp, num_hashes=64, num_bands=16, shingle_n=3
-    )
-    dd.minhash_index_delete(spark, mhp, takedown)
-    # checkpoint the increment's pairs BEFORE the compact below rewrites
-    # the store (a lazy frame would re-read post-compact dirs)
-    mh_incr = dd.minhash_dedup_increment(
-        spark, shard, "text", mhp, threshold=0.7
-    ).localCheckpoint(eager=True)
-    dd.minhash_index_compact(spark, mhp)
+    # ---- the three store lifecycles (fingerprint / minhash / simhash)
+    # are independent chains over DISJOINT stores derived from the same
+    # checkpointed slice, and the batch-parity reference run touches no
+    # store at all — four independent job chains, overlapped on driver
+    # threads (guide §2.6). Each chain stays internally sequential
+    # (save -> delete -> increment -> compact: real lifecycle order).
+    def _fp_chain():
+        dd.fingerprint_index_save(corpus, "text", "doc_id", fpp)
+        dd.fingerprint_index_delete(spark, fpp, takedown)
+        visible = dd.fingerprint_index_load(spark, fpp)[0].count()
+        readd = slice_.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+        readmitted = dd.exact_dedup_increment(
+            spark, readd, "text", fpp
+        ).count()
+        replay = slice_.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+        )
+        replay_blocked = (
+            dd.exact_dedup_increment(
+                spark, replay, "text", fpp, append=False
+            ).count()
+            == 0
+        )
+        dd.fingerprint_index_compact(spark, fpp)
+        man = json.load(open(os.path.join(fpp, "_INDEX.json")))
+        return visible, readmitted, replay_blocked, man
 
-    # ---- simhash store ----------------------------------------------------
-    shp = f"{base}/sh"
-    dd.simhash_index_save(corpus, "text", "doc_id", shp)
-    dd.simhash_index_delete(spark, shp, takedown)
-    sh_incr = dd.simhash_dedup_increment(
-        spark, shard, "text", shp, max_hamming=3
-    ).localCheckpoint(eager=True)
-    dd.simhash_index_compact(spark, shp)
+    def _mh_chain():
+        dd.minhash_index_save(
+            corpus, "text", "doc_id", mhp, num_hashes=64, num_bands=16,
+            shingle_n=3,
+        )
+        dd.minhash_index_delete(spark, mhp, takedown)
+        # checkpoint the increment's pairs BEFORE the compact below
+        # rewrites the store (a lazy frame would re-read post-compact
+        # dirs)
+        incr = dd.minhash_dedup_increment(
+            spark, shard, "text", mhp, threshold=0.7
+        ).localCheckpoint(eager=True)
+        dd.minhash_index_compact(spark, mhp)
+        return incr
+
+    def _sh_chain():
+        dd.simhash_index_save(corpus, "text", "doc_id", shp)
+        dd.simhash_index_delete(spark, shp, takedown)
+        incr = dd.simhash_dedup_increment(
+            spark, shard, "text", shp, max_hamming=3
+        ).localCheckpoint(eager=True)
+        dd.simhash_index_compact(spark, shp)
+        return incr
+
+    touching = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    (fp_visible_after_delete, fp_readmitted, fp_replay_blocked, fp_man), \
+        mh_incr, sh_incr, mh_batch = run_jobs([
+            _fp_chain,
+            _mh_chain,
+            _sh_chain,
+            lambda: dd.minhash_dedup_pairs(
+                slice_.filter(F.col("doc_id") % 10 != 1), "text", "doc_id",
+                num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7,
+            ).filter(touching),
+        ])
 
     # ---- certificate aggregates, BATCHED (VERDICT r9 Next-round #4:
     # one action per observation cluster instead of ~6 sequential
-    # counts/heads — the lifecycle mutations above stay sequential, the
-    # observations don't have to) -------------------------------------------
+    # counts/heads) ----------------------------------------------------------
     not_deleted = (F.col("id_a") % 10 != 1) & (F.col("id_b") % 10 != 1)
-    touching = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
-    mh_batch = dd.minhash_dedup_pairs(
-        slice_.filter(F.col("doc_id") % 10 != 1), "text", "doc_id",
-        num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7,
-    ).filter(touching)
     e9 = lambda df_: df_.select(  # noqa: E731 - tiny local projection
         "id_a", "id_b", F.round("est_jaccard", 9).alias("e")
     )
@@ -10812,7 +10897,10 @@ def q_streaming_image_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_rows = mm.dhash_index_load(spark, dh_path)[0].count()
 
     twin = _stream_image_batch_twin(
-        spark, spark.range(_IMG_STREAM_ROWS).select(F.col("id").alias("doc_id"))
+        spark,
+        _fixture_range(spark, _IMG_STREAM_ROWS, parts=8).select(
+            F.col("id").alias("doc_id")
+        ),
     )
     par = _multiset_mismatch(
         back, twin, ["doc_id", "dhash", "level", "n_prior_dups", "kept"]
@@ -11035,7 +11123,10 @@ def q_streaming_audio_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_rows = mm.audio_fp_index_load(spark, afp_path)[0].count()
 
     twin = _stream_audio_batch_twin(
-        spark, spark.range(_AUDIO_STREAM_ROWS).select(F.col("id").alias("doc_id"))
+        spark,
+        _fixture_range(spark, _AUDIO_STREAM_ROWS, parts=8).select(
+            F.col("id").alias("doc_id")
+        ),
     )
     par = _multiset_mismatch(
         back, twin, ["doc_id", "afp", "level", "n_prior_dups", "kept"]
@@ -11251,7 +11342,10 @@ def q_streaming_video_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_rows = vd.video_fp_index_load(spark, vfp_path)[0].count()
 
     twin = _stream_video_batch_twin(
-        spark, spark.range(_VIDEO_STREAM_ROWS).select(F.col("id").alias("doc_id"))
+        spark,
+        _fixture_range(spark, _VIDEO_STREAM_ROWS, parts=8).select(
+            F.col("id").alias("doc_id")
+        ),
     )
     par = _multiset_mismatch(
         back, twin, ["doc_id", "vfp", "level", "n_prior_dups", "kept"]
@@ -11508,7 +11602,7 @@ def q_streaming_semantic_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", csim.alias("cosine_sim"))
         .filter((F.col("cosine_sim") >= 0.9) & (F.col("id_b") >= 1000))
     )
-    streamed_ids = spark.range(_SEM_STREAM_ROWS).select(
+    streamed_ids = _fixture_range(spark, _SEM_STREAM_ROWS).select(
         (F.col("id") + 1000).alias("vec_id")
     )
     twin = _sem_stream_verdicts(streamed_ids, twin_pairs)
@@ -11706,7 +11800,7 @@ def q_streaming_containment_refresh(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     # batch twin: the SAME pipeline as one DAG over all 240 docs
-    all_docs = spark.range(_CT_STREAM_ROWS).select(
+    all_docs = _fixture_range(spark, _CT_STREAM_ROWS).select(
         F.col("id").alias("doc_id")
     ).withColumn("text", _ct_stream_text("doc_id"))
     twin_pairs = dd.ngram_containment_pairs(
@@ -11820,16 +11914,23 @@ def _casc_stream_seed_stores(spark: SparkSession, base: str) -> tuple:
     """Seed all four stores with base(i) for every streamable id — the
     archive the cascade refreshes against."""
     fp, mh, sh, ct = (f"{base}/{p}" for p in ("fp", "mh", "sh", "ct"))
-    seed = spark.range(_CASC_STREAM_ROWS).select(
+    seed = _fixture_range(spark, _CASC_STREAM_ROWS).select(
         (F.col("id") + 100000).alias("doc_id"),
         _casc_stream_base(F.col("id")).alias("text"),
     )
-    dd.fingerprint_index_save(seed, "text", "doc_id", fp)
-    dd.minhash_index_save(
-        seed, "text", "doc_id", mh, num_hashes=64, num_bands=16, shingle_n=3
-    )
-    dd.simhash_index_save(seed, "text", "doc_id", sh)
-    dd.containment_index_save(seed, "text", "doc_id", ct, n=2, threshold=0.8)
+    # disjoint store directories from one seed frame — independent
+    # save jobs, overlapped on driver threads (guide §2.6)
+    run_jobs([
+        lambda: dd.fingerprint_index_save(seed, "text", "doc_id", fp),
+        lambda: dd.minhash_index_save(
+            seed, "text", "doc_id", mh, num_hashes=64, num_bands=16,
+            shingle_n=3,
+        ),
+        lambda: dd.simhash_index_save(seed, "text", "doc_id", sh),
+        lambda: dd.containment_index_save(
+            seed, "text", "doc_id", ct, n=2, threshold=0.8
+        ),
+    ])
     return fp, mh, sh, ct
 
 
@@ -11940,22 +12041,25 @@ def q_streaming_cascade_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out, "doc_id bigint, tier string, kept boolean"
     )
     n_manifests = len(glob.glob(os.path.join(out, "_BATCH_*.json")))
-    fp_rows = dd.fingerprint_index_load(spark, paths[0])[0].count()
-    ct_docs = (
-        dd.containment_index_load(spark, paths[3])[0]
-        .select("id").distinct().count()
-    )
-
     # batch twin: ONE cascade call over all 240 docs against the
     # pre-stream byte-identical store snapshot — the one-DAG parity
     # target (seeded once, copied above)
-    all_docs = spark.range(_CASC_STREAM_ROWS).select(
+    all_docs = _fixture_range(spark, _CASC_STREAM_ROWS).select(
         F.col("id").alias("doc_id")
     ).withColumn("text", _casc_stream_text("doc_id"))
-    twin = dd.dedup_cascade_increment(
-        spark, all_docs, "text", twin_paths[0], twin_paths[1],
-        twin_paths[2], ct_path=twin_paths[3],
-    )
+    # the two store-population counts and the twin cascade touch
+    # disjoint stores — independent jobs, overlapped (guide §2.6)
+    fp_rows, ct_docs, twin = run_jobs([
+        lambda: dd.fingerprint_index_load(spark, paths[0])[0].count(),
+        lambda: (
+            dd.containment_index_load(spark, paths[3])[0]
+            .select("id").distinct().count()
+        ),
+        lambda: dd.dedup_cascade_increment(
+            spark, all_docs, "text", twin_paths[0], twin_paths[1],
+            twin_paths[2], ct_path=twin_paths[3],
+        ),
+    ])
     par = _multiset_mismatch(back, twin, ["doc_id", "tier", "kept"])
     result = back.crossJoin(F.broadcast(par)).select(
         "doc_id",
@@ -12103,27 +12207,33 @@ def _media_stream_seed_stores(spark: SparkSession, base: str) -> dict:
     paths = {n: f"{base}/{n}" for n in
              ("fp", "mh", "sh", "ct", "image", "audio", "video")}
     n_q = _MEDIA_STREAM_ROWS // 4
-    seed = spark.range(n_q).select(
+    seed = _fixture_range(spark, n_q).select(
         (F.col("id") + 100000).alias("doc_id"),
         _casc_stream_base(F.col("id")).alias("text"),
     )
-    dd.fingerprint_index_save(seed, "text", "doc_id", paths["fp"])
-    dd.minhash_index_save(
-        seed, "text", "doc_id", paths["mh"], num_hashes=64, num_bands=16,
-        shingle_n=3,
-    )
-    dd.simhash_index_save(seed, "text", "doc_id", paths["sh"])
-    dd.containment_index_save(
-        seed, "text", "doc_id", paths["ct"], n=2, threshold=0.8
-    )
-    for kind, _k in _MEDIA_STREAM_DEFS:
+    def _seed_media(kind: str) -> None:
         fpr, save = fingerprints[kind]
         arch = synths[kind](
-            spark.range(6).select(F.col("id").alias("doc_id")),
+            _fixture_range(spark, 6).select(F.col("id").alias("doc_id")),
             "doc_id", levels=_MEDIA_CASC_LEVELS,
         ).select((F.col("doc_id") + 900000).alias("doc_id"), "content")
         hashed = fpr(arch, "content", "doc_id")
         save(hashed.filter(F.col(hashed.columns[-1]).isNull()), paths[kind])
+
+    # all seven stores are disjoint directories — independent save
+    # jobs, overlapped on driver threads (guide §2.6)
+    run_jobs([
+        lambda: dd.fingerprint_index_save(seed, "text", "doc_id", paths["fp"]),
+        lambda: dd.minhash_index_save(
+            seed, "text", "doc_id", paths["mh"], num_hashes=64, num_bands=16,
+            shingle_n=3,
+        ),
+        lambda: dd.simhash_index_save(seed, "text", "doc_id", paths["sh"]),
+        lambda: dd.containment_index_save(
+            seed, "text", "doc_id", paths["ct"], n=2, threshold=0.8
+        ),
+        *[lambda k=kind: _seed_media(k) for kind, _k in _MEDIA_STREAM_DEFS],
+    ])
     return paths
 
 
@@ -12237,17 +12347,20 @@ def q_streaming_media_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out, "doc_id bigint, kind string, tier string, kept boolean"
     )
     n_manifests = len(glob.glob(os.path.join(out, "_BATCH_*.json")))
-    fp_rows = dd.fingerprint_index_load(spark, paths["fp"])[0].count()
-    img_rows = mm.dhash_index_load(spark, paths["image"])[0].count()
-    aud_rows = mm.audio_fp_index_load(spark, paths["audio"])[0].count()
-    vid_rows = vdo.video_fp_index_load(spark, paths["video"])[0].count()
-
-    all_ids = spark.range(_MEDIA_STREAM_ROWS).select(
+    all_ids = _fixture_range(spark, _MEDIA_STREAM_ROWS).select(
         F.col("id").alias("doc_id")
     )
-    twin = _media_stream_increment(
-        spark, _media_stream_shard(spark, all_ids), twin_paths
-    )
+    # the four store-population counts and the parity twin's increment
+    # touch disjoint stores — independent jobs, overlapped (guide §2.6)
+    fp_rows, img_rows, aud_rows, vid_rows, twin = run_jobs([
+        lambda: dd.fingerprint_index_load(spark, paths["fp"])[0].count(),
+        lambda: mm.dhash_index_load(spark, paths["image"])[0].count(),
+        lambda: mm.audio_fp_index_load(spark, paths["audio"])[0].count(),
+        lambda: vdo.video_fp_index_load(spark, paths["video"])[0].count(),
+        lambda: _media_stream_increment(
+            spark, _media_stream_shard(spark, all_ids), twin_paths
+        ),
+    ])
     par = _multiset_mismatch(back, twin, ["doc_id", "kind", "tier", "kept"])
     result = back.crossJoin(F.broadcast(par)).select(
         "doc_id",
