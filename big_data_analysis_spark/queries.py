@@ -4609,26 +4609,56 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", num_hashes=64, num_bands=16, shingle_n=3, threshold=0.7
     )
     slice_ = d.filter(F.col("doc_id") < 500)
-    # exact >= 0.5 pairs: feeds BOTH the precision check (found pairs
-    # must appear here — est >= 0.7 from 64 hashes sits ~3 sigma above
-    # an exact J of 0.5, so the floor is statistically safe, not just
-    # measured-on-this-corpus safe; measured margin is larger: every
-    # found pair has exact J >= 0.7) and, refiltered at 0.7, the
-    # ground-truth count
-    exact05 = dd.ngram_jaccard_pairs(
-        slice_, "text", "doc_id", n=3, threshold=0.5
-    ).persist()
     f = found.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
         "id_a", "id_b"
     )
-    true07 = exact05.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
-    prec = f.join(
-        exact05.select("id_a", "id_b", F.lit(1).alias("__ge_floor")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
+    # Precision floor (est >= 0.7 from 64 hashes sits ~3 sigma above an
+    # exact J of 0.5, so the floor is statistically safe; measured
+    # margin is larger: every found pair has exact J >= 0.7). r12
+    # OPTIMIZATION: the floor only needs the exact J of the FOUND
+    # pairs — compute it per-found-pair directly instead of
+    # materializing every slice pair with J >= 0.5 (at threshold 0.5
+    # the prefix filter barely prunes and every surviving candidate
+    # pays the array_intersect verify). The ground-truth count and the
+    # recall join run the similarity join AT 0.7, where the prefix
+    # prunes hard — the emitted set is exactly the old exact05
+    # refiltered at 0.7. All three certificate values are unchanged.
+    sh_slice = slice_.select(
+        F.col("doc_id").alias("id"),
+        dd._token_shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    found_j = (
+        f.join(
+            sh_slice.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                F.col("sh_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh_slice.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                F.col("sh_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            (
+                common
+                / (F.col("size_a") + F.col("size_b") - common)
+            ).alias("jaccard"),
+        )
+    )
+    true07 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=3, threshold=0.7
+    ).select("id_a", "id_b")
+    prec = found_j.agg(
         F.count(F.lit(1)).alias("n_found"),
-        F.coalesce(F.sum("__ge_floor"), F.lit(0)).alias("n_found_ge_floor"),
+        F.coalesce(
+            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
+        ).alias("n_found_ge_floor"),
     )
     rec = f.join(
         true07.withColumn("__true", F.lit(1)), ["id_a", "id_b"], "left"
@@ -4647,11 +4677,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Eager 1-row pull so exact05's cache is released before returning
-    # — a looping driver must not accumulate cached slice-join
-    # partitions per call (the connected_components lesson).
+    # Eager 1-row pull — a looping driver must not accumulate cached
+    # slice-join partitions per call (the connected_components lesson).
     rows = cert.collect()
-    exact05.unpersist()
     return spark.createDataFrame(rows, cert.schema)
 
 
@@ -4736,22 +4764,51 @@ def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = _multiset_mismatch(e9(incr), e9(batch_t), ["id_a", "id_b", "e"])
 
     slice_ = d.filter(F.col("doc_id") < 500)
-    exact05 = (
-        dd.ngram_jaccard_pairs(slice_, "text", "doc_id", n=3, threshold=0.5)
-        .filter(touching)
-        .localCheckpoint(eager=True)
-    )
-    true07 = exact05.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
     f = incr.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
         "id_a", "id_b"
     )
-    prec = f.join(
-        exact05.select("id_a", "id_b", F.lit(1).alias("__ge_floor")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
+    # r12 OPTIMIZATION (the q_minhash_pairs restructure, applied here):
+    # the precision floor only needs the exact J of the FOUND pairs —
+    # per-found-pair array_intersect instead of materializing every
+    # J >= 0.5 slice pair; the ground-truth/recall set runs the
+    # similarity join AT 0.7 where the prefix filter prunes. Same
+    # certificate values.
+    sh_slice = slice_.select(
+        F.col("doc_id").alias("id"),
+        dd._token_shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    __common = F.size(F.array_intersect("sh_a", "sh_b"))
+    found_j = (
+        f.join(
+            sh_slice.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                F.col("sh_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh_slice.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                F.col("sh_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            (
+                __common
+                / (F.col("size_a") + F.col("size_b") - __common)
+            ).alias("jaccard"),
+        )
+    )
+    true07 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=3, threshold=0.7
+    ).filter(touching).select("id_a", "id_b")
+    prec = found_j.agg(
         F.count(F.lit(1)).alias("n_found"),
-        F.coalesce(F.sum("__ge_floor"), F.lit(0)).alias("n_found_ge_floor"),
+        F.coalesce(
+            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
+        ).alias("n_found_ge_floor"),
     )
     rec = f.join(
         true07.withColumn("__true", F.lit(1)), ["id_a", "id_b"], "left"
@@ -4904,14 +4961,49 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = found.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
         "id_a", "id_b"
     )
-    # exact token-Jaccard over the slice: >= 0.5 for the subset check
-    # (hamming <= 3 of 64 is a FAR stricter relation than J = 0.5 —
-    # every found pair measures J >= 0.8 — so the floor carries real
-    # statistical slack, not just a this-corpus measurement),
-    # refiltered at 0.95 for the SQL-anchored count
-    exact05 = dd.ngram_jaccard_pairs(
-        slice_, "text", "doc_id", n=1, threshold=0.5
-    ).persist()
+    # exact token-Jaccard floor for the subset check (hamming <= 3 of
+    # 64 is a FAR stricter relation than J = 0.5 — every found pair
+    # measures J >= 0.8 — so the floor carries real statistical slack,
+    # not just a this-corpus measurement). r12 OPTIMIZATION: the floor
+    # only needs the exact J of the FOUND pairs, so compute it
+    # per-found-pair directly (|found| array intersects) instead of
+    # materializing EVERY slice pair with J >= 0.5 — at a 0.5 unigram
+    # threshold the similarity join degenerates to ~90% of all C(500,2)
+    # pairs (measured 111,727 candidates), all of which paid the
+    # array_intersect verify. Values are unchanged: a found pair is
+    # "in the >= 0.5 set" iff its own exact J >= 0.5.
+    sh_slice = slice_.select(
+        F.col("doc_id").alias("id"),
+        dd._token_shingles(F.col("text"), 1).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    found_j = (
+        f.join(
+            sh_slice.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                F.col("sh_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh_slice.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                F.col("sh_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            (
+                common
+                / (F.col("size_a") + F.col("size_b") - common)
+            ).alias("jaccard"),
+        )
+    )
+    # the SQL-anchored count at 0.95 runs the similarity join AT 0.95,
+    # where the PPJoin prefix actually prunes (J >= 0.95 pairs only —
+    # the same set the old >= 0.5 run yielded after refiltering)
+    true95 = dd.ngram_jaccard_pairs(slice_, "text", "doc_id", n=1, threshold=0.95)
     # brute-force hamming ground truth on the slice (125k pair
     # comparisons of two longs — trivial; the operator under test used
     # the block tables, THIS path is the independent all-pairs check)
@@ -4923,21 +5015,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= 3)
         .select("id_a", "id_b")
     )
-    subset = f.join(
-        exact05.select("id_a", "id_b", F.lit(1).alias("__j_floor")),
-        ["id_a", "id_b"],
-        "left",
-    ).join(
+    subset = found_j.join(
         brute.withColumn("__brute", F.lit(1)), ["id_a", "id_b"], "left"
     ).agg(
         F.count(F.lit(1)).alias("n_found"),
-        F.coalesce(F.sum("__j_floor"), F.lit(0)).alias("n_found_j_floor"),
+        F.coalesce(
+            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
+        ).alias("n_found_j_floor"),
         F.coalesce(F.sum("__brute"), F.lit(0)).alias("n_found_in_brute"),
     )
     n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
     cert = (
-        exact05.filter(F.col("jaccard") >= 0.95)
-        .agg(F.count(F.lit(1)).alias("n_true_j95_pairs"))
+        true95.agg(F.count(F.lit(1)).alias("n_true_j95_pairs"))
         .crossJoin(F.broadcast(subset))
         .crossJoin(F.broadcast(n_brute))
         .select(
@@ -4949,10 +5038,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blocking_complete"),
         )
     )
-    # Eager 1-row pull so exact05's cache is released before returning
-    # (see q_minhash_pairs).
+    # Eager 1-row pull (see q_minhash_pairs).
     rows = cert.collect()
-    exact05.unpersist()
     return spark.createDataFrame(rows, cert.schema)
 
 
@@ -5017,22 +5104,48 @@ def q_simhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = _multiset_mismatch(incr, batch_t, ["id_a", "id_b", "hamming"])
 
     slice_ = d.filter(F.col("doc_id") < 500)
-    exact05 = (
-        dd.ngram_jaccard_pairs(slice_, "text", "doc_id", n=1, threshold=0.5)
-        .filter(touching)
-        .localCheckpoint(eager=True)
-    )
-    true95 = exact05.filter(F.col("jaccard") >= 0.95).select("id_a", "id_b")
     f = incr.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
         "id_a", "id_b"
     )
-    flo = f.join(
-        exact05.select("id_a", "id_b", F.lit(1).alias("__j_floor")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
+    # r12 OPTIMIZATION (the q_simhash_pairs restructure, applied here):
+    # per-found-pair exact J for the floor; the 0.95 ground truth runs
+    # the similarity join AT 0.95. Same certificate values.
+    sh_slice = slice_.select(
+        F.col("doc_id").alias("id"),
+        dd._token_shingles(F.col("text"), 1).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    __common = F.size(F.array_intersect("sh_a", "sh_b"))
+    found_j = (
+        f.join(
+            sh_slice.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                F.col("sh_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh_slice.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                F.col("sh_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            (
+                __common
+                / (F.col("size_a") + F.col("size_b") - __common)
+            ).alias("jaccard"),
+        )
+    )
+    true95 = dd.ngram_jaccard_pairs(
+        slice_, "text", "doc_id", n=1, threshold=0.95
+    ).filter(touching).select("id_a", "id_b")
+    flo = found_j.agg(
         F.count(F.lit(1)).alias("n_found"),
-        F.coalesce(F.sum("__j_floor"), F.lit(0)).alias("n_found_j_floor"),
+        F.coalesce(
+            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
+        ).alias("n_found_j_floor"),
     )
     cert = (
         true95.agg(F.count(F.lit(1)).alias("n_true_j95_touching"))
