@@ -19,35 +19,47 @@ Thread-safety inventory for the call sites in this repo (audited):
 SparkSession action submission is thread-safe; the increments touch no
 temp views and no shared mutable Python state; every pair of concurrent
 branches mutates DISJOINT store directories (or none). Failure-path
-semantics: all branches are awaited, then the FIRST failure in input
-order is re-raised — deterministic, and equivalent to the sequential
-order for the upfront-contract errors the tests pin (those raise before
-any branch is submitted).
+semantics (ADVICE r12): every branch runs to COMPLETION — when one
+branch fails, its siblings still finish and commit whatever they
+commit (e.g. store appends), unlike the sequential order where later
+branches would never have started. Only after all branches settle is
+the FIRST failure in input order re-raised (deterministic). Callers
+therefore only overlap branches whose commits are independently valid
+— each store's version_tag ledger makes a retry after a sibling's
+partial commit replay-idempotent per store. Errors a branch raises
+before submitting any job (contract prechecks) behave identically to
+the sequential order for that branch itself; siblings still complete.
 """
 
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+#: Guide §2.6: "2-3 jobs in flight is plenty: enough to fill the tail,
+#: not so many that they fight for executors." 4 covers the widest
+#: truly-parallel fan-out here (the 4-store seeds) without letting the
+#: 7-thunk call sites oversubscribe the scheduler.
+MAX_WORKERS = 4
+
 
 def run_jobs(thunks):
     """Run independent job-submitting callables concurrently on driver
-    threads; return their results in input order. With 0 or 1 thunks
-    this degenerates to plain calls (no pool overhead)."""
+    threads (at most MAX_WORKERS in flight); return their results in
+    input order. With 0 or 1 thunks this degenerates to plain calls
+    (no pool overhead)."""
     thunks = list(thunks)
     if not thunks:
         return []
     if len(thunks) == 1:
         return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+    with ThreadPoolExecutor(max_workers=min(MAX_WORKERS, len(thunks))) as pool:
         futures = [pool.submit(t) for t in thunks]
         # Await everything first so a failure cannot leave half-
         # submitted sibling jobs running unobserved, then surface the
         # first error in deterministic input order.
-        done = [(f, None) for f in futures]
         results = []
         first_exc = None
-        for f, _ in done:
+        for f in futures:
             try:
                 results.append(f.result())
             except BaseException as exc:  # noqa: BLE001 - re-raised below

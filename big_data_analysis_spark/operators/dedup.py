@@ -538,6 +538,8 @@ def containment_index_compact(spark, path: str) -> None:
         return
     d = _write_containment_version(rows, path)
     new_man = dict(man)
+    # ADVICE r10: compaction rewrites every row in v2 hashed-gram form
+    new_man["format_version"] = 2
     new_man["cg_dirs"] = [d]
     new_man.pop("tombstones_file", None)
     new_man.pop("retained", None)
@@ -617,6 +619,8 @@ def containment_dedup_increment(
     on_existing: str = "error",
     return_stats: bool = False,
     version_tag: str | None = None,
+    _fast_n: int | None = None,
+    _defer_append=None,
 ):
     """Containment dedup of a NEW shard against the persisted gram
     index WITHOUT re-shingling any archive text: candidates =
@@ -656,12 +660,26 @@ def containment_dedup_increment(
             f"{man.get('kind')!r} store, not a containment index"
         )
     n, threshold = man["n"], man["threshold"]
-    shard_docs = new_docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
-    ).localCheckpoint(eager=True)
-    n_shard = _increment_precheck(
-        "containment_dedup_increment", shard_docs, "id", on_existing, "__t"
-    )
+    # ``_fast_n``: the r13 cascade fast path (see
+    # minhash_dedup_increment) — input already checkpointed +
+    # contract-validated, count known.
+    if _fast_n is None:
+        shard_docs = new_docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+        ).localCheckpoint(eager=True)
+        n_shard = _increment_precheck(
+            "containment_dedup_increment", shard_docs, "id", on_existing, "__t"
+        )
+    else:
+        if on_existing not in ("error", "skip"):
+            raise ValueError(
+                "containment_dedup_increment: on_existing must be 'error' "
+                f"or 'skip', got {on_existing!r}"
+            )
+        shard_docs = new_docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+        )
+        n_shard = _fast_n
     if version_tag is not None and version_tag in man.get("tags", ()):
         # REPLAY (the shared version_tag discipline): re-shingle the
         # full shard and pair it against the index MINUS the shard's
@@ -705,18 +723,33 @@ def containment_dedup_increment(
     if append and n_fresh > 0:
         from .index_store import commit_manifest
 
-        d = _write_containment_version(shard_grams, path)
-        new_man = dict(man)
-        new_man["cg_dirs"] = man["cg_dirs"] + [d]
-        if version_tag is not None:
-            # replay ledger — compaction's dict(man) copy preserves it
-            new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
-        new_man.pop("retained", None)
-        commit_manifest(
-            path, new_man,
-            prefixes=_CONT_IDX_PREFIXES,
-            artifacts_fn=_containment_idx_artifacts,
-        )
+        def _commit_append():
+            d = _write_containment_version(shard_grams, path)
+            new_man = dict(man)
+            # ADVICE r10: the appended rows are always v2 hashed grams,
+            # so stamp the format — a v1 EMPTY store (pre-r10 init)
+            # otherwise keeps format_version 1 with non-empty v2
+            # cg_dirs and every later load refuses it despite the data
+            # being valid.
+            new_man["format_version"] = 2
+            new_man["cg_dirs"] = man["cg_dirs"] + [d]
+            if version_tag is not None:
+                # replay ledger — compaction's dict(man) copy preserves it
+                new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
+            new_man.pop("retained", None)
+            commit_manifest(
+                path, new_man,
+                prefixes=_CONT_IDX_PREFIXES,
+                artifacts_fn=_containment_idx_artifacts,
+            )
+
+        # r13: overlappable append — shard_grams derives only from the
+        # CHECKPOINTED shingle snapshot (concurrent actions on the same
+        # immutable frame are thread-safe); see minhash_dedup_increment
+        if _defer_append is not None:
+            _defer_append(_commit_append)
+        else:
+            _commit_append()
         appended = True
     if return_stats:
         return pairs, {
@@ -803,7 +836,14 @@ def dedup_cascade_increment(
     The shared increment contract, composed: ONE localCheckpointed
     (id, text) snapshot feeds every tier (the shard source is scanned
     once); duplicate/NULL ids and NULL text raise up front via the
-    exact tier's precheck; ``on_existing`` forwards to the near tiers;
+    exact tier's precheck; ``on_existing`` forwards to the near tiers
+    — NOTE (ADVICE r10): under ``on_existing='skip'`` a shard id
+    ALREADY in a near-dup store is anti-joined out of that tier's
+    probe, generates no pairs, and falls through to a ``'kept'``
+    verdict even when its text is a duplicate; the verdict table
+    inherits the single-tier skip semantics (the skipped id's payload
+    is never compared), so replayed/overlapping shards should be
+    filtered out upstream when per-doc verdicts matter;
     ``return_stats=True`` returns ``(verdicts, stats)`` with per-tier
     caught counts and each tier's own stats dict. ``version_tag``
     forwards to every tier — each store's tags ledger makes its append
@@ -821,6 +861,8 @@ def dedup_cascade_increment(
     # keep the caller's id column NAME: each tier's increment resolves
     # its id column from its own store manifest, so the cascade's
     # stores must all have been saved over this same id column
+    from concurrent.futures import ThreadPoolExecutor
+
     shard = new_docs.select(
         F.col(id_col), F.col(text_col).alias("__t")
     ).localCheckpoint(eager=True)
@@ -828,85 +870,159 @@ def dedup_cascade_increment(
     def ids_of(df: DataFrame) -> DataFrame:
         return df.select(F.col(id_col).alias("id"))
 
-    # tier 1: exact — survivors keep all original (renamed) columns
-    surv1, fp_st = exact_dedup_increment(
-        spark, shard, "__t", fp_path, version_tag=version_tag,
-        return_stats=True,
-    )
-    surv1 = surv1.localCheckpoint(eager=True)
+    def empty_ids() -> DataFrame:
+        return ids_of(shard).limit(0)
 
-    # tier 2: MinHash
-    mh_pairs, mh_st = minhash_dedup_increment(
-        spark, surv1, "__t", mh_path, threshold=mh_threshold,
-        on_existing=on_existing, return_stats=True,
-        version_tag=version_tag,
-    )
-    caught_mh = _cascade_caught_ids(
-        mh_pairs, ids_of(surv1)
-    ).localCheckpoint(eager=True)
-    surv2 = surv1.join(
-        caught_mh.withColumnRenamed("id", id_col), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
+    # r13 (guide §2.6): each tier's store APPEND (parquet write +
+    # manifest commit) only reads that tier's checkpointed feature
+    # frame and touches a store no other tier reads, so it can overlap
+    # the downstream tiers' compute. Every deferred append is awaited
+    # before this function returns — on success before the verdict
+    # frame is handed back, on failure before the error propagates
+    # (run_jobs failure semantics: siblings complete; a retry after a
+    # partial commit is made replay-idempotent per store by
+    # version_tag).
+    pool = ThreadPoolExecutor(max_workers=2)
+    append_futures: list = []
 
-    # tier 3: SimHash
-    sh_pairs, sh_st = simhash_dedup_increment(
-        spark, surv2, "__t", sh_path, max_hamming=sh_max_hamming,
-        on_existing=on_existing, return_stats=True,
-        version_tag=version_tag,
-    )
-    caught_sh = _cascade_caught_ids(
-        sh_pairs, ids_of(surv2)
-    ).localCheckpoint(eager=True)
-    surv3 = surv2.join(
-        caught_sh.withColumnRenamed("id", id_col), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
+    def defer(thunk) -> None:
+        append_futures.append(pool.submit(thunk))
 
-    # tier 4: containment (optional — the heaviest store)
-    caught_ct = None
-    ct_st = None
+    def await_appends() -> None:
+        for f in append_futures:
+            f.result()
+
+    try:
+        # tier 1: exact — survivors keep all original (renamed)
+        # columns; its fused precheck aggregate validates the shard
+        # contract for every later tier (survivor frames are subsets)
+        surv1, fp_st = exact_dedup_increment(
+            spark, shard, "__t", fp_path, version_tag=version_tag,
+            return_stats=True, _defer_append=defer,
+        )
+        surv1 = surv1.localCheckpoint(eager=True)
+        n1 = fp_st["survivors"]
+
+        def near_tier(run_increment, surv, n_in):
+            """One near-dup tier: probe, caught ids, next survivors —
+            with the r13 count-threading shortcuts. Returns
+            (caught_ids_checkpointed, n_caught, surv_next, n_next,
+            tier_stats). A zero-row input skips the tier's probe
+            outright (no pairs can exist; equivalent by construction)
+            except under version_tag, where the tier's own replay
+            accounting must still run."""
+            if n_in == 0 and version_tag is None:
+                st = {"shard_rows": 0, "skipped_existing": 0,
+                      "indexed": 0, "appended": False, "replayed": False}
+                return empty_ids(), 0, surv, 0, st
+            pairs, st = run_increment(surv, n_in)
+            caught = _cascade_caught_ids(
+                pairs, ids_of(surv)
+            ).localCheckpoint(eager=True)
+            n_caught = caught.count()
+            if n_caught == 0:
+                # anti-join against an empty caught set is the
+                # identity: reuse the existing checkpoint
+                return caught, 0, surv, n_in, st
+            surv_next = surv.join(
+                caught.withColumnRenamed("id", id_col), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            return caught, n_caught, surv_next, n_in - n_caught, st
+
+        # tier 2: MinHash
+        caught_mh, n_c_mh, surv2, n2, mh_st = near_tier(
+            lambda surv, n_in: minhash_dedup_increment(
+                spark, surv, "__t", mh_path, threshold=mh_threshold,
+                on_existing=on_existing, return_stats=True,
+                version_tag=version_tag, _fast_n=n_in, _defer_append=defer,
+            ),
+            surv1, n1,
+        )
+
+        # tier 3: SimHash
+        caught_sh, n_c_sh, surv3, n3, sh_st = near_tier(
+            lambda surv, n_in: simhash_dedup_increment(
+                spark, surv, "__t", sh_path, max_hamming=sh_max_hamming,
+                on_existing=on_existing, return_stats=True,
+                version_tag=version_tag, _fast_n=n_in, _defer_append=defer,
+            ),
+            surv2, n2,
+        )
+
+        # tier 4: containment (optional — the heaviest store)
+        caught_ct = None
+        n_c_ct = 0
+        ct_st = None
+        if ct_path is not None:
+            caught_ct, n_c_ct, _surv4, _n4, ct_st = near_tier(
+                lambda surv, n_in: containment_dedup_increment(
+                    spark, surv, "__t", ct_path, id_col=id_col,
+                    on_existing=on_existing, return_stats=True,
+                    version_tag=version_tag, _fast_n=n_in,
+                    _defer_append=defer,
+                ),
+                surv3, n3,
+            )
+    except BaseException:
+        # surface the compute error, but never abandon in-flight
+        # append threads mid-write (their commits are awaited so the
+        # stores are in a defined state for a version_tag retry)
+        for f in append_futures:
+            try:
+                f.result()
+            except BaseException:  # noqa: BLE001 - original error wins
+                pass
+        pool.shutdown(wait=True)
+        raise
+    await_appends()
+    pool.shutdown(wait=True)
+
+    # Verdicts as a DISJOINT UNION of the per-tier caught sets plus the
+    # kept remainder (r13, guide §2.4: the former 4-way left-join +
+    # CASE chain re-joined the shard against four tiny flag frames —
+    # two anti-joins and a union produce the same partition of the
+    # shard's ids with half the exchanges). The branches partition the
+    # shard ids by FIRST catching tier by construction: caught_mh ⊆
+    # surv1, caught_sh ⊆ surv2 = surv1 − caught_mh, caught_ct ⊆ surv3.
+    def labeled(ids: DataFrame, t: str) -> DataFrame:
+        return ids.select(
+            F.col("id").alias(id_col),
+            F.lit(t).alias("tier"),
+            F.lit(t == "kept").alias("kept"),
+        )
+
+    n_exact = fp_st["shard_rows"] - fp_st["survivors"]
+    exact_caught = (
+        ids_of(shard).join(ids_of(surv1), "id", "left_anti")
+        if n_exact else empty_ids()
+    )
+    last_surv, last_caught, n_last_caught = (
+        (surv3, caught_ct, n_c_ct) if ct_path is not None
+        else (surv3, None, 0)
+    )
+    kept = (
+        ids_of(last_surv).join(last_caught, "id", "left_anti")
+        if n_last_caught else ids_of(last_surv)
+    )
+    parts = [
+        labeled(exact_caught, "exact"),
+        labeled(caught_mh, "jaccard"),
+        labeled(caught_sh, "simhash"),
+    ]
     if ct_path is not None:
-        ct_pairs, ct_st = containment_dedup_increment(
-            spark, surv3, "__t", ct_path, id_col=id_col,
-            on_existing=on_existing, return_stats=True,
-            version_tag=version_tag,
-        )
-        caught_ct = _cascade_caught_ids(
-            ct_pairs, ids_of(surv3)
-        ).localCheckpoint(eager=True)
-
-    tier = (
-        F.when(F.col("__s1").isNull(), F.lit("exact"))
-        .when(F.col("__mh").isNotNull(), F.lit("jaccard"))
-        .when(F.col("__sh").isNotNull(), F.lit("simhash"))
-    )
-    if caught_ct is not None:
-        tier = tier.when(F.col("__ct").isNotNull(), F.lit("containment"))
-    tier = tier.otherwise(F.lit("kept"))
-
-    def mark(ids: DataFrame, flag: str) -> DataFrame:
-        return ids.withColumnRenamed("id", id_col).withColumn(
-            flag, F.lit(True)
-        )
-
-    verdicts = (
-        shard.select(id_col)
-        .join(mark(ids_of(surv1), "__s1"), id_col, "left")
-        .join(mark(caught_mh, "__mh"), id_col, "left")
-        .join(mark(caught_sh, "__sh"), id_col, "left")
-    )
-    if caught_ct is not None:
-        verdicts = verdicts.join(mark(caught_ct, "__ct"), id_col, "left")
-    verdicts = verdicts.select(
-        id_col, tier.alias("tier"), (tier == "kept").alias("kept")
-    )
+        parts.append(labeled(caught_ct, "containment"))
+    parts.append(labeled(kept, "kept"))
+    verdicts = parts[0]
+    for p in parts[1:]:
+        verdicts = verdicts.unionByName(p)
     if not return_stats:
         return verdicts
     stats = {
         "shard_rows": fp_st["shard_rows"],
-        "caught_exact": fp_st["shard_rows"] - fp_st["survivors"],
-        "caught_jaccard": caught_mh.count(),
-        "caught_simhash": caught_sh.count(),
-        "caught_containment": 0 if caught_ct is None else caught_ct.count(),
+        "caught_exact": n_exact,
+        "caught_jaccard": n_c_mh,
+        "caught_simhash": n_c_sh,
+        "caught_containment": n_c_ct,
         "exact": fp_st,
         "minhash": mh_st,
         "simhash": sh_st,
@@ -1217,7 +1333,8 @@ def _increment_precheck(
     id_col: str,
     on_existing: str | None,
     text_col: str | None = None,
-) -> int:
+    extra_aggs=None,
+):
     """The shard contract shared by EVERY incremental tier (minhash /
     simhash / exact / semantic), validated in ONE aggregate; returns
     the shard row count. Single-sourced on purpose (review r8: four
@@ -1238,6 +1355,12 @@ def _increment_precheck(
       thing that drops rows. Quality-filter the shard first (the
       corpus-refresh pipelines already do).
     - ``on_existing`` (when the tier takes it) must be 'error'/'skip'.
+
+    ``extra_aggs`` (r13 optimization, guide §1.2: don't run two driver
+    actions where one aggregate answers both) lets a caller fold its
+    own aggregate expressions into the SAME job; the full Row is then
+    returned instead of the bare count (contract checks and raise
+    order are identical either way).
     """
     if on_existing is not None and on_existing not in ("error", "skip"):
         raise ValueError(
@@ -1253,7 +1376,7 @@ def _increment_precheck(
                 F.sum(F.col(text_col).isNull().cast("int")), F.lit(0)
             ).alias("n_null_text")
         )
-    pre = new_docs.agg(*aggs).head()
+    pre = new_docs.agg(*aggs, *(extra_aggs or ())).head()
     if pre["n_ids"] != pre["n"]:
         raise ValueError(
             f"{op}: shard has {pre['n'] - pre['n_ids']} duplicate or NULL "
@@ -1265,7 +1388,7 @@ def _increment_precheck(
             "— no fingerprint can be derived from it; filter the shard "
             "first"
         )
-    return pre["n"]
+    return pre if extra_aggs is not None else pre["n"]
 
 
 def _raise_already_indexed(op: str, skipped: int, n: int) -> None:
@@ -1341,6 +1464,8 @@ def minhash_dedup_increment(
     on_existing: str = "error",
     return_stats: bool = False,
     version_tag: str | None = None,
+    _fast_n: int | None = None,
+    _defer_append=None,
 ):
     """Dedup a NEW shard against a persisted corpus index without
     re-signing the corpus: signatures are computed for the shard only,
@@ -1402,10 +1527,24 @@ def minhash_dedup_increment(
     # skipped = n_shard - n_fresh wrong: a spurious overlap raise or
     # wrong stats). The exact tier already prechecks its checkpointed
     # fp_new; this is the same discipline for the signature tiers.
-    shard = new_docs.select(id_col, text_col).localCheckpoint(eager=True)
-    n_shard = _increment_precheck(
-        "minhash_dedup_increment", shard, id_col, on_existing, text_col
-    )
+    # r13 cascade fast path (guide §1.2): ``_fast_n`` asserts the input
+    # is ALREADY an eager-checkpointed snapshot with validated contract
+    # (unique non-null ids, non-null text — the cascade's first tier
+    # prechecked the superset) and carries its exact row count, so the
+    # re-checkpoint job and the precheck aggregate are pure overhead.
+    if _fast_n is None:
+        shard = new_docs.select(id_col, text_col).localCheckpoint(eager=True)
+        n_shard = _increment_precheck(
+            "minhash_dedup_increment", shard, id_col, on_existing, text_col
+        )
+    else:
+        if on_existing not in ("error", "skip"):
+            raise ValueError(
+                "minhash_dedup_increment: on_existing must be 'error' or "
+                f"'skip', got {on_existing!r}"
+            )
+        shard = new_docs.select(id_col, text_col)
+        n_shard = _fast_n
 
     if version_tag is not None and version_tag in man_probe.get("tags", ()):
         # REPLAY (the fp/dhash/ivfpq version_tag discipline): a prior
@@ -1466,20 +1605,31 @@ def minhash_dedup_increment(
     appended = False
     if append and n_fresh > 0:
 
-        sig_dir, band_dir = _write_minhash_version(new_sigs, path, nb, rpb)
-        man = dict(man_probe)
-        man["sig_dirs"] = man_probe["sig_dirs"] + [sig_dir]
-        man["band_dirs"] = man_probe["band_dirs"] + [band_dir]
-        if version_tag is not None:
-            # replay ledger — compaction's dict(man) copy preserves it
-            man["tags"] = list(man_probe.get("tags", [])) + [str(version_tag)]
-        man.pop("retained", None)
-        commit_manifest(
-            path,
-            man,
-            prefixes=_MINHASH_PREFIXES,
-            artifacts_fn=_minhash_artifacts,
-        )
+        def _commit_append():
+            sig_dir, band_dir = _write_minhash_version(new_sigs, path, nb, rpb)
+            man = dict(man_probe)
+            man["sig_dirs"] = man_probe["sig_dirs"] + [sig_dir]
+            man["band_dirs"] = man_probe["band_dirs"] + [band_dir]
+            if version_tag is not None:
+                # replay ledger — compaction's dict(man) copy preserves it
+                man["tags"] = list(man_probe.get("tags", [])) + [str(version_tag)]
+            man.pop("retained", None)
+            commit_manifest(
+                path,
+                man,
+                prefixes=_MINHASH_PREFIXES,
+                artifacts_fn=_minhash_artifacts,
+            )
+
+        # r13 (guide §2.6): the append writes only the CHECKPOINTED
+        # shard signatures and this store is touched by no other tier,
+        # so a cascade may overlap the write/commit with downstream
+        # tiers' compute; it awaits every deferred append before
+        # returning (and on failure — run_jobs failure semantics).
+        if _defer_append is not None:
+            _defer_append(_commit_append)
+        else:
+            _commit_append()
         appended = True
     if return_stats:
         return pairs, {
@@ -1629,6 +1779,8 @@ def simhash_dedup_increment(
     on_existing: str = "error",
     return_stats: bool = False,
     version_tag: str | None = None,
+    _fast_n: int | None = None,
+    _defer_append=None,
 ):
     """SimHash-dedup a NEW shard against the persisted fingerprint
     store without re-hashing the corpus text: the shard is simhashed
@@ -1658,11 +1810,22 @@ def simhash_dedup_increment(
     # ONE shard snapshot for precheck + anti-join (ADVICE r8: see
     # minhash_dedup_increment — a nondeterministic source would
     # otherwise show the two aggregates different rows and corrupt the
-    # skipped = n_shard - n_fresh subtraction).
-    shard = new_docs.select(id_col, text_col).localCheckpoint(eager=True)
-    n_shard = _increment_precheck(
-        "simhash_dedup_increment", shard, id_col, on_existing, text_col
-    )
+    # skipped = n_shard - n_fresh subtraction). ``_fast_n``: the r13
+    # cascade fast path (see minhash_dedup_increment) — input already
+    # checkpointed + contract-validated, count known.
+    if _fast_n is None:
+        shard = new_docs.select(id_col, text_col).localCheckpoint(eager=True)
+        n_shard = _increment_precheck(
+            "simhash_dedup_increment", shard, id_col, on_existing, text_col
+        )
+    else:
+        if on_existing not in ("error", "skip"):
+            raise ValueError(
+                "simhash_dedup_increment: on_existing must be 'error' or "
+                f"'skip', got {on_existing!r}"
+            )
+        shard = new_docs.select(id_col, text_col)
+        n_shard = _fast_n
 
     if version_tag is not None and version_tag in man.get("tags", ()):
         # REPLAY (the shared version_tag discipline): re-hash the full
@@ -1703,19 +1866,27 @@ def simhash_dedup_increment(
     pairs = _simhash_incr_pairs(new_hashed, hashed_idx, max_hamming)
     appended = False
     if append and n_fresh > 0:
-        sh_dir = _write_simhash_version(new_hashed, path)
-        new_man = dict(man)
-        new_man["sh_dirs"] = man["sh_dirs"] + [sh_dir]
-        if version_tag is not None:
-            # replay ledger — compaction's dict(man) copy preserves it
-            new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
-        new_man.pop("retained", None)
-        commit_manifest(
-            path,
-            new_man,
-            prefixes=_SIMHASH_IDX_PREFIXES,
-            artifacts_fn=_simhash_idx_artifacts,
-        )
+
+        def _commit_append():
+            sh_dir = _write_simhash_version(new_hashed, path)
+            new_man = dict(man)
+            new_man["sh_dirs"] = man["sh_dirs"] + [sh_dir]
+            if version_tag is not None:
+                # replay ledger — compaction's dict(man) copy preserves it
+                new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
+            new_man.pop("retained", None)
+            commit_manifest(
+                path,
+                new_man,
+                prefixes=_SIMHASH_IDX_PREFIXES,
+                artifacts_fn=_simhash_idx_artifacts,
+            )
+
+        # r13: overlappable append — see minhash_dedup_increment
+        if _defer_append is not None:
+            _defer_append(_commit_append)
+        else:
+            _commit_append()
         appended = True
     if return_stats:
         return pairs, {
@@ -1901,6 +2072,7 @@ def exact_dedup_increment(
     append: bool = True,
     version_tag: str | None = None,
     return_stats: bool = False,
+    _defer_append=None,
 ):
     """Exact-dedup a NEW shard against the persisted fingerprint index
     without re-hashing the corpus: shard rows are fingerprinted (one
@@ -1971,14 +2143,13 @@ def exact_dedup_increment(
     # ignored the NULL fp group that groupBy kept, driving
     # dropped_already_indexed negative and silently merging distinct
     # null-text docs as 'duplicates'), plus the distinct-fp count for
-    # the drop accounting — one aggregate on the checkpointed frame.
-    _increment_precheck(
-        "exact_dedup_increment", fp_new, id_col, None, text_col
+    # the drop accounting — ONE aggregate on the checkpointed frame
+    # (r13: the precheck and the fp-count aggregates were two separate
+    # driver actions over the same rows; extra_aggs folds them).
+    pre = _increment_precheck(
+        "exact_dedup_increment", fp_new, id_col, None, text_col,
+        extra_aggs=[F.count_distinct("__fp").alias("n_fps")],
     )
-    pre = fp_new.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("__fp").alias("n_fps"),
-    ).head()
 
     def _result(survivors, n_surv, appended, replayed=False):
         if not return_stats:
@@ -2041,27 +2212,36 @@ def exact_dedup_increment(
     ).drop("__fp")
     appended = False
     if append and n_winners > 0:
-        fp_dir = _write_fp_version(
-            winners.select(
-                F.col("__fp").alias("fp"), F.col(id_col).alias("keeper_id")
-            ),
-            path,
-            name=tag_dir,
-        )
-        new_man = dict(man)
-        new_man["fp_dirs"] = man["fp_dirs"] + [fp_dir]
-        if version_tag is not None:
-            # the replay ledger compaction preserves: one short string
-            # per tagged batch (a retention policy, if ever needed at
-            # billions of batches, belongs to the orchestrator)
-            new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
-        new_man.pop("retained", None)
-        commit_manifest(
-            path,
-            new_man,
-            prefixes=_FP_PREFIXES,
-            artifacts_fn=_fp_artifacts,
-        )
+
+        def _commit_append():
+            fp_dir = _write_fp_version(
+                winners.select(
+                    F.col("__fp").alias("fp"), F.col(id_col).alias("keeper_id")
+                ),
+                path,
+                name=tag_dir,
+            )
+            new_man = dict(man)
+            new_man["fp_dirs"] = man["fp_dirs"] + [fp_dir]
+            if version_tag is not None:
+                # the replay ledger compaction preserves: one short string
+                # per tagged batch (a retention policy, if ever needed at
+                # billions of batches, belongs to the orchestrator)
+                new_man["tags"] = list(man.get("tags", [])) + [str(version_tag)]
+            new_man.pop("retained", None)
+            commit_manifest(
+                path,
+                new_man,
+                prefixes=_FP_PREFIXES,
+                artifacts_fn=_fp_artifacts,
+            )
+
+        # r13: overlappable append — winners is checkpointed; see
+        # minhash_dedup_increment for the deferral contract
+        if _defer_append is not None:
+            _defer_append(_commit_append)
+        else:
+            _commit_append()
         appended = True
     return _result(survivors, n_winners, appended)
 

@@ -57,15 +57,29 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().localCheckpoint()
+    # r13: one explode pass over the checkpointed edges instead of a
+    # two-branch union (each branch re-reads the checkpoint)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint()
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    if check_dangling and outdeg.count() < n:
+    # r13 (guide §1.2): the dangling check (|distinct src| vs n) and
+    # the full-indegree probe (|distinct dst| vs n) were two separate
+    # aggregation passes over the edge list; ONE multi-distinct
+    # aggregate answers both. The isNull flags replicate groupBy/
+    # distinct semantics exactly (count_distinct ignores NULL, a
+    # groupBy keeps the NULL group as one row).
+    deg = e.agg(
+        F.count_distinct("src").alias("n_src"),
+        F.count_distinct("dst").alias("n_dst"),
+        F.max(F.col("src").isNull().cast("int")).alias("src_null"),
+        F.max(F.col("dst").isNull().cast("int")).alias("dst_null"),
+    ).head()
+    n_out = deg["n_src"] + (deg["src_null"] or 0)
+    n_in = deg["n_dst"] + (deg["dst_null"] or 0)
+    if check_dangling and n_out < n:
         raise ValueError(
             "pagerank: graph has dangling nodes (no out-edges); add "
             "reverse edges or pass check_dangling=False to accept rank "
@@ -73,8 +87,15 @@ def pagerank(
         )
     # Keep the out-degree (not a precomputed reciprocal): the per-edge
     # contribution must be the single division rank/deg so independent
-    # recomputations (the SQL oracle) get bit-identical terms.
-    weighted = e.join(outdeg, "src").localCheckpoint()
+    # recomputations (the SQL oracle) get bit-identical terms. r13: the
+    # out-degree is attached with ONE count-over-window on the src
+    # shuffle instead of a groupBy + join back (same rows, same exact
+    # integer __deg, one exchange fewer — guide §2.4).
+    from pyspark.sql import Window as _W
+
+    weighted = e.withColumn(
+        "__deg", F.count(F.lit(1)).over(_W.partitionBy("src"))
+    ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = F.lit((1.0 - damping) / n)
     small = n <= broadcast_nodes_max
@@ -85,7 +106,7 @@ def pagerank(
     # nodes-left-join (and its broadcast build) disappears from every
     # iteration. Sum-per-dst order is unchanged, so ranks are
     # bit-identical to the join path (measured 6.2s -> ~4.5s at sf0.1).
-    full_indegree = e.select("dst").distinct().count() == n
+    full_indegree = n_in == n
     for _ in range(iterations):
         r = F.broadcast(ranks) if small else ranks
         contribs = (
@@ -239,9 +260,23 @@ def label_propagation(
     self-join of two |V|-row label tables on node. Labels
     localCheckpoint each round (lineage truncation, same discipline
     as pagerank)."""
+    # r13 (guide §1.2): emit both directions in ONE explode pass — the
+    # former two-branch union embedded the caller's edge-construction
+    # subtree (e.g. a fact-table self-join) twice in the plan
     both = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -334,10 +369,19 @@ def k_core(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # Both directions: degree(u) = count of rows with that u.
+    # Both directions: degree(u) = count of rows with that u. r13: one
+    # explode pass — the former unionAll embedded the caller's edge
+    # subtree (the co-purchase self-join) twice in the plan.
     live = (
-        und.select("u", "v")
-        .unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
         .localCheckpoint()
     )
     for _ in range(max_iter):

@@ -4764,9 +4764,14 @@ def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = _multiset_mismatch(e9(incr), e9(batch_t), ["id_a", "id_b", "e"])
 
     slice_ = d.filter(F.col("doc_id") < 500)
-    f = incr.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
-        "id_a", "id_b"
-    )
+    # ADVICE r12: pin the touches-the-shard invariant structurally
+    # instead of relying on "every increment pair has a % 10 == 0
+    # side by construction" — the filter is free on the tiny found
+    # set and keeps the precision floor honest if a future change
+    # ever emitted an index-vs-index pair.
+    f = incr.filter(
+        (F.col("id_a") < 500) & (F.col("id_b") < 500) & touching
+    ).select("id_a", "id_b")
     # r12 OPTIMIZATION (the q_minhash_pairs restructure, applied here):
     # the precision floor only needs the exact J of the FOUND pairs —
     # per-found-pair array_intersect instead of materializing every
@@ -5104,9 +5109,11 @@ def q_simhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = _multiset_mismatch(incr, batch_t, ["id_a", "id_b", "hamming"])
 
     slice_ = d.filter(F.col("doc_id") < 500)
-    f = incr.filter((F.col("id_a") < 500) & (F.col("id_b") < 500)).select(
-        "id_a", "id_b"
-    )
+    # ADVICE r12: pin the touches-the-shard invariant structurally
+    # (see q_minhash_incremental_docs) — free on the tiny found set.
+    f = incr.filter(
+        (F.col("id_a") < 500) & (F.col("id_b") < 500) & touching
+    ).select("id_a", "id_b")
     # r12 OPTIMIZATION (the q_simhash_pairs restructure, applied here):
     # per-found-pair exact J for the floor; the 0.95 ground truth runs
     # the similarity join AT 0.95. Same certificate values.
@@ -6816,6 +6823,28 @@ def q_melt_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+def _both_directions(fwd: DataFrame, *extra: str) -> DataFrame:
+    """Emit every (src, dst[, extra...]) edge in BOTH directions in ONE
+    pass — explode of a two-struct array — instead of
+    ``fwd.union(flip(fwd))``, whose plan embeds the edge-construction
+    subtree TWICE (for a fact-table-derived graph: a second
+    scan+join+distinct execution per direction — r13, guide §2.4
+    "remove shuffles outright" / §1.2 "don't compute things twice").
+    Row multiset is identical to the union form; graph operators are
+    row-order insensitive (joins/aggregations only)."""
+    ex = [F.col(c) for c in extra]
+    return fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), *ex),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), *ex
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
+
+
 def _pagerank_oracle(iters: int = 8, d: float = 0.85) -> str:
     sql = """
 WITH edges AS (
@@ -6866,7 +6895,7 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bi = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bi = _both_directions(fwd)
     ranks = pagerank(bi, iterations=8)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
@@ -9053,7 +9082,7 @@ def q_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bi = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bi = _both_directions(fwd)
     srcs = (
         t["supplier"]
         .filter(F.col("s_nationkey") == 0)
@@ -10370,9 +10399,7 @@ def q_sssp_trade_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias("w"),
         )
     )
-    bi = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    bi = _both_directions(fwd, "w")
     srcs = (
         t["supplier"]
         .filter(F.col("s_nationkey") == 0)
